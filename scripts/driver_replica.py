@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Replica of the driver's verify: drive __spark_entry__ end-to-end.
+
+Usage: python scripts/driver_replica.py [--sf-dir /root/testdata/sf0.01]
+
+1. smoke: entry(spark) on sf0.001 -> collect, rows >= 0, stable schema
+2. correctness: each queries()[name] at sf_dir vs oracle_sql()[name] in
+   DuckDB — row count, column-name set, order-insensitive value hash
+   (columns sorted by name, floats rounded to 9 significant digits).
+
+Prints one JSON line per query and a final summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def value_hash(pdf) -> str:
+    import numpy as np
+    cols = sorted(pdf.columns)
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "NULL"
+        if isinstance(v, (np.floating, float)):
+            f = float(v)
+            if f == 0:
+                f = 0.0
+            return f"{f:.9g}"
+        if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+            return str(int(v))
+        if isinstance(v, (np.ndarray, list, tuple)):
+            return "[" + ",".join(norm(x) for x in v) + "]"
+        if hasattr(v, "isoformat"):
+            s = v.isoformat()
+            return s[:-6] if s.endswith("+00:00") else s
+        return str(v)
+
+    rows = sorted("|".join(norm(v) for v in row) for row in pdf[cols].itertuples(index=False))
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    args = ap.parse_args()
+
+    import duckdb
+    import __spark_entry__ as mod
+    from data_integration_and_processing_spark.session import get_spark
+
+    spark = get_spark(app_name="driver-replica")
+
+    t0 = time.time()
+    edf = mod.entry(spark)
+    rows = edf.collect()
+    print(json.dumps({"check": "entry_smoke", "rows": len(rows), "cols": edf.columns, "sec": round(time.time() - t0, 2)}))
+    assert len(rows) >= 0 and edf.columns
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
+
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+    n_pass = n_fail = n_rows_only = 0
+    for name in sorted(qs):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spdf = qs[name](spark, args.sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"query": name, "status": "SPARK_ERROR", "error": str(e)[:300]}))
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(json.dumps({"query": name, "status": "rows_only", "rows": len(spdf), "sec": round(time.time() - t0, 2)}))
+            n_rows_only += 1
+            continue
+        try:
+            opdf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"query": name, "status": "ORACLE_ERROR", "error": str(e)[:300]}))
+            n_fail += 1
+            continue
+        ok_rows = len(spdf) == len(opdf)
+        ok_cols = sorted(c.lower() for c in spdf.columns) == sorted(c.lower() for c in opdf.columns)
+        ok_hash = ok_rows and ok_cols and value_hash(spdf) == value_hash(opdf)
+        status = "MATCH" if (ok_rows and ok_cols and ok_hash) else "MISMATCH"
+        rec = {"query": name, "status": status, "rows": len(spdf), "sec": round(time.time() - t0, 2)}
+        if status == "MISMATCH":
+            rec.update({"ok_rows": ok_rows, "ok_cols": ok_cols, "oracle_rows": len(opdf),
+                        "spark_cols": sorted(spdf.columns), "oracle_cols": sorted(opdf.columns)})
+            n_fail += 1
+        else:
+            n_pass += 1
+        print(json.dumps(rec))
+
+    print(json.dumps({"summary": {"match": n_pass, "mismatch_or_error": n_fail, "rows_only": n_rows_only}}))
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
