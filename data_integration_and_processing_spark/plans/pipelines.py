@@ -1,0 +1,78 @@
+"""End-to-end ETL pipelines (reference parity: O11/O12/O13).
+
+The reference's three menu actions (`/root/reference/ETLManager.py:50-99`)
+are fixed read -> rename -> DDL -> load call chains that materialize the
+whole table on one thread. Here each pipeline is a *lazy plan*: source scan
+-> metadata-only rename/clean -> optional casts -> distributed sink write.
+Nothing touches the driver; Catalyst fuses the projection into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_and_processing_spark.functions.naming import clean_columns, rename_columns
+from data_integration_and_processing_spark.sources.readers import read_excel, read_file
+from data_integration_and_processing_spark.sources.writers import write_file
+
+
+def _prepare(df: DataFrame, column_mapping: dict[str, str] | None, casts: dict[str, str] | None) -> DataFrame:
+    out = rename_columns(clean_columns(df), column_mapping)
+    if casts:
+        out = out.withColumns({c: F.col(c).cast(t) for c, t in casts.items()})
+    return out
+
+
+def table_name_from_path(path: str) -> str:
+    """Derive a sink table name from the source filename (reference behavior
+    at /root/reference/PostgresDatabase.py:133-134)."""
+    return os.path.splitext(os.path.basename(path))[0].lower()
+
+
+def ingest_file(
+    spark: SparkSession,
+    source_path: str,
+    dest_path: str,
+    source_fmt: str = "csv",
+    dest_fmt: str = "parquet",
+    column_mapping: dict[str, str] | None = None,
+    casts: dict[str, str] | None = None,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **write_options: Any,
+) -> DataFrame:
+    """File ingest pipeline (reference O13: XLSX -> clean/rename -> PG
+    overwrite). Returns the prepared DataFrame for inspection/testing."""
+    if source_fmt == "xlsx":
+        df = read_excel(spark, source_path)
+    else:
+        df = read_file(spark, source_path, fmt=source_fmt)
+    prepared = _prepare(df, column_mapping, casts)
+    write_file(prepared, dest_path, fmt=dest_fmt, mode=mode, partition_by=partition_by,
+               options=write_options or None)
+    return prepared
+
+
+def transfer(
+    spark: SparkSession,
+    source: DataFrame | str,
+    dest_path: str,
+    column_mapping: dict[str, str] | None = None,
+    casts: dict[str, str] | None = None,
+    mode: str = "overwrite",
+    dest_fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Table-to-table transfer pipeline (reference O11/O12: full-table copy
+    with rename between two stores). ``source`` is a DataFrame from any
+    connector (read_file / read_jdbc) or a parquet path. ``mode`` carries
+    the sink semantics: "overwrite" = the reference's PG drop-and-recreate,
+    "append" = its CH insert-into-existing."""
+    df = spark.read.parquet(source) if isinstance(source, str) else source
+    prepared = _prepare(df, column_mapping, casts)
+    write_file(prepared, dest_path, fmt=dest_fmt, mode=mode, partition_by=partition_by)
+    return prepared

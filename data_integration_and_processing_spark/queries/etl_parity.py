@@ -1,1 +1,123 @@
-"""etl_parity queries (filled in incrementally)."""
+"""Reference-parity ETL surface as oracle-checked queries (SURVEY.md §2.1).
+
+Each query exercises one reference operator family end-to-end on fixture
+data: name cleaning + rename maps (O4), dtype-mapped casts (O5/O6), and the
+two sink semantics — overwrite (PG drop-and-recreate, O7/O9) and append
+(CH create-if-absent insert, O8/O10) — via real parquet round trips. The
+pipelines (O11-O13) compose exactly these pieces.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_and_processing_spark.functions.naming import clean_columns, rename_columns
+from data_integration_and_processing_spark.plans.pipelines import transfer
+from data_integration_and_processing_spark.queries.catalog import register
+from data_integration_and_processing_spark.sources.tables import load_table
+
+_SCRATCH = "/tmp/diaps_scratch"
+
+
+@register(
+    "etl_clean_rename_projection",
+    oracle="""
+        SELECT c_custkey AS customer_key,
+               c_name    AS customer_name,
+               c_acctbal AS account_balance,
+               c_mktsegment AS mkt_segment
+        FROM customer
+    """,
+    description="O4: clean_name normalization + user rename map as metadata-only projection",
+    tags=("etl", "rename"),
+)
+def etl_clean_rename_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    # Recreate the reference's input shape: messy human column headers
+    # (spaces, dashes, stray punctuation, mixed case) ...
+    messy = c.select(
+        F.col("c_custkey").alias("C CustKey"),
+        F.col("c_name").alias("C-Name?"),
+        F.col("c_acctbal").alias("C acct/bal ($)"),
+        F.col("c_mktsegment").alias("C MKT-Segment"),
+    )
+    # ... then clean them and apply a user rename map, exactly the reference
+    # pipeline order (clean -> rename).
+    cleaned = clean_columns(messy)  # -> c_custkey, c_name?, ...
+    return rename_columns(
+        cleaned,
+        {
+            "c_custkey": "customer_key",
+            "c_name": "customer_name",
+            "c_acct_bal": "account_balance",
+            "c_mkt_segment": "mkt_segment",
+        },
+    )
+
+
+@register(
+    "etl_type_cast",
+    oracle="""
+        SELECT CAST(l_orderkey AS VARCHAR)  AS orderkey_str,
+               CAST(l_quantity AS INTEGER)  AS quantity_int,
+               CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
+               CAST(l_linenumber AS BIGINT) AS linenumber_big
+        FROM lineitem
+    """,
+    description="O5/O6: dtype-mapped casts (string/int/date widening) as a projection",
+    tags=("etl", "cast"),
+)
+def etl_type_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    # Catalog convention: DATE-typed outputs are emitted as ISO strings —
+    # pandas bridges (Spark Arrow vs DuckDB fetchdf) disagree on whether a
+    # DATE becomes datetime.date or a midnight timestamp, which breaks
+    # value-hash comparison even when the values are identical.
+    return l.select(
+        F.col("l_orderkey").cast("string").alias("orderkey_str"),
+        F.col("l_quantity").cast("int").alias("quantity_int"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_date"),
+        F.col("l_linenumber").cast("bigint").alias("linenumber_big"),
+    )
+
+
+@register(
+    "etl_transfer_overwrite_roundtrip",
+    oracle="""
+        SELECT n_nationkey AS nation_key, n_name AS nation_name, n_regionkey AS region_key
+        FROM nation
+    """,
+    description="O7/O9+O12: overwrite-sink transfer (drop-and-recreate semantics) round trip",
+    tags=("etl", "sink"),
+)
+def etl_transfer_overwrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dest = f"{_SCRATCH}/nation_overwrite"
+    mapping = {"n_nationkey": "nation_key", "n_name": "nation_name", "n_regionkey": "region_key"}
+    # Write twice: overwrite semantics must leave exactly one copy, like the
+    # reference's DROP TABLE IF EXISTS + CREATE on every load.
+    transfer(spark, load_table(spark, sf_dir, "nation"), dest, column_mapping=mapping, mode="overwrite")
+    transfer(spark, load_table(spark, sf_dir, "nation"), dest, column_mapping=mapping, mode="overwrite")
+    return spark.read.parquet(dest)
+
+
+@register(
+    "etl_transfer_append_roundtrip",
+    oracle="""
+        SELECT r_regionkey AS region_key, r_name AS region_name FROM region
+        UNION ALL
+        SELECT r_regionkey AS region_key, r_name AS region_name FROM region
+    """,
+    description="O8/O10+O11: append-sink transfer (create-if-absent insert semantics) round trip",
+    tags=("etl", "sink"),
+)
+def etl_transfer_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dest = f"{_SCRATCH}/region_append"
+    shutil.rmtree(dest, ignore_errors=True)  # fresh sink => deterministic result
+    mapping = {"r_regionkey": "region_key", "r_name": "region_name"}
+    region = load_table(spark, sf_dir, "region")
+    transfer(spark, region, dest, column_mapping=mapping, mode="append")
+    transfer(spark, region, dest, column_mapping=mapping, mode="append")
+    return spark.read.parquet(dest)

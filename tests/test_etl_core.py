@@ -1,0 +1,121 @@
+"""Unit tests for the ETL core: naming, schema mapping, retry, pipelines."""
+
+from __future__ import annotations
+
+import logging
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from data_integration_and_processing_spark.functions.naming import clean_columns, clean_name, rename_columns
+from data_integration_and_processing_spark.functions.schema_mapping import (
+    clickhouse_create_table_options,
+    pandas_dtype_to_spark,
+    postgres_create_column_types,
+    schema_for_pandas,
+    spark_type_to_clickhouse_ddl,
+    spark_type_to_postgres_ddl,
+)
+from data_integration_and_processing_spark.plans.pipelines import table_name_from_path
+from data_integration_and_processing_spark.plans.retry import retry
+
+
+class TestCleanName:
+    @pytest.mark.parametrize(
+        ("raw", "expected"),
+        [
+            ("Product Name", "product_name"),
+            ("acct-bal", "acct_bal"),
+            ("a/b\\c", "a_b_c"),
+            ("Total (%)?$", "total"),
+            ("  Mixed Case-Col  ", "mixed_case_col"),
+            ("already_clean", "already_clean"),
+            ("a  b--c", "a_b_c"),
+        ],
+    )
+    def test_clean(self, raw, expected):
+        assert clean_name(raw) == expected
+
+    def test_clean_columns_rejects_collisions(self, spark):
+        df = spark.range(1).selectExpr("id as `A B`", "id as `a_b`")
+        with pytest.raises(ValueError, match="duplicate"):
+            clean_columns(df)
+
+    def test_rename_ignores_missing_keys(self, spark):
+        df = spark.range(1).selectExpr("id as x")
+        out = rename_columns(df, {"x": "y", "nope": "z"})
+        assert out.columns == ["y"]
+
+
+class TestSchemaMapping:
+    def test_unsigned_widening(self):
+        assert pandas_dtype_to_spark("uint8") == T.ShortType()
+        assert pandas_dtype_to_spark("uint16") == T.IntegerType()
+        assert pandas_dtype_to_spark("uint32") == T.LongType()
+        assert pandas_dtype_to_spark("uint64") == T.DecimalType(20, 0)
+
+    def test_unknown_dtype_defaults_to_string(self):
+        assert pandas_dtype_to_spark("complex128") == T.StringType()
+
+    def test_schema_for_pandas_roundtrip(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "i": pd.array([1, 2], dtype="uint32"),
+                "f": [1.5, 2.5],
+                "s": ["a", "b"],
+                "t": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+                "b": [True, False],
+            }
+        )
+        sdf = spark.createDataFrame(pdf, schema=schema_for_pandas(pdf))
+        got = dict(sdf.dtypes)
+        assert got == {"i": "bigint", "f": "double", "s": "string", "t": "timestamp", "b": "boolean"}
+        assert sdf.count() == 2
+
+    def test_pg_ddl(self):
+        assert spark_type_to_postgres_ddl(T.DoubleType()) == "double precision"
+        assert spark_type_to_postgres_ddl(T.StringType()) == "varchar"
+        assert spark_type_to_postgres_ddl(T.DecimalType(20, 0)) == "numeric(20,0)"
+        assert postgres_create_column_types(
+            T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.StringType())])
+        ) == "a bigint, b varchar"
+
+    def test_ch_ddl_all_nullable(self):
+        assert spark_type_to_clickhouse_ddl(T.LongType()) == "Nullable(Int64)"
+        assert spark_type_to_clickhouse_ddl(T.StringType()) == "Nullable(String)"
+        assert spark_type_to_clickhouse_ddl(T.BooleanType()) == "Nullable(UInt8)"
+
+    def test_ch_create_options(self):
+        assert clickhouse_create_table_options() == "ENGINE = MergeTree ORDER BY tuple()"
+        assert (
+            clickhouse_create_table_options("tuple()", "ReplicatedMergeTree", ("/zk/t", "r1"))
+            == "ENGINE = ReplicatedMergeTree('/zk/t', 'r1') ORDER BY tuple()"
+        )
+
+
+class TestRetry:
+    def test_succeeds_after_failures(self):
+        calls = {"n": 0}
+
+        @retry(retries=3, delay=0.0)
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError("transient")
+            return "ok"
+
+        assert flaky() == "ok"
+        assert calls["n"] == 3
+
+    def test_reraises_on_exhaustion(self, caplog):
+        @retry(retries=2, delay=0.0, logger=logging.getLogger("t"))
+        def always_fails():
+            raise ValueError("boom")
+
+        with pytest.raises(ValueError, match="boom"), caplog.at_level(logging.WARNING, "t"):
+            always_fails()
+
+
+def test_table_name_from_path():
+    assert table_name_from_path("/data/Wildberries_Reviews.XLSX") == "wildberries_reviews"
