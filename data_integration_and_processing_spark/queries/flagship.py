@@ -5,10 +5,18 @@ hash-aggregate -> sort (SURVEY.md §7 step 0). The reference has no query
 engine at all (SURVEY.md §2.2), so this is the first capability the Spark
 engine adds beyond ETL parity.
 
-Scale notes: the shipdate filter and the 4-column projection push into the
-parquet scan; the groupBy has 6 groups so the partial (map-side) aggregate
-collapses virtually all rows before the shuffle — the plan is a single
-exchange of a few KB regardless of input size.
+Scale notes: the shipdate filter and the projection push into the parquet
+scan; the groupBy has 6 groups so the partial (map-side) aggregate collapses
+virtually all rows before the shuffle — the plan is a single exchange of a
+few KB regardless of input size.
+
+Numeric convention (applies catalog-wide): money arithmetic is computed in
+DECIMAL — exact and engine-order-independent — then emitted as DOUBLE.
+Rounding an order-dependent double sum is a correctness trap: the exact
+values here have decimal scale 4-6, so they constantly land on round()
+half-way points, where Spark (shortest-repr HALF_UP) and any binary-rounding
+engine disagree. Averages are emitted as exact-decimal-sum / count in double
+arithmetic with no rounding: identical inputs give bit-identical doubles.
 """
 
 from __future__ import annotations
@@ -20,17 +28,19 @@ from data_integration_and_processing_spark.queries.catalog import register
 from data_integration_and_processing_spark.sources.tables import load_table
 
 _Q1_ORACLE = """
-SELECT
-  l_returnflag,
-  l_linestatus,
-  round(sum(l_quantity), 2)                                        AS sum_qty,
-  round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-  round(avg(l_quantity), 4)                                        AS avg_qty,
-  round(avg(l_extendedprice), 4)                                   AS avg_price,
-  round(avg(l_discount), 6)                                        AS avg_disc,
-  count(*)                                                         AS count_order
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(sum(CAST(l_quantity      AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                                                       * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+           AS sum_charge,
+       CAST(sum(CAST(l_quantity      AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount      AS DECIMAL(4,2)))  AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -46,20 +56,25 @@ ORDER BY l_returnflag, l_linestatus
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = price * (F.lit(1) - disc)
+    charge = disc_price * (F.lit(1) + tax)
+    n = F.count("*")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

@@ -1,1 +1,831 @@
-"""relational queries (filled in incrementally)."""
+"""Relational operator surface (SURVEY.md §2.2 — all absent in the
+reference, provided here via Spark built-ins).
+
+Every query is declarative DataFrame API so Catalyst picks the physical
+join/agg strategy; scale notes on each query record the plan we expect at
+100 TB (broadcast vs shuffle, partial aggregation, sort-based top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_integration_and_processing_spark.queries.catalog import register
+from data_integration_and_processing_spark.sources.tables import load_table, load_tables
+
+# Revenue = sum(extendedprice * (1 - discount)), computed in DECIMAL so the
+# result is exact and engine-order-independent, emitted as DOUBLE (see the
+# numeric convention note in flagship.py). The SQL string is the oracle-side
+# mirror of the Column expression.
+_REV_SQL = "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+
+
+def _revenue() -> F.Column:
+    return (
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+        .cast("double")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_predicate_pushdown",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND o_totalprice > 50000
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    description="conjunctive filters + column pruning; predicates reach the parquet scan",
+    tags=("filter",),
+)
+def filter_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_totalprice") > 50000)
+        & (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "project_derived_columns",
+    oracle="""
+        SELECT l_orderkey,
+               l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                   AS net_price,
+               CASE WHEN l_discount >= 0.05 THEN 'high' ELSE 'low' END AS discount_band
+        FROM lineitem
+        WHERE l_linenumber <= 2
+    """,
+    description="projection with computed columns and CASE WHEN",
+    tags=("projection",),
+)
+def project_derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    # Money arithmetic in DECIMAL (exact), emitted as DOUBLE — see the
+    # numeric convention note in flagship.py.
+    net = F.col("l_extendedprice").cast("decimal(12,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    return l.filter(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        net.cast("double").alias("net_price"),
+        F.when(F.col("l_discount") >= 0.05, "high").otherwise("low").alias("discount_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_inner_shuffle",
+    oracle="""
+        SELECT o.o_orderkey, c.c_name, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > 100000
+    """,
+    description="equi inner join orders x customer; AQE picks broadcast/shuffle-hash by size",
+    tags=("join",),
+)
+def join_inner_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = load_tables(spark, sf_dir, "orders", "customer")
+    return (
+        o.filter(F.col("o_totalprice") > 100000)
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+        SELECT p.p_brand,
+               {rev} AS revenue,
+               count(*) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+    """.format(rev=_REV_SQL),
+    description="fact x broadcast dimension join + aggregate; no fact-side shuffle for the join",
+    tags=("join", "aggregation"),
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, p = load_tables(spark, sf_dir, "lineitem", "part")
+    # part is ~1/30 of lineitem at TPC-H ratios: explicit broadcast keeps the
+    # 100 TB fact table unshuffled for the join (only the agg shuffles, on 25
+    # groups after map-side partial aggregation).
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(_revenue().alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+    """,
+    description="left outer join preserving customers with zero orders",
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = load_tables(spark, sf_dir, "orders", "customer")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+        WITH cust_n AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+                        FROM customer GROUP BY c_nationkey),
+             supp_n AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+                        FROM supplier GROUP BY s_nationkey)
+        SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+               coalesce(c.n_cust, 0) AS n_cust,
+               coalesce(s.n_supp, 0) AS n_supp
+        FROM cust_n c FULL OUTER JOIN supp_n s ON c.nationkey = s.nationkey
+    """,
+    description="full outer join of two aggregates with coalesced keys",
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = load_tables(spark, sf_dir, "customer", "supplier")
+    cust_n = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(F.count("*").alias("n_cust"))
+    supp_n = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(F.count("*").alias("n_supp"))
+    joined = cust_n.alias("c").join(supp_n.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "full")
+    return joined.select(
+        F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+    description="left semi join (EXISTS): customers with a >200k order, no duplication",
+    tags=("join",),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = load_tables(spark, sf_dir, "orders", "customer")
+    big = o.filter(F.col("o_totalprice") > 200000)
+    return c.join(big, big.o_custkey == c.c_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    description="left anti join (NOT EXISTS): customers with no orders",
+    tags=("join",),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = load_tables(spark, sf_dir, "orders", "customer")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    oracle="""
+        SELECT r1.r_name AS from_region, r2.r_name AS to_region
+        FROM region r1 CROSS JOIN region r2
+        WHERE r1.r_regionkey <> r2.r_regionkey
+    """,
+    description="cross join (tiny x tiny) with a theta filter",
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    r1 = r.select(F.col("r_regionkey").alias("k1"), F.col("r_name").alias("from_region"))
+    r2 = r.select(F.col("r_regionkey").alias("k2"), F.col("r_name").alias("to_region"))
+    return r1.crossJoin(r2).filter(F.col("k1") != F.col("k2")).select("from_region", "to_region")
+
+
+@register(
+    "join_range_band",
+    oracle="""
+        WITH bands(band, lo, hi) AS (
+            VALUES ('xs', 0.0, 10000.0), ('s', 10000.0, 25000.0), ('m', 25000.0, 50000.0),
+                   ('l', 50000.0, 75000.0), ('xl', 75000.0, 1e12)
+        )
+        SELECT b.band, count(*) AS n_items, round(sum(l.l_extendedprice), 2) AS total_price
+        FROM lineitem l JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+        GROUP BY b.band
+        ORDER BY b.band
+    """,
+    description="range (theta) join against a broadcast band table, then aggregate",
+    tags=("join", "range"),
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("xs", 0.0, 10000.0), ("s", 10000.0, 25000.0), ("m", 25000.0, 50000.0),
+         ("l", 50000.0, 75000.0), ("xl", 75000.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    # Inequality join => BroadcastNestedLoopJoin; correct at scale because the
+    # band side is O(1) rows. A band join against a LARGE range table would
+    # instead bucket both sides on overlapping range keys first.
+    return (
+        l.join(F.broadcast(bands), (l.l_extendedprice >= bands.lo) & (l.l_extendedprice < bands.hi))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+        .orderBy("band")
+    )
+
+
+@register(
+    "join_asof_event",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+                   event_type
+            FROM events WHERE event_type IN ('click', 'error')
+        ), carried AS (
+            SELECT user_id, ts, event_id, event_type,
+                   last_value(click_ts IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+            FROM tagged
+        )
+        SELECT event_id, user_id, ts, last_click_ts
+        FROM carried WHERE event_type = 'error'
+    """,
+    description="as-of join: for each error event, the most recent click at/before it (same user)",
+    tags=("join", "asof"),
+)
+def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # Scalable as-of: union both sides, one sort per user partition, carry the
+    # last match forward with last(ignorenulls). One shuffle + sort, linear in
+    # input — never the per-key quadratic blowup of a naive theta join.
+    tagged = e.filter(F.col("event_type").isin("click", "error")).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    carried = tagged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+    return carried.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts", "last_click_ts")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_groupby_stats",
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price,
+               sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)) * CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                     - CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                       * CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / count(*))
+                    / (count(*) - 1)) AS sd_price
+        FROM orders
+        GROUP BY o_orderpriority, o_orderstatus
+    """,
+    description="multi-key hash aggregate with count/sum/min/max/stddev",
+    tags=("aggregation",),
+)
+def agg_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # Exact-decimal sums; stddev from the exact sum/sum-of-squares so both
+    # engines run the identical double formula on identical inputs (built-in
+    # stddev_samp accumulates in engine-specific order => last-ulp drift).
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    n = F.count("*")
+    s1 = F.sum(price).cast("double")
+    s2 = F.sum(price * price).cast("double")
+    return o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        n.alias("n_orders"),
+        s1.alias("sum_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("sd_price"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_suppkey) AS n_suppliers,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    description="exact multi-column distinct aggregation (expand + two-phase agg)",
+    tags=("aggregation", "distinct"),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL estimate is engine-specific; rows-only check by design
+    description="approx_count_distinct (HyperLogLog++) — the 100 TB-scale path for distincts",
+    tags=("aggregation", "distinct", "approx"),
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    description="hierarchical ROLLUP aggregate (priority -> status -> grand total)",
+    tags=("aggregation", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    description="CUBE aggregate over both grouping dimensions",
+    tags=("aggregation", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    """,
+    description="explicit GROUPING SETS via SQL on a registered view",
+    tags=("aggregation", "grouping-sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_gs")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_bal
+        FROM customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+        SELECT l_suppkey, count(*) AS n_items, round(sum(l_extendedprice), 2) AS total
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING count(*) > 550
+    """,
+    description="aggregate + HAVING filter on the aggregated value",
+    tags=("aggregation",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+        .filter(F.col("n_items") > 550)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+        SELECT * FROM (
+            SELECT c_mktsegment, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ) WHERE rn <= 3
+    """,
+    description="top-k per group: row_number window with deterministic tie-break",
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = load_tables(spark, sf_dir, "orders", "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_rank_dense_rank",
+    oracle="""
+        SELECT p_brand, p_partkey, p_retailprice,
+               rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS price_rank,
+               dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS price_dense_rank
+        FROM part
+    """,
+    description="rank vs dense_rank over a tie-heavy ordering (p_size)",
+    tags=("window",),
+)
+def window_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_size"))
+    return p.select(
+        "p_brand", "p_partkey", "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               lag(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                   AS gap_seconds
+        FROM events
+    """,
+    description="lag/lead over per-user event sequences + inter-event gap",
+    tags=("window", "events"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return e.select(
+        "user_id", "event_id", "ts",
+        prev_ts.alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).cast("bigint").alias("gap_seconds"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        FROM orders
+    """,
+    description="cumulative sum per customer (ROWS frame, deterministic order)",
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               count(*) OVER (
+                   PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS orders_trailing_30d
+        FROM orders
+    """,
+    description="RANGE frame: trailing-30-day order count per customer",
+    tags=("window", "range"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2_592_000, 0)  # 30 days in seconds
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.count("*").over(w).alias("orders_trailing_30d"),
+    )
+
+
+@register(
+    "window_ntile_distribution",
+    oracle="""
+        SELECT c_custkey, c_acctbal,
+               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS bal_quartile,
+               percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS bal_pct_rank,
+               cume_dist()    OVER (ORDER BY c_acctbal, c_custkey) AS bal_cume_dist
+        FROM customer
+    """,
+    description="ntile / percent_rank / cume_dist distribution functions",
+    tags=("window",),
+)
+def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_acctbal",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k, set ops, distinct
+# ---------------------------------------------------------------------------
+
+@register(
+    "sort_multi_key_limit",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 100
+    """,
+    description="global top-100 via orderBy+limit (TakeOrderedAndProject: per-partition heap, no full sort)",
+    tags=("sort", "topk"),
+)
+def sort_multi_key_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(100)
+    )
+
+
+@register(
+    "set_ops_nations",
+    oracle="""
+        SELECT 'both' AS op, n_nationkey AS nationkey FROM (
+            SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+            INTERSECT
+            SELECT DISTINCT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'cust_only' AS op, n_nationkey FROM (
+            SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+            EXCEPT
+            SELECT DISTINCT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'all_union' AS op, n_nationkey FROM (
+            SELECT c_nationkey AS n_nationkey FROM customer
+            UNION
+            SELECT s_nationkey FROM supplier)
+    """,
+    description="INTERSECT / EXCEPT / UNION(distinct) over nation-key sets, tagged",
+    tags=("setop",),
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = load_tables(spark, sf_dir, "customer", "supplier")
+    cust = c.select(F.col("c_nationkey").alias("nationkey"))
+    supp = s.select(F.col("s_nationkey").alias("nationkey"))
+    both = cust.intersect(supp).select(F.lit("both").alias("op"), "nationkey")
+    cust_only = cust.distinct().subtract(supp.distinct()).select(F.lit("cust_only").alias("op"), "nationkey")
+    all_union = cust.union(supp).distinct().select(F.lit("all_union").alias("op"), "nationkey")
+    return both.unionByName(cust_only).unionByName(all_union)
+
+
+@register(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    description="distinct as aggregate-without-aggregates",
+    tags=("distinct",),
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Subquery shapes (decorrelated Spark-first: join against aggregates)
+# ---------------------------------------------------------------------------
+
+@register(
+    "subquery_scalar_avg",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n_above
+        FROM orders
+        WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / count(*) FROM orders)
+        GROUP BY o_orderstatus
+    """,
+    description="scalar subquery: orders above global average price",
+    tags=("subquery",),
+)
+def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    avg_price = o.select(
+        (F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double") / F.count("*")).alias("a")
+    )
+    # Spark-first decorrelation: cross join the 1-row aggregate (broadcast),
+    # identical to what Catalyst rewrites a scalar subquery into.
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("a"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
+@register(
+    "subquery_correlated_avg",
+    oracle="""
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+                             FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    description="correlated scalar subquery, decorrelated into a per-nation aggregate join",
+    tags=("subquery",),
+)
+def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    nation_avg = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double") / F.count("*")).alias("nation_avg")
+    )
+    return (
+        c.join(F.broadcast(nation_avg), c.c_nationkey == nation_avg.nk)
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytical queries (TPC-H shapes)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT l.l_orderkey,
+               {rev} AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """.format(rev=_REV_SQL),
+    description="TPC-H Q3 shape: 3-way join, filter, agg, global top-10",
+    tags=("tpch", "join", "aggregation"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o, l = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue().alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+        SELECT n.n_name,
+               {rev} AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC
+    """.format(rev=_REV_SQL),
+    description="TPC-H Q5 shape: 6-way star join with broadcast dims, revenue by nation",
+    tags=("tpch", "join", "aggregation"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o, l, s, n, r = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               {rev} AS revenue,
+               n.n_name
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """.format(rev=_REV_SQL),
+    description="TPC-H Q10 shape: returned-item revenue by customer, top-20",
+    tags=("tpch", "join", "aggregation"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o, l, n = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        )
+        .join(l.filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_revenue().alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -10,6 +10,7 @@ catalog goes through here so ``.explain`` shows ``PushedFilters`` /
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -33,7 +34,29 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        return spark.read.parquet(path)
+    except Exception as exc:  # noqa: BLE001 — schema resolution happens eagerly
+        if "PARQUET_TYPE_ILLEGAL" not in str(exc):
+            raise
+    # Parquet TIMESTAMP(NANOS) columns (e.g. events.ts) are illegal for
+    # Spark's reader. Re-read nanos as long, then truncate to microsecond
+    # timestamps — the same truncation DuckDB applies, so both engines see
+    # identical values.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(path)
+        for field, dtype in df.dtypes:
+            if dtype == "bigint" and field in _NANOS_TS_COLUMNS:
+                df = df.withColumn(field, F.timestamp_micros(F.expr(f"{field} div 1000")))
+        return df
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+
+
+# Known nanosecond-timestamp columns in the fixture set.
+_NANOS_TS_COLUMNS = frozenset({"ts"})
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
