@@ -1,0 +1,248 @@
+"""Deduplication operators for LLM training-data pipelines (north-star).
+
+No reference counterpart (SURVEY.md §2.2). Five strategies, each designed
+around shuffle behavior at 100 TB:
+
+- **exact**: hash-groupBy on a content fingerprint — one shuffle keyed by
+  md5(text), representative = min(doc_id). Never ships full text twice:
+  group on the 16-byte digest, not the document.
+- **MinHash + LSH**: shingle -> k minhashes (xxhash64 with per-hash salt,
+  all JVM-side) -> b bands of r -> explode bands -> shuffle keyed by
+  (band, bucket). Only same-bucket docs meet, so candidate generation is
+  linear-ish; exact Jaccard verification runs per candidate pair only.
+- **SimHash**: 63-bit signature from per-word hash bit votes (pure per-row
+  map), exact-match dedup via groupBy(simhash) + near-match candidates via
+  16-bit band buckets + popcount(xor) Hamming verify.
+- **n-gram Jaccard**: inverted-index join on distinct shingles (the
+  classic prefix/blocking trick) -> per-pair intersection counts ->
+  Jaccard = inter / (|A| + |B| - inter). Avoids the O(n^2) cross join.
+- **embedding cosine**: near-duplicate pairs above a cosine threshold;
+  brute pairwise at small n, LSH-bucketed variant in similarity.py for
+  scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HAMMING_BITS = 63  # keep the simhash non-negative in a signed long
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared)
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` (space-tokenized)."""
+    words = F.split(text, " ")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(F.when(k >= 1, grams).otherwise(F.array().cast("array<string>")))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic exact dedup: keep the lowest id per identical content.
+
+    Groups on md5(text) so the shuffle carries 16-byte keys, not documents;
+    at 100 TB this is one hash-partitioned exchange of (digest, id).
+    """
+    fp = F.md5(F.col(text_col).cast("binary")).alias("fp")
+    reps = df.select(fp, F.col(id_col)).groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return df.join(reps, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _salted_minhash(shingle_arr: Column, salt: str) -> Column:
+    # Factory keeps the lambda unary: higher-order functions infer lambda
+    # arity, so a default arg would silently turn this into (element, index).
+    return F.array_min(F.transform(shingle_arr, lambda s: F.xxhash64(F.concat(F.lit(salt), s))))
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
+    """Array of ``num_hashes`` minhash values: min over shingles of a salted
+    xxhash64. Pure per-row map, JVM-side."""
+    return F.array(*[_salted_minhash(shingle_arr, f"mh{i}:") for i in range(num_hashes)])
+
+
+def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Bucket keys: one hash per band of ``rows`` consecutive signature
+    entries. Docs sharing any band bucket become candidates."""
+    return F.array(
+        *[
+            F.xxhash64(F.concat_ws(",", *[F.slice(sig, b * rows + 1, rows).getItem(j) for j in range(rows)]))
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    ngram: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Plan shape at scale: map (shingle+sign) -> explode bands -> shuffle on
+    (band, bucket) -> same-bucket self-join -> exact Jaccard verify on the
+    candidate pairs only. The b/r choice (8 bands x 4 rows) targets the
+    ~(1/b)^(1/r) ≈ 0.6 similarity knee.
+    """
+    rows = num_hashes // bands
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), ngram).alias("sh"))
+    sh = sh.filter(F.size("sh") > 0)
+    sig = sh.select("id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    banded = sig.select(
+        "id", "sh", F.posexplode(lsh_bands(F.col("sig"), bands, rows)).alias("band", "bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kwargs
+) -> DataFrame:
+    """Keep one representative per near-duplicate group: drop any doc that
+    has a smaller-id near-duplicate (single propagation step — transitive
+    chains keep their local minima, documented approximation)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    dupes = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dupes, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = _HAMMING_BITS) -> Column:
+    """SimHash signature: per-word xxhash64 bit votes, packed into a long.
+
+    Pure per-row expression (O(words x bits) inside codegen) — no shuffle.
+    """
+    wh = F.transform(F.split(text, " "), lambda w: F.xxhash64(w))
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = _bit_vote(wh, j)
+        sig = sig + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def _bit_vote(word_hashes: Column, j: int) -> Column:
+    # Factory keeps the fold lambda binary (see _salted_minhash note).
+    return F.aggregate(
+        word_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + (F.shiftright(x, j).bitwiseAND(F.lit(1)) * 2 - 1),
+    )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by SimHash banding.
+
+    Signatures are cut into 4 x 16-bit bands; docs sharing any band value
+    are candidates (any pair within Hamming distance 3 of a 64-bit hash
+    must agree on at least one of 4 bands), verified by popcount(xor).
+    """
+    sig = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
+    banded = sig.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(*[F.shiftright(F.col("sig"), 16 * b).bitwiseAND(F.lit(0xFFFF)) for b in range(4)])
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard >= threshold, via an inverted
+    index: explode distinct shingles, self-join on shingle (only docs that
+    actually share a shingle ever meet), count shared shingles per pair.
+    The shuffle is keyed by shingle, so skew follows shingle frequency —
+    at scale, drop ultra-frequent shingles (df > cap) like stop-ngrams.
+    """
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    sh = sh.filter(F.size("sh") > 0)
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    pair_inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pair_inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )

@@ -1,0 +1,89 @@
+"""Multimodal column plumbing (north-star surface).
+
+Treats image/audio/video payloads as opaque ``binary`` columns with a typed
+metadata struct, exactly how a 100 TB multimodal corpus is laid out in
+parquet: the bytes travel with the row, metadata is queryable without
+decoding, and decode/feature-extract runs as Arrow-batched ``mapInPandas``
+so each Python worker touches whole columnar batches.
+
+The actual media decode is STUBBED: the container has no image/audio
+libraries, so ``decode_payload`` raises ``NotImplementedError`` and the
+pipeline's default feature extractor is a clearly-marked deterministic fake
+(byte-statistics). The Spark-side plumbing — schema, batching, partition
+behavior, UDF signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("head_entropy_proxy", T.DoubleType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text", mime: str = "application/octet-stream") -> DataFrame:
+    """Shape a table into the multimodal layout: opaque payload bytes +
+    queryable metadata struct. (Fixture payloads are utf-8 text bytes; real
+    corpora put jpeg/wav/mp4 bytes here — the layout is identical.)"""
+    payload = F.col(text_col).cast("binary")
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(mime).alias("mime_type"),
+            F.octet_length(payload).alias("n_bytes"),
+            F.md5(payload).alias("content_md5"),
+        ),
+    )
+
+
+def decode_payload(payload: bytes, mime_type: str) -> object:
+    """Real media decode — NOT IMPLEMENTED in this container (no PIL/ffmpeg/
+    librosa). At deployment, dispatch on mime_type to the codec and return
+    the decoded tensor; everything around this call is production-shaped."""
+    raise NotImplementedError(f"no decoder available for {mime_type}; install codec libs at deployment")
+
+
+def _fake_features(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic byte-statistics stand-in for the stubbed decoder."""
+    n = len(payload)
+    checksum = sum(payload) % 1_000_000_007
+    distinct_ratio = len(set(payload)) / 256.0
+    return n, checksum, distinct_ratio
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` streams columnar batches into Python — the scalable
+    shape for per-item media work (no per-row pickling; batch size bounded
+    by ``spark.sql.execution.arrow.maxRecordsPerBatch``). The decode step is
+    the stub above; swap ``_fake_features`` for real codec calls on a
+    cluster with media libs.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [_fake_features(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [f[0] for f in feats],
+                    "checksum": [f[1] for f in feats],
+                    "head_entropy_proxy": [f[2] for f in feats],
+                    "decoder": "stub:byte-stats",
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)

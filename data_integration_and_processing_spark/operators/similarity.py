@@ -1,0 +1,140 @@
+"""Vector similarity search over embedding columns (north-star surface).
+
+Embeddings are plain ``array<float>`` columns; all math happens JVM-side in
+``zip_with``/``aggregate`` expressions (no Python in the row path).
+
+Two paths:
+- **brute-force cosine top-k** — exact baseline. Per-row map + global top-k
+  (``orderBy().limit(k)`` = TakeOrderedAndProject: per-partition heaps, no
+  full sort). At 100 TB this is a full scan but a tiny shuffle (k rows per
+  partition).
+- **LSH-bucketed top-k** — random-hyperplane signatures; only the query's
+  bucket (or multi-probe neighbors) is scanned. The hyperplanes are
+  generated from a fixed seed so results are deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays, accumulated in doubles in index
+    order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    The similarity is rounded before ranking so ordering is stable across
+    engines/runs; ties break on id.
+    """
+    q = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    sim = F.round(cosine(F.col(vec_col), q), round_digits)
+    return (
+        df.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    return np.random.RandomState(seed).randn(n_planes, dim)
+
+
+def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-LSH bucket id: one bit per hyperplane (sign of the projection),
+    packed into a long. Pure per-row expression."""
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    max_probe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: rank only vectors whose LSH bucket is within
+    ``max_probe_hamming`` bits of the query's bucket (multi-probe).
+
+    At scale: one cheap map to bucket everything (or a precomputed bucket
+    column + partition pruning), then brute-force cosine on the probed
+    buckets only — the scanned fraction is ~C(n_planes, <=h)/2^n_planes.
+    """
+    planes = random_hyperplanes(len(query_vec), n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q_sig = sum(1 << j for j, plane in enumerate(planes) if float(np.dot(plane, q)) > 0)
+    bucketed = df.withColumn("bucket", lsh_signature(F.col(vec_col), planes))
+    probed = bucketed.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_sig).cast("long"))) <= max_probe_hamming
+    )
+    qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    sim = F.round(cosine(F.col(vec_col), qcol), 6)
+    return (
+        probed.select(F.col(id_col), F.col("bucket"), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """All pairs with cosine >= threshold. Brute pairwise join (exact);
+    the scale path buckets both sides with sign-LSH first and joins within
+    buckets, trading recall for a ~2^planes reduction in compared pairs."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

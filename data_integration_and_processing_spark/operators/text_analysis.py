@@ -1,0 +1,102 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+No reference counterpart (the reference is ETL-only; SURVEY.md §2.2) — this
+is the BASELINE.json north-star surface: language ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything is built-in column expressions (split/filter/aggregate/regexp),
+JVM-side and codegen-friendly: per-row cost is O(words), no Python UDFs, no
+shuffles — these scale embarrassingly to 100 TB as pure map stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately tiny and deterministic — the heuristic's value at scale is
+# being a cheap pure-map pre-filter, not SOTA accuracy.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "dans", "un", "une"),
+    "es": ("el", "los", "de", "que", "es", "un", "una", "y"),
+}
+
+_HASH_MOD = 1_000_000_007
+
+
+def words_of(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def stopword_count(words: Column, lang: str) -> Column:
+    """Occurrences of ``lang``'s stopwords (with multiplicity)."""
+    stops = STOPWORDS[lang]
+    return F.size(F.filter(words, lambda w: w.isin(*stops)))
+
+
+def language_id(words: Column) -> Column:
+    """Argmax of per-language stopword hit counts; fixed tie order
+    en > de > fr > es; 'und' (undetermined) when nothing matches."""
+    counts = {lang: stopword_count(words, lang) for lang in STOPWORDS}
+    en, de, fr, es = counts["en"], counts["de"], counts["fr"], counts["es"]
+    return (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("und")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length, stopword ratio, punctuation
+    ratio, mean word length. Fixed evaluation order => bit-identical doubles
+    for identical inputs in any engine that mirrors the formula."""
+    words = words_of(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    stop_ratio = stopword_count(words, "en").cast("double") / n_words
+    punct_chars = F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+    punct_ratio = punct_chars.cast("double") / n_chars
+    avg_word_len = (n_chars - (n_words - F.lit(1))).cast("double") / n_words
+    length_component = F.least(n_words.cast("double") / 100.0, F.lit(1.0))
+    word_len_component = F.when((avg_word_len >= 3.0) & (avg_word_len <= 10.0), 1.0).otherwise(0.5)
+    return (
+        length_component * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
+        + word_len_component * 0.1
+    )
+
+
+# Whitespace tokens plus a BPE-ish fallback segmentation: runs of letters,
+# runs of digits, or single non-alphanumeric symbols.
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def token_counts(text: Column) -> tuple[Column, Column]:
+    ws = F.size(F.split(text, " "))
+    bpe_ish = F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+    return ws, bpe_ish
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized (lowercased, trimmed) text."""
+    return F.md5(F.lower(F.trim(text)).cast("binary"))
+
+
+def fingerprint_rolling(words: Column) -> Column:
+    """Polynomial rolling hash over word-level features, mod 1e9+7.
+
+    Word feature = (ascii(first char) * 31 + length) — engine-portable (no
+    reliance on a specific string-hash builtin), so an oracle can mirror it.
+    """
+    word_feats = F.transform(words, lambda w: (F.ascii(w) * 31 + F.length(w)) % _HASH_MOD)
+    return F.aggregate(
+        word_feats,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % _HASH_MOD,
+    )

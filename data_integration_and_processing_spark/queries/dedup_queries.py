@@ -1,1 +1,162 @@
-"""dedup_queries queries (filled in incrementally)."""
+"""Dedup queries over ``documents`` (north-star surface).
+
+The fixture corpus has no duplicates, so these queries synthesize them
+deterministically in-plan: each document is unioned with a mutated copy
+(id + 10000, last 7 words dropped). Exact dedup then has real work to do,
+and near-dup detectors (MinHash-LSH / SimHash / n-gram Jaccard) must find
+each (original, copy) pair. The construction is mirrored in the oracles, so
+exact + Jaccard results are value-checked end to end; MinHash/SimHash use
+hash functions DuckDB doesn't have and are rows-only by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_and_processing_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidates,
+)
+from data_integration_and_processing_spark.queries.catalog import register
+from data_integration_and_processing_spark.sources.tables import load_table
+
+# Shared corpus-with-duplicates construction (Spark + SQL mirror).
+_MUTATED_SQL = """
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS id,
+           array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 7], ' ') AS text
+    FROM documents
+"""
+
+
+def _with_mutated_copies(df: DataFrame) -> DataFrame:
+    words = F.split(F.col("text"), " ")
+    truncated = F.array_join(F.slice(words, 1, F.size(words) - 7), " ")
+    orig = df.select(F.col("doc_id").alias("id"), "text")
+    copies = df.select((F.col("doc_id") + 10000).alias("id"), truncated.alias("text"))
+    return orig.unionByName(copies)
+
+
+def _with_exact_copies(df: DataFrame) -> DataFrame:
+    orig = df.select(F.col("doc_id").alias("id"), "text")
+    return orig.unionByName(df.select((F.col("doc_id") + 10000).alias("id"), "text"))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        WITH u AS (SELECT doc_id AS id, text FROM documents
+                   UNION ALL
+                   SELECT doc_id + 10000 AS id, text FROM documents)
+        SELECT min(id) AS id, md5(text) AS fp, count(*) AS n_copies
+        FROM u GROUP BY md5(text)
+    """,
+    description="exact dedup: hash-groupBy on md5(text), keep min id (north-star)",
+    tags=("dedup", "north-star"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = _with_exact_copies(d)
+    # Same plan exact_dedup() uses, but surfacing the group stats so the
+    # oracle checks values, not just survivor count.
+    return (
+        u.select("id", F.md5(F.col("text").cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("id"), F.count("*").alias("n_copies"))
+        .select("id", "fp", "n_copies")
+    )
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle="""
+        WITH u AS (SELECT doc_id AS id, text FROM documents
+                   UNION ALL
+                   SELECT doc_id + 10000 AS id, text FROM documents)
+        SELECT id FROM u
+        WHERE id IN (SELECT min(id) FROM u GROUP BY text)
+    """,
+    description="exact dedup survivors via the reusable exact_dedup operator (left-semi plan)",
+    tags=("dedup", "north-star"),
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = _with_exact_copies(d)
+    return exact_dedup(u, text_col="text", id_col="id").select("id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH u AS ({_MUTATED_SQL}),
+        sh AS (
+            SELECT id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> concat_ws(' ', string_split(text, ' ')[i],
+                                           string_split(text, ' ')[i+1],
+                                           string_split(text, ' ')[i+2])))) AS s
+            FROM u WHERE len(string_split(text, ' ')) >= 3
+        ),
+        sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        pair_inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT id_a, id_b, inter,
+               CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        FROM pair_inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    """,
+    description="n-gram Jaccard near-dup pairs via inverted-index join (north-star)",
+    tags=("dedup", "north-star"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = _with_mutated_copies(d)
+    return ngram_jaccard_pairs(u, text_col="text", id_col="id", n=3, threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based signatures are not expressible in DuckDB
+    description="MinHash(32)+LSH(8x4) near-dup pairs with exact Jaccard verify (north-star)",
+    tags=("dedup", "north-star", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = _with_mutated_copies(d)
+    return minhash_lsh_pairs(
+        u, text_col="text", id_col="id", num_hashes=32, bands=8, jaccard_threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 bit votes not expressible in DuckDB
+    description="SimHash(63-bit) signatures + banded Hamming<=8 candidate pairs (north-star)",
+    tags=("dedup", "north-star"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = _with_mutated_copies(d)
+    pairs = simhash_candidates(u, text_col="text", id_col="id", max_hamming=8)
+    return pairs.orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash_signatures",
+    oracle=None,
+    description="per-document SimHash signatures (deterministic; pure map stage)",
+    tags=("dedup", "north-star"),
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash(F.col("text")).alias("simhash"))

@@ -1,1 +1,109 @@
-"""similarity_queries queries (filled in incrementally)."""
+"""Similarity-search queries over ``embeddings`` (north-star surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_and_processing_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_neardup_pairs,
+    lsh_topk,
+)
+from data_integration_and_processing_spark.queries.catalog import register
+from data_integration_and_processing_spark.sources.tables import load_table
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Explicit double-precision cosine for the DuckDB oracle: sequential
+    index-order accumulation in doubles, bit-identical to the Spark
+    zip_with/aggregate expression. (DuckDB's list_cosine_similarity
+    accumulates in float32 and drifts at the 6th decimal.)"""
+    dot = f"list_sum(list_transform(generate_series(1, 64), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    na = f"sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    return f"{dot} / ({na} * {nb})"
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Driver-side lookup of one query point (a k-row metadata fetch, not a
+    data-path collect)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == vec_id).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+        SELECT a.vec_id,
+               round({_cos_sql('a.embedding', 'q.embedding')}, 6) AS cos_sim
+        FROM embeddings a,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE a.vec_id <> 0
+        ORDER BY cos_sim DESC, a.vec_id
+        LIMIT 10
+    """,
+    description="exact ANN baseline: brute-force cosine top-10 for a query vector (north-star)",
+    tags=("similarity", "north-star"),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    return brute_force_topk(e.filter(F.col("vec_id") != 0), q, k=10)
+
+
+@register(
+    "sim_topk_lsh",
+    oracle=None,  # sign-LSH probing is engine-specific; exactness covered by the brute-force twin
+    description="approximate ANN: sign-LSH(8 planes) multi-probe top-10 (north-star scale path)",
+    tags=("similarity", "north-star", "lsh"),
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    return lsh_topk(e.filter(F.col("vec_id") != 0), q, k=10, n_planes=8, max_probe_hamming=1)
+
+
+@register(
+    "sim_neardup_pairs",
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
+    """,
+    description="embedding-cosine near-duplicate pairs (threshold 0.4) — exact pairwise baseline",
+    tags=("similarity", "dedup", "north-star"),
+)
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, threshold=0.4)
+
+
+@register(
+    "sim_label_centroid_distance",
+    oracle=f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.label,
+               count(*) AS n_vecs,
+               max(round({_cos_sql('e.embedding', 'q.embedding')}, 6)) AS best_cos
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        GROUP BY e.label
+    """,
+    description="IVF-style coarse scan: best cosine per label cell (cell pruning precursor)",
+    tags=("similarity", "north-star"),
+)
+def sim_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    qcol = F.array(*[F.lit(float(x)).cast("float") for x in q])
+    sim = F.round(cosine(F.col("embedding"), qcol), 6)
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select("label", sim.alias("s"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vecs"), F.max("s").alias("best_cos"))
+    )

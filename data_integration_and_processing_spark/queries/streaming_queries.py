@@ -1,1 +1,117 @@
-"""streaming_queries queries (filled in incrementally)."""
+"""Streaming-surface queries over ``events``.
+
+The window transformations run in batch mode for the oracle gate (window
+starts emitted as epoch seconds — timezone-proof across engines) and in true
+Structured Streaming (readStream + watermark + foreachBatch) as a rows-only
+check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_and_processing_spark.queries.catalog import register
+from data_integration_and_processing_spark.sources.tables import load_table
+from data_integration_and_processing_spark.streaming.pipelines import (
+    run_streaming_window_pipeline,
+    sessionized,
+    sliding_window_counts,
+    tumbling_window_counts,
+)
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+        SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_epoch,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,9))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    description="10-minute tumbling window aggregation (batch twin of the streaming path)",
+    tags=("streaming", "window"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,9)")
+    )
+    return tumbling_window_counts(e, "10 minutes").select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+        WITH g AS (SELECT event_type, CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS grid FROM events),
+        w AS (SELECT event_type, grid AS ws FROM g
+              UNION ALL
+              SELECT event_type, grid - 300 AS ws FROM g)
+        SELECT ws AS window_start_epoch, event_type, count(*) AS n_events
+        FROM w GROUP BY ws, event_type
+    """,
+    description="sliding windows (10 min width / 5 min slide): each event in 2 windows",
+    tags=("streaming", "window"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return sliding_window_counts(e, "10 minutes", "5 minutes").select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"), "event_type", "n_events"
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 30
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        islands AS (
+            SELECT user_id, ts, event_id,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sess
+            FROM ordered
+        )
+        SELECT CAST(floor(epoch(min(ts)) * 1000000) AS BIGINT) AS session_start_us,
+               user_id, count(*) AS n_events, min(event_id) AS first_event_id
+        FROM islands GROUP BY user_id, sess
+    """,
+    description="session windows (30s gap) per user; oracle = gaps-and-islands formulation",
+    tags=("streaming", "window", "session"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return sessionized(e, "30 seconds").select(
+        # emit microseconds since epoch: tz-proof and exact
+        (F.unix_timestamp("session_start") * 1_000_000
+         + F.date_format("session_start", "SSSSSS").cast("long")).alias("session_start_us"),
+        "user_id",
+        "n_events",
+        "first_event_id",
+    )
+
+
+@register(
+    "stream_true_streaming_pipeline",
+    oracle=None,  # readStream/watermark/foreachBatch — engine-specific execution, rows-only
+    description="true Structured Streaming: readStream + watermark + foreachBatch sink (availableNow)",
+    tags=("streaming",),
+)
+def stream_true_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    out = run_streaming_window_pipeline(spark, e, width="10 minutes", watermark="15 minutes")
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+    ).orderBy("window_start_epoch", "event_type")

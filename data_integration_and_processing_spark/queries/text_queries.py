@@ -1,1 +1,169 @@
-"""text_queries queries (filled in incrementally)."""
+"""Text-analysis queries over the ``documents`` fixture (north-star surface).
+
+Each oracle mirrors the Spark formula exactly, so the checks verify real
+semantics (same heuristic, same arithmetic), not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_and_processing_spark.operators.text_analysis import (
+    BPE_ISH_PATTERN,
+    STOPWORDS,
+    fingerprint_md5,
+    fingerprint_rolling,
+    language_id,
+    quality_score,
+    stopword_count,
+    token_counts,
+    words_of,
+)
+from data_integration_and_processing_spark.queries.catalog import register
+from data_integration_and_processing_spark.sources.tables import load_table
+
+
+def _sql_stop_count(lang: str) -> str:
+    quoted = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(string_split(text, ' '), w -> w IN ({quoted})))"
+
+
+_LANG_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, lang AS labeled_lang,
+           {_sql_stop_count('en')} AS en_cnt,
+           {_sql_stop_count('de')} AS de_cnt,
+           {_sql_stop_count('fr')} AS fr_cnt,
+           {_sql_stop_count('es')} AS es_cnt
+    FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN en_cnt >= de_cnt AND en_cnt >= fr_cnt AND en_cnt >= es_cnt AND en_cnt > 0 THEN 'en'
+            WHEN de_cnt >= fr_cnt AND de_cnt >= es_cnt AND de_cnt > 0 THEN 'de'
+            WHEN fr_cnt >= es_cnt AND fr_cnt > 0 THEN 'fr'
+            WHEN es_cnt > 0 THEN 'es'
+            ELSE 'und' END AS detected_lang,
+       en_cnt, de_cnt, fr_cnt, es_cnt
+FROM scored
+"""
+
+
+@register(
+    "text_language_id",
+    oracle=_LANG_ORACLE,
+    description="stopword-ngram language-ID heuristic (pure map stage; scales as a pre-filter)",
+    tags=("text", "north-star"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = words_of(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        language_id(words).alias("detected_lang"),
+        stopword_count(words, "en").alias("en_cnt"),
+        stopword_count(words, "de").alias("de_cnt"),
+        stopword_count(words, "fr").alias("fr_cnt"),
+        stopword_count(words, "es").alias("es_cnt"),
+    )
+
+
+_EN_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+_QUALITY_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           length(text) AS n_chars,
+           len(list_filter(string_split(text, ' '), w -> w IN ({_EN_STOPS}))) AS stop_cnt,
+           length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct_chars
+    FROM documents
+)
+SELECT doc_id, n_words, n_chars,
+       least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+       + least(CAST(stop_cnt AS DOUBLE) / n_words * 5.0, 1.0) * 0.3
+       + (1.0 - least(CAST(punct_chars AS DOUBLE) / n_chars * 10.0, 1.0)) * 0.2
+       + (CASE WHEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words >= 3.0
+                AND CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words <= 10.0
+               THEN 1.0 ELSE 0.5 END) * 0.1 AS quality
+FROM base
+"""
+
+
+@register(
+    "text_quality_score",
+    oracle=_QUALITY_ORACLE,
+    description="composite quality heuristic (length/stopword/punctuation/word-length)",
+    tags=("text", "north-star"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(words_of(F.col("text"))).alias("n_words"),
+        F.length("text").alias("n_chars"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS bpe_ish_tokens,
+               n_chars
+        FROM documents
+    """,
+    description="token counting: whitespace tokens + BPE-ish regex segmentation",
+    tags=("text", "north-star"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws, bpe = token_counts(F.col("text"))
+    return d.select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_ish_tokens"), "n_chars")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(lower(trim(text))) AS fp_md5,
+               list_reduce(
+                   list_prepend(0, list_transform(string_split(text, ' '),
+                                                  w -> (ascii(w) * 31 + length(w)) % 1000000007)),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_rolling
+        FROM documents
+    """,
+    description="document fingerprints: md5 of normalized text + polynomial rolling hash",
+    tags=("text", "north-star"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp_md5"),
+        fingerprint_rolling(words_of(F.col("text"))).alias("fp_rolling"),
+    )
+
+
+@register(
+    "text_source_profile",
+    oracle="""
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words
+        FROM documents
+        GROUP BY source, lang
+    """,
+    description="corpus profiling: per-source/lang doc, char and word totals",
+    tags=("text", "north-star", "aggregation"),
+)
+def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.size(words_of(F.col("text")))).cast("bigint").alias("total_words"),
+    )

@@ -1,0 +1,13 @@
+from data_integration_and_processing_spark.streaming.pipelines import (
+    run_streaming_window_pipeline,
+    sessionized,
+    sliding_window_counts,
+    tumbling_window_counts,
+)
+
+__all__ = [
+    "run_streaming_window_pipeline",
+    "sessionized",
+    "sliding_window_counts",
+    "tumbling_window_counts",
+]
