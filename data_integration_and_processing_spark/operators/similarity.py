@@ -127,14 +127,57 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     round_digits: int = 6,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold. Brute pairwise join (exact);
-    the scale path buckets both sides with sign-LSH first and joins within
-    buckets, trading recall for a ~2^planes reduction in compared pairs."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    """All pairs with cosine >= threshold — exact results, pruned compute.
+
+    Two stages:
+
+    1. **Candidate generation** (the n^2 part) runs as a BLAS matrix product
+       inside an Arrow-batched ``mapInPandas``: the full (id, unit-vector)
+       matrix is a broadcast variable (n x dim floats — for any corpus where
+       exact all-pairs is sane, this is a few hundred MB at most; beyond
+       that the LSH path is the right tool), and each partition multiplies
+       its block against it. Only pairs clearing ``threshold - 1e-4`` (fp
+       slack for summation-order drift) survive, so the expensive stage
+       emits ~|answer| rows instead of n^2/2.
+    2. **Exact verification** recomputes cosine for the candidates with the
+       same sequential-in-index-order double accumulation the oracle uses,
+       so reported values are independent of BLAS summation order.
+    """
+    spark = df.sparkSession
+    ids_vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    import pandas as pd  # noqa: PLC0415 — keep pandas off the import hot path
+
+    mat_pdf = ids_vecs.toPandas()
+    all_ids = np.asarray(mat_pdf["id"].to_numpy(), dtype=np.int64)
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in mat_pdf["v"]])
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / np.where(norms == 0.0, 1.0, norms)[:, None]
+    b_ids = spark.sparkContext.broadcast(all_ids)
+    b_unit = spark.sparkContext.broadcast(unit)
+    slack = 10.0 ** (-round_digits) * 100.0
+
+    def _candidates(batches):
+        ids_all, unit_all = b_ids.value, b_unit.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            bn = np.linalg.norm(block, axis=1)
+            block = block / np.where(bn == 0.0, 1.0, bn)[:, None]
+            sims = block @ unit_all.T
+            rid = np.asarray(pdf["id"].to_numpy(), dtype=np.int64)
+            rows, cols = np.nonzero((sims >= threshold - slack) & (rid[:, None] < ids_all[None, :]))
+            if len(rows):
+                yield pd.DataFrame({"id_a": rid[rows], "id_b": ids_all[cols]})
+
+    cand = ids_vecs.mapInPandas(_candidates, schema="id_a long, id_b long")
+    a = ids_vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = ids_vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

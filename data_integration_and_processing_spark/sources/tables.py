@@ -35,11 +35,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        return spark.read.parquet(path)
-    except Exception as exc:  # noqa: BLE001 — schema resolution happens eagerly
-        if "PARQUET_TYPE_ILLEGAL" not in str(exc):
-            raise
+    if name not in _NANOS_TS_TABLES:
+        try:
+            return spark.read.parquet(path)
+        except Exception as exc:  # noqa: BLE001 — schema resolution happens eagerly
+            if "PARQUET_TYPE_ILLEGAL" not in str(exc):
+                raise
     # Parquet TIMESTAMP(NANOS) columns (e.g. events.ts) are illegal for
     # Spark's reader. Re-read nanos as long, then truncate to microsecond
     # timestamps — the same truncation DuckDB applies, so both engines see
@@ -55,8 +56,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
 
 
-# Known nanosecond-timestamp columns in the fixture set.
+# Known nanosecond-timestamp columns in the fixture set. Tables listed in
+# _NANOS_TS_TABLES skip the plain-read probe entirely — the probe's failed
+# schema-inference job costs ~0.5s and logs an executor ERROR per call.
 _NANOS_TS_COLUMNS = frozenset({"ts"})
+_NANOS_TS_TABLES = frozenset({"events"})
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
