@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from data_integration_and_processing_spark.queries.catalog import register
 from data_integration_and_processing_spark.sources.tables import load_table
 from data_integration_and_processing_spark.streaming.pipelines import (
+    run_stateful_user_stats,
+    run_streaming_dedup,
     run_streaming_window_pipeline,
     sessionized,
     sliding_window_counts,
@@ -115,3 +117,32 @@ def stream_true_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
         "event_type",
         "n_events",
     ).orderBy("window_start_epoch", "event_type")
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle="""
+        SELECT user_id, count(*) AS n_events,
+               min(event_id) AS first_event_id, max(event_id) AS last_event_id
+        FROM events GROUP BY user_id
+    """,
+    description="custom stateful streaming operator (applyInPandasWithState): per-user running stats; final state equals the batch aggregate",
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return run_stateful_user_stats(spark, e)
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+        SELECT event_type, count(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    description="streaming exact dedup under a watermark: replay every event twice, dropDuplicates(event_id) keeps one each",
+    tags=("streaming", "dedup", "north-star"),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return run_streaming_dedup(spark, e)

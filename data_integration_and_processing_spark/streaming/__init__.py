@@ -1,4 +1,6 @@
 from data_integration_and_processing_spark.streaming.pipelines import (
+    run_stateful_user_stats,
+    run_streaming_dedup,
     run_streaming_window_pipeline,
     sessionized,
     sliding_window_counts,
@@ -6,6 +8,8 @@ from data_integration_and_processing_spark.streaming.pipelines import (
 )
 
 __all__ = [
+    "run_stateful_user_stats",
+    "run_streaming_dedup",
     "run_streaming_window_pipeline",
     "sessionized",
     "sliding_window_counts",

@@ -16,9 +16,13 @@ from __future__ import annotations
 
 import shutil
 import uuid
+from collections.abc import Iterable, Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
 
 
 def tumbling_window_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
@@ -96,3 +100,117 @@ def run_streaming_window_pipeline(
         .awaitTermination(300)
     )
     return spark.read.parquet(sink)
+
+
+def _staged_stream(spark: SparkSession, events: DataFrame, scratch: str) -> tuple[DataFrame, str]:
+    """Stage a batch DataFrame as parquet and open it with ``readStream``
+    (bounded replay via availableNow at the call sites). Returns (stream,
+    sink_path)."""
+    src, sink = f"{scratch}/src", f"{scratch}/sink"
+    shutil.rmtree(scratch, ignore_errors=True)
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    return stream, sink
+
+
+_USER_STATS_SCHEMA = "user_id long, n_events long, first_event_id long, last_event_id long"
+_USER_STATE_SCHEMA = "n long, first_id long, last_id long"
+
+
+def _user_stats_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: per-user cumulative stats carried in
+    explicit GroupState across micro-batches. Emits the updated running
+    totals once per (user, micro-batch).
+
+    Integer-only aggregates (count, min/max event_id) so the emitted values
+    are exact regardless of batch boundaries or arrival order."""
+    n, first_id, last_id = state.get if state.exists else (0, None, None)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        lo, hi = int(pdf["event_id"].min()), int(pdf["event_id"].max())
+        first_id = lo if first_id is None else min(first_id, lo)
+        last_id = hi if last_id is None else max(last_id, hi)
+    state.update((n, first_id, last_id))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "first_event_id": [first_id], "last_event_id": [last_id]}
+    )
+
+
+def run_stateful_user_stats(
+    spark: SparkSession, events: DataFrame, scratch_dir: str | None = None
+) -> DataFrame:
+    """Arbitrary stateful processing (``applyInPandasWithState``): per-user
+    running stats with user-managed state, the Structured Streaming
+    equivalent of a custom stateful operator.
+
+    At scale state lives in the state store partitioned by user_id — the
+    shuffle is one exchange on the grouping key and each executor holds only
+    its key range's state. The read-back keeps the last emitted update per
+    user (cumulative => the max n_events row), making the result equal to
+    the batch groupBy no matter how the replay was micro-batched."""
+    scratch = scratch_dir or f"/tmp/diaps_state_{uuid.uuid4().hex[:8]}"
+    stream, sink = _staged_stream(spark, events, scratch)
+
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        _user_stats_fn,
+        outputStructType=_USER_STATS_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    (
+        updates.writeStream.outputMode("update")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    out = spark.read.parquet(sink)
+    latest = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.min("first_event_id").alias("first_event_id"),
+        F.max("last_event_id").alias("last_event_id"),
+    )
+    return latest
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    events: DataFrame,
+    scratch_dir: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: replay a source containing every event twice,
+    drop duplicates on event_id under a watermark (bounds the seen-keys
+    state at scale), land the surviving rows, and return per-type counts.
+
+    The watermark means a key's dedup state is reclaimed once event time
+    passes ts + watermark — the only way seen-keys state stays bounded on
+    an unbounded stream."""
+    scratch = scratch_dir or f"/tmp/diaps_dedup_{uuid.uuid4().hex[:8]}"
+    doubled = events.unionByName(events)
+    stream, sink = _staged_stream(spark, doubled, scratch)
+    deduped = stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    survivors = spark.read.parquet(sink)
+    return survivors.groupBy("event_type").agg(F.count("*").alias("n_events"))
