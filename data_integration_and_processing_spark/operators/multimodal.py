@@ -87,3 +87,96 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_w", T.IntegerType()),
+        T.StructField("orig_h", T.IntegerType()),
+        T.StructField("new_w", T.IntegerType()),
+        T.StructField("new_h", T.IntegerType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+_RESIZE_TARGET = 224
+
+
+def resize_images(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Image-resize plumbing over binary payloads (decoder stubbed).
+
+    The real pipeline decodes the payload, resizes the tensor to a max
+    dimension of 224 preserving aspect ratio, and re-encodes. Here the
+    decode is the stub, so dimensions come from a deterministic fake header
+    (derived from payload length) — the batching, signature, and integer
+    resize arithmetic are the production shape."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = pdf[payload_col].map(len)
+            w = (32 + n % 480).astype("int64")
+            h = (32 + (n * 7) % 480).astype("int64")
+            # integer resize: scale the longer side to 224 (never upscale)
+            long_side = w.combine(h, max)
+            new_w = w.where(long_side <= _RESIZE_TARGET, (w * _RESIZE_TARGET) // long_side)
+            new_h = h.where(long_side <= _RESIZE_TARGET, (h * _RESIZE_TARGET) // long_side)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "orig_w": w,
+                    "orig_h": h,
+                    "new_w": new_w,
+                    "new_h": new_h,
+                    "decoder": "stub:fake-header",
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_size: int = 64,
+    stride: int = 4,
+) -> DataFrame:
+    """Video frame-sampling plumbing: 1-to-N row fan-out inside mapInPandas.
+
+    The stubbed 'container format' is fixed-size byte chunks (``frame_size``
+    bytes per frame); every ``stride``-th frame is decoded (here: hashed).
+    The real version swaps the chunker for a demuxer — the fan-out shape,
+    Arrow batching, and per-frame output schema are what carries to 100 TB
+    (each task expands its own rows; no shuffle, no driver involvement)."""
+    import hashlib  # noqa: PLC0415
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sizes: list[int] = []
+            md5s: list[str] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n_frames = (len(payload) + frame_size - 1) // frame_size
+                for fi in range(0, n_frames, stride):
+                    chunk = payload[fi * frame_size : (fi + 1) * frame_size]
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    sizes.append(len(chunk))
+                    md5s.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": sizes, "frame_md5": md5s}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)

@@ -91,30 +91,86 @@ def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_planes: int = 8,
-    max_probe_hamming: int = 1,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    max_probe_hamming: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: rank only vectors whose LSH bucket is within
-    ``max_probe_hamming`` bits of the query's bucket (multi-probe).
+    """Approximate top-k via multi-table sign-LSH: ``n_tables`` independent
+    hash tables of ``n_planes`` hyperplanes each; a vector is a candidate if
+    its bucket matches the query's (within ``max_probe_hamming`` bits) in
+    ANY table. Collision probability per table is p^n_planes with
+    p = 1 - angle/pi, so the union of L tables recalls weak neighbors
+    (p ~ 0.6) that a single deep table misses entirely.
 
-    At scale: one cheap map to bucket everything (or a precomputed bucket
-    column + partition pruning), then brute-force cosine on the probed
-    buckets only — the scanned fraction is ~C(n_planes, <=h)/2^n_planes.
+    All signatures are per-row JVM expressions; the candidate test is one
+    OR-of-equalities filter, so the scan is a pure map + TakeOrdered — no
+    shuffle of the corpus. At scale, persist the L signature columns and
+    partition by (table0_sig) to turn probes into partition-pruned reads;
+    expected scanned fraction is ~L/2^n_planes of the corpus.
     """
-    planes = random_hyperplanes(len(query_vec), n_planes, seed)
+    planes = random_hyperplanes(len(query_vec), n_planes * n_tables, seed)
     q = np.asarray(query_vec, dtype=np.float64)
-    q_sig = sum(1 << j for j, plane in enumerate(planes) if float(np.dot(plane, q)) > 0)
-    bucketed = df.withColumn("bucket", lsh_signature(F.col(vec_col), planes))
-    probed = bucketed.filter(
-        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_sig).cast("long"))) <= max_probe_hamming
-    )
+    cond = None
+    for t in range(n_tables):
+        tp = planes[t * n_planes : (t + 1) * n_planes]
+        q_sig = sum(1 << j for j, plane in enumerate(tp) if float(np.dot(plane, q)) > 0)
+        sig = lsh_signature(F.col(vec_col), tp)
+        hit = (
+            sig == F.lit(q_sig).cast("long")
+            if max_probe_hamming == 0
+            else F.bit_count(sig.bitwiseXOR(F.lit(q_sig).cast("long"))) <= max_probe_hamming
+        )
+        cond = hit if cond is None else (cond | hit)
     qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
     sim = F.round(cosine(F.col(vec_col), qcol), 6)
     return (
-        probed.select(F.col(id_col), F.col("bucket"), sim.alias("cos_sim"))
+        df.filter(cond)
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer, scan
+    only the ``nprobe`` cells nearest the query.
+
+    Index build = one KMeans fit (seeded, deterministic) + one map assigning
+    each vector to its nearest centroid. At scale the assignment column is a
+    partition key: writing the corpus partitioned by cell turns each query
+    into a partition-pruned scan of nprobe/n_cells of the data. The probed
+    scan reuses the exact JVM cosine, so scores match the brute-force path.
+    """
+    from pyspark.ml.clustering import KMeans  # noqa: PLC0415 — keep ml off the import hot path
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: PLC0415
+
+    feat = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell").fit(feat)
+    assigned = model.transform(feat).drop("_features")
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    centers = model.clusterCenters()
+    by_dist = sorted(range(len(centers)), key=lambda i: float(np.linalg.norm(centers[i] - q)))
+    probe_cells = by_dist[:nprobe]
+
+    qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    sim = F.round(cosine(F.col(vec_col), qcol), round_digits)
+    return (
+        assigned.filter(F.col("_cell").isin(probe_cells))
+        .select(F.col(id_col), F.col("_cell").alias("cell"), sim.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )

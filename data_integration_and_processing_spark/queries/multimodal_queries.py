@@ -5,7 +5,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_integration_and_processing_spark.operators.multimodal import attach_binary_payload, extract_features
+from data_integration_and_processing_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
 from data_integration_and_processing_spark.queries.catalog import register
 from data_integration_and_processing_spark.sources.tables import load_table
 
@@ -45,3 +50,49 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     m = attach_binary_payload(d)
     return extract_features(m).orderBy("doc_id")
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(32 + octet_length(encode(text)) % 480 AS INTEGER) AS orig_w,
+                   CAST(32 + (octet_length(encode(text)) * 7) % 480 AS INTEGER) AS orig_h
+            FROM documents
+        )
+        SELECT doc_id, orig_w, orig_h,
+               CAST(CASE WHEN greatest(orig_w, orig_h) <= 224 THEN orig_w
+                         ELSE (orig_w * 224) // greatest(orig_w, orig_h) END AS INTEGER) AS new_w,
+               CAST(CASE WHEN greatest(orig_w, orig_h) <= 224 THEN orig_h
+                         ELSE (orig_h * 224) // greatest(orig_w, orig_h) END AS INTEGER) AS new_h,
+               'stub:fake-header' AS decoder
+        FROM dims
+    """,
+    description="image-resize plumbing (aspect-preserving to max 224) via mapInPandas; decoder stubbed",
+    tags=("multimodal", "north-star", "pandas-udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return resize_images(attach_binary_payload(d))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        -- fixture text is pure ASCII (checked), so char substring == byte
+        -- substring and md5(varchar) == md5 of the payload bytes
+        SELECT d.doc_id,
+               CAST(fi AS INTEGER) AS frame_idx,
+               CAST(length(substring(d.text, fi * 64 + 1, 64)) AS INTEGER) AS frame_bytes,
+               md5(substring(d.text, fi * 64 + 1, 64)) AS frame_md5
+        FROM documents d,
+             LATERAL unnest(generate_series(0,
+                 (length(d.text) + 63) // 64 - 1, 4)) AS t(fi)
+    """,
+    description="video frame-sampling plumbing: 1-to-N fan-out in mapInPandas (64-byte fake frames, stride 4)",
+    tags=("multimodal", "north-star", "pandas-udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(d), frame_size=64, stride=4)

@@ -9,6 +9,7 @@ from data_integration_and_processing_spark.operators.similarity import (
     brute_force_topk,
     cosine,
     embedding_neardup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from data_integration_and_processing_spark.queries.catalog import register
@@ -57,13 +58,25 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_topk_lsh",
     oracle=None,  # sign-LSH probing is engine-specific; exactness covered by the brute-force twin
-    description="approximate ANN: sign-LSH(8 planes) multi-probe top-10 (north-star scale path)",
+    description="approximate ANN: multi-table sign-LSH (8 tables x 4 planes) top-10 (north-star scale path)",
     tags=("similarity", "north-star", "lsh"),
 )
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
-    return lsh_topk(e.filter(F.col("vec_id") != 0), q, k=10, n_planes=8, max_probe_hamming=1)
+    return lsh_topk(e.filter(F.col("vec_id") != 0), q, k=10, n_planes=4, n_tables=8)
+
+
+@register(
+    "sim_topk_ivf",
+    oracle=None,  # KMeans cell assignment is engine-specific; recall vs brute force is pytest-checked
+    description="approximate ANN: IVF coarse quantizer (seeded KMeans, nprobe=2 of 8 cells) top-10 (north-star scale path)",
+    tags=("similarity", "north-star", "ivf"),
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    return ivf_topk(e.filter(F.col("vec_id") != 0), q, k=10, n_cells=8, nprobe=2)
 
 
 @register(

@@ -1,0 +1,46 @@
+"""Behavioral checks for the approximate-ANN paths (no SQL oracle exists:
+cell/bucket assignment is engine-specific, so the contract is recall
+against the exact brute-force top-k)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_integration_and_processing_spark.queries import catalog
+
+SPECS = catalog.all_specs()
+
+
+@pytest.fixture(scope="module")
+def bf_top10(spark, sf_dir):
+    return [r.vec_id for r in SPECS["sim_topk_bruteforce"].spark(spark, sf_dir).collect()]
+
+
+def _recall(approx_ids, exact_ids):
+    return len(set(approx_ids) & set(exact_ids)) / len(exact_ids)
+
+
+def test_ivf_recall(spark, sf_dir, bf_top10):
+    ivf = [r.vec_id for r in SPECS["sim_topk_ivf"].spark(spark, sf_dir).collect()]
+    assert len(ivf) == 10
+    # nprobe=2 of 8 cells scans ~25% of the corpus; anything at/above that
+    # fraction means the coarse quantizer concentrates true neighbors.
+    assert _recall(ivf, bf_top10) >= 0.3
+
+
+def test_lsh_recall(spark, sf_dir, bf_top10):
+    lsh = [r.vec_id for r in SPECS["sim_topk_lsh"].spark(spark, sf_dir).collect()]
+    assert len(lsh) == 10
+    # 8 tables x 4 planes; fixture neighbors are weak (cos ~0.3 => per-bit
+    # collision ~0.6 => per-table ~0.13, union over 8 tables ~0.67).
+    assert _recall(lsh, bf_top10) >= 0.4
+
+
+def test_approx_results_are_subset_quality(spark, sf_dir, bf_top10):
+    """Every approx result must be a real vector with cos_sim <= the exact
+    best — i.e. approximation never invents better-than-exact scores."""
+    bf = {r.vec_id: r.cos_sim for r in SPECS["sim_topk_bruteforce"].spark(spark, sf_dir).collect()}
+    best = max(bf.values())
+    for name in ("sim_topk_ivf", "sim_topk_lsh"):
+        for r in SPECS[name].spark(spark, sf_dir).collect():
+            assert r.cos_sim <= best + 1e-9, f"{name} produced impossible score {r.cos_sim}"
