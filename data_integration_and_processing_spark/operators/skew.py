@@ -1,0 +1,81 @@
+"""Skew-mitigation operators: salting for hot keys.
+
+AQE's skew-join handling (enabled in session.py) splits oversized
+partitions at runtime, but only for sort-merge joins; aggregations and
+broadcast-ineligible hot keys still need salting. These helpers encode the
+two standard patterns so pipelines at 100 TB don't hand-roll them:
+
+- **salted aggregation**: two-stage agg — partial on (key, salt), final on
+  key. The first shuffle spreads a hot key over ``n_salts`` reducers; the
+  second only moves ``n_salts`` pre-aggregated rows per key.
+- **salted join**: explode the small side ``n_salts`` times, salt the big
+  side with a deterministic hash-derived salt, join on (key, salt). A hot
+  key's rows land on ``n_salts`` different reducers instead of one.
+
+Salts are derived with xxhash64 of a row-unique column (not rand()) so
+results are deterministic and retries/speculative tasks can't diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, unique_col: str, n_salts: int = 16, salt_col: str = "_salt") -> DataFrame:
+    """Deterministic salt in [0, n_salts) derived from a row-unique column."""
+    return df.withColumn(salt_col, F.pmod(F.xxhash64(F.col(unique_col)), F.lit(n_salts)).cast("int"))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    unique_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation for decomposable aggregates
+    (count/sum/min/max — anything where final(partial(x)) == agg(x)).
+
+    ``aggs`` maps output column name -> partial aggregate expression; the
+    final stage re-combines with the matching combinator (sum for counts
+    and sums, min/max for min/max), inferred from the expression name.
+    """
+    partial = (
+        with_salt(df, unique_col, n_salts)
+        .groupBy(*keys, "_salt")
+        .agg(*[expr.alias(f"__p_{name}") for name, expr in aggs.items()])
+    )
+    finals = []
+    for name, expr in aggs.items():
+        try:
+            fn = expr._jc.toString().split("(")[0].lower()  # noqa: SLF001 — combinator dispatch
+        except Exception:  # noqa: BLE001 — e.g. Spark Connect; sum is the safe default
+            fn = ""
+        combine = {"min": F.min, "max": F.max}.get(fn, F.sum)  # count/sum recombine via sum
+        finals.append(combine(f"__p_{name}").alias(name))
+    return partial.groupBy(*keys).agg(*finals)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    unique_col: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side deterministically, replicate
+    the small side across all salts, join on (key, salt).
+
+    Replication costs |small| * n_salts rows — cheap when small is a
+    dimension table; for two big sides, salt only the hot keys (split the
+    input by a hot-key list) instead."""
+    b = with_salt(big, unique_col, n_salts)
+    s = small.crossJoin(
+        F.broadcast(
+            b.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    out = b.join(s, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -1,0 +1,201 @@
+"""User-defined-function surface: pandas UDF (scalar + grouped agg),
+grouped-map applyInPandas, Python UDTF, and the skew-salting operators.
+
+The reference has no UDF surface at all (SURVEY.md §2.2); these queries
+demonstrate every extension point a pipeline author gets, each in its
+scalable form — Arrow-batched vectorized Python, never row-at-a-time — and
+each checked against a DuckDB oracle.
+
+Numeric determinism notes per query: inputs are chosen so Python-side
+arithmetic is either exact (integer-valued doubles) or identical IEEE ops
+in both engines, so no tolerance is needed at the value-hash gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from data_integration_and_processing_spark.operators.skew import salted_agg, salted_join
+from data_integration_and_processing_spark.queries.catalog import register
+from data_integration_and_processing_spark.sources.tables import load_table, load_tables
+
+
+# ---------------------------------------------------------------------------
+# scalar pandas UDF
+# ---------------------------------------------------------------------------
+
+@pandas_udf(DoubleType())
+def _net_price(extended: pd.Series, discount: pd.Series) -> pd.Series:
+    # vectorized over Arrow batches; plain IEEE multiply, identical to SQL
+    return extended * (1.0 - discount)
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1.0 - l_discount) AS net_price
+        FROM lineitem WHERE l_linenumber = 1
+    """,
+    description="scalar pandas UDF (Arrow-vectorized): net price per line item",
+    tags=("udf", "pandas-udf"),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        _net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped-aggregate pandas UDF (UDAF)
+# ---------------------------------------------------------------------------
+
+@pandas_udf(DoubleType())
+def _median_udaf(v: pd.Series) -> float:
+    # quantities are whole numbers: the two-middle average is exact
+    return float(np.median(v))
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, median(l_quantity) AS median_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    description="grouped-aggregate pandas UDF (UDAF): median quantity per flag/status",
+    tags=("udf", "pandas-udf", "aggregation"),
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        _median_udaf("l_quantity").alias("median_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped-map applyInPandas
+# ---------------------------------------------------------------------------
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # integer-valued quantities: sums and sums-of-squares are exact doubles,
+    # so mean/std/z match the oracle bit-for-bit after rounding
+    q = pdf["l_quantity"].to_numpy(dtype=np.float64)
+    mean = q.sum() / len(q)
+    std = np.sqrt(np.square(q - mean).sum() / len(q))
+    z = np.round((q - mean) / std, 6) if std > 0 else np.zeros(len(q))
+    return pd.DataFrame(
+        {
+            "l_orderkey": pdf["l_orderkey"],
+            "l_linenumber": pdf["l_linenumber"],
+            "l_returnflag": pdf["l_returnflag"],
+            "z_quantity": z,
+        }
+    )
+
+
+@register(
+    "udf_grouped_map_zscore",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               round((l_quantity - avg(l_quantity) OVER w) / stddev_pop(l_quantity) OVER w, 6)
+                   AS z_quantity
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+    description="grouped-map applyInPandas: within-group z-score normalization (whole group per Arrow batch)",
+    tags=("udf", "pandas-udf", "window"),
+)
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").applyInPandas(
+        _zscore_group,
+        schema="l_orderkey long, l_linenumber int, l_returnflag string, z_quantity double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (table function)
+# ---------------------------------------------------------------------------
+
+@register(
+    "udf_python_udtf",
+    oracle="""
+        SELECT d.doc_id, CAST(i - 1 AS INTEGER) AS word_idx,
+               string_split(d.text, ' ')[i] AS word
+        FROM documents d,
+             LATERAL unnest(generate_series(1, least(5, len(string_split(d.text, ' '))))) t(i)
+    """,
+    description="Python UDTF: lateral expansion of the first 5 words per document",
+    tags=("udf", "udtf"),
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(returnType="word_idx int, word string")
+    class FirstWords:
+        def eval(self, text: str):  # noqa: ANN001
+            for i, w in enumerate(text.split(" ")[:5]):
+                yield i, w
+
+    spark.udtf.register("first_words", FirstWords)
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.word_idx, t.word FROM _udtf_docs d, LATERAL first_words(d.text) t"
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew-salting operators
+# ---------------------------------------------------------------------------
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+        SELECT event_type, count(*) AS n_events, CAST(max(value) AS DOUBLE) AS max_value
+        FROM events GROUP BY event_type
+    """,
+    description="two-stage salted aggregation: partial on (key, salt), final on key — same result, skew-proof shuffle",
+    tags=("skew", "aggregation"),
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # event_type has only ~5 distinct values — exactly the hot-key shape
+    # where a plain groupBy funnels everything through 5 reducers.
+    return salted_agg(
+        e,
+        keys=["event_type"],
+        aggs={"n_events": F.count("*"), "max_value": F.max("value")},
+        unique_col="event_id",
+        n_salts=16,
+    ).select("event_type", "n_events", F.col("max_value").cast("double"))
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+        SELECT n.n_name, count(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    description="salted equi-join: big side salted deterministically, small side replicated per salt",
+    tags=("skew", "join"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, n = load_tables(spark, sf_dir, "customer", "nation")
+    joined = salted_join(
+        c.withColumnRenamed("c_nationkey", "nk"),
+        n.withColumnRenamed("n_nationkey", "nk"),
+        on="nk",
+        unique_col="c_custkey",
+        n_salts=8,
+    )
+    return joined.groupBy("n_name").agg(F.count("*").alias("n_customers"))
