@@ -30,13 +30,18 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_profit",
     "q10_returned_items",
+    "q18_large_volume_customers",
     "join_broadcast_dim",
     "join_asof_event",
     "agg_count_distinct",
     "agg_rollup",
     "window_topk_per_group",
     "etl_clean_rename_projection",
+    "udf_grouped_map_zscore",
+    "skew_salted_agg",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -65,6 +65,56 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # ---------------------------------------------------------------------------
+# shared LSH machinery
+# ---------------------------------------------------------------------------
+
+def pairs_within_buckets(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    payload_cols: tuple[str, ...] = (),
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) of ids sharing any bucket.
+
+    ``banded`` has one row per (bucket_cols..., id [, payload_cols...]).
+    Instead of a bucket self-join — which scans the (often expensive)
+    upstream lineage twice — this groups each bucket's members into an
+    array and expands i<j pairs inside one row: a single corpus scan, one
+    shuffle keyed by bucket, pair fan-out entirely within tasks.
+
+    Buckets larger than ``max_bucket`` are dropped (documented recall
+    trade): a bucket that hot means the band value is degenerate (the
+    stop-ngram analogue) and its m^2 expansion would dominate the stage —
+    content that common belongs to exact dedup, not near-dup pairing.
+    Payload columns (e.g. signatures) ride along as ``<col>_a``/``<col>_b``.
+    """
+    item = F.struct(F.col("id"), *[F.col(c) for c in payload_cols])
+    grouped = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_set(item)).alias("items"))
+        .filter((F.size("items") > 1) & (F.size("items") <= max_bucket))
+    )
+    # i<j expansion; lambdas only touch their arguments and the materialized
+    # `items` attribute (cheap re-reference — see shingles() note).
+    pairs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda a, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    out = grouped.select(F.explode(pairs).alias("p")).select(
+        F.col("p.a.id").alias("id_a"),
+        F.col("p.b.id").alias("id_b"),
+        *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in payload_cols],
+        *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in payload_cols],
+    )
+    return out.dropDuplicates(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -127,24 +177,18 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), ngram).alias("sh"))
         .filter(F.size("sh") > 0)
         .select("id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
+        # The hashed-shingle index feeds banding AND both sides of the
+        # candidate verify join; without persist each consumer re-scans and
+        # re-shingles the corpus (3 full scans). On a cluster this is the
+        # "materialize the signature table" step of any LSH pipeline.
+        .persist()
     )
     sig = hs.select("id", minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig"))
     # Banded rows carry only (id, band, bucket) — 24 bytes each — through
     # the explode and the bucket self-join; shingle sets rejoin at the end
     # for the few candidate pairs only.
     banded = sig.select("id", F.posexplode(lsh_bands(F.col("sig"), bands, rows)).alias("band", "bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = pairs_within_buckets(banded, ["band", "bucket"])
     ha = hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
     hb = hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
@@ -215,20 +259,13 @@ def simhash_candidates(
             F.array(*[F.shiftright(F.col("sig"), 16 * b).bitwiseAND(F.lit(0xFFFF)) for b in range(4)])
         ).alias("band", "bucket"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    cand = pairs_within_buckets(banded, ["band", "bucket"], payload_cols=("sig",))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -251,7 +288,9 @@ def ngram_jaccard_pairs(
     at scale, drop ultra-frequent shingles (df > cap) like stop-ngrams.
     """
     sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
-    sh = sh.filter(F.size("sh") > 0)
+    # consumed by sizes + both sides of the inverted-index join: materialize
+    # once (the LSH "signature table" step; see minhash_lsh_pairs)
+    sh = sh.filter(F.size("sh") > 0).persist()
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     # Inverted index on xxhash64(shingle): 8-byte join keys + integer
     # hash-partitioning instead of shuffling variable-length shingle
