@@ -16,14 +16,18 @@ import re
 
 from pyspark.sql import DataFrame
 
-_SEPARATORS = re.compile(r"[ \-/\\]+")
 _STRIP = re.compile(r"[?()%$]")
 
 
 def clean_name(name: str) -> str:
     """Normalize one column name: lowercase, separators -> ``_``,
-    punctuation stripped, repeated/trailing underscores collapsed."""
-    out = _SEPARATORS.sub("_", name.strip().lower())
+    punctuation stripped, repeated/trailing underscores collapsed.
+
+    Separators are ``-``/``/``/``\\`` plus anything ``str.isspace()``
+    considers whitespace — regex ``\\s`` misses the ``\\x1c``-``\\x1f``
+    block that ``str.strip()`` removes, which broke idempotence
+    (hypothesis-found)."""
+    out = "".join("_" if (ch.isspace() or ch in "-/\\") else ch for ch in name.lower())
     out = _STRIP.sub("", out)
     out = re.sub(r"_+", "_", out).strip("_")
     return out

@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis) for the pure ETL functions — the
+reference's only 'tests' were an empty unittest stub, so these pin the
+cleaning/mapping semantics against arbitrary inputs, not just fixtures."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_integration_and_processing_spark.functions.naming import clean_name
+from data_integration_and_processing_spark.functions.schema_mapping import (
+    pandas_dtype_to_spark,
+    spark_type_to_clickhouse_ddl,
+    spark_type_to_postgres_ddl,
+)
+
+names = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)), max_size=40
+)
+
+
+@settings(max_examples=300)
+@given(names)
+def test_clean_name_idempotent(name):
+    once = clean_name(name)
+    assert clean_name(once) == once
+
+
+@settings(max_examples=300)
+@given(names)
+def test_clean_name_removes_forbidden_chars(name):
+    out = clean_name(name)
+    assert not re.search(r"[ \-/\\?()%$]", out)
+    assert out == out.lower()
+    assert not out.startswith("_") and not out.endswith("_")
+    assert "__" not in out
+
+
+@settings(max_examples=300)
+@given(names)
+def test_clean_name_preserves_word_characters(name):
+    """Alphanumerics never disappear (cleaning only touches separators and
+    the reference's strip set)."""
+    kept = [c for c in name.lower() if c.isalnum()]
+    out_kept = [c for c in clean_name(name) if c.isalnum()]
+    assert out_kept == kept
+
+
+_KNOWN_DTYPES = st.sampled_from(
+    ["int8", "int16", "int32", "int64", "uint8", "uint16", "uint32", "uint64",
+     "float32", "float64", "bool", "object", "string", "category",
+     "datetime64[ns]", "timedelta64[ns]"]
+)
+
+
+@given(_KNOWN_DTYPES)
+def test_dtype_mapping_total_and_ddl_emittable(dtype):
+    """Every dtype maps to a Spark type that both sink DDL generators
+    accept — no dtype can reach a sink and fail to produce a column type."""
+    spark_t = pandas_dtype_to_spark(dtype)
+    assert spark_type_to_postgres_ddl(spark_t)
+    ch = spark_type_to_clickhouse_ddl(spark_t)
+    assert ch.startswith("Nullable(")
+
+
+@settings(max_examples=100)
+@given(st.text(max_size=20))
+def test_unknown_dtype_falls_back_to_string(garbage):
+    if garbage in {"int8", "int16", "int32", "int64", "uint8", "uint16", "uint32",
+                   "uint64", "float32", "float64", "bool", "boolean", "object",
+                   "string", "category", "datetime64[ns]", "datetime64[us]",
+                   "datetime64[ms]", "datetime64[ns, UTC]", "timedelta64[ns]"}:
+        return
+    assert pandas_dtype_to_spark(garbage).typeName() == "string"
