@@ -80,6 +80,30 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_quantize_int8",
+    oracle="""
+        WITH s AS (
+            SELECT vec_id,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+            FROM embeddings
+        )
+        SELECT e.vec_id,
+               round(s.sc, 9) AS scale,
+               list_transform(e.embedding, x -> CAST(round(CAST(x AS DOUBLE) / s.sc) AS TINYINT)) AS q
+        FROM embeddings e JOIN s USING (vec_id)
+    """,
+    description="symmetric int8 embedding quantization (4x memory cut for ANN indexes): per-vector scale + byte array",
+    tags=("similarity", "north-star", "quantization"),
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    e = e.withColumn("_sc", absmax / F.lit(127.0))
+    q = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") / F.col("_sc"), 0).cast("byte"))
+    return e.select("vec_id", F.round("_sc", 9).alias("scale"), q.alias("q"))
+
+
+@register(
     "sim_neardup_pairs",
     oracle=f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

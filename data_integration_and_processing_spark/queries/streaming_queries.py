@@ -120,6 +120,52 @@ def stream_true_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "stream_rollup_cascade",
+    oracle="""
+        SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start_epoch,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,9))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    description=(
+        "hypertable-style continuous-aggregate cascade: 1min partials -> 10min -> 1h, "
+        "each level re-aggregating the previous (lossless for sum/count); oracle computes "
+        "the 1h level directly from raw events, proving the cascade exact"
+    ),
+    tags=("streaming", "window", "rollup"),
+)
+def stream_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,9)")
+    )
+    # Level 0: 1-minute leaf aggregates — the only scan of raw data. At
+    # scale this is the materialized continuous aggregate; coarser levels
+    # read partials, so re-rollup cost is O(#buckets), not O(#events).
+    m1 = (
+        e.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n_events", "sum_value")
+    )
+    m10 = (
+        m1.groupBy(F.window("bucket", "10 minutes").alias("w"), "event_type")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n_events", "sum_value")
+    )
+    h1 = (
+        m10.groupBy(F.window("bucket", "1 hour").alias("w"), "event_type")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_start_epoch"),
+            "event_type",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+    )
+    return h1
+
+
+@register(
     "stream_stateful_user_stats",
     oracle="""
         SELECT user_id, count(*) AS n_events,
