@@ -57,6 +57,25 @@ def ingest_file(
     return prepared
 
 
+def upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Merge/upsert semantics — the sink mode the reference lacks (it only
+    drops-and-recreates, `/root/reference/PostgresDatabase.py:72-73`, or
+    blind-appends, `/root/reference/ClickHouseDatabase.py:91-95`):
+    rows from ``updates`` replace same-key rows in ``target``; unmatched
+    target rows survive; new keys append.
+
+    Expressed as target-anti-join-updates UNION updates: one shuffle per
+    side keyed on the merge key. On a format with native MERGE (Delta/
+    Iceberg) this becomes `MERGE INTO`; the plan here is the
+    format-agnostic equivalent with identical semantics."""
+    surviving = target.join(updates.select(*key_cols), key_cols, "left_anti")
+    return surviving.unionByName(updates)
+
+
 def transfer(
     spark: SparkSession,
     source: DataFrame | str,

@@ -121,3 +121,40 @@ def etl_transfer_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     transfer(spark, region, dest, column_mapping=mapping, mode="append")
     transfer(spark, region, dest, column_mapping=mapping, mode="append")
     return spark.read.parquet(dest)
+
+
+@register(
+    "etl_upsert_merge",
+    oracle="""
+        WITH updates AS (
+            SELECT c_custkey, c_name, c_nationkey,
+                   c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey % 97 = 0
+        )
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+        UNION ALL
+        SELECT * FROM updates
+    """,
+    description=(
+        "upsert/merge sink mode (absent in the reference: overwrite O7 or blind append O8 only): "
+        "same-key rows replaced, new keys appended, unmatched rows survive"
+    ),
+    tags=("etl", "sink", "merge"),
+)
+def etl_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.plans.pipelines import upsert
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    c = load_table(spark, sf_dir, "customer").select(*cols)
+    changed = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0
+    )
+    new_rows = c.filter(F.col("c_custkey") % 97 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    updates = changed.unionByName(new_rows.select(*cols))
+    return upsert(c, updates, key_cols=["c_custkey"]).select(*cols)

@@ -829,3 +829,24 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "agg_exact_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS p25,
+               quantile_cont(l_quantity, 0.50) AS p50,
+               quantile_cont(l_quantity, 0.90) AS p90
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    description="exact interpolated percentiles (sort-based aggregate; quantities are whole numbers so interpolation is engine-exact)",
+    tags=("aggregation", "percentile"),
+)
+def agg_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("p25"),
+        F.percentile("l_quantity", 0.50).alias("p50"),
+        F.percentile("l_quantity", 0.90).alias("p90"),
+    )

@@ -199,3 +199,53 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=8,
     )
     return joined.groupBy("n_name").agg(F.count("*").alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# cogrouped applyInPandas
+# ---------------------------------------------------------------------------
+
+def _asof_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Per-user pandas merge_asof: for each click, the most recent prior
+    (ts <=, inclusive) non-click event. Right side pre-deduped per ts."""
+    left = left.sort_values("ts")
+    right = right.sort_values("ts")
+    if len(right) == 0:
+        out = left[["user_id", "event_id"]].copy()
+        out["prior_event_id"] = pd.array([None] * len(out), dtype="Int64")
+        return out
+    merged = pd.merge_asof(left, right, on="ts", direction="backward", suffixes=("", "_r"))
+    return pd.DataFrame(
+        {
+            "user_id": merged["user_id"],
+            "event_id": merged["event_id"],
+            "prior_event_id": merged["prior_event_id"].astype("Int64"),
+        }
+    )
+
+
+@register(
+    "udf_cogrouped_asof",
+    oracle="""
+        WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+             r AS (SELECT user_id, ts, max(event_id) AS prior_event_id
+                   FROM events WHERE event_type <> 'click' GROUP BY user_id, ts)
+        SELECT l.user_id, l.event_id, r.prior_event_id
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    description="cogrouped applyInPandas: per-user merge_asof of clicks against prior non-click events",
+    tags=("udf", "pandas-udf", "asof", "join"),
+)
+def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    others = (
+        e.filter(F.col("event_type") != "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("prior_event_id"))
+    )
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(others.groupBy("user_id"))
+        .applyInPandas(_asof_cogroup, schema="user_id long, event_id long, prior_event_id long")
+    )
