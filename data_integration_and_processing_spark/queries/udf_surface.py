@@ -96,6 +96,7 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "l_orderkey": pdf["l_orderkey"],
             "l_linenumber": pdf["l_linenumber"],
             "l_returnflag": pdf["l_returnflag"],
+            "l_linestatus": pdf["l_linestatus"],
             "z_quantity": z,
         }
     )
@@ -104,20 +105,24 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
 @register(
     "udf_grouped_map_zscore",
     oracle="""
-        SELECT l_orderkey, l_linenumber, l_returnflag,
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
                round((l_quantity - avg(l_quantity) OVER w) / stddev_pop(l_quantity) OVER w, 6)
                    AS z_quantity
         FROM lineitem
-        WINDOW w AS (PARTITION BY l_returnflag)
+        WINDOW w AS (PARTITION BY l_returnflag, l_linestatus)
     """,
-    description="grouped-map applyInPandas: within-group z-score normalization (whole group per Arrow batch)",
+    description=(
+        "grouped-map applyInPandas: within-group z-score normalization (whole group per "
+        "Arrow batch). Parallelism = number of groups — for very-low-cardinality keys "
+        "prefer window functions (the oracle shows the equivalent)"
+    ),
     tags=("udf", "pandas-udf", "window"),
 )
 def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").applyInPandas(
+    return l.groupBy("l_returnflag", "l_linestatus").applyInPandas(
         _zscore_group,
-        schema="l_orderkey long, l_linenumber int, l_returnflag string, z_quantity double",
+        schema="l_orderkey long, l_linenumber int, l_returnflag string, l_linestatus string, z_quantity double",
     )
 
 
