@@ -850,3 +850,51 @@ def agg_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", 0.50).alias("p50"),
         F.percentile("l_quantity", 0.90).alias("p90"),
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) AS DOUBLE) AS qty_f,
+               CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END) AS DOUBLE) AS qty_o
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    description="pivot: linestatus values become columns (compiles to one pass of conditional aggregates)",
+    tags=("aggregation", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    # explicit value list: avoids the extra distinct-values job and keeps
+    # the output schema stable — required practice at scale
+    p = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.coalesce(F.sum("l_quantity"), F.lit(0.0)))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F").cast("double").alias("qty_f"),
+        F.col("O").cast("double").alias("qty_o"),
+    )
+
+
+@register(
+    "project_unpivot",
+    oracle="""
+        SELECT o_orderkey, 'totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS value
+        FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
+        FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    description="unpivot/melt: wide columns to (metric, value) rows — pure map-side row expansion",
+    tags=("projection", "unpivot"),
+)
+def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "value")
