@@ -143,10 +143,13 @@ def minhash_signature_from_hashes(hash_arr: Column, num_hashes: int = 32) -> Col
 
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     """Bucket keys: one hash per band of ``rows`` consecutive signature
-    entries. Docs sharing any band bucket become candidates."""
+    entries. Docs sharing any band bucket become candidates.
+
+    Multi-argument xxhash64 over the band's longs directly — no string
+    concatenation/allocation per band."""
     return F.array(
         *[
-            F.xxhash64(F.concat_ws(",", *[F.slice(sig, b * rows + 1, rows).getItem(j) for j in range(rows)]))
+            F.xxhash64(*[sig.getItem(b * rows + j) for j in range(rows)])
             for b in range(bands)
         ]
     )
