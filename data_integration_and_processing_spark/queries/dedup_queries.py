@@ -18,8 +18,8 @@ from data_integration_and_processing_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash,
     simhash_candidates,
+    simhash_signatures,
 )
 from data_integration_and_processing_spark.queries.catalog import register
 from data_integration_and_processing_spark.sources.tables import load_table
@@ -159,4 +159,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash(F.col("text")).alias("simhash"))
+    return simhash_signatures(d, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), F.col("sig").alias("simhash")
+    )

@@ -39,3 +39,14 @@ def test_ngram_tight_cap_keeps_near_identical_copies(spark, sf_dir):
         for r in ngram_jaccard_pairs(u, "text", "id", threshold=0.5, max_shingle_df=5).collect()
     }
     assert len(capped & exact) >= len(exact) * 0.9, f"kept {len(capped & exact)}/{len(exact)}"
+
+
+def test_vectorized_simhash_matches_jvm_expression(spark, sf_dir):
+    """The numpy bit-vote path must be bit-identical to the pure-JVM
+    column-expression simhash."""
+    from data_integration_and_processing_spark.operators.dedup import simhash, simhash_signatures
+
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    jvm = {r.doc_id: r.s for r in d.select("doc_id", simhash(F.col("text")).alias("s")).collect()}
+    vec = {r.id: r.sig for r in simhash_signatures(d, "text", "doc_id").collect()}
+    assert jvm == vec
