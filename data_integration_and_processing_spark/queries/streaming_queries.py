@@ -16,6 +16,7 @@ from data_integration_and_processing_spark.sources.tables import load_table
 from data_integration_and_processing_spark.streaming.pipelines import (
     run_stateful_user_stats,
     run_streaming_dedup,
+    run_streaming_upsert_sink,
     run_streaming_window_pipeline,
     sessionized,
     sliding_window_counts,
@@ -178,6 +179,21 @@ def stream_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return run_stateful_user_stats(spark, e)
+
+
+@register(
+    "stream_upsert_sink",
+    oracle="""
+        SELECT user_id, count(*) AS n_events,
+               min(event_id) AS first_event_id, max(event_id) AS last_event_id
+        FROM events GROUP BY user_id
+    """,
+    description="streaming merge-into-warehouse: stateful updates upserted per micro-batch via foreachBatch; final table equals the batch aggregate",
+    tags=("streaming", "stateful", "sink", "merge"),
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return run_streaming_upsert_sink(spark, e)
 
 
 @register(

@@ -1,6 +1,7 @@
 from data_integration_and_processing_spark.streaming.pipelines import (
     run_stateful_user_stats,
     run_streaming_dedup,
+    run_streaming_upsert_sink,
     run_streaming_window_pipeline,
     sessionized,
     sliding_window_counts,
@@ -10,6 +11,7 @@ from data_integration_and_processing_spark.streaming.pipelines import (
 __all__ = [
     "run_stateful_user_stats",
     "run_streaming_dedup",
+    "run_streaming_upsert_sink",
     "run_streaming_window_pipeline",
     "sessionized",
     "sliding_window_counts",

@@ -183,6 +183,57 @@ def run_stateful_user_stats(
     return latest
 
 
+def run_streaming_upsert_sink(
+    spark: SparkSession,
+    events: DataFrame,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Streaming merge-into-warehouse pattern: each micro-batch of per-user
+    update rows is upserted (same-key replace, new-key append) into a keyed
+    parquet table via ``foreachBatch`` — the incremental version of the
+    reference's full-table reload (`/root/reference/PostgresDatabase.py:72-73`
+    drops and recreates on every run). On Delta/Iceberg the body of
+    ``land`` becomes a single MERGE INTO; semantics are identical.
+
+    The per-batch update rows are cumulative per user, so the final table
+    equals the batch aggregate regardless of micro-batching."""
+    from data_integration_and_processing_spark.plans.pipelines import upsert  # noqa: PLC0415
+
+    scratch = scratch_dir or f"/tmp/diaps_upsink_{uuid.uuid4().hex[:8]}"
+    stream, sink = _staged_stream(spark, events, scratch)
+
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        _user_stats_fn,
+        outputStructType=_USER_STATS_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.sparkSession
+        try:
+            target = b.read.parquet(sink)
+        except Exception:  # noqa: BLE001 — first batch: sink doesn't exist yet
+            batch_df.write.mode("overwrite").parquet(sink)
+            return
+        merged = upsert(target, batch_df, key_cols=["user_id"])
+        # parquet has no transactional MERGE: stage the merged table, then
+        # swap. Delta/Iceberg replace this dance with one MERGE INTO.
+        merged.write.mode("overwrite").parquet(f"{sink}_stage")
+        b.read.parquet(f"{sink}_stage").write.mode("overwrite").parquet(sink)
+
+    (
+        updates.writeStream.outputMode("update")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return spark.read.parquet(sink)
+
+
 def run_streaming_dedup(
     spark: SparkSession,
     events: DataFrame,
