@@ -30,30 +30,47 @@ def with_salt(df: DataFrame, unique_col: str, n_salts: int = 16, salt_col: str =
 def salted_agg(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, Column | tuple],
     unique_col: str,
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-stage skew-safe aggregation for decomposable aggregates
     (count/sum/min/max — anything where final(partial(x)) == agg(x)).
 
-    ``aggs`` maps output column name -> partial aggregate expression; the
-    final stage re-combines with the matching combinator (sum for counts
-    and sums, min/max for min/max), inferred from the expression name.
+    ``aggs`` maps output column name -> either a partial aggregate Column
+    (the final combinator is inferred from the function name: min/max keep
+    their combinator, everything else recombines via sum) or an explicit
+    ``(partial_expr, final_combinator_fn)`` tuple.
+
+    Non-decomposable aggregates are rejected where detectable (avg/stddev/
+    percentile by name). CAVEAT: Spark 4's Column string form hides
+    DISTINCT, so ``countDistinct`` is NOT detectable — distinct-style
+    aggregates are never salt-decomposable (one value can appear under
+    several salts); do not pass them.
     """
-    partial = (
-        with_salt(df, unique_col, n_salts)
-        .groupBy(*keys, "_salt")
-        .agg(*[expr.alias(f"__p_{name}") for name, expr in aggs.items()])
-    )
-    finals = []
-    for name, expr in aggs.items():
-        try:
-            fn = expr._jc.toString().split("(")[0].lower()  # noqa: SLF001 — combinator dispatch
-        except Exception:  # noqa: BLE001 — e.g. Spark Connect; sum is the safe default
-            fn = ""
-        combine = {"min": F.min, "max": F.max}.get(fn, F.sum)  # count/sum recombine via sum
+    non_decomposable = {"avg", "mean", "stddev", "stddev_samp", "stddev_pop",
+                        "variance", "var_samp", "var_pop", "median", "percentile",
+                        "percentile_approx", "approx_count_distinct"}
+    partials, finals = [], []
+    for name, spec in aggs.items():
+        if isinstance(spec, tuple):
+            expr, combine = spec
+        else:
+            expr = spec
+            try:
+                fn = expr._jc.toString().lower().split("(")[0]  # noqa: SLF001 — combinator dispatch
+            except Exception:  # noqa: BLE001 — e.g. Spark Connect; sum is the safe default
+                fn = ""
+            if fn in non_decomposable:
+                raise ValueError(
+                    f"salted_agg only supports decomposable aggregates (count/sum/min/max); "
+                    f"{name!r} uses {fn} — final(partial(x)) != agg(x). Rewrite as sum+count "
+                    f"(avg) or use a plain groupBy with AQE skew handling."
+                )
+            combine = {"min": F.min, "max": F.max}.get(fn, F.sum)
+        partials.append(expr.alias(f"__p_{name}"))
         finals.append(combine(f"__p_{name}").alias(name))
+    partial = with_salt(df, unique_col, n_salts).groupBy(*keys, "_salt").agg(*partials)
     return partial.groupBy(*keys).agg(*finals)
 
 

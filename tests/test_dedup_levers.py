@@ -50,3 +50,24 @@ def test_vectorized_simhash_matches_jvm_expression(spark, sf_dir):
     jvm = {r.doc_id: r.s for r in d.select("doc_id", simhash(F.col("text")).alias("s")).collect()}
     vec = {r.id: r.sig for r in simhash_signatures(d, "text", "doc_id").collect()}
     assert jvm == vec
+
+
+def test_salted_agg_rejects_non_decomposable(spark, sf_dir):
+    """avg-of-avg is wrong; the salted path must refuse instead of silently
+    mis-combining."""
+    import pytest as _pytest
+
+    from data_integration_and_processing_spark.operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    with _pytest.raises(ValueError, match="decomposable"):
+        salted_agg(e, keys=["event_type"], aggs={"bad": F.avg("value")}, unique_col="event_id")
+    # explicit-combinator tuple form: min partial recombined with min
+    out = salted_agg(
+        e,
+        keys=["event_type"],
+        aggs={"lo": (F.min("event_id"), F.min)},
+        unique_col="event_id",
+    )
+    direct = {r.event_type: r.lo for r in e.groupBy("event_type").agg(F.min("event_id").alias("lo")).collect()}
+    assert {r.event_type: r.lo for r in out.collect()} == direct
