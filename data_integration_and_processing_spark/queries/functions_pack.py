@@ -217,3 +217,32 @@ def func_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(price, F.lit(1000.0)).alias("price_floored"),
         F.when(price.between(50000, 150000), 1).otherwise(0).alias("mid_range"),
     )
+
+
+@register(
+    "func_permissive_cast",
+    oracle="""
+        SELECT event_id,
+               TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_ok,
+               TRY_CAST(event_type AS INTEGER) AS bad_int,
+               TRY_CAST(event_type AS TIMESTAMP) AS bad_ts,
+               coalesce(TRY_CAST(event_type AS INTEGER), -1) AS bad_with_default,
+               nullif(event_type, 'error') AS type_or_null
+        FROM events
+    """,
+    description=(
+        "permissive-cast semantics (session default ANSI off): malformed casts yield NULL, "
+        "mirroring DuckDB TRY_CAST — a 100 TB pipeline must degrade per-row, not abort"
+    ),
+    tags=("functions", "cast", "etl"),
+)
+def func_permissive_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_ok"),
+        F.col("event_type").cast("int").alias("bad_int"),
+        F.col("event_type").cast("timestamp").alias("bad_ts"),
+        F.coalesce(F.col("event_type").cast("int"), F.lit(-1)).alias("bad_with_default"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+    )

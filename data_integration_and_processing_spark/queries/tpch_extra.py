@@ -486,3 +486,111 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q12_priority_by_discount_band",
+    oracle="""
+        SELECT CASE WHEN l.l_discount >= 0.05 THEN 'high' ELSE 'low' END AS discount_band,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                   AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                   AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    description="Q12 shape (discount band stands in for shipmode): priority-class line counts per band",
+    tags=("tpch", "join", "aggregation"),
+)
+def q12_priority_by_discount_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, o = load_tables(spark, sf_dir, "lineitem", "orders")
+    l = l.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.when(F.col("l_discount") >= 0.05, "high").otherwise("low").alias("discount_band"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q20_excess_promo_suppliers",
+    oracle="""
+        WITH promo_qty AS (
+            SELECT l.l_suppkey, sum(l.l_quantity) AS qty
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_type = 'PROMO'
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l.l_suppkey
+        ),
+        thresh AS (SELECT 0.5 * (CAST(sum(qty) AS DOUBLE) / count(*)) AS t FROM promo_qty)
+        SELECT s.s_suppkey, s.s_name, pq.qty
+        FROM promo_qty pq, thresh
+        JOIN supplier s ON pq.l_suppkey = s.s_suppkey
+        WHERE pq.qty > thresh.t
+    """,
+    description="Q20 shape (lineitem stands in for partsupp): suppliers moving >50% of mean PROMO volume",
+    tags=("tpch", "join", "subquery", "aggregation"),
+)
+def q20_excess_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, p, s = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    promo_qty = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p.filter(F.col("p_type") == "PROMO")), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    # quantities are whole numbers: sum exact in any order, division IEEE
+    thresh = promo_qty.agg((F.lit(0.5) * (F.sum("qty").cast("double") / F.count("*"))).alias("t"))
+    return (
+        promo_qty.join(F.broadcast(thresh))
+        .filter(F.col("qty") > F.col("t"))
+        .join(s, promo_qty.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "qty")
+    )
+
+
+@register(
+    "q21_sole_supplier_returns",
+    oracle="""
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   count(*) AS n_lines,
+                   count(DISTINCT l_suppkey) AS n_supps,
+                   max(l_suppkey) AS the_supp,
+                   max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_return
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT s.s_name, count(*) AS numwait
+        FROM per_order po JOIN supplier s ON po.the_supp = s.s_suppkey
+        WHERE po.n_lines >= 2 AND po.n_supps = 1 AND po.has_return = 1
+        GROUP BY s.s_name
+    """,
+    description="Q21 shape (returnflag stands in for late receipt): sole suppliers on multi-line orders with a return",
+    tags=("tpch", "join", "aggregation", "distinct"),
+)
+def q21_sole_supplier_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, s = load_tables(spark, sf_dir, "lineitem", "supplier")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.max("l_suppkey").alias("the_supp"),
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_return"),
+    )
+    return (
+        per_order.filter((F.col("n_lines") >= 2) & (F.col("n_supps") == 1) & (F.col("has_return") == 1))
+        .join(F.broadcast(s), F.col("the_supp") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
