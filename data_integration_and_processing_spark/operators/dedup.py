@@ -346,13 +346,26 @@ def ngram_jaccard_pairs(
     # hash-partitioning instead of shuffling variable-length shingle
     # strings. Intersection counts are unchanged up to 64-bit collisions.
     inv = sh.select("id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s"))
+    # Posting lists per shingle + in-task i<j expansion instead of an
+    # inverted-index self-join: one shuffle keyed by shingle (the join
+    # shuffled the same data twice), pair fan-out inside tasks. The df cap
+    # drops hot postings before their m^2 expansion.
+    postings = inv.groupBy("s").agg(F.array_sort(F.collect_set("id")).alias("ids"))
+    postings = postings.filter(F.size("ids") > 1)
     if max_shingle_df is not None:
-        rare = inv.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= max_shingle_df)
-        inv = inv.join(rare.select("s"), "s", "left_semi")
-    a, b = inv.alias("a"), inv.alias("b")
+        postings = postings.filter(F.size("ids") <= max_shingle_df)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
     pair_inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        postings.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
