@@ -312,6 +312,66 @@ def simhash_candidates(
 
 
 # ---------------------------------------------------------------------------
+# duplicate-cluster formation (transitive closure of the pair graph)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the near-duplicate pair graph: (id, component)
+    with component = min id reachable. Pair detectors find EDGES; dedup
+    needs CLUSTERS (A~B, B~C => {A,B,C} keeps one survivor), so this is the
+    step every real pipeline runs after MinHash/SimHash/cosine pairing.
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels — converges in O(graph
+    diameter) rounds (near-dup graphs are shallow: big components are
+    star/clique-like). Each round is one join + one aggregate, shuffle-keyed
+    by vertex; ``localCheckpoint`` truncates the growing lineage so round N
+    doesn't replan rounds 1..N-1. Raises if ``max_iter`` rounds don't
+    converge (diameter > max_iter signals a pathological graph)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        labels = labels.localCheckpoint(eager=True)
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("_changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    edges.unpersist()
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard via inverted index
 # ---------------------------------------------------------------------------
 

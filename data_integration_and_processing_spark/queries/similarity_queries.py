@@ -144,3 +144,37 @@ def sim_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count("*").alias("n_vecs"), F.max("s").alias("best_cos"))
     )
+
+
+@register(
+    "dedup_embedding_clusters",
+    oracle=f"""
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS id, min(dst) AS component FROM reach GROUP BY src
+    """,
+    description=(
+        "duplicate-cluster formation: connected components (iterative min-label propagation) "
+        "over the cosine>=0.4 near-dup graph — the transitive-closure step after pair detection; "
+        "oracle is a recursive-CTE closure"
+    ),
+    tags=("dedup", "similarity", "north-star", "graph"),
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.dedup import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(e, threshold=0.4)
+    return connected_components(pairs)

@@ -71,3 +71,30 @@ def test_salted_agg_rejects_non_decomposable(spark, sf_dir):
     )
     direct = {r.event_type: r.lo for r in e.groupBy("event_type").agg(F.min("event_id").alias("lo")).collect()}
     assert {r.event_type: r.lo for r in out.collect()} == direct
+
+
+def test_connected_components_match_union_find(spark, sf_dir):
+    """Spark label propagation must equal a driver-side union-find on the
+    same edge list."""
+    from data_integration_and_processing_spark.operators.dedup import connected_components
+    from data_integration_and_processing_spark.operators.similarity import embedding_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(e, threshold=0.4)
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == expected
