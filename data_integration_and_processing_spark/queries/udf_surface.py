@@ -119,7 +119,12 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     tags=("udf", "pandas-udf", "window"),
 )
 def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
+    # project before the grouped map: applyInPandas ships every input column
+    # through Arrow, so pruning 11 -> 5 columns halves the Python-boundary
+    # transfer (column pruning does NOT reach through a Python UDF)
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity"
+    )
     return l.groupBy("l_returnflag", "l_linestatus").applyInPandas(
         _zscore_group,
         schema="l_orderkey long, l_linenumber int, l_returnflag string, l_linestatus string, z_quantity double",
