@@ -31,9 +31,26 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
 
+# (session id, sf_dir, name) -> DataFrame. Fixture dirs are immutable, and a
+# DataFrame is just a reusable logical plan, so caching skips re-listing
+# files and re-reading parquet footers on every query (~50-100ms per call,
+# paid hundreds of times across a catalog run).
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    key = (id(spark), sf_dir.rstrip("/"), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _read_table(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name not in _NANOS_TS_TABLES:
         try:
