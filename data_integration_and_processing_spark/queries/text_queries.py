@@ -167,3 +167,36 @@ def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum(F.size(words_of(F.col("text")))).cast("bigint").alias("total_words"),
     )
+
+
+@register(
+    "text_ngram_topk",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> concat_ws(' ', string_split(text, ' ')[i],
+                                           string_split(text, ' ')[i+1],
+                                           string_split(text, ' ')[i+2])))) AS gram
+            FROM documents WHERE len(string_split(text, ' ')) >= 3
+        )
+        SELECT gram, count(*) AS doc_freq
+        FROM sh GROUP BY gram
+        ORDER BY doc_freq DESC, gram
+        LIMIT 20
+    """,
+    description="corpus statistics: top-20 word 3-grams by document frequency (the stop-ngram detector feeding the dedup df cap)",
+    tags=("text", "north-star", "topk", "aggregation"),
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(shingles(F.col("text"), 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(20)
+    )
