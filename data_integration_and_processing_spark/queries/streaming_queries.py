@@ -208,3 +208,34 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return run_streaming_dedup(spark, e)
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+        WITH dim AS (
+            SELECT DISTINCT event_type,
+                   CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                        WHEN event_type = 'error' THEN 'failure'
+                        ELSE 'engagement' END AS category
+            FROM events
+        )
+        SELECT d.category, count(*) AS n_events
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        GROUP BY d.category
+    """,
+    description="stream-static join: micro-batches broadcast-joined to a static dimension, landed via foreachBatch",
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.streaming.pipelines import run_stream_static_join
+
+    e = load_table(spark, sf_dir, "events")
+    dim = e.select("event_type").distinct().withColumn(
+        "category",
+        F.when(F.col("event_type").isin("purchase", "signup"), "conversion")
+        .when(F.col("event_type") == "error", "failure")
+        .otherwise("engagement"),
+    )
+    out = run_stream_static_join(spark, e, dim, on="event_type")
+    return out.groupBy("category").agg(F.count("*").alias("n_events"))

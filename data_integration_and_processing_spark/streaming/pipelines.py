@@ -234,6 +234,35 @@ def run_streaming_upsert_sink(
     return spark.read.parquet(sink)
 
 
+def run_stream_static_join(
+    spark: SparkSession,
+    events: DataFrame,
+    static_dim: DataFrame,
+    on: str,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Stream-static join: each micro-batch of the stream joins a static
+    dimension (broadcast per batch — the dimension is re-resolvable, so at
+    scale it can also be a slowly-changing table re-read per trigger).
+    Lands enriched rows via foreachBatch; returns per-key counts."""
+    scratch = scratch_dir or f"/tmp/diaps_ssjoin_{uuid.uuid4().hex[:8]}"
+    stream, sink = _staged_stream(spark, events, scratch)
+    enriched = stream.join(F.broadcast(static_dim), on)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    (
+        enriched.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return spark.read.parquet(sink)
+
+
 def run_streaming_dedup(
     spark: SparkSession,
     events: DataFrame,
