@@ -210,12 +210,14 @@ def minhash_lsh_pairs(
 def minhash_lsh_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kwargs
 ) -> DataFrame:
-    """Keep one representative per near-duplicate group: drop any doc that
-    has a smaller-id near-duplicate (single propagation step — transitive
-    chains keep their local minima, documented approximation)."""
+    """The full near-dedup pipeline: MinHash-LSH pair detection ->
+    connected components over the pair graph -> keep the min-id doc per
+    duplicate cluster (transitively: A~B, B~C drops B AND C even when A~C
+    was never detected directly). Unpaired docs always survive."""
     pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
-    dupes = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(dupes, on=id_col, how="left_anti")
+    comp = connected_components(pairs)
+    dropped = comp.filter(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
+    return df.join(dropped, on=id_col, how="left_anti")
 
 
 # ---------------------------------------------------------------------------

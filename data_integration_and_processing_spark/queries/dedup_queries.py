@@ -162,3 +162,21 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(d, "text", "doc_id").select(
         F.col("id").alias("doc_id"), F.col("sig").alias("simhash")
     )
+
+
+@register(
+    "dedup_pipeline_end2end",
+    oracle=None,  # minhash signatures aren't DuckDB-expressible; cluster/survivor
+    # properties are pinned by tests/test_dedup_levers.py
+    description=(
+        "the complete near-dedup pipeline: MinHash-LSH pairs -> connected components -> "
+        "min-id survivor per duplicate cluster (north-star composite)"
+    ),
+    tags=("dedup", "north-star", "lsh", "graph"),
+)
+def dedup_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.dedup import minhash_lsh_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    u = _with_mutated_copies(d)
+    return minhash_lsh_dedup(u, text_col="text", id_col="id").select("id").orderBy("id")

@@ -98,3 +98,26 @@ def test_connected_components_match_union_find(spark, sf_dir):
     expected = {x: find(x) for x in parent}
     got = {r.id: r.component for r in connected_components(pairs).collect()}
     assert got == expected
+
+
+def test_end2end_dedup_survivor_properties(spark, sf_dir):
+    """Survivors = one min-id doc per duplicate cluster plus all unpaired
+    docs; every dropped doc belongs to a cluster whose survivor is kept."""
+    from data_integration_and_processing_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_dedup,
+        minhash_lsh_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(150)
+    u = _with_mutated_copies(d)
+    all_ids = {r.id for r in u.select("id").collect()}
+    pairs = minhash_lsh_pairs(u, "text", "id")
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    survivors = {r.id for r in minhash_lsh_dedup(u, "text", "id").select("id").collect()}
+
+    paired = set(comp)
+    expected_survivors = (all_ids - paired) | {c for c in comp.values()}
+    assert survivors == expected_survivors
+    for doc, c in comp.items():
+        assert c in survivors and c <= doc
