@@ -239,3 +239,68 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_static_join(spark, e, dim, on="event_type")
     return out.groupBy("category").agg(F.count("*").alias("n_events"))
+
+
+@register(
+    "stream_gapfill_locf",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(floor(epoch(min(ts)) / 600) * 600 AS BIGINT) AS lo,
+                   CAST(floor(epoch(max(ts)) / 600) * 600 AS BIGINT) AS hi
+            FROM events
+        ),
+        grid AS (
+            SELECT e.event_type, g.bucket
+            FROM (SELECT DISTINCT event_type FROM events) e,
+                 bounds b,
+                 LATERAL unnest(generate_series(b.lo, b.hi, 600)) AS g(bucket)
+        ),
+        agg AS (
+            SELECT event_type, CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT g.event_type, g.bucket AS bucket_epoch,
+               coalesce(a.n_events, 0) AS n_events,
+               coalesce(a.n_events,
+                        lag(a.n_events IGNORE NULLS)
+                            OVER (PARTITION BY g.event_type ORDER BY g.bucket)) AS n_events_locf
+        FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.bucket = a.bucket
+    """,
+    description=(
+        "time-series gap-filling + LOCF: dense 10-min bucket grid per event type (sequence + "
+        "explode — no driver loop), missing buckets zero-filled and last-observation-carried-forward"
+    ),
+    tags=("streaming", "window", "timeseries"),
+)
+def stream_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 600) * 600).cast("long")
+    agg = e.groupBy(F.col("event_type"), bucket.alias("bucket")).agg(F.count("*").alias("n_events"))
+    bounds = e.agg(
+        (F.floor(F.unix_timestamp(F.min("ts")) / 600) * 600).cast("long").alias("lo"),
+        (F.floor(F.unix_timestamp(F.max("ts")) / 600) * 600).cast("long").alias("hi"),
+    )
+    # dense grid = distinct keys x sequence(lo, hi, 600), exploded in-plan;
+    # at scale the grid is |keys| x |buckets| rows of two longs — tiny next
+    # to the fact table, and generated without any driver-side loop
+    grid = (
+        e.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("lo", "hi", F.lit(600))).alias("bucket"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    filled = (
+        grid.join(agg, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            F.col("bucket").alias("bucket_epoch"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce(
+                "n_events", F.last("n_events", ignorenulls=True).over(w)
+            ).alias("n_events_locf"),
+        )
+    )
+    return filled
