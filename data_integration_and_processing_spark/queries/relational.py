@@ -898,3 +898,34 @@ def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("totalprice"),
         F.col("o_custkey").cast("double").alias("custkey"),
     ).unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "value")
+
+
+@register(
+    "window_distribution_functions",
+    oracle="""
+        SELECT s_suppkey,
+               s_nationkey,
+               round(percent_rank() OVER w, 9) AS pr,
+               round(cume_dist() OVER w, 9) AS cd,
+               nth_value(s_suppkey, 2) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS second_best
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    description="distribution window functions: percent_rank, cume_dist, nth_value",
+    tags=("window",),
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.nth_value("s_suppkey", 2).over(wrows).alias("second_best"),
+    )
