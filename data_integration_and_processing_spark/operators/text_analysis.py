@@ -100,3 +100,17 @@ def fingerprint_rolling(words: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % _HASH_MOD,
     )
+
+
+# PII scrubbing: a real training-data pipeline redacts contact info before
+# anything downstream sees it. Regexes are deliberately RE2-compatible (no
+# backreferences/lookaround) so the same pattern runs in Spark (Java regex)
+# and any RE2-based engine with identical matches.
+EMAIL_RE = "[a-z0-9.]+@[a-z0-9.-]+"
+PHONE_RE = "[0-9][0-9-]{3,}[0-9]"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace email addresses then phone-like digit runs with placeholder
+    tags. Order matters: emails can contain digits, so they go first."""
+    return F.regexp_replace(F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<NUM>")

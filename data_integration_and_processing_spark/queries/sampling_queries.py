@@ -1,0 +1,176 @@
+"""Deterministic sampling + data-profiling queries (training-pipeline surface).
+
+The reference has no sampling or validation at all (its ``md.md:43-49`` lists
+"data validation before write" as an unimplemented idea; SURVEY.md §2.2) —
+these queries provide both, Spark-first. Every oracle expression is generated
+from the SAME spec as the Spark plan (``hash_bucket_sql`` twins
+``hash_bucket``), so there is no second implementation to drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_and_processing_spark.operators.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    hash_bucket_sql,
+    stratified_sample,
+    train_test_split,
+)
+from data_integration_and_processing_spark.queries.catalog import register
+from data_integration_and_processing_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# 10% deterministic row sample
+# ---------------------------------------------------------------------------
+
+_LINEITEM_BUCKET = hash_bucket_sql(["l_orderkey", "l_linenumber"], 1000)
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle=f"""
+        SELECT l_orderkey, l_linenumber,
+               CAST({_LINEITEM_BUCKET} AS BIGINT) AS bucket
+        FROM lineitem
+        WHERE {_LINEITEM_BUCKET} < 100
+    """,
+    description=(
+        "10% reproducible sample: exact integer hash bucket of the row key, never rand() "
+        "(retries/speculative tasks must agree); pure map filter, refinable (1% ⊂ 10%)"
+    ),
+    tags=("sampling", "north-star"),
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    keys = ["l_orderkey", "l_linenumber"]
+    return deterministic_sample(l, keys, 0.10).select(
+        "l_orderkey", "l_linenumber", hash_bucket(keys, 1000).alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified sample (per-source rates = the "training mix")
+# ---------------------------------------------------------------------------
+
+_EVENT_FRACTIONS = {"click": 0.5, "purchase": 1.0, "error": 0.1}
+_EVENT_BUCKET = hash_bucket_sql(["event_id"], 1000)
+_EVENT_THRESHOLD = (
+    "CASE event_type WHEN 'click' THEN 500 WHEN 'error' THEN 100 WHEN 'purchase' THEN 1000 ELSE 50 END"
+)
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+        SELECT event_id, event_type,
+               CAST({_EVENT_BUCKET} AS BIGINT) AS bucket
+        FROM events
+        WHERE {_EVENT_BUCKET} < {_EVENT_THRESHOLD}
+    """,
+    description=(
+        "stratified deterministic sampling (sampleBy without rand()): per-stratum keep-rate "
+        "as a CASE over the stratum — one codegen'd map stage, no per-stratum jobs"
+    ),
+    tags=("sampling", "north-star"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    sampled = stratified_sample(e, "event_type", _EVENT_FRACTIONS, ["event_id"], default_fraction=0.05)
+    return sampled.select("event_id", "event_type", hash_bucket(["event_id"], 1000).alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# train/valid/test split (leakage-safe: split is a pure function of the key)
+# ---------------------------------------------------------------------------
+
+_DOC_BUCKET = hash_bucket_sql(["doc_id"], 100)
+
+
+@register(
+    "sample_train_test_split",
+    oracle=f"""
+        SELECT CASE WHEN {_DOC_BUCKET} < 80 THEN 'train'
+                    WHEN {_DOC_BUCKET} < 90 THEN 'valid'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               sum(n_chars) AS sum_chars,
+               min(doc_id) AS min_doc,
+               max(doc_id) AS max_doc
+        FROM documents
+        GROUP BY 1
+    """,
+    description=(
+        "80/10/10 train/valid/test split by hash-bucket ranges: disjoint+exhaustive by "
+        "construction, same entity always lands in the same split (no leakage on re-runs)"
+    ),
+    tags=("sampling", "north-star"),
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        train_test_split(d, ["doc_id"], weights=(80, 10, 10))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# column profiling (the reference's unimplemented "data validation" idea)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS DOUBLE) AS min_value,
+               CAST(max({c}) AS DOUBLE) AS max_value
+        FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@register(
+    "profile_column_stats",
+    oracle=_PROFILE_ORACLE,
+    description=(
+        "per-column validation profile (rows/nulls/distinct/min/max) in ONE pass over the "
+        "table — the reference's unimplemented 'data validation before write' idea "
+        "(reference md.md:43-49); at 100 TB swap count(DISTINCT) for approx_count_distinct"
+    ),
+    tags=("profiling", "etl"),
+)
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    one_row = l.agg(*aggs)
+    # reshape the single stats row into long format driver-free: one struct
+    # per column, exploded back out as rows
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"{c}__nn")).alias("n_nulls"),
+            F.col(f"{c}__ndv").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return one_row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

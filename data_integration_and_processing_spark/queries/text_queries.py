@@ -200,3 +200,50 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), F.asc("gram"))
         .limit(20)
     )
+
+
+@register(
+    "text_pii_redaction",
+    oracle="""
+        WITH contact AS (
+            SELECT doc_id,
+                   concat(string_split(text, ' ')[1], '@mail.example.com tel 555-',
+                          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' re: ',
+                          substr(text, 1, 40)) AS line
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(line, '[a-z0-9.]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+                              '[0-9][0-9-]{3,}[0-9]', '<NUM>', 'g') AS redacted,
+               len(regexp_extract_all(line, '[a-z0-9.]+@[a-z0-9.-]+')) AS n_emails,
+               len(regexp_extract_all(line, '[0-9][0-9-]{3,}[0-9]')) AS n_phones
+        FROM contact
+    """,
+    description=(
+        "PII redaction: scrub emails then phone-like digit runs with RE2-compatible "
+        "regexes (pure map stage; contact lines are synthesized deterministically from "
+        "fixture fields since the corpus itself is clean)"
+    ),
+    tags=("text", "north-star"),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.text_analysis import (
+        EMAIL_RE,
+        PHONE_RE,
+        redact_pii,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    line = F.concat(
+        F.element_at(words_of(F.col("text")), 1),
+        F.lit("@mail.example.com tel 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.substring("text", 1, 40),
+    )
+    return d.select(
+        "doc_id",
+        redact_pii(line).alias("redacted"),
+        F.regexp_count(line, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(line, F.lit(PHONE_RE)).alias("n_phones"),
+    )

@@ -1,0 +1,76 @@
+"""Behavioral guarantees of the deterministic sampling operators.
+
+The oracle queries check value equality; these tests pin the *properties*
+that make the operators safe at scale: reproducibility, subset refinement,
+split disjointness/exhaustiveness, and per-stratum rate accuracy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_integration_and_processing_spark.operators.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    stratified_sample,
+    train_test_split,
+)
+from data_integration_and_processing_spark.sources.tables import load_table
+
+
+def test_sample_is_reproducible_and_refinable(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    keys = ["l_orderkey", "l_linenumber"]
+    ten = deterministic_sample(l, keys, 0.10).select(*keys)
+    # same call twice -> identical row set (no rand() anywhere)
+    assert ten.exceptAll(deterministic_sample(l, keys, 0.10).select(*keys)).count() == 0
+    # 1% sample is a strict subset of the 10% sample (same keys/seed)
+    one = deterministic_sample(l, keys, 0.01).select(*keys)
+    assert one.exceptAll(ten).count() == 0
+    assert 0 < one.count() < ten.count()
+
+
+def test_sample_fraction_accuracy(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    total = l.count()
+    got = deterministic_sample(l, ["l_orderkey", "l_linenumber"], 0.10).count()
+    assert abs(got / total - 0.10) < 0.02
+
+
+def test_split_disjoint_exhaustive_and_balanced(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    split = train_test_split(d, ["doc_id"], weights=(80, 10, 10))
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = d.count()
+    assert sum(counts.values()) == total  # exhaustive, no row dropped or duplicated
+    assert set(counts) == {"train", "valid", "test"}
+    assert abs(counts["train"] / total - 0.80) < 0.05
+    # membership is a pure function of the key: re-running assigns identically
+    again = train_test_split(d, ["doc_id"], weights=(80, 10, 10))
+    assert split.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).count() == 0
+
+
+def test_stratified_rates(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    fractions = {"click": 0.5, "purchase": 1.0, "error": 0.1}
+    sampled = stratified_sample(e, "event_type", fractions, ["event_id"], default_fraction=0.05)
+    base = {r["event_type"]: r["n"] for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    got = {r["event_type"]: r["n"] for r in sampled.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    for stratum, frac in fractions.items():
+        assert abs(got.get(stratum, 0) / base[stratum] - frac) < 0.05
+    # default rate applies to the strata not named
+    for stratum in set(base) - set(fractions):
+        assert abs(got.get(stratum, 0) / base[stratum] - 0.05) < 0.03
+
+
+def test_hash_bucket_range_and_seed_independence(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(hash_bucket(["doc_id"], 100, seed=0).alias("b0"), hash_bucket(["doc_id"], 100, seed=7).alias("b7"))
+    row = b.agg(
+        F.min("b0").alias("lo"),
+        F.max("b0").alias("hi"),
+        F.sum((F.col("b0") != F.col("b7")).cast("int")).alias("moved"),
+    ).collect()[0]
+    assert 0 <= row["lo"] and row["hi"] < 100
+    # a different seed reshuffles a substantial share of rows
+    assert row["moved"] > d.count() * 0.5
