@@ -85,12 +85,12 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    # integer-valued quantities: sums and sums-of-squares are exact doubles,
-    # so mean/std/z match the oracle bit-for-bit after rounding
+    # group stats arrive as mu/sigma columns (computed JVM-side from exact
+    # integer sums); the UDF itself is a pure vectorized normalization, so
+    # any salt-subdivision of the group produces identical output
     q = pdf["l_quantity"].to_numpy(dtype=np.float64)
-    mean = q.sum() / len(q)
-    std = np.sqrt(np.square(q - mean).sum() / len(q))
-    z = np.round((q - mean) / std, 6) if std > 0 else np.zeros(len(q))
+    sigma = pdf["sigma"].to_numpy(dtype=np.float64)
+    z = np.where(sigma > 0, np.round((q - pdf["mu"].to_numpy(dtype=np.float64)) / sigma, 6), 0.0)
     return pd.DataFrame(
         {
             "l_orderkey": pdf["l_orderkey"],
@@ -112,9 +112,10 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
         WINDOW w AS (PARTITION BY l_returnflag, l_linestatus)
     """,
     description=(
-        "grouped-map applyInPandas: within-group z-score normalization (whole group per "
-        "Arrow batch). Parallelism = number of groups — for very-low-cardinality keys "
-        "prefer window functions (the oracle shows the equivalent)"
+        "grouped-map applyInPandas, salted: naive grouped-map parallelism = number of "
+        "groups (6 here), so group stats are pre-aggregated JVM-side from exact integer "
+        "sums, broadcast-joined in, and the grouped map runs on (key, salt) — full-core "
+        "fan-out with identical results. The scalable pattern for low-cardinality keys."
     ),
     tags=("udf", "pandas-udf", "window"),
 )
@@ -125,7 +126,26 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity"
     )
-    return l.groupBy("l_returnflag", "l_linestatus").applyInPandas(
+    keys = ["l_returnflag", "l_linestatus"]
+    # sum / count / sum-of-squares of integer-valued doubles are exact in any
+    # accumulation order, so mu/sigma are deterministic across cluster layouts
+    stats = (
+        l.groupBy(*keys)
+        .agg(
+            F.sum("l_quantity").alias("s"),
+            F.count("l_quantity").alias("n"),
+            F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("ss"),
+        )
+        .select(
+            *keys,
+            (F.col("s") / F.col("n")).alias("mu"),
+            F.sqrt(F.col("ss") / F.col("n") - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))).alias(
+                "sigma"
+            ),
+        )
+    )
+    salted = l.join(F.broadcast(stats), keys).withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(32)))
+    return salted.groupBy(*keys, "salt").applyInPandas(
         _zscore_group,
         schema="l_orderkey long, l_linenumber int, l_returnflag string, l_linestatus string, z_quantity double",
     )
