@@ -95,3 +95,53 @@ def transfer(
     prepared = _prepare(df, column_mapping, casts)
     write_file(prepared, dest_path, fmt=dest_fmt, mode=mode, partition_by=partition_by)
     return prepared
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    effective: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close out changed rows, append new
+    versions, pass unchanged history through untouched.
+
+    An update "changes" a key iff any tracked attribute differs from the
+    key's current (open) row — no-op updates produce no new version, which
+    is what keeps re-delivered batches idempotent. One equi-join on the key
+    plus unions; the join broadcasts whenever the update batch is small
+    (the common case: daily deltas against a big dimension), so applying a
+    delta never shuffles the dimension.
+
+    The reference's transfer pipelines overwrite or blind-append
+    (/root/reference/PostgresDatabase.py:72-73,
+    /root/reference/ClickHouseDatabase.py:91-95) — history is destroyed or
+    duplicated; SCD2 is the standard warehouse answer.
+    """
+    open_rows = current.filter(F.col(valid_to).isNull())
+    closed_rows = current.filter(F.col(valid_to).isNotNull())
+    diff = F.lit(False)
+    for c in tracked:
+        diff = diff | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
+    changed = (
+        open_rows.alias("cur")
+        .join(updates.alias("upd"), F.col(f"cur.{key}") == F.col(f"upd.{key}"))
+        .filter(diff)
+    )
+    to_close = changed.select(
+        *[F.col(f"cur.{c}") for c in current.columns if c not in (valid_to,)],
+        F.lit(effective).cast("date").alias(valid_to),
+    ).select(*current.columns)
+    new_versions = changed.select(
+        F.col(f"upd.{key}").alias(key),
+        *[F.col(f"upd.{c}").alias(c) for c in tracked],
+        F.lit(effective).cast("date").alias(valid_from),
+        F.lit(None).cast("date").alias(valid_to),
+    ).select(*current.columns)
+    unchanged_open = open_rows.join(
+        changed.select(F.col(f"cur.{key}").alias(key)), key, "left_anti"
+    )
+    return closed_rows.unionByName(unchanged_open).unionByName(to_close).unionByName(new_versions)

@@ -304,3 +304,51 @@ def stream_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return filled
+
+
+@register(
+    "stream_sessionize_by_gap",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+    """,
+    description=(
+        "gap-based sessionization (30-min inactivity): lag flags session starts, a "
+        "running sum numbers them — one shuffle on user_id shared by both window passes "
+        "(same partition key => no second exchange). The explicit-session-id twin of "
+        "session_window aggregation."
+    ),
+    tags=("streaming", "window", "sessionization"),
+)
+def stream_sessionize_by_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            prev.isNull() | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800), 1
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("session_seq"),
+    ).drop("new_sess")

@@ -142,3 +142,30 @@ def test_read_excel_gated_without_openpyxl(spark, tmp_path):
             read_excel(spark, str(path))
     else:  # environment with openpyxl: the shim should read it or fail on content
         _pytest.skip("openpyxl present; gated path not reachable")
+
+
+def test_scd2_reapply_is_noop(spark, sf_dir):
+    """Re-delivering the same delta after it has been applied must produce
+    no new versions (idempotent ingestion)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_and_processing_spark.plans.pipelines import scd2_apply
+    from data_integration_and_processing_spark.sources.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").limit(200)
+    current = c.select(
+        "c_custkey", "c_name", "c_acctbal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", (F.col("c_acctbal") + 50.0).alias("c_acctbal")
+    )
+    once = scd2_apply(current, updates, "c_custkey", ["c_name", "c_acctbal"], "2024-06-01")
+    n_versions = once.count()
+    assert n_versions > current.count()  # changes created new versions
+    twice = scd2_apply(once, updates, "c_custkey", ["c_name", "c_acctbal"], "2024-07-01")
+    assert twice.count() == n_versions  # same delta again: nothing to do
+    # exactly one open row per key, always
+    open_per_key = twice.filter(F.col("valid_to").isNull()).groupBy("c_custkey").count()
+    assert open_per_key.filter(F.col("count") != 1).count() == 0
