@@ -222,3 +222,44 @@ def etl_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumns(
         {"valid_from": F.col("valid_from").cast("string"), "valid_to": F.col("valid_to").cast("string")}
     )
+
+
+@register(
+    "etl_csv_roundtrip",
+    oracle="""
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+    description=(
+        "O1-adjacent text-format surface: supplier -> distributed CSV write -> schema'd "
+        "CSV scan (header on, explicit schema back — inference is a 2-pass scan at 100 TB)"
+    ),
+    tags=("etl", "source", "sink"),
+)
+def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.sources.readers import read_file
+    from data_integration_and_processing_spark.sources.writers import write_file
+
+    dest = f"{_SCRATCH}/supplier_csv"
+    cols = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    write_file(load_table(spark, sf_dir, "supplier").select(*cols), dest, fmt="csv", mode="overwrite")
+    return read_file(
+        spark, dest, fmt="csv", schema="s_suppkey long, s_name string, s_nationkey long, s_acctbal double"
+    )
+
+
+@register(
+    "etl_json_roundtrip",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    description="JSON-lines sink+source round trip (the interchange format of most LLM corpus drops)",
+    tags=("etl", "source", "sink"),
+)
+def etl_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.sources.readers import read_file
+    from data_integration_and_processing_spark.sources.writers import write_file
+
+    dest = f"{_SCRATCH}/nation_json"
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    write_file(load_table(spark, sf_dir, "nation").select(*cols), dest, fmt="json", mode="overwrite")
+    return read_file(spark, dest, fmt="json", schema="n_nationkey long, n_name string, n_regionkey long")

@@ -1,0 +1,72 @@
+"""Physical-plan regression tests for the scale claims in SCALE.md.
+
+Correctness gates can't see a plan regress from broadcast to shuffle or
+from a pruned scan to SELECT * — these assertions can, and they pin the
+properties that decide whether a query survives a 100x scale-up.
+"""
+
+from __future__ import annotations
+
+from data_integration_and_processing_spark.queries.catalog import all_specs
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    """q5's six-way star join: every dimension join is a broadcast hash
+    join — the fact table is never shuffled for a dimension."""
+    plan = _plan(all_specs()["q5_local_supplier_volume"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fact_scan_is_column_pruned(spark, sf_dir):
+    """q5 touches 4 of lineitem's 11 columns; the parquet ReadSchema must
+    shrink accordingly (a SELECT *-shaped scan reads ~3x the bytes)."""
+    plan = _plan(all_specs()["q5_local_supplier_volume"].spark(spark, sf_dir))
+    scan_lines = [ln for ln in plan.splitlines() if "lineitem" in ln and "ReadSchema" in ln]
+    assert scan_lines, "no lineitem scan with ReadSchema in plan"
+    schema_part = scan_lines[0].split("ReadSchema:")[1]
+    assert schema_part.count(",") <= 3, f"lineitem scan not pruned: {schema_part}"
+
+
+def test_filters_reach_the_scan(spark, sf_dir):
+    """q6's selective predicates appear as PushedFilters on the parquet
+    scan, not as a post-scan Filter only."""
+    plan = _plan(all_specs()["q6_forecast_revenue"].spark(spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "[]" not in pushed[0].split("PushedFilters:")[1].split("]")[0] + "]"
+
+
+def test_topk_never_sorts_globally(spark, sf_dir):
+    """orderBy().limit(k) compiles to TakeOrderedAndProject: per-partition
+    heaps and a k-row shuffle, not a full sort."""
+    plan = _plan(all_specs()["q3_shipping_priority"].spark(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    """q1's aggregate runs map-side partial then final: two HashAggregates
+    around the exchange, so the shuffle carries groups, not rows."""
+    plan = _plan(all_specs()["q1_pricing_summary"].spark(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_map_only_families_have_no_exchange(spark, sf_dir):
+    """Sampling and text scoring are pure map stages — any Exchange in
+    their plans is a regression."""
+    for name in ("sample_hash_deterministic", "text_quality_score"):
+        plan = _plan(all_specs()[name].spark(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} plan gained a shuffle"
+
+
+def test_whole_stage_codegen_covers_relational_core(spark, sf_dir):
+    """The q1 hot path (scan -> filter -> project -> partial agg) stays
+    inside whole-stage codegen: no Python, no interpreted expressions."""
+    df = all_specs()["q1_pricing_summary"].spark(spark, sf_dir)
+    df.collect()  # AQE only shows codegen spans on the finalized plan
+    plan = _plan(df)
+    assert "*(" in plan  # whole-stage-codegen stages print as *(n) nodes
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
