@@ -56,6 +56,7 @@ HEADLINE = [
     "text_quality_score",
     "stream_tumbling_window",
     "stream_session_window",
+    "pipeline_training_corpus",
 ]
 
 

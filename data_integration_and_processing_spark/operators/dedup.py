@@ -439,3 +439,12 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "jaccard")
     )
+
+
+def normalize_for_dedup(text: Column) -> Column:
+    """Canonical text form for exact dedup: lowercase, non-alphanumerics to
+    spaces, whitespace collapsed, trimmed. Catches the near-trivial
+    duplicates (case, punctuation, spacing) that raw-byte hashing misses,
+    at pure map cost — the standard first pass before MinHash spends real
+    money on the hard ones."""
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(text), "[^a-z0-9 ]", " "), " +", " "))

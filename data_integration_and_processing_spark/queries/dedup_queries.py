@@ -180,3 +180,45 @@ def dedup_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     u = _with_mutated_copies(d)
     return minhash_lsh_dedup(u, text_col="text", id_col="id").select("id").orderBy("id")
+
+
+@register(
+    "dedup_normalized_exact",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id AS id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000 AS id, concat(upper(text), '  !!') AS text FROM documents
+        ),
+        n AS (
+            SELECT id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                           ' +', ' ', 'g'))) AS fp
+            FROM u
+        )
+        SELECT min(id) AS id, fp, count(*) AS n_copies
+        FROM n GROUP BY fp
+    """,
+    description=(
+        "normalization-then-hash dedup: canonical form (case/punctuation/whitespace "
+        "folded) catches near-trivial duplicates raw-byte hashing misses — the cheap "
+        "first pass before MinHash; variant copies here differ only in case+punctuation"
+    ),
+    tags=("dedup", "north-star"),
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.dedup import normalize_for_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(F.col("doc_id").alias("id"), "text").unionByName(
+        d.select(
+            (F.col("doc_id") + 10000).alias("id"),
+            F.concat(F.upper("text"), F.lit("  !!")).alias("text"),
+        )
+    )
+    return (
+        u.select("id", F.md5(normalize_for_dedup(F.col("text")).cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("id"), F.count("*").alias("n_copies"))
+        .select("id", "fp", "n_copies")
+    )

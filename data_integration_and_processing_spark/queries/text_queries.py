@@ -247,3 +247,75 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(line, F.lit(EMAIL_RE)).alias("n_emails"),
         F.regexp_count(line, F.lit(PHONE_RE)).alias("n_phones"),
     )
+
+
+_CORPUS_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, source, text,
+           len(string_split(text, ' ')) AS n_words,
+           length(text) AS n_chars,
+           len(list_filter(string_split(text, ' '), w -> w IN ({_EN_STOPS}))) AS stop_cnt,
+           length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct_chars,
+           md5(text) AS fp
+    FROM documents WHERE lang = 'en'
+),
+scored AS (
+    SELECT *,
+           least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+           + least(CAST(stop_cnt AS DOUBLE) / n_words * 5.0, 1.0) * 0.3
+           + (1.0 - least(CAST(punct_chars AS DOUBLE) / n_chars * 10.0, 1.0)) * 0.2
+           + (CASE WHEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words >= 3.0
+                    AND CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words <= 10.0
+                   THEN 1.0 ELSE 0.5 END) * 0.1 AS q
+    FROM base
+),
+kept AS (
+    SELECT * FROM scored
+    WHERE q >= 0.5
+    QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+),
+sampled AS (
+    SELECT * FROM kept
+    WHERE (((CAST(doc_id AS BIGINT) % 2147483647) * 1103515245) % 2147483647) % 1000 < 500
+)
+SELECT source, count(*) AS n_docs, sum(n_words) AS total_ws_tokens,
+       min(q) AS min_quality, max(q) AS max_quality
+FROM sampled GROUP BY source
+"""
+
+
+@register(
+    "pipeline_training_corpus",
+    oracle=_CORPUS_ORACLE,
+    description=(
+        "end-to-end corpus build: language filter -> quality gate (>=0.5) -> exact dedup "
+        "(min-id survivor per fingerprint) -> 50% deterministic sample -> per-source "
+        "stats. Every stage is a narrow map or one keyed shuffle; the composite is the "
+        "shape of a production pretraining-data job"
+    ),
+    tags=("text", "dedup", "sampling", "north-star", "pipeline"),
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from data_integration_and_processing_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(words_of(F.col("text"))).alias("n_words"),
+        quality_score(F.col("text")).alias("q"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+    ).filter(F.col("q") >= 0.5)
+    survivors = (
+        scored.withColumn("min_id", F.min("doc_id").over(Window.partitionBy("fp")))
+        .filter(F.col("doc_id") == F.col("min_id"))
+    )
+    sampled = survivors.filter(hash_bucket(["doc_id"], 1000) < 500)
+    return sampled.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_ws_tokens"),
+        F.min("q").alias("min_quality"),
+        F.max("q").alias("max_quality"),
+    )
