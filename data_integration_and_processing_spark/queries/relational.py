@@ -929,3 +929,24 @@ def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.cume_dist().over(w), 9).alias("cd"),
         F.nth_value("s_suppkey", 2).over(wrows).alias("second_best"),
     )
+
+
+@register(
+    "ids_contiguous_assign",
+    oracle="""
+        SELECT doc_id, source,
+               CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS row_id
+        FROM documents
+    """,
+    description=(
+        "distributed contiguous-ID assignment: range repartition + parallel per-partition "
+        "row_number + broadcast offsets — identical to a global row_number() without its "
+        "single-task sort (operators/ids.py)"
+    ),
+    tags=("ids", "window", "scale"),
+)
+def ids_contiguous_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.ids import assign_contiguous_ids
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return assign_contiguous_ids(d, ["source", "doc_id"], id_col="row_id")

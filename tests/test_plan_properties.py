@@ -70,3 +70,25 @@ def test_whole_stage_codegen_covers_relational_core(spark, sf_dir):
     plan = _plan(df)
     assert "*(" in plan  # whole-stage-codegen stages print as *(n) nodes
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contiguous_ids_dense_and_ordered(spark, sf_dir):
+    """assign_contiguous_ids covers 0..n-1 exactly, in key order, on a
+    table big enough to spread across many range partitions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_integration_and_processing_spark.operators.ids import assign_contiguous_ids
+    from data_integration_and_processing_spark.sources.tables import load_table
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    out = assign_contiguous_ids(l, ["l_orderkey", "l_linenumber"])
+    n = l.count()
+    stats = out.agg(
+        F.min("row_id").alias("lo"), F.max("row_id").alias("hi"), F.countDistinct("row_id").alias("d")
+    ).collect()[0]
+    assert (stats["lo"], stats["hi"], stats["d"]) == (0, n - 1, n)
+    # ids ascend with the key order: no inversions between id and key rank
+    key_rank = F.row_number().over(Window.orderBy("l_orderkey", "l_linenumber")) - 1
+    inversions = out.withColumn("key_rank", key_rank).filter(F.col("key_rank") != F.col("row_id")).count()
+    assert inversions == 0
