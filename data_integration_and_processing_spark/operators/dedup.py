@@ -51,6 +51,25 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(k >= 1, acc).otherwise(F.array().cast("array<string>")))
 
 
+def shingle_keys(text: Column, n: int = 3) -> Column:
+    """Distinct word-n-gram keys as longs: per-word xxhash64 combined with a
+    polynomial mix, never materializing shingle strings.
+
+    Same distinctness structure as ``shingles`` up to 64-bit collisions —
+    what index-based operators (posting lists, minhash banding) actually
+    need. Skipping the per-shingle string allocation + re-hash roughly
+    halves signature cost on 50-word docs; long-array ``array_distinct``
+    beats string-array too."""
+    words = F.split(text, " ")
+    hw = F.transform(words, lambda w: F.xxhash64(w))
+    k = F.size(hw) - (n - 1)
+    acc = F.slice(hw, 1, k)
+    for j in range(1, n):
+        # wrap-around long arithmetic is exactly what a hash mix wants
+        acc = F.zip_with(acc, F.slice(hw, j + 1, k), lambda x, y: x * F.lit(31) + y)
+    return F.array_distinct(F.when(k >= 1, acc).otherwise(F.array().cast("array<long>")))
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -179,9 +198,8 @@ def minhash_lsh_pairs(
     # Jaccard over distinct hashed shingles equals Jaccard over shingles
     # up to 64-bit collisions (negligible).
     hs = (
-        df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), ngram).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
+        df.select(F.col(id_col).alias("id"), shingle_keys(F.col(text_col), ngram).alias("hs"))
+        .filter(F.size("hs") > 0)
         # The hashed-shingle index feeds banding AND both sides of the
         # candidate verify join; without persist each consumer re-scans and
         # re-shingles the corpus (3 full scans). On a cluster this is the
@@ -399,20 +417,22 @@ def ngram_jaccard_pairs(
     stop-ngrams, biasing Jaccard down (conservative: no false positives
     become MORE similar).
     """
-    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    sh = df.select(F.col(id_col).alias("id"), shingle_keys(F.col(text_col), n).alias("sh"))
     # consumed by sizes + both sides of the inverted-index join: materialize
     # once (the LSH "signature table" step; see minhash_lsh_pairs)
     sh = sh.filter(F.size("sh") > 0).persist()
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    # Inverted index on xxhash64(shingle): 8-byte join keys + integer
-    # hash-partitioning instead of shuffling variable-length shingle
-    # strings. Intersection counts are unchanged up to 64-bit collisions.
-    inv = sh.select("id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s"))
+    # Inverted index on long shingle keys (shingle_keys): 8-byte join keys +
+    # integer hash-partitioning, no shingle strings ever built or shuffled.
+    # Intersection counts are unchanged up to 64-bit collisions.
+    inv = sh.select("id", F.explode("sh").alias("s"))
     # Posting lists per shingle + in-task i<j expansion instead of an
     # inverted-index self-join: one shuffle keyed by shingle (the join
     # shuffled the same data twice), pair fan-out inside tasks. The df cap
     # drops hot postings before their m^2 expansion.
-    postings = inv.groupBy("s").agg(F.array_sort(F.collect_set("id")).alias("ids"))
+    # collect_list, not collect_set: ids are already unique per shingle
+    # (shingle_keys is distinct per doc), so set-dedup hashing is pure cost
+    postings = inv.groupBy("s").agg(F.array_sort(F.collect_list("id")).alias("ids"))
     postings = postings.filter(F.size("ids") > 1)
     if max_shingle_df is not None:
         postings = postings.filter(F.size("ids") <= max_shingle_df)
