@@ -123,3 +123,29 @@ def stratified_sample(
     for value, frac in sorted(fractions.items()):
         threshold = F.when(strata_col == value, int(round(frac * n_buckets))).otherwise(threshold)
     return df.where(hash_bucket(keys, n_buckets, seed) < threshold)
+
+
+def mix_to_target(
+    df: DataFrame,
+    group: Column | str,
+    keys: Sequence[Column | str],
+    n_buckets: int = 1000,
+    seed: int = 0,
+) -> DataFrame:
+    """Rebalance group contributions to an equal share (the "data mixing"
+    step of a training pipeline): downsample every group to the size of the
+    smallest, deterministically.
+
+    Two passes, both cheap: a count aggregate (one row per group) computes
+    each group's keep-fraction, broadcast-joins back, and the hash filter
+    does the rest — the big table is scanned once and never shuffled.
+    Fractions quantize to 1/n_buckets, so achieved sizes differ from the
+    target by at most n_group/n_buckets.
+    """
+    group_col = F.col(group) if isinstance(group, str) else group
+    counts = df.groupBy(group_col.alias("_g")).agg(F.count("*").alias("_n"))
+    fracs = counts.crossJoin(counts.agg(F.min("_n").alias("_target"))).select(
+        "_g", F.floor(F.col("_target") / F.col("_n") * n_buckets).alias("_thresh")
+    )
+    joined = df.join(F.broadcast(fracs), group_col == F.col("_g"))
+    return joined.where(hash_bucket(keys, n_buckets, seed) < F.col("_thresh")).drop("_g", "_thresh")

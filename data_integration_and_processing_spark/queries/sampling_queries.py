@@ -174,3 +174,36 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in _PROFILE_COLS
     ]
     return one_row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# source mixing: rebalance language shares to the smallest group
+# ---------------------------------------------------------------------------
+
+_MIX_BUCKET = hash_bucket_sql(["doc_id"], 1000)
+
+
+@register(
+    "sample_mix_to_target",
+    oracle=f"""
+        WITH counts AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY lang),
+        fracs AS (
+            SELECT g, CAST(floor(CAST((SELECT min(n) FROM counts) AS DOUBLE) / n * 1000) AS BIGINT) AS thresh
+            FROM counts
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN fracs f ON d.lang = f.g
+        WHERE {_MIX_BUCKET} < f.thresh
+    """,
+    description=(
+        "data mixing: deterministically downsample every language to the smallest "
+        "group's size — count agg (one row per group) -> broadcast keep-fractions -> "
+        "hash filter; the corpus is scanned once and never shuffled"
+    ),
+    tags=("sampling", "north-star"),
+)
+def sample_mix_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.sampling import mix_to_target
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return mix_to_target(d, "lang", ["doc_id"])

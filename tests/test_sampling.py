@@ -74,3 +74,18 @@ def test_hash_bucket_range_and_seed_independence(spark, sf_dir):
     assert 0 <= row["lo"] and row["hi"] < 100
     # a different seed reshuffles a substantial share of rows
     assert row["moved"] > d.count() * 0.5
+
+
+def test_mix_to_target_balances_groups(spark, sf_dir):
+    from data_integration_and_processing_spark.operators.sampling import mix_to_target
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    mixed = mix_to_target(d, "lang", ["doc_id"])
+    base = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in mixed.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    target = min(base.values())
+    assert set(got) == set(base)  # no group vanishes
+    for lang, n in got.items():
+        # every group lands near the smallest group's size (1/n_buckets
+        # quantization + hash variance)
+        assert abs(n - target) <= max(5, 0.15 * target), (lang, n, target)
