@@ -950,3 +950,51 @@ def ids_contiguous_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return assign_contiguous_ids(d, ["source", "doc_id"], id_col="row_id")
+
+
+@register(
+    "join_fuzzy_deletion_blocking",
+    oracle="""
+        WITH probes AS (
+            SELECT s_suppkey + 10000 AS probe_id,
+                   concat(substr(s_name, 1, 9 + s_suppkey % 8),
+                          substr(s_name, 11 + s_suppkey % 8, 18)) AS probe_name
+            FROM supplier
+        ),
+        variants AS (
+            SELECT s_suppkey, s_name,
+                   unnest(list_distinct(list_append(list_transform(
+                       generate_series(1, 18),
+                       i -> concat(substr(s_name, 1, i - 1), substr(s_name, i + 1, 18))),
+                       s_name))) AS variant
+            FROM supplier
+        )
+        SELECT v.s_suppkey, p.probe_id, v.s_name, p.probe_name,
+               levenshtein(v.s_name, p.probe_name) AS dist
+        FROM variants v JOIN probes p ON v.variant = p.probe_name
+        WHERE levenshtein(v.s_name, p.probe_name) <= 1
+    """,
+    description=(
+        "record linkage without a cross join: 1-deletion neighborhood blocking "
+        "(SymSpell-style) — explode deletion variants as equi-join keys, verify "
+        "levenshtein on candidates only; probes are supplier names with one character "
+        "deleted (operators/linkage.py)"
+    ),
+    tags=("join", "linkage", "north-star"),
+)
+def join_fuzzy_deletion_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.linkage import fuzzy_join_one_edit
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # deterministic perturbation: delete one digit (position varies by key)
+    p = F.lit(10) + F.col("s_suppkey") % 8
+    probes = s.select(
+        (F.col("s_suppkey") + 10000).alias("probe_id"),
+        F.concat(
+            F.substring(F.col("s_name"), F.lit(1), p - 1),
+            F.substring(F.col("s_name"), p + 1, F.lit(18)),
+        ).alias("probe_name"),
+    )
+    return fuzzy_join_one_edit(s, probes, "s_name", "probe_name", 18).select(
+        "s_suppkey", "probe_id", "s_name", "probe_name", "dist"
+    )
