@@ -56,7 +56,10 @@ def get_spark(
         # div-by-zero) to match the oracle and the reference's pandas
         # behavior rather than erroring mid-pipeline at TB scale.
         .config("spark.sql.ansi.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs every executor thread inside the driver JVM, so
+        # this is the whole memory budget; 8g showed broadcast-OOM cliffs in
+        # heavy multi-persist sessions on the 50k-doc dedup probes
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
