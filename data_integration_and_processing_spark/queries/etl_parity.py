@@ -263,3 +263,33 @@ def etl_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["n_nationkey", "n_name", "n_regionkey"]
     write_file(load_table(spark, sf_dir, "nation").select(*cols), dest, fmt="json", mode="overwrite")
     return read_file(spark, dest, fmt="json", schema="n_nationkey long, n_name string, n_regionkey long")
+
+
+@register(
+    "etl_schema_evolution_roundtrip",
+    oracle="""
+        SELECT r_regionkey AS region_key, r_name AS region_name,
+               CAST(NULL AS BIGINT) AS batch_no
+        FROM region
+        UNION ALL
+        SELECT r_regionkey AS region_key, r_name AS region_name,
+               CAST(2 AS BIGINT) AS batch_no
+        FROM region
+    """,
+    description=(
+        "schema evolution on the sink: batch 2 adds a column, mergeSchema scan unions "
+        "the footers and back-fills NULL — vs the reference's destructive overwrite or "
+        "blind append (PostgresDatabase.py:72-73, ClickHouseDatabase.py:91-95), which "
+        "lose history or crash on drift"
+    ),
+    tags=("etl", "source", "sink", "schema"),
+)
+def etl_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dest = f"{_SCRATCH}/region_evolved"
+    shutil.rmtree(dest, ignore_errors=True)
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("region_key"), F.col("r_name").alias("region_name")
+    )
+    region.write.mode("append").parquet(dest)
+    region.withColumn("batch_no", F.lit(2).cast("long")).write.mode("append").parquet(dest)
+    return spark.read.option("mergeSchema", "true").parquet(dest)

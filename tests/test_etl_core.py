@@ -169,3 +169,25 @@ def test_scd2_reapply_is_noop(spark, sf_dir):
     # exactly one open row per key, always
     open_per_key = twice.filter(F.col("valid_to").isNull()).groupBy("c_custkey").count()
     assert open_per_key.filter(F.col("count") != 1).count() == 0
+
+
+def test_corrupt_csv_rows_are_quarantined(spark, tmp_path):
+    """Malformed input must not abort a 100 TB load: PERMISSIVE CSV read
+    nulls bad fields and captures the raw line in _corrupt_record, so bad
+    rows can be split off to a dead-letter sink instead of killing the job."""
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,amount\n1,10.5\n2,not_a_number\n3,7.25\n")
+    df = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema("id long, amount double, _corrupt_record string")
+        .csv(str(p))
+    ).cache()  # corrupt-record capture requires materializing the parsed row
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert bad.collect()[0]["_corrupt_record"] == "2,not_a_number"
