@@ -998,3 +998,22 @@ def join_fuzzy_deletion_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join_one_edit(s, probes, "s_name", "probe_name", 18).select(
         "s_suppkey", "probe_id", "s_name", "probe_name", "dist"
     )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # approx sketch is engine-specific; tolerance vs exact is pinned in tests/test_plan_properties.py
+    description=(
+        "approximate percentiles (KLL-style sketch, percentile_approx): the scale path — "
+        "exact percentile memory grows with distinct values, the sketch is fixed-size "
+        "and mergeable across partitions; accuracy bound pinned against the exact "
+        "aggregate in tests"
+    ),
+    tags=("aggregation", "percentile", "approx"),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+    )

@@ -92,3 +92,19 @@ def test_contiguous_ids_dense_and_ordered(spark, sf_dir):
     key_rank = F.row_number().over(Window.orderBy("l_orderkey", "l_linenumber")) - 1
     inversions = out.withColumn("key_rank", key_rank).filter(F.col("key_rank") != F.col("row_id")).count()
     assert inversions == 0
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """percentile_approx at accuracy 10000 must land within 1% relative
+    error of the exact percentile (rank error <= 1/accuracy)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_and_processing_spark.sources.tables import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    both = l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+        F.percentile("l_extendedprice", 0.5).alias("exact"),
+    )
+    for r in both.collect():
+        assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.01, r
