@@ -1,0 +1,83 @@
+"""CLI entry points — the non-interactive twin of the reference's menu.
+
+The reference exposes three interactive menu actions (stdin loop at
+/root/reference/ETLManager.py:101-124): 1 = file ingest, 2/3 = table
+transfer with overwrite/append sink semantics. A scriptable pipeline can't
+block on stdin, so the same three actions are subcommands:
+
+    python -m data_integration_and_processing_spark ingest \
+        --source data.csv --dest /sink/tbl --rename "автор=author,дата=date"
+    python -m data_integration_and_processing_spark transfer \
+        --source /lake/src_tbl --dest /sink/tbl --mode append
+
+Rename maps accept the reference's Cyrillic->English style pairs
+(ETLManager.py:42-48); name cleaning always applies.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _parse_mapping(s: str | None) -> dict[str, str] | None:
+    if not s:
+        return None
+    pairs = [p.split("=", 1) for p in s.split(",") if p]
+    bad = [p for p in pairs if len(p) != 2]
+    if bad:
+        raise SystemExit(f"bad --rename entry (want old=new): {bad}")
+    return dict(pairs)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="data_integration_and_processing_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="file -> cleaned/renamed -> sink (reference menu action 1)")
+    ing.add_argument("--source", required=True)
+    ing.add_argument("--dest", required=True)
+    ing.add_argument("--source-fmt", default="csv", choices=["csv", "json", "parquet", "xlsx"])
+    ing.add_argument("--dest-fmt", default="parquet")
+    ing.add_argument("--rename", default=None, help="comma-separated old=new pairs")
+    ing.add_argument("--mode", default="overwrite", choices=["overwrite", "append"])
+
+    tr = sub.add_parser("transfer", help="table -> cleaned/renamed -> sink (reference menu actions 2/3)")
+    tr.add_argument("--source", required=True, help="parquet path of the source table")
+    tr.add_argument("--dest", required=True)
+    tr.add_argument("--rename", default=None)
+    tr.add_argument("--mode", default="overwrite", choices=["overwrite", "append"])
+
+    args = ap.parse_args(argv)
+
+    from data_integration_and_processing_spark.plans.pipelines import ingest_file, transfer
+    from data_integration_and_processing_spark.session import get_spark
+
+    spark = get_spark(app_name=f"cli-{args.cmd}")
+    try:
+        if args.cmd == "ingest":
+            out = ingest_file(
+                spark,
+                args.source,
+                args.dest,
+                source_fmt=args.source_fmt,
+                dest_fmt=args.dest_fmt,
+                column_mapping=_parse_mapping(args.rename),
+                mode=args.mode,
+            )
+        else:
+            out = transfer(
+                spark,
+                args.source,
+                args.dest,
+                column_mapping=_parse_mapping(args.rename),
+                mode=args.mode,
+            )
+        print(f"{args.cmd}: wrote {out.count()} rows to {args.dest} ({args.mode})")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -191,3 +191,24 @@ def test_corrupt_csv_rows_are_quarantined(spark, tmp_path):
     assert good.count() == 2
     assert bad.count() == 1
     assert bad.collect()[0]["_corrupt_record"] == "2,not_a_number"
+
+
+def test_cli_transfer_roundtrip(tmp_path):
+    """The CLI twin of the reference's menu actions runs end-to-end in a
+    fresh process: transfer with rename + overwrite semantics."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "sink"
+    r = subprocess.run(
+        [sys.executable, "-m", "data_integration_and_processing_spark", "transfer",
+         "--source", "/root/testdata/sf0.001/region.parquet",
+         "--dest", str(out), "--rename", "r_regionkey=region_key,r_name=region_name"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "wrote 5 rows" in r.stdout
+    import duckdb
+
+    cols = {c[0] for c in duckdb.sql(f"DESCRIBE SELECT * FROM '{out}/*.parquet'").fetchall()}
+    assert {"region_key", "region_name"} <= cols
