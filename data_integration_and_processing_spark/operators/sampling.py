@@ -56,7 +56,9 @@ def hash_bucket_sql(keys: Sequence[str], n_buckets: int, seed: int = 0) -> str:
     terms = [str(seed % HASH_MOD)]
     for i, key in enumerate(keys):
         mult = _MULTIPLIERS[i % len(_MULTIPLIERS)]
-        terms.append(f"(((CAST({key} AS BIGINT) % {HASH_MOD}) * {mult}) % {HASH_MOD})")
+        # (x % M + M) % M = pmod: ANSI % is signed, Spark-side pmod is not —
+        # without the wrap the twins diverge on negative keys
+        terms.append(f"((((CAST({key} AS BIGINT) % {HASH_MOD} + {HASH_MOD}) % {HASH_MOD}) * {mult}) % {HASH_MOD})")
     return f"(({' + '.join(terms)}) % {HASH_MOD}) % {n_buckets}"
 
 

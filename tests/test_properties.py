@@ -74,3 +74,27 @@ def test_unknown_dtype_falls_back_to_string(garbage):
                    "datetime64[ms]", "datetime64[ns, UTC]", "timedelta64[ns]"}:
         return
     assert pandas_dtype_to_spark(garbage).typeName() == "string"
+
+
+def test_hash_bucket_sql_twin_matches_spark(spark, ddb):
+    """The generated SQL twin must agree with hash_bucket for ANY long key,
+    including negatives (ANSI % is signed; pmod is not)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_integration_and_processing_spark.operators.sampling import (
+        hash_bucket,
+        hash_bucket_sql,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=40))
+    def check(keys):
+        sdf = spark.createDataFrame([(k,) for k in keys], "k long")
+        got = {r["k"]: r["b"] for r in sdf.select("k", hash_bucket(["k"], 97, seed=5).alias("b")).collect()}
+        expr = hash_bucket_sql(["k"], 97, seed=5)
+        vals = ", ".join(f"({k})" for k in keys)
+        want = dict(ddb.sql(f"SELECT k, {expr} AS b FROM (VALUES {vals}) t(k)").fetchall())
+        assert got == {k: int(v) for k, v in want.items()}
+
+    check()
