@@ -293,3 +293,27 @@ def etl_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     region.write.mode("append").parquet(dest)
     region.withColumn("batch_no", F.lit(2).cast("long")).write.mode("append").parquet(dest)
     return spark.read.option("mergeSchema", "true").parquet(dest)
+
+
+@register(
+    "etl_partitioned_sink_pruned_scan",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    description=(
+        "hive-partitioned sink + partition-pruned scan: write orders partitioned by "
+        "priority, read back with a partition filter — the scan lists only the matching "
+        "directories (PartitionFilters, zero data files touched for other priorities); "
+        "the layout lever that turns a 100 TB scan into a per-partition read"
+    ),
+    tags=("etl", "sink", "source", "partitioning"),
+)
+def etl_partitioned_sink_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dest = f"{_SCRATCH}/orders_by_priority"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dest)
+    back = spark.read.parquet(dest).filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    return back.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
