@@ -178,3 +178,42 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     pairs = embedding_neardup_pairs(e, threshold=0.4)
     return connected_components(pairs)
+
+
+_VPACK_DOT = "list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+_VPACK_NORM = "sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+
+
+@register(
+    "sim_vector_ops_pack",
+    oracle=f"""
+        SELECT a.vec_id,
+               round({_VPACK_NORM}, 6) AS l2_norm,
+               round({_VPACK_DOT}, 6) AS dot_q,
+               round({_cos_sql('a.embedding', 'q.embedding')}, 6) AS cos_q,
+               round(CAST(a.embedding[1] AS DOUBLE) / {_VPACK_NORM}, 6) AS unit_first
+        FROM embeddings a,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE a.vec_id <> 0
+    """,
+    description=(
+        "vector function pack: L2 norm, dot/cosine against a query vector, first "
+        "component after unit-normalization — all JVM zip_with/aggregate expressions "
+        "with deterministic index-order double accumulation (no Python, no shuffle)"
+    ),
+    tags=("similarity", "functions", "north-star"),
+)
+def sim_vector_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.similarity import dot, norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir, 0)
+    q = F.array(*[F.lit(v) for v in qv])
+    a = F.col("embedding")
+    return e.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.round(norm(a), 6).alias("l2_norm"),
+        F.round(dot(a, q), 6).alias("dot_q"),
+        F.round(cosine(a, q), 6).alias("cos_q"),
+        F.round(F.element_at(a, 1).cast("double") / norm(a), 6).alias("unit_first"),
+    )
