@@ -249,6 +249,10 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from data_integration_and_processing_spark.operators.sampling import hash_bucket_sql
+
+_DOC_BUCKET_1000 = hash_bucket_sql(["doc_id"], 1000)
+
 _CORPUS_ORACLE = f"""
 WITH base AS (
     SELECT doc_id, source, text,
@@ -276,7 +280,7 @@ kept AS (
 ),
 sampled AS (
     SELECT * FROM kept
-    WHERE (((CAST(doc_id AS BIGINT) % 2147483647) * 1103515245) % 2147483647) % 1000 < 500
+    WHERE {_DOC_BUCKET_1000} < 500
 )
 SELECT source, count(*) AS n_docs, sum(n_words) AS total_ws_tokens,
        min(q) AS min_quality, max(q) AS max_quality
