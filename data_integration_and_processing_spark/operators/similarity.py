@@ -182,25 +182,65 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 6,
+    broadcast_max_rows: int = 500_000,
+    n_planes: int = 8,
+    n_tables: int = 16,
+    seed: int = 42,
+    force_path: str | None = None,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold — exact results, pruned compute.
+    """All pairs with cosine >= threshold, routed by corpus size.
 
-    Two stages:
+    Both paths share the same exact verification stage (sequential
+    index-order double accumulation, matching the oracle), so reported
+    values are identical; only candidate *generation* differs:
 
-    1. **Candidate generation** (the n^2 part) runs as a BLAS matrix product
-       inside an Arrow-batched ``mapInPandas``: the full (id, unit-vector)
-       matrix is a broadcast variable (n x dim floats — for any corpus where
-       exact all-pairs is sane, this is a few hundred MB at most; beyond
-       that the LSH path is the right tool), and each partition multiplies
-       its block against it. Only pairs clearing ``threshold - 1e-4`` (fp
-       slack for summation-order drift) survive, so the expensive stage
-       emits ~|answer| rows instead of n^2/2.
-    2. **Exact verification** recomputes cosine for the candidates with the
-       same sequential-in-index-order double accumulation the oracle uses,
-       so reported values are independent of BLAS summation order.
+    - ``n <= broadcast_max_rows``: BLAS matmul candidates
+      (:func:`_neardup_candidates_broadcast`) — fastest when the unit-vector
+      matrix fits comfortably in driver/executor memory.
+    - larger corpora: distributed sign-LSH banding
+      (:func:`_neardup_candidates_lsh`) — no driver materialization
+      anywhere; candidate generation is one shuffle keyed by (table,
+      signature) with in-task pair expansion. Recall is probabilistic but
+      seeded-deterministic: a pair at exactly ``threshold`` collides in one
+      table with p = (1 - acos(threshold)/pi)^n_planes; with the defaults at
+      threshold 0.9 that is ~0.29 per table, ~0.996 over 16 tables, and
+      higher-similarity pairs recall strictly better. Lower thresholds need
+      shallower/more tables (see tests/test_ann_recall.py).
+
+    ``force_path`` ('broadcast' | 'lsh') pins a path for tests.
     """
-    spark = df.sparkSession
     ids_vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    path = force_path
+    if path is None:
+        # driver-side metadata check (a count, not a data materialization)
+        path = "broadcast" if ids_vecs.count() <= broadcast_max_rows else "lsh"
+    if path == "broadcast":
+        cand = _neardup_candidates_broadcast(ids_vecs, threshold, round_digits)
+    elif path == "lsh":
+        cand = _neardup_candidates_lsh(ids_vecs, n_planes, n_tables, seed)
+    else:
+        raise ValueError(f"unknown force_path: {force_path!r}")
+    a = ids_vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = ids_vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _neardup_candidates_broadcast(
+    ids_vecs: DataFrame, threshold: float, round_digits: int
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs via a BLAS matrix product inside an
+    Arrow-batched ``mapInPandas``: the full (id, unit-vector) matrix is a
+    broadcast variable and each partition multiplies its block against it.
+    Only pairs clearing ``threshold`` minus fp slack (summation-order drift)
+    survive, so the n^2 stage emits ~|answer| rows. Driver-memory-bound —
+    callers guard on corpus size."""
+    spark = ids_vecs.sparkSession
 
     import pandas as pd  # noqa: PLC0415 — keep pandas off the import hot path
 
@@ -227,13 +267,49 @@ def embedding_neardup_pairs(
             if len(rows):
                 yield pd.DataFrame({"id_a": rid[rows], "id_b": ids_all[cols]})
 
-    cand = ids_vecs.mapInPandas(_candidates, schema="id_a long, id_b long")
-    a = ids_vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = ids_vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+    return ids_vecs.mapInPandas(_candidates, schema="id_a long, id_b long")
+
+
+def _neardup_candidates_lsh(
+    ids_vecs: DataFrame, n_planes: int, n_tables: int, seed: int
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs via distributed multi-table sign-LSH:
+    each vector gets ``n_tables`` signatures of ``n_planes`` sign bits
+    (vectorized numpy matmul against the seeded hyperplanes inside an
+    Arrow-batched ``mapInPandas`` — one (batch x dim) @ (dim x planes)
+    product per batch, bit-identical to :func:`lsh_signature` up to fp
+    summation order), then ids sharing any (table, signature) bucket pair up
+    in-task via :func:`pairs_within_buckets`. One shuffle keyed by (table,
+    signature); nothing ever lands on the driver."""
+    from data_integration_and_processing_spark.operators.dedup import (  # noqa: PLC0415 — avoid import cycle
+        pairs_within_buckets,
     )
+
+    import pandas as pd  # noqa: PLC0415 — keep pandas off the import hot path
+
+    first = ids_vecs.select(F.size("v").alias("d")).first()
+    if first is None:
+        return ids_vecs.sparkSession.createDataFrame([], "id_a long, id_b long")
+    planes = random_hyperplanes(int(first["d"]), n_planes * n_tables, seed)
+    b_planes = ids_vecs.sparkSession.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def _signatures(batches):
+        pl = b_planes.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            bits = (block @ pl.T) > 0  # (batch, n_planes * n_tables)
+            rid = np.asarray(pdf["id"].to_numpy(), dtype=np.int64)
+            out_id = np.repeat(rid, n_tables)
+            out_table = np.tile(np.arange(n_tables, dtype=np.int32), len(rid))
+            sigs = np.einsum(
+                "btp,p->bt", bits.reshape(len(rid), n_tables, n_planes), weights
+            )
+            yield pd.DataFrame(
+                {"id": out_id, "table": out_table, "bucket": sigs.reshape(-1)}
+            )
+
+    banded = ids_vecs.mapInPandas(_signatures, schema="id long, table int, bucket long")
+    return pairs_within_buckets(banded, ["table", "bucket"])
