@@ -134,6 +134,76 @@ def lsh_topk(
     )
 
 
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> str:
+    """Build an IVF (inverted-file) index on disk: train the KMeans coarse
+    quantizer ONCE, assign every vector to its nearest centroid, and write
+    the corpus hive-partitioned by ``_cell`` so probes become
+    partition-pruned reads of nprobe/n_cells of the data. Centroids land in
+    a sibling table for the (tiny) driver-side cell ranking at probe time.
+
+    This is the build half of the build/probe split: training is paid once
+    per corpus, never per query. Layout::
+
+        {path}/data/_cell=K/part-*.parquet   corpus, partitioned by cell
+        {path}/centroids/part-*.parquet      (cell, center: array<double>)
+    """
+    from pyspark.ml.clustering import KMeans  # noqa: PLC0415 — keep ml off the import hot path
+
+    from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
+
+    feat = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell").fit(feat)
+    assigned = model.transform(feat).drop("_features")
+    assigned.write.mode("overwrite").partitionBy("_cell").parquet(f"{path}/data")
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    df.sparkSession.createDataFrame(centers, "cell int, center array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return path
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Probe a :func:`build_ivf_index` index: rank cells by centroid
+    distance (a driver-side read of the centroid table — O(n_cells) rows),
+    then scan only the ``nprobe`` nearest cells. ``_cell`` is a hive
+    partition column, so the ``isin`` filter prunes at planning time — the
+    scan's PartitionFilters carry it and untouched cells are never read.
+    The probed scan reuses the exact JVM cosine, so scores match the
+    brute-force path."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    centers = spark.read.parquet(f"{path}/centroids").collect()
+    by_dist = sorted(
+        centers, key=lambda r: float(np.linalg.norm(np.asarray(r["center"]) - q))
+    )
+    probe_cells = [int(r["cell"]) for r in by_dist[:nprobe]]
+
+    qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    sim = F.round(cosine(F.col(vec_col), qcol), round_digits)
+    return (
+        spark.read.parquet(f"{path}/data")
+        .filter(F.col("_cell").isin(probe_cells))
+        .select(F.col(id_col), F.col("_cell").cast("int").alias("cell"), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -144,35 +214,24 @@ def ivf_topk(
     id_col: str = "vec_id",
     seed: int = 42,
     round_digits: int = 6,
+    index_path: str | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer, scan
-    only the ``nprobe`` cells nearest the query.
+    """IVF approximate top-k = :func:`build_ivf_index` (once) +
+    :func:`ivf_probe`. When ``index_path`` is given and already contains an
+    index, the build step is skipped entirely — the production call pattern
+    is one build, many probes; this wrapper exists for single-shot use and
+    the catalog query."""
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
 
-    Index build = one KMeans fit (seeded, deterministic) + one map assigning
-    each vector to its nearest centroid. At scale the assignment column is a
-    partition key: writing the corpus partitioned by cell turns each query
-    into a partition-pruned scan of nprobe/n_cells of the data. The probed
-    scan reuses the exact JVM cosine, so scores match the brute-force path.
-    """
-    from pyspark.ml.clustering import KMeans  # noqa: PLC0415 — keep ml off the import hot path
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: PLC0415
-
-    feat = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell").fit(feat)
-    assigned = model.transform(feat).drop("_features")
-
-    q = np.asarray(query_vec, dtype=np.float64)
-    centers = model.clusterCenters()
-    by_dist = sorted(range(len(centers)), key=lambda i: float(np.linalg.norm(centers[i] - q)))
-    probe_cells = by_dist[:nprobe]
-
-    qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
-    sim = F.round(cosine(F.col(vec_col), qcol), round_digits)
-    return (
-        assigned.filter(F.col("_cell").isin(probe_cells))
-        .select(F.col(id_col), F.col("_cell").alias("cell"), sim.alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
+    if index_path is None:
+        index_path = os.path.join(tempfile.gettempdir(), f"ivf_index_seed{seed}_c{n_cells}")
+        # single-shot wrapper: always rebuild into the scratch location
+        build_ivf_index(df, index_path, n_cells, vec_col, id_col, seed)
+    elif not os.path.exists(os.path.join(index_path, "centroids")):
+        build_ivf_index(df, index_path, n_cells, vec_col, id_col, seed)
+    return ivf_probe(
+        df.sparkSession, index_path, query_vec, k, nprobe, vec_col, id_col, round_digits
     )
 
 

@@ -84,3 +84,27 @@ def test_neardup_size_guard_routes_large_corpora_to_lsh(spark, sf_dir):
     )
     forced = embedding_neardup_pairs(e, threshold=0.4, force_path="lsh", n_planes=4, n_tables=48)
     assert sorted(map(tuple, guarded.collect())) == sorted(map(tuple, forced.collect()))
+
+
+def test_ivf_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The build/probe split must make probes partition-pruned reads: the
+    probe scan's PartitionFilters carry the _cell predicate (VERDICT r1
+    item 3) and only nprobe of n_cells partitions survive planning."""
+    from data_integration_and_processing_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe,
+    )
+    from data_integration_and_processing_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "ivf")
+    build_ivf_index(e.filter(F.col("vec_id") != 0), path, n_cells=8)
+    probe = ivf_probe(spark, path, q, k=10, nprobe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*_cell[^\]]*)\]", plan)
+    assert m, f"probe scan has no _cell PartitionFilters:\n{plan}"
+    assert probe.count() == 10
