@@ -59,15 +59,24 @@ def salted_agg(
             expr = spec
             try:
                 fn = expr._jc.toString().lower().split("(")[0]  # noqa: SLF001 — combinator dispatch
-            except Exception:  # noqa: BLE001 — e.g. Spark Connect; sum is the safe default
-                fn = ""
+            except Exception:  # noqa: BLE001 — e.g. Spark Connect hides the JVM column
+                fn = None
             if fn in non_decomposable:
                 raise ValueError(
                     f"salted_agg only supports decomposable aggregates (count/sum/min/max); "
                     f"{name!r} uses {fn} — final(partial(x)) != agg(x). Rewrite as sum+count "
                     f"(avg) or use a plain groupBy with AQE skew handling."
                 )
-            combine = {"min": F.min, "max": F.max}.get(fn, F.sum)
+            combine = {"min": F.min, "max": F.max, "count": F.sum, "sum": F.sum}.get(fn)
+            if combine is None:
+                # A wrong default combinator (e.g. summing per-salt minima)
+                # would be silently wrong — refuse unless the function is
+                # positively identified as decomposable.
+                raise ValueError(
+                    f"salted_agg could not identify the aggregate function for {name!r} "
+                    f"(got {fn!r}); pass the explicit (partial_expr, final_combinator) "
+                    f"tuple form instead."
+                )
         partials.append(expr.alias(f"__p_{name}"))
         finals.append(combine(f"__p_{name}").alias(name))
     partial = with_salt(df, unique_col, n_salts).groupBy(*keys, "_salt").agg(*partials)

@@ -121,3 +121,27 @@ def test_end2end_dedup_survivor_properties(spark, sf_dir):
     assert survivors == expected_survivors
     for doc, c in comp.items():
         assert c in survivors and c <= doc
+
+
+def test_salted_agg_refuses_unidentified_combinators(spark, sf_dir):
+    """An aggregate the introspection can't positively classify must raise
+    (ADVICE r1: defaulting to sum silently mis-combines min/max partials
+    when name inference fails) — the tuple form is the escape hatch."""
+    import pytest as _pytest
+
+    from data_integration_and_processing_spark.operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    with _pytest.raises(ValueError, match="tuple form"):
+        salted_agg(e, keys=["event_type"], aggs={"f": F.first("value")}, unique_col="event_id")
+    # introspection failure itself (no _jc string) must also refuse, not sum
+    class _NoJc:
+        @property
+        def _jc(self):
+            raise RuntimeError("no JVM column (e.g. Spark Connect)")
+
+        def alias(self, name):
+            return F.lit(0).alias(name)
+
+    with _pytest.raises(ValueError, match="tuple form"):
+        salted_agg(e, keys=["event_type"], aggs={"x": _NoJc()}, unique_col="event_id")
