@@ -94,6 +94,7 @@ def pairs_within_buckets(
     bucket_cols: list[str],
     payload_cols: tuple[str, ...] = (),
     max_bucket: int = 1024,
+    observation=None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) of ids sharing any bucket.
 
@@ -107,14 +108,24 @@ def pairs_within_buckets(
     trade): a bucket that hot means the band value is degenerate (the
     stop-ngram analogue) and its m^2 expansion would dominate the stage —
     content that common belongs to exact dedup, not near-dup pairing.
+    The loss is *observable*: pass a ``pyspark.sql.Observation`` and the
+    next action reports ``dropped_buckets`` / ``dropped_ids`` /
+    ``candidate_buckets`` (metrics ride the action — no extra pass).
     Payload columns (e.g. signatures) ride along as ``<col>_a``/``<col>_b``.
     """
     item = F.struct(F.col("id"), *[F.col(c) for c in payload_cols])
-    grouped = (
-        banded.groupBy(*bucket_cols)
-        .agg(F.array_sort(F.collect_set(item)).alias("items"))
-        .filter((F.size("items") > 1) & (F.size("items") <= max_bucket))
+    grouped = banded.groupBy(*bucket_cols).agg(
+        F.array_sort(F.collect_set(item)).alias("items")
     )
+    if observation is not None:
+        over = F.size("items") > max_bucket
+        grouped = grouped.observe(
+            observation,
+            F.sum(over.cast("long")).alias("dropped_buckets"),
+            F.sum(F.when(over, F.size("items")).otherwise(0).cast("long")).alias("dropped_ids"),
+            F.sum(((F.size("items") > 1) & ~over).cast("long")).alias("candidate_buckets"),
+        )
+    grouped = grouped.filter((F.size("items") > 1) & (F.size("items") <= max_bucket))
     # i<j expansion; lambdas only touch their arguments and the materialized
     # `items` attribute (cheap re-reference — see shingles() note).
     pairs = F.flatten(
@@ -133,6 +144,31 @@ def pairs_within_buckets(
         *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in payload_cols],
     )
     return out.dropDuplicates(["id_a", "id_b"])
+
+
+def bucket_cap_report(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Standalone audit of what a ``max_bucket`` cap would drop: one tiny
+    aggregation over the banded table returning a single row of
+    (dropped_buckets, dropped_ids, candidate_buckets, max_bucket_size).
+
+    The zero-cost path is the ``observation`` parameter of
+    :func:`pairs_within_buckets` (metrics ride the action); this helper is
+    the guaranteed path for audits — AQE's empty-relation propagation prunes
+    CollectMetrics when a cap empties the WHOLE result, so a fully-capped
+    run needs its own (cheap: the shuffle is (bucket, count)) job to report
+    the loss."""
+    sizes = banded.groupBy(*bucket_cols).agg(F.count("*").alias("m"))
+    over = F.col("m") > max_bucket
+    return sizes.agg(
+        F.sum(over.cast("long")).alias("dropped_buckets"),
+        F.sum(F.when(over, F.col("m")).otherwise(0)).alias("dropped_ids"),
+        F.sum(((F.col("m") > 1) & ~over).cast("long")).alias("candidate_buckets"),
+        F.max("m").alias("max_bucket_size"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -184,6 +220,8 @@ def minhash_lsh_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.5,
     ngram: int = 3,
+    max_bucket: int = 1024,
+    observation=None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -211,7 +249,7 @@ def minhash_lsh_pairs(
     # the explode and the bucket self-join; shingle sets rejoin at the end
     # for the few candidate pairs only.
     banded = sig.select("id", F.posexplode(lsh_bands(F.col("sig"), bands, rows)).alias("band", "bucket"))
-    cand = pairs_within_buckets(banded, ["band", "bucket"])
+    cand = pairs_within_buckets(banded, ["band", "bucket"], max_bucket=max_bucket, observation=observation)
     ha = hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
     hb = hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
@@ -305,6 +343,7 @@ def simhash_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    observation=None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs by SimHash banding.
 
@@ -320,7 +359,7 @@ def simhash_candidates(
             F.array(*[F.shiftright(F.col("sig"), 16 * b).bitwiseAND(F.lit(0xFFFF)) for b in range(4)])
         ).alias("band", "bucket"),
     )
-    cand = pairs_within_buckets(banded, ["band", "bucket"], payload_cols=("sig",))
+    cand = pairs_within_buckets(banded, ["band", "bucket"], payload_cols=("sig",), observation=observation)
     return (
         cand.select(
             "id_a",
@@ -402,6 +441,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_shingle_df: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard >= threshold, via an inverted
     index: explode distinct shingles, self-join on shingle (only docs that
@@ -415,7 +455,9 @@ def ngram_jaccard_pairs(
     (matches the SQL oracle); production corpora set it to O(100).
     Intersection counts for capped runs undercount only by the dropped
     stop-ngrams, biasing Jaccard down (conservative: no false positives
-    become MORE similar).
+    become MORE similar). Pass a ``pyspark.sql.Observation`` to have the
+    next action report ``dropped_postings`` / ``dropped_posting_ids`` /
+    ``candidate_postings`` so capped runs can see what they lost.
     """
     sh = df.select(F.col(id_col).alias("id"), shingle_keys(F.col(text_col), n).alias("sh"))
     # consumed by sizes + both sides of the inverted-index join: materialize
@@ -433,6 +475,14 @@ def ngram_jaccard_pairs(
     # collect_list, not collect_set: ids are already unique per shingle
     # (shingle_keys is distinct per doc), so set-dedup hashing is pure cost
     postings = inv.groupBy("s").agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    if observation is not None:
+        hot = F.size("ids") > F.lit(max_shingle_df if max_shingle_df is not None else 2**31 - 1)
+        postings = postings.observe(
+            observation,
+            F.sum(hot.cast("long")).alias("dropped_postings"),
+            F.sum(F.when(hot, F.size("ids")).otherwise(0).cast("long")).alias("dropped_posting_ids"),
+            F.sum(((F.size("ids") > 1) & ~hot).cast("long")).alias("candidate_postings"),
+        )
     postings = postings.filter(F.size("ids") > 1)
     if max_shingle_df is not None:
         postings = postings.filter(F.size("ids") <= max_shingle_df)

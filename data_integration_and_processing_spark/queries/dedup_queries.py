@@ -222,3 +222,31 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("id").alias("id"), F.count("*").alias("n_copies"))
         .select("id", "fp", "n_copies")
     )
+
+
+@register(
+    "dedup_cap_audit",
+    oracle=None,  # xxhash64 banding is not expressible in DuckDB; invariants pytest-checked
+    description=(
+        "recall-cap audit for capped LSH runs: how many band buckets (and member rows) a "
+        "max_bucket cap drops, plus the largest bucket — the observable counterpart of the "
+        "silent-loss trade (bucket_cap_report; zero-cost path is the Observation hook)"
+    ),
+    tags=("dedup", "north-star", "lsh", "profiling"),
+)
+def dedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.dedup import (
+        bucket_cap_report,
+        lsh_bands,
+        minhash_signature_from_hashes,
+        shingle_keys,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    u = _with_mutated_copies(d)
+    hs = u.select("id", shingle_keys(F.col("text"), 3).alias("hs")).filter(F.size("hs") > 0)
+    sig = hs.select("id", minhash_signature_from_hashes(F.col("hs"), 32).alias("sig"))
+    banded = sig.select(
+        "id", F.posexplode(lsh_bands(F.col("sig"), 8, 4)).alias("band", "bucket")
+    )
+    return bucket_cap_report(banded, ["band", "bucket"], max_bucket=64)

@@ -145,3 +145,63 @@ def test_salted_agg_refuses_unidentified_combinators(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="tuple form"):
         salted_agg(e, keys=["event_type"], aggs={"x": _NoJc()}, unique_col="event_id")
+
+
+def test_recall_caps_are_observable(spark):
+    """max_bucket / max_shingle_df recall losses must be measurable, not
+    silent (VERDICT r1 item 7). Partial loss (the production case) reports
+    through the zero-cost Observation; a fully-capped run falls back to the
+    explicit bucket_cap_report audit (AQE prunes CollectMetrics when the
+    whole result collapses to empty)."""
+    from pyspark.sql import Observation
+
+    from data_integration_and_processing_spark.operators.dedup import (
+        bucket_cap_report,
+        lsh_bands,
+        minhash_lsh_pairs,
+        minhash_signature_from_hashes,
+        ngram_jaccard_pairs,
+        shingle_keys,
+    )
+
+    # 40 identical docs (degenerate hot buckets) + 2 distinct near-dups
+    rows = [(i, "the same exact degenerate document text repeated for everyone") for i in range(40)]
+    rows += [
+        (100, "a perfectly unique pair of documents that resemble each other closely indeed"),
+        (101, "a perfectly unique pair of documents that resemble each other very closely indeed"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # partial loss: hot buckets dropped, the unique pair survives => metrics live
+    obs = Observation("lsh_caps")
+    pairs = minhash_lsh_pairs(d, max_bucket=10, jaccard_threshold=0.3, observation=obs)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert found == {(100, 101)}  # conservative: hot cluster gone, real pair kept
+    assert obs.get["dropped_buckets"] > 0
+    assert obs.get["dropped_ids"] >= 40
+    assert obs.get["candidate_buckets"] > 0
+
+    obs2 = Observation("ngram_caps")
+    pairs2 = ngram_jaccard_pairs(d, max_shingle_df=10, threshold=0.3, observation=obs2)
+    assert {(r.id_a, r.id_b) for r in pairs2.collect()} == {(100, 101)}
+    assert obs2.get["dropped_postings"] > 0
+    assert obs2.get["candidate_postings"] > 0
+
+    # fully-capped corner: audit helper reports the loss unconditionally
+    hs = d.selectExpr("doc_id as id", "text").select(
+        "id", shingle_keys(F.col("text")).alias("hs")
+    )
+    sig = hs.select("id", minhash_signature_from_hashes(F.col("hs"), 32).alias("sig"))
+    banded = sig.select(
+        "id", F.posexplode(lsh_bands(F.col("sig"), 8, 4)).alias("band", "bucket")
+    )
+    report = bucket_cap_report(banded, ["band", "bucket"], max_bucket=10).first()
+    assert report["dropped_buckets"] >= 8
+    assert report["dropped_ids"] >= 320
+    assert report["max_bucket_size"] >= 40
+
+    # uncapped run on the same corpus: nothing dropped
+    obs3 = Observation("lsh_uncapped")
+    full = minhash_lsh_pairs(d, max_bucket=1024, jaccard_threshold=0.3, observation=obs3)
+    assert full.count() >= 40 * 39 // 2
+    assert obs3.get["dropped_buckets"] == 0
