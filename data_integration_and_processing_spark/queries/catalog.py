@@ -112,7 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "etl_transfer_append_roundtrip",
     "etl_upsert_merge",
     "etl_scd2_apply",
-    "etl_partitioned_sink_pruned_scan",
+    "etl_jdbc_live_roundtrip",
 )
 
 _REGISTRY: dict[str, QuerySpec] = {}

@@ -317,3 +317,32 @@ def etl_partitioned_sink_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFr
     o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dest)
     back = spark.read.parquet(dest).filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
     return back.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "etl_jdbc_live_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    description=(
+        "O2/O3+O7: LIVE JDBC round trip through embedded Derby (real database on the "
+        "Spark classpath, reference reads/writes over JDBC the same way: "
+        "PostgresDatabase.py:146-147, ClickHouseDatabase.py:113-119) — overwrite "
+        "write, then a partitioned 4-way read back"
+    ),
+    tags=("etl", "source", "sink", "jdbc"),
+)
+def etl_jdbc_live_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.sources.readers import read_jdbc
+    from data_integration_and_processing_spark.sources.writers import write_jdbc
+
+    url = f"jdbc:derby:{_SCRATCH}/derby_rt;create=true"
+    n = load_table(spark, sf_dir, "nation")
+    write_jdbc(n, url, "nation_rt", mode="overwrite")
+    return read_jdbc(
+        spark,
+        url,
+        "nation_rt",
+        partition_column="n_nationkey",
+        lower_bound=0,
+        upper_bound=25,
+        num_partitions=4,
+    )

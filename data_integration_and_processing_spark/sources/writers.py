@@ -48,6 +48,34 @@ def write_file(
     writer.save(path)
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    column_types: str | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Dialect-neutral JDBC sink — the shared core under the PG/CH wrappers,
+    and the one to use against any other JDBC database (live-tested against
+    embedded Derby in tests/test_jdbc_live.py). ``column_types`` overrides
+    created column DDL ("name VARCHAR(64), ..."); values must parse as Spark
+    SQL types AND be valid in the target dialect."""
+    writer = (
+        df.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+    )
+    if column_types is not None:
+        writer = writer.option("createTableColumnTypes", column_types)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def write_jdbc_postgres(
     df: DataFrame,
     url: str,
