@@ -49,17 +49,21 @@ def read_file(
 
 
 def read_excel(spark: SparkSession, path: str, sheet_name: int | str = 0) -> DataFrame:
-    """XLSX ingest (reference O1). Driver-side pandas shim: fine for small
-    control files, NOT a scale path — the frame materializes on the driver
-    exactly once, then becomes a normal distributed DataFrame."""
+    """XLSX ingest (reference O1). Driver-side shim: fine for small control
+    files, NOT a scale path — the frame materializes on the driver exactly
+    once, then becomes a normal distributed DataFrame.
+
+    Uses ``pd.read_excel`` when an engine (openpyxl) is installed, else the
+    stdlib zipfile+ElementTree parser in ``sources/xlsx.py`` — so O1 runs
+    for real either way (same first-row-header semantics for the simple
+    tabular sheets the reference ingests)."""
     try:
         import pandas as pd
         pdf = pd.read_excel(path, sheet_name=sheet_name)
-    except ImportError as exc:  # openpyxl not installed in this container
-        raise NotImplementedError(
-            "XLSX ingest needs pandas+openpyxl on the driver; convert to CSV/parquet "
-            "and use read_file() for anything beyond small lookup files"
-        ) from exc
+    except ImportError:  # openpyxl not installed: stdlib parser
+        from data_integration_and_processing_spark.sources.xlsx import read_xlsx_pandas
+
+        pdf = read_xlsx_pandas(path, sheet_name)
     return spark.createDataFrame(pdf, schema=schema_for_pandas(pdf))
 
 

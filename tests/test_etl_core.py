@@ -121,27 +121,109 @@ def test_table_name_from_path():
     assert table_name_from_path("/data/Wildberries_Reviews.XLSX") == "wildberries_reviews"
 
 
-def test_read_excel_gated_without_openpyxl(spark, tmp_path):
-    """O1 XLSX ingest: with no openpyxl in the container, the shim must
-    fail with the documented NotImplementedError (pointing at the CSV/
-    parquet path), not a raw ImportError mid-pipeline."""
+def _write_minimal_xlsx(path, header, rows, sheet="Sheet1"):
+    """Hand-rolled minimal .xlsx (no openpyxl in the container): shared
+    strings for text cells, numeric cells inline, A1-style references."""
     import zipfile
 
-    import pytest as _pytest
+    strings: list[str] = []
 
+    def cell(ref, v):
+        if isinstance(v, str):
+            if v not in strings:
+                strings.append(v)
+            return f'<c r="{ref}" t="s"><v>{strings.index(v)}</v></c>'
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if v is None:
+            return ""
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    def col_letter(i):
+        out = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            out = chr(ord("A") + r) + out
+        return out
+
+    all_rows = [header, *rows]
+    body = "".join(
+        '<row r="%d">%s</row>'
+        % (ri + 1, "".join(cell(f"{col_letter(ci)}{ri + 1}", v) for ci, v in enumerate(row)))
+        for ri, row in enumerate(all_rows)
+    )
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns="http://schemas.openxmlformats.org/package/2006/relationships"'
+    rid = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    sst = "".join(f"<si><t>{s}</t></si>" for s in strings)
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr(
+            "xl/workbook.xml",
+            f'<workbook {ns} {rid}><sheets><sheet name="{sheet}" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<Relationships {rns}><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        z.writestr("xl/sharedStrings.xml", f"<sst {ns}>{sst}</sst>")
+        z.writestr("xl/worksheets/sheet1.xml", f"<worksheet {ns}><sheetData>{body}</sheetData></worksheet>")
+
+
+def test_read_excel_stdlib_parser(spark, tmp_path):
+    """O1 XLSX ingest runs for REAL without openpyxl: the stdlib
+    zipfile+ElementTree fallback parses shared strings, numerics, booleans
+    and sparse rows with first-row-header semantics."""
     from data_integration_and_processing_spark.sources.readers import read_excel
 
     path = tmp_path / "mini.xlsx"
-    with zipfile.ZipFile(path, "w") as z:
-        z.writestr("xl/workbook.xml", "<workbook/>")
-        z.writestr("[Content_Types].xml", "<Types/>")
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError:
-        with _pytest.raises(NotImplementedError, match="CSV/parquet"):
-            read_excel(spark, str(path))
-    else:  # environment with openpyxl: the shim should read it or fail on content
-        _pytest.skip("openpyxl present; gated path not reachable")
+    _write_minimal_xlsx(
+        path,
+        header=["Product Name", "Rating", "In Stock"],
+        rows=[["Widget A", 4.5, True], ["Widget B", 3, False], ["Widget C", None, True]],
+    )
+    df = read_excel(spark, str(path))
+    assert df.columns == ["Product Name", "Rating", "In Stock"]
+    got = sorted(map(tuple, df.collect()))
+    assert got[0] == ("Widget A", 4.5, True)
+    assert got[1] == ("Widget B", 3.0, False)
+    assert got[2][0] == "Widget C" and got[2][1] is None and got[2][2] is True
+
+
+def test_ingest_xlsx_to_parquet_with_clean_rename(spark, tmp_path):
+    """Reference O13 end-to-end on a real .xlsx: ingest_file reads the
+    sheet, clean/renames the reference-style headers, and lands parquet."""
+    from data_integration_and_processing_spark.plans.pipelines import ingest_file
+
+    src_path = tmp_path / "Wildberries_Reviews.xlsx"
+    _write_minimal_xlsx(
+        src_path,
+        header=["Review Text", "Product Rating", "Review Date"],
+        rows=[["great product", 5, "2024-01-01"], ["meh", 2, "2024-01-02"]],
+    )
+    dest = tmp_path / "reviews_parquet"
+    prepared = ingest_file(
+        spark, str(src_path), str(dest), source_fmt="xlsx", dest_fmt="parquet"
+    )
+    assert prepared.columns == ["review_text", "product_rating", "review_date"]
+    back = spark.read.parquet(str(dest))
+    assert sorted(map(tuple, back.collect())) == [
+        ("great product", 5, "2024-01-01"),
+        ("meh", 2, "2024-01-02"),
+    ]
+
+
+def test_read_excel_sheet_selection_errors(spark, tmp_path):
+    from data_integration_and_processing_spark.sources.xlsx import read_xlsx_rows
+
+    path = tmp_path / "mini.xlsx"
+    _write_minimal_xlsx(path, header=["a"], rows=[[1]], sheet="Data")
+    assert read_xlsx_rows(str(path), "Data") == [["a"], [1]]
+    with pytest.raises(ValueError, match="no sheet named"):
+        read_xlsx_rows(str(path), "Missing")
+    with pytest.raises(ValueError, match="out of range"):
+        read_xlsx_rows(str(path), 3)
 
 
 def test_scd2_reapply_is_noop(spark, sf_dir):
