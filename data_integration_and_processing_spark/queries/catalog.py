@@ -22,6 +22,7 @@ _QUERY_MODULES = [
     "data_integration_and_processing_spark.queries.etl_parity",
     "data_integration_and_processing_spark.queries.relational",
     "data_integration_and_processing_spark.queries.tpch_extra",
+    "data_integration_and_processing_spark.queries.partsupp_queries",
     "data_integration_and_processing_spark.queries.functions_pack",
     "data_integration_and_processing_spark.queries.udf_surface",
     "data_integration_and_processing_spark.queries.dedup_queries",
