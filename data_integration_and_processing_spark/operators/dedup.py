@@ -222,6 +222,7 @@ def minhash_lsh_pairs(
     ngram: int = 3,
     max_bucket: int = 1024,
     observation=None,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -242,8 +243,13 @@ def minhash_lsh_pairs(
         # candidate verify join; without persist each consumer re-scans and
         # re-shingles the corpus (3 full scans). On a cluster this is the
         # "materialize the signature table" step of any LSH pipeline.
+        # Lifecycle: pass cache_handle to unpersist after consuming the
+        # result (the pipeline wrappers do); a bare call leaves the cache to
+        # session GC, which accumulates across a long-lived session.
         .persist()
     )
+    if cache_handle is not None:
+        cache_handle.append(hs)
     sig = hs.select("id", minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig"))
     # Banded rows carry only (id, band, bucket) — 24 bytes each — through
     # the explode and the bucket self-join; shingle sets rejoin at the end
@@ -270,8 +276,15 @@ def minhash_lsh_dedup(
     connected components over the pair graph -> keep the min-id doc per
     duplicate cluster (transitively: A~B, B~C drops B AND C even when A~C
     was never detected directly). Unpaired docs always survive."""
-    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    caches: list = []
+    pairs = minhash_lsh_pairs(df, text_col, id_col, cache_handle=caches, **kwargs)
     comp = connected_components(pairs)
+    # connected_components materialized its labels (eager localCheckpoint),
+    # so the hashed-shingle cache is no longer reachable from `comp` — drop
+    # it instead of letting caches accumulate across the session (the
+    # broadcast-OOM cliff noted in round 1).
+    for cached in caches:
+        cached.unpersist()
     dropped = comp.filter(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
     return df.join(dropped, on=id_col, how="left_anti")
 
@@ -403,8 +416,29 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    # Each eager localCheckpoint is materialized and lineage-independent, so
+    # the PREVIOUS one can be released the moment a new one exists — without
+    # this, every round leaks a cached RDD for the session's lifetime.
+    # DataFrame.unpersist() only clears CacheManager entries, not checkpoint
+    # RDDs, so the release goes through the LogicalRDD's backing RDD.
+    live: list[DataFrame] = []
+
+    def _release(df: DataFrame) -> None:
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)  # noqa: SLF001
+        except Exception:  # noqa: BLE001 — best-effort (e.g. Spark Connect); leak beats crash
+            pass
+
+    def _cp(df: DataFrame) -> DataFrame:
+        new = df.localCheckpoint(eager=True)
+        for old in live:
+            _release(old)
+        live.clear()
+        live.append(new)
+        return new
+
     for _ in range(max_iter):
-        labels = labels.localCheckpoint(eager=True)
+        labels = _cp(labels)
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -420,11 +454,12 @@ def connected_components(
                 (F.col("nbr_component") < F.col("component")).alias("_changed"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        updated = _cp(updated)
         changed = updated.filter(F.col("_changed")).limit(1).count()
         labels = updated.drop("_changed")
         if changed == 0:
             edges.unpersist()
+            # the final checkpoint stays live — the returned labels read it
             return labels
     edges.unpersist()
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
@@ -442,6 +477,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_shingle_df: int | None = None,
     observation=None,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard >= threshold, via an inverted
     index: explode distinct shingles, self-join on shingle (only docs that
@@ -461,8 +497,11 @@ def ngram_jaccard_pairs(
     """
     sh = df.select(F.col(id_col).alias("id"), shingle_keys(F.col(text_col), n).alias("sh"))
     # consumed by sizes + both sides of the inverted-index join: materialize
-    # once (the LSH "signature table" step; see minhash_lsh_pairs)
+    # once (the LSH "signature table" step; see minhash_lsh_pairs — same
+    # cache_handle lifecycle)
     sh = sh.filter(F.size("sh") > 0).persist()
+    if cache_handle is not None:
+        cache_handle.append(sh)
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     # Inverted index on long shingle keys (shingle_keys): 8-byte join keys +
     # integer hash-partitioning, no shingle strings ever built or shuffled.

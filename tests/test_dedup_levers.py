@@ -205,3 +205,40 @@ def test_recall_caps_are_observable(spark):
     full = minhash_lsh_pairs(d, max_bucket=1024, jaccard_threshold=0.3, observation=obs3)
     assert full.count() >= 40 * 39 // 2
     assert obs3.get["dropped_buckets"] == 0
+
+
+def test_dedup_cache_handle_lifecycle(spark, sf_dir):
+    """The hashed-shingle persist must be releasable: cache_handle exposes
+    it, and minhash_lsh_dedup drops it internally (ADVICE r1: caches
+    accumulated across a long session until broadcast OOM)."""
+    from data_integration_and_processing_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        minhash_lsh_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc_id"), "text"
+    ).limit(200)
+
+    caches: list = []
+    pairs = minhash_lsh_pairs(d, text_col="text", id_col="doc_id", cache_handle=caches)
+    pairs.count()
+    assert caches, "cache_handle must surface the persisted shingle table"
+    assert all(c.storageLevel.useMemory or c.storageLevel.useDisk for c in caches)
+    for c in caches:
+        c.unpersist(blocking=True)
+    assert all(not (c.storageLevel.useMemory or c.storageLevel.useDisk) for c in caches)
+
+    # the dedup wrapper manages the lifecycle itself: the persistent-RDD set
+    # must not grow by more than the localCheckpoint labels it legitimately
+    # keeps (shingle caches are released before return)
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    survivors = minhash_lsh_dedup(d, text_col="text", id_col="doc_id")
+    assert survivors.count() > 0
+    import gc
+
+    gc.collect()
+    after = jsc.getPersistentRDDs().size()
+    # only the final connected-components checkpoint may stay live
+    assert after - before <= 1, f"cache leak: {before} -> {after} persistent RDDs"
