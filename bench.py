@@ -17,8 +17,11 @@ per-query numbers.
 
 from __future__ import annotations
 
+import functools
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -60,6 +63,57 @@ HEADLINE = [
 ]
 
 
+# Flag a per-query regression only when BOTH hold — run-to-run variance on
+# local[32] through the noop sink is ~±15-20%, so a ratio alone false-alarms
+# on sub-second queries.
+REGRESSION_RATIO = 1.3
+REGRESSION_FLOOR_SEC = 0.3
+
+
+def _baseline_queries() -> tuple[str, dict[str, float]]:
+    """Per-query timings from the newest BENCH_r{N}.json, if any."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), path)
+    if best is None:
+        return "", {}
+    try:
+        with open(best[1]) as f:
+            doc = json.load(f)
+        return os.path.basename(best[1]), dict(doc["parsed"]["queries"])
+    except Exception:  # noqa: BLE001 — a malformed artifact must not kill the bench
+        return "", {}
+
+
+def _dedup_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:
+    """Standing 50k-doc dedup probe (SCALE.md 'Measured headroom: dedup'):
+    replicate the documents 10x with per-replica truncation so every
+    original gains 9 true near-dups, then time MinHash-LSH pair detection.
+    Scaling regressions in the candidate-bound path show up here long
+    before the 10k-doc headline entry moves."""
+    from pyspark.sql import DataFrame  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.dedup import minhash_lsh_pairs  # noqa: PLC0415
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    words = F.split("text", " ")
+    reps = [
+        d.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            F.concat_ws(" ", F.slice(words, 1, F.greatest(F.size(words) - i, F.lit(1)))).alias("text"),
+        )
+        for i in range(10)
+    ]
+    corpus = functools.reduce(DataFrame.unionByName, reps)
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(corpus, text_col="text", id_col="doc_id").count()
+    return {"sec": round(time.time() - t0, 3), "pairs": pairs, "docs": 10 * d.count()}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -95,6 +149,17 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
+    probe = _dedup_scale_probe(spark, sf_dir)
+    print(f"# dedup_scale_probe_50k: {probe}", file=sys.stderr)
+
+    baseline_name, baseline = _baseline_queries()
+    regressions = {}
+    for name, sec in timings.items():
+        base = baseline.get(name)
+        if base and sec > base * REGRESSION_RATIO and sec - base > REGRESSION_FLOOR_SEC:
+            regressions[name] = {"baseline": base, "now": sec, "ratio": round(sec / base, 2)}
+            print(f"# REGRESSION {name}: {base}s -> {sec}s ({sec / base:.2f}x)", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
@@ -102,6 +167,9 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "dedup_scale_probe_50k": probe,
+        "baseline": baseline_name,
+        "regressions": regressions,
     }))
     spark.stop()
     return 0

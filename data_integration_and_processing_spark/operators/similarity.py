@@ -241,7 +241,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 6,
-    broadcast_max_rows: int = 500_000,
+    broadcast_max_bytes: int = 512 << 20,
     n_planes: int = 8,
     n_tables: int = 16,
     seed: int = 42,
@@ -253,7 +253,8 @@ def embedding_neardup_pairs(
     index-order double accumulation, matching the oracle), so reported
     values are identical; only candidate *generation* differs:
 
-    - ``n <= broadcast_max_rows``: BLAS matmul candidates
+    - estimated corpus size <= ``broadcast_max_bytes`` (Catalyst plan
+      statistics — a planning-time lookup, NO job): BLAS matmul candidates
       (:func:`_neardup_candidates_broadcast`) — fastest when the unit-vector
       matrix fits comfortably in driver/executor memory.
     - larger corpora: distributed sign-LSH banding
@@ -271,8 +272,7 @@ def embedding_neardup_pairs(
     ids_vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     path = force_path
     if path is None:
-        # driver-side metadata check (a count, not a data materialization)
-        path = "broadcast" if ids_vecs.count() <= broadcast_max_rows else "lsh"
+        path = "broadcast" if _estimated_bytes(ids_vecs) <= broadcast_max_bytes else "lsh"
     if path == "broadcast":
         cand = _neardup_candidates_broadcast(ids_vecs, threshold, round_digits)
     elif path == "lsh":
@@ -288,6 +288,18 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for the plan — free at planning time
+    (no Spark job). Parquet-backed plans report real file sizes; when the
+    estimate is unknown Spark returns a conservative huge default, which
+    correctly routes to the distributed path."""
+    try:
+        # py4j converts the scala BigInt to a python int
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())  # noqa: SLF001
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect: assume big, stay distributed
+        return 1 << 62
 
 
 def _neardup_candidates_broadcast(

@@ -71,8 +71,8 @@ def test_neardup_lsh_path_matches_broadcast_path(spark, sf_dir):
 
 
 def test_neardup_size_guard_routes_large_corpora_to_lsh(spark, sf_dir):
-    """With broadcast_max_rows below the corpus size the guard must take the
-    distributed path and still verify exactly."""
+    """With broadcast_max_bytes below the corpus size estimate the guard
+    must take the distributed path and still verify exactly."""
     from data_integration_and_processing_spark.operators.similarity import (
         embedding_neardup_pairs,
     )
@@ -80,7 +80,7 @@ def test_neardup_size_guard_routes_large_corpora_to_lsh(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     guarded = embedding_neardup_pairs(
-        e, threshold=0.4, broadcast_max_rows=10, n_planes=4, n_tables=48
+        e, threshold=0.4, broadcast_max_bytes=1024, n_planes=4, n_tables=48
     )
     forced = embedding_neardup_pairs(e, threshold=0.4, force_path="lsh", n_planes=4, n_tables=48)
     assert sorted(map(tuple, guarded.collect())) == sorted(map(tuple, forced.collect()))
@@ -108,3 +108,18 @@ def test_ivf_probe_is_partition_pruned(spark, sf_dir, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*_cell[^\]]*)\]", plan)
     assert m, f"probe scan has no _cell PartitionFilters:\n{plan}"
     assert probe.count() == 10
+
+
+def test_size_estimate_is_planning_time_and_sane(spark, sf_dir):
+    """The routing guard must read Catalyst statistics, not run a job: the
+    fixture's 500-vector corpus estimates in the KB-MB range (a broken
+    accessor silently returning the huge fallback would flip every small
+    corpus onto the low-recall LSH path — this caught a real bug)."""
+    from data_integration_and_processing_spark.operators.similarity import _estimated_bytes
+    from data_integration_and_processing_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    iv = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    est = _estimated_bytes(iv)
+    assert 1_000 < est < 64 << 20, f"implausible size estimate: {est}"
