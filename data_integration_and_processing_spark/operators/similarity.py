@@ -204,6 +204,103 @@ def ivf_probe(
     )
 
 
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> str:
+    """Materialize the multi-table sign-LSH inverted file: one row per
+    (table, bucket, vector), hive-partitioned by (table, bucket) so a probe
+    is a partition-pruned read of exactly ``n_tables`` buckets — the layout
+    :func:`lsh_topk`'s docstring promises. Storage is ``n_tables`` copies of
+    the corpus (any inverted index trades space for probe locality); keep
+    ``n_tables * 2**n_planes`` within sane partition counts when sizing.
+
+    Signatures come from the same seeded hyperplanes as the query-time
+    path, computed as one numpy matmul per Arrow batch. Metadata
+    (planes config) lands beside the data for probe-time reconstruction::
+
+        {path}/data/table=T/bucket=B/part-*.parquet
+        {path}/meta/part-*.parquet   (n_planes, n_tables, seed, dim)
+    """
+    import pandas as pd  # noqa: PLC0415 — keep pandas off the import hot path
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot index an empty corpus")
+    dim = int(first["d"])
+    planes = random_hyperplanes(dim, n_planes * n_tables, seed)
+    b_planes = df.sparkSession.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    ids_vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def _explode_tables(batches):
+        pl = b_planes.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            bits = (block @ pl.T) > 0
+            sigs = np.einsum(
+                "btp,p->bt", bits.reshape(len(pdf), n_tables, n_planes), weights
+            )
+            out = pdf.loc[pdf.index.repeat(n_tables)].reset_index(drop=True)
+            out["table"] = np.tile(np.arange(n_tables, dtype=np.int32), len(pdf))
+            out["bucket"] = sigs.reshape(-1)
+            yield out[["table", "bucket", "id", "v"]]
+
+    exploded = ids_vecs.mapInPandas(
+        _explode_tables, schema="table int, bucket long, id long, v array<float>"
+    )
+    exploded.write.mode("overwrite").partitionBy("table", "bucket").parquet(f"{path}/data")
+    df.sparkSession.createDataFrame(
+        [(n_planes, n_tables, seed, dim)], "n_planes int, n_tables int, seed int, dim int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return path
+
+
+def lsh_probe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Probe a :func:`build_lsh_index` index: compute the query's signature
+    per table driver-side (n_tables dot products), read ONLY the matching
+    (table, bucket) partitions via partition pruning, dedupe candidates
+    across tables, and rank by the exact JVM cosine. Expected scanned
+    fraction ~ n_tables / 2**n_planes of the corpus, as partition-pruned
+    I/O rather than a post-scan filter."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    planes = random_hyperplanes(int(meta["dim"]), meta["n_planes"] * meta["n_tables"], int(meta["seed"]))
+    q = np.asarray(query_vec, dtype=np.float64)
+    cond = None
+    for t in range(int(meta["n_tables"])):
+        tp = planes[t * meta["n_planes"] : (t + 1) * meta["n_planes"]]
+        q_sig = int(((tp @ q) > 0).astype(np.int64) @ (1 << np.arange(meta["n_planes"])))
+        hit = (F.col("table") == t) & (F.col("bucket") == q_sig)
+        cond = hit if cond is None else (cond | hit)
+    qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    sim = F.round(cosine(F.col("v"), qcol), round_digits)
+    return (
+        spark.read.parquet(f"{path}/data")
+        .filter(cond)
+        .select("id", "v")
+        .dropDuplicates(["id"])
+        .select(F.col("id").alias(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

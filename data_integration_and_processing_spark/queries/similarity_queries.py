@@ -217,3 +217,28 @@ def sim_vector_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine(a, q), 6).alias("cos_q"),
         F.round(F.element_at(a, 1).cast("double") / norm(a), 6).alias("unit_first"),
     )
+
+
+@register(
+    "sim_topk_lsh_indexed",
+    oracle=None,  # bucket layout is engine-specific; equality with the in-plan LSH path is pytest-pinned
+    description=(
+        "approximate ANN over a PERSISTED sign-LSH inverted file: build once "
+        "(hive-partitioned by table/bucket), probe via partition-pruned reads of "
+        "n_tables buckets — the production build/probe split of sim_topk_lsh"
+    ),
+    tags=("similarity", "north-star", "lsh", "partitioning"),
+)
+def sim_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from data_integration_and_processing_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_probe,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    path = f"/tmp/diaps_scratch/lsh_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    build_lsh_index(e.filter(F.col("vec_id") != 0), path, n_planes=4, n_tables=8)
+    return lsh_probe(spark, path, q, k=10)

@@ -56,12 +56,14 @@ def write_jdbc(
     batchsize: int = 10_000,
     column_types: str | None = None,
     options: dict[str, str] | None = None,
+    post_ddl: list[str] | None = None,
 ) -> None:
     """Dialect-neutral JDBC sink — the shared core under the PG/CH wrappers,
     and the one to use against any other JDBC database (live-tested against
     embedded Derby in tests/test_jdbc_live.py). ``column_types`` overrides
     created column DDL ("name VARCHAR(64), ..."); values must parse as Spark
-    SQL types AND be valid in the target dialect."""
+    SQL types AND be valid in the target dialect. ``post_ddl`` statements
+    run after the load on a driver-side connection (GRANT/INDEX/ANALYZE)."""
     writer = (
         df.write.format("jdbc")
         .mode(mode)
@@ -74,6 +76,28 @@ def write_jdbc(
     for k, v in (options or {}).items():
         writer = writer.option(k, v)
     writer.save()
+    if post_ddl:
+        execute_jdbc_statements(df.sparkSession, url, post_ddl)
+
+
+def execute_jdbc_statements(spark, url: str, statements: list[str]) -> None:
+    """Run driver-side DDL/DCL statements over a raw JDBC connection — the
+    post-load hook for things DataFrameWriter can't express: the reference
+    grants read access after every load
+    (`/root/reference/PostgresDatabase.py:95` GRANT SELECT), index builds,
+    ANALYZE, etc. Uses java.sql.DriverManager through the session JVM, so
+    any driver on the Spark classpath works (live-tested against Derby)."""
+    jvm = spark.sparkContext._jvm  # noqa: SLF001 — deliberate JVM bridge
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            for sql in statements:
+                stmt.execute(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
 
 
 def write_jdbc_postgres(
@@ -83,9 +107,13 @@ def write_jdbc_postgres(
     mode: str = "overwrite",
     batchsize: int = 10_000,
     options: dict[str, str] | None = None,
+    post_ddl: list[str] | None = None,
 ) -> None:
     """PG sink with reference O7+O9 semantics: overwrite = drop+recreate with
-    a dtype-mapped schema; batched inserts approximate the COPY fast path."""
+    a dtype-mapped schema; batched inserts approximate the COPY fast path.
+    ``post_ddl`` statements run after the load on a driver-side connection —
+    the reference's post-load ``GRANT SELECT`` (PostgresDatabase.py:95)
+    belongs here."""
     writer = (
         df.write.format("jdbc")
         .mode(mode)
@@ -98,6 +126,8 @@ def write_jdbc_postgres(
     for k, v in (options or {}).items():
         writer = writer.option(k, v)
     writer.save()
+    if post_ddl:
+        execute_jdbc_statements(df.sparkSession, url, post_ddl)
 
 
 def write_jdbc_clickhouse(

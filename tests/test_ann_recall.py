@@ -123,3 +123,33 @@ def test_size_estimate_is_planning_time_and_sane(spark, sf_dir):
     iv = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
     est = _estimated_bytes(iv)
     assert 1_000 < est < 64 << 20, f"implausible size estimate: {est}"
+
+
+def test_lsh_index_probe_matches_inplan_lsh_and_prunes(spark, sf_dir, tmp_path):
+    """build_lsh_index/lsh_probe is the persisted counterpart of lsh_topk:
+    same seeded hyperplanes => identical top-k, but the probe reads only
+    the query's (table, bucket) partitions (PartitionFilters in the plan)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from data_integration_and_processing_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_probe,
+        lsh_topk,
+    )
+    from data_integration_and_processing_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = e.filter(F.col("vec_id") != 0)
+
+    inplan = lsh_topk(corpus, q, k=10, n_planes=4, n_tables=8)
+    path = str(tmp_path / "lsh")
+    build_lsh_index(corpus, path, n_planes=4, n_tables=8)
+    probe = lsh_probe(spark, path, q, k=10)
+
+    assert sorted(map(tuple, probe.collect())) == sorted(map(tuple, inplan.collect()))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*(?:table|bucket)[^\]]*)\]", plan)
+    assert m, f"probe scan has no table/bucket PartitionFilters:\n{plan}"

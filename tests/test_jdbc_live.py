@@ -88,3 +88,47 @@ def test_jdbc_create_table_column_types(spark, sf_dir, derby_url):
     )
     back = read_jdbc(spark, derby_url, "nation_t")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+
+
+def test_jdbc_post_ddl_hook(spark, sf_dir, derby_url):
+    """The post-load DDL hook (reference GRANT SELECT analogue,
+    PostgresDatabase.py:95) runs real statements on a driver-side
+    connection: here a post-load index, verified in Derby's catalog."""
+    from data_integration_and_processing_spark.sources.writers import (
+        execute_jdbc_statements,
+    )
+
+    n = _nation(spark, sf_dir)
+    write_jdbc(
+        n,
+        derby_url,
+        "nation_ddl",
+        mode="overwrite",
+        # Spark writes the TABLE identifier unquoted (Derby uppercases it)
+        # but quotes COLUMN names (case preserved) — the DDL must match.
+        post_ddl=['CREATE INDEX nation_ddl_idx ON nation_ddl ("n_nationkey")'],
+    )
+    idx = read_jdbc(
+        spark,
+        derby_url,
+        table="",
+        query=(
+            "SELECT CONGLOMERATENAME FROM SYS.SYSCONGLOMERATES "
+            "WHERE CONGLOMERATENAME = 'NATION_DDL_IDX'"
+        ),
+    )
+    assert idx.count() == 1
+    # hook is usable standalone too (e.g. ANALYZE-style maintenance)
+    execute_jdbc_statements(spark, derby_url, ["DROP INDEX NATION_DDL_IDX"])
+    assert (
+        read_jdbc(
+            spark,
+            derby_url,
+            table="",
+            query=(
+                "SELECT CONGLOMERATENAME FROM SYS.SYSCONGLOMERATES "
+                "WHERE CONGLOMERATENAME = 'NATION_DDL_IDX'"
+            ),
+        ).count()
+        == 0
+    )
