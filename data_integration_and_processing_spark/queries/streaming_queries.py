@@ -352,3 +352,29 @@ def stream_sessionize_by_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("session_seq"),
     ).drop("new_sess")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+        SELECT c.user_id AS c_user, c.event_id AS click_id, p.event_id AS purchase_id
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    description=(
+        "true stream-STREAM inner join (clicks x purchases within 30 min per user): "
+        "watermarks on both sides + event-time-bounded condition so join state is "
+        "reclaimable — replayed via availableNow, value-checked against the batch twin"
+    ),
+    tags=("streaming", "join", "stateful"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.streaming.pipelines import (
+        run_stream_stream_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return run_stream_stream_join(spark, e)

@@ -294,3 +294,60 @@ def run_streaming_dedup(
     )
     survivors = spark.read.parquet(sink)
     return survivors.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    events: DataFrame,
+    scratch_dir: str | None = None,
+    watermark: str = "1 hour",
+    window: str = "30 minutes",
+) -> DataFrame:
+    """True stream-STREAM inner join: clicks joined to purchases of the same
+    user landing within ``window`` after the click. Both sides carry
+    watermarks and the join condition bounds event-time distance, so state
+    for either side is reclaimed once the other side's watermark passes —
+    the only shape under which an unbounded two-stream join is runnable at
+    all (unbounded state otherwise). Replayed via availableNow + foreachBatch
+    append, same harness as the other true-streaming pipelines."""
+    scratch = scratch_dir or f"/tmp/diaps_stream_{uuid.uuid4().hex[:8]}"
+    stream, sink = _staged_stream(spark, events, scratch)
+    ckpt = f"{scratch}/ckpt"
+
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL {window}"
+        ),
+    ).select("c_user", "click_id", "purchase_id")
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return spark.read.parquet(sink)
