@@ -1017,3 +1017,38 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+        SELECT o.o_orderpriority,
+               count(*) AS n_items,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    description=(
+        "co-located bucketed join: both fact tables pre-bucketed by the join key "
+        "(bucketBy 8 + sortBy), so the sort-merge join reads matching buckets with NO "
+        "Exchange in the plan — the storage-layout lever that removes the fact-fact "
+        "shuffle entirely at 100 TB (plan shape pinned in tests/test_storage_layout.py)"
+    ),
+    tags=("join", "aggregation", "partitioning", "scale"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    suffix = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    li_tbl, ord_tbl = f"li_bkt_{suffix}", f"ord_bkt_{suffix}"
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    (l.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(li_tbl))
+    (o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ord_tbl))
+    lb, ob = spark.table(li_tbl), spark.table(ord_tbl)
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("sum_price"),
+        )
+    )
