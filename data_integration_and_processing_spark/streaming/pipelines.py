@@ -351,3 +351,100 @@ def run_stream_stream_join(
         .awaitTermination(300)
     )
     return spark.read.parquet(sink)
+
+
+def _make_user_value_stats_processor():
+    """transformWithStateInPandas processor: per-user event count and
+    min/max event id in a named ValueState cell. Integer-only aggregates,
+    so the result is invariant to micro-batch boundaries and arrival order
+    (same invariance argument as _user_stats_fn). Built lazily because
+    StatefulProcessor lives in pyspark.sql.streaming.stateful_processor
+    (Spark 4 API)."""
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415 — Spark 4 API
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "n long, lo long, hi long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, lo, hi = self._state.get()
+            else:
+                n, lo, hi = 0, None, None
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                n += len(pdf)
+                b_lo, b_hi = int(pdf["event_id"].min()), int(pdf["event_id"].max())
+                lo = b_lo if lo is None else min(lo, b_lo)
+                hi = b_hi if hi is None else max(hi, b_hi)
+            self._state.update((n, lo, hi))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "first_event_id": [lo], "last_event_id": [hi]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return Processor()
+
+
+def run_transform_with_state(
+    spark: SparkSession, events: DataFrame, scratch_dir: str | None = None
+) -> DataFrame:
+    """Spark 4's arbitrary stateful processing v2 (``transformWithState``
+    /``transformWithStateInPandas``): typed state cells managed through a
+    StatefulProcessorHandle instead of one opaque GroupState tuple —
+    multiple named states, timers, and TTL become possible per key. Same
+    state-store partitioning as applyInPandasWithState (one exchange on the
+    grouping key; each executor owns its key range). Output-equal to the
+    batch groupBy (asserted by tests/test_streaming_watermark.py when the
+    environment allows).
+
+    ENVIRONMENT GATE: the transformWithState state server speaks protobuf
+    between the JVM and a long-lived Python driver worker; this container
+    ships no ``google.protobuf``, so the API import-fails at runtime. The
+    check below turns the opaque worker crash into a clear error. The
+    applyInPandasWithState path (run_stateful_user_stats) covers the same
+    per-key custom-stateful semantics and IS oracle-checked."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401, PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package for its "
+            "JVM<->Python state channel; use run_stateful_user_stats "
+            "(applyInPandasWithState) in this environment"
+        ) from exc
+    scratch = scratch_dir or f"/tmp/diaps_state_{uuid.uuid4().hex[:8]}"
+    stream, sink = _staged_stream(spark, events, scratch)
+    ckpt = f"{scratch}/ckpt"
+
+    updates = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_user_value_stats_processor(),
+        outputStructType=_USER_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    (
+        updates.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    out = spark.read.parquet(sink)
+    # cumulative updates: keep the final (max n_events) row per user
+    w_latest = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.min("first_event_id").alias("first_event_id"),
+        F.max("last_event_id").alias("last_event_id"),
+    )
+    return w_latest

@@ -99,3 +99,30 @@ def test_same_row_on_time_is_counted(spark, tmp_path):
     rows, dropped = _run(spark, tmp_path, [[*ON_TIME[:2], LATE, ON_TIME[2]], [NUDGE]])
     assert _count_for_first_window(rows) == 3  # counterfactual control
     assert dropped == 0
+
+
+def test_transform_with_state_or_documented_gate(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas: runs and matches the batch
+    groupBy where protobuf exists; otherwise the documented
+    NotImplementedError (not an opaque worker crash)."""
+    import pytest
+
+    from data_integration_and_processing_spark.sources.tables import load_table
+    from data_integration_and_processing_spark.streaming.pipelines import (
+        run_transform_with_state,
+    )
+
+    e = load_table(spark, sf_dir, "events").limit(500)
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="applyInPandasWithState"):
+            run_transform_with_state(spark, e)
+        return
+    out = run_transform_with_state(spark, e)
+    expect = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        F.max("event_id").alias("last_event_id"),
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))
