@@ -207,3 +207,60 @@ def sample_mix_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return mix_to_target(d, "lang", ["doc_id"])
+
+
+_VALIDATION_RULES_SQL = """
+    SELECT * FROM (VALUES
+        ('discount_range',
+         (SELECT count(*) FROM lineitem WHERE NOT coalesce(l_discount BETWEEN 0.0 AND 0.1, FALSE))),
+        ('linestatus_domain',
+         (SELECT count(*) FROM lineitem WHERE NOT coalesce(l_linestatus IN ('O', 'F'), FALSE))),
+        ('orderkey_not_null',
+         (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)),
+        ('price_positive',
+         (SELECT count(*) FROM lineitem WHERE NOT coalesce(l_extendedprice > 0, FALSE))),
+        ('qty_range',
+         (SELECT count(*) FROM lineitem WHERE NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE))),
+        ('returnflag_domain',
+         (SELECT count(*) FROM lineitem WHERE NOT coalesce(l_returnflag IN ('A', 'N', 'R'), FALSE)))
+    ) AS v(rule, n_violations)
+"""
+
+
+@register(
+    "etl_validation_report",
+    oracle=f"""
+        SELECT v.rule, v.n_violations,
+               (SELECT count(*) FROM lineitem) AS n_rows,
+               v.n_violations = 0 AS pass
+        FROM ({_VALIDATION_RULES_SQL}) v
+        ORDER BY v.rule
+    """,
+    description=(
+        "rule-based expectation checks (not-null / range / domain) over lineitem in ONE "
+        "aggregation pass — each rule is a conditional count, so 50 expectations at "
+        "100 TB cost one scan (reference md.md:43-49 'validation before write', "
+        "implemented; operators/validation.py)"
+    ),
+    tags=("profiling", "etl", "validation"),
+)
+def etl_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.validation import (
+        in_range,
+        not_null,
+        one_of,
+        validate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return validate(
+        li,
+        {
+            "orderkey_not_null": not_null("l_orderkey"),
+            "qty_range": in_range("l_quantity", 1, 50),
+            "discount_range": in_range("l_discount", 0.0, 0.1),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "returnflag_domain": one_of("l_returnflag", ["A", "N", "R"]),
+            "linestatus_domain": one_of("l_linestatus", ["O", "F"]),
+        },
+    )

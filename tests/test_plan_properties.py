@@ -108,3 +108,13 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
     )
     for r in both.collect():
         assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.01, r
+
+
+def test_validation_report_is_single_pass(spark, sf_dir):
+    """Every expectation compiles into the same aggregation: the plan scans
+    lineitem exactly once no matter how many rules are registered."""
+    from data_integration_and_processing_spark.queries import catalog
+
+    df = catalog.all_specs()["etl_validation_report"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
