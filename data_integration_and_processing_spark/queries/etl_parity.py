@@ -346,3 +346,72 @@ def etl_jdbc_live_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper_bound=25,
         num_partitions=4,
     )
+
+
+@register(
+    "etl_cdc_apply",
+    oracle="""
+        WITH log AS (
+            SELECT c_custkey, c_name, c_acctbal, 1 AS seq, 'I' AS op FROM customer
+            UNION ALL
+            SELECT c_custkey, c_name, c_acctbal + 50.0, 2, 'U' FROM customer
+            WHERE c_custkey % 7 = 2
+            UNION ALL
+            SELECT c_custkey, c_name, c_acctbal, 3, 'D' FROM customer
+            WHERE c_custkey % 13 = 5
+        ),
+        latest AS (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+            FROM log
+        )
+        SELECT c_custkey, c_name, c_acctbal FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+    description=(
+        "CDC changelog replay to final state: per-key highest-sequence event wins, "
+        "trailing deletes drop the key. One shuffle via max_by(struct, seq) with "
+        "map-side partial aggregation — the incremental alternative to the "
+        "reference's full-table re-copy (PostgresDatabase.py:72-73)"
+    ),
+    tags=("etl", "pipeline", "cdc"),
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.plans.pipelines import cdc_apply
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    inserts = c.select("*", F.lit(1).alias("seq"), F.lit("I").alias("op"))
+    updates = (
+        c.filter(F.col("c_custkey") % 7 == 2)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 50.0)
+        .select("*", F.lit(2).alias("seq"), F.lit("U").alias("op"))
+    )
+    deletes = c.filter(F.col("c_custkey") % 13 == 5).select(
+        "*", F.lit(3).alias("seq"), F.lit("D").alias("op")
+    )
+    log = inserts.unionByName(updates).unionByName(deletes)
+    return cdc_apply(log, key_cols=["c_custkey"], seq_col="seq", op_col="op")
+
+
+@register(
+    "etl_incremental_watermark",
+    oracle="""
+        SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_totalprice
+        FROM orders
+    """,
+    description=(
+        "high-watermark incremental load: target holds history through a cutoff, the "
+        "increment is source rows strictly past max(watermark) — pushed into the "
+        "parquet scan so old row groups are min/max-skipped. End state must equal a "
+        "full re-copy (boundary rows must not duplicate); costs O(new data)"
+    ),
+    tags=("etl", "pipeline", "incremental"),
+)
+def etl_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.plans.pipelines import transfer_incremental
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+    # Simulate a sink that was last loaded mid-1997: everything at or before
+    # the cutoff is already present. A correct increment is strictly-newer
+    # rows only — the cutoff date itself must not re-deliver.
+    target = o.filter(F.col("o_orderdate") <= F.lit("1997-06-30").cast("date"))
+    out = transfer_incremental(o, target, watermark_col="o_orderdate")
+    return out.withColumn("o_orderdate", F.col("o_orderdate").cast("string"))

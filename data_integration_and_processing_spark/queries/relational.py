@@ -1019,6 +1019,22 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _reset_managed_table(spark: SparkSession, name: str) -> None:
+    """Drop a managed table AND its warehouse directory if a previous process
+    died between creating the location and registering the table — a fresh
+    metastore + leftover location otherwise fails saveAsTable with
+    LOCATION_ALREADY_EXISTS."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    wh_path = wh.removeprefix("file:")
+    loc = os.path.join(wh_path, name.lower())
+    if wh_path and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 @register(
     "join_bucketed_colocated",
     oracle="""
@@ -1039,6 +1055,8 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
     li_tbl, ord_tbl = f"li_bkt_{suffix}", f"ord_bkt_{suffix}"
+    for tbl in (li_tbl, ord_tbl):
+        _reset_managed_table(spark, tbl)
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     (l.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(li_tbl))

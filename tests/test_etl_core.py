@@ -294,3 +294,45 @@ def test_cli_transfer_roundtrip(tmp_path):
 
     cols = {c[0] for c in duckdb.sql(f"DESCRIBE SELECT * FROM '{out}/*.parquet'").fetchall()}
     assert {"region_key", "region_name"} <= cols
+
+
+class TestCdcApply:
+    def _apply(self, spark, rows):
+        from data_integration_and_processing_spark.plans.pipelines import cdc_apply
+
+        df = spark.createDataFrame(rows, "k INT, v STRING, seq INT, op STRING")
+        out = cdc_apply(df, key_cols=["k"], seq_col="seq", op_col="op")
+        return {(r.k, r.v) for r in out.collect()}
+
+    def test_delete_then_reinsert_survives(self, spark):
+        rows = [(1, "a", 1, "I"), (1, None, 2, "D"), (1, "b", 3, "I")]
+        assert self._apply(spark, rows) == {(1, "b")}
+
+    def test_trailing_delete_removes_key(self, spark):
+        rows = [(1, "a", 1, "I"), (1, "b", 2, "U"), (1, None, 3, "D"), (2, "x", 1, "I")]
+        assert self._apply(spark, rows) == {(2, "x")}
+
+    def test_redelivered_event_is_idempotent(self, spark):
+        # the same (seq, op) event delivered twice must not change the outcome
+        rows = [(1, "a", 1, "I"), (1, "b", 2, "U"), (1, "b", 2, "U")]
+        assert self._apply(spark, rows) == {(1, "b")}
+
+    def test_struct_collapse_is_atomic(self, spark):
+        # all payload columns must come from the SAME winning event — never a
+        # column-wise mix of two events
+        from data_integration_and_processing_spark.plans.pipelines import cdc_apply
+
+        df = spark.createDataFrame(
+            [(1, "old_name", "old_city", 1, "I"), (1, "new_name", "new_city", 2, "U")],
+            "k INT, name STRING, city STRING, seq INT, op STRING",
+        )
+        out = cdc_apply(df, key_cols=["k"], seq_col="seq", op_col="op").collect()
+        assert [(r.k, r.name, r.city) for r in out] == [(1, "new_name", "new_city")]
+
+
+def test_incremental_watermark_empty_target_loads_all(spark):
+    from data_integration_and_processing_spark.plans.pipelines import transfer_incremental
+
+    src = spark.createDataFrame([(1, 10), (2, 20)], "k INT, ts INT")
+    tgt = src.filter("1=0")
+    assert transfer_incremental(src, tgt, "ts").count() == 2
