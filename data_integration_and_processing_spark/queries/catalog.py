@@ -28,6 +28,7 @@ _QUERY_MODULES = [
     "data_integration_and_processing_spark.queries.dedup_queries",
     "data_integration_and_processing_spark.queries.similarity_queries",
     "data_integration_and_processing_spark.queries.text_queries",
+    "data_integration_and_processing_spark.queries.curation_queries",
     "data_integration_and_processing_spark.queries.sampling_queries",
     "data_integration_and_processing_spark.queries.streaming_queries",
     "data_integration_and_processing_spark.queries.multimodal_queries",
