@@ -142,6 +142,12 @@ def main() -> int:
     n_cores = spark.sparkContext.defaultParallelism
     spark.range(n_cores, numPartitions=n_cores).select(_warm("id")).collect()
 
+    # warmup: noop-sink write path — the timed queries execute through
+    # .write.format("noop"), and the FIRST write in a session pays the
+    # datasource/write-path class loading (~1 s); without this the cost
+    # lands on whichever query runs first and reads as a regression
+    spark.range(1).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()

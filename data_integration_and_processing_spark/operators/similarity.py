@@ -371,11 +371,17 @@ def embedding_neardup_pairs(
     if path is None:
         path = "broadcast" if _estimated_bytes(ids_vecs) <= broadcast_max_bytes else "lsh"
     if path == "broadcast":
+        # the candidate stage already holds both vectors of every pair, so
+        # it emits the EXACT verified cosine in-stage (bit-identical
+        # sequential fold, see _seq_cosine) — no re-join with the corpus
         cand = _neardup_candidates_broadcast(ids_vecs, threshold, round_digits)
-    elif path == "lsh":
-        cand = _neardup_candidates_lsh(ids_vecs, n_planes, n_tables, seed)
-    else:
+        return cand.select(
+            "id_a", "id_b", F.round(F.col("cos"), round_digits).alias("cos_sim")
+        ).filter(F.col("cos_sim") >= threshold)
+    if path != "lsh":
         raise ValueError(f"unknown force_path: {force_path!r}")
+    # LSH candidates carry only ids — fetch vectors back for the exact verify
+    cand = _neardup_candidates_lsh(ids_vecs, n_planes, n_tables, seed)
     a = ids_vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = ids_vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)
@@ -399,15 +405,35 @@ def _estimated_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
+def _seq_cosine(a: np.ndarray, b: np.ndarray) -> float:
+    """Bit-identical twin of the JVM :func:`cosine` expression: dot and the
+    two squared norms are accumulated in doubles in index order from 0.0
+    (each step one multiply + one add — no FMA, no pairwise summation), then
+    ``dot / (norm_a * norm_b)`` in that association order. BLAS/np.dot use
+    pairwise summation and would drift in the last ulps; the exact verify
+    must hash-match the SQL oracle."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dot_ = np.float64(0.0)
+        na = np.float64(0.0)
+        nb = np.float64(0.0)
+        for i in range(len(a)):
+            dot_ = dot_ + a[i] * b[i]
+            na = na + a[i] * a[i]
+            nb = nb + b[i] * b[i]
+        return float(dot_ / (np.sqrt(na) * np.sqrt(nb)))
+
+
 def _neardup_candidates_broadcast(
     ids_vecs: DataFrame, threshold: float, round_digits: int
 ) -> DataFrame:
-    """Candidate (id_a < id_b) pairs via a BLAS matrix product inside an
+    """Verified (id_a < id_b, cos) pairs via a BLAS matrix product inside an
     Arrow-batched ``mapInPandas``: the full (id, unit-vector) matrix is a
     broadcast variable and each partition multiplies its block against it.
-    Only pairs clearing ``threshold`` minus fp slack (summation-order drift)
-    survive, so the n^2 stage emits ~|answer| rows. Driver-memory-bound —
-    callers guard on corpus size."""
+    Pairs clearing ``threshold`` minus fp slack (summation-order drift) get
+    the exact sequential-fold cosine (:func:`_seq_cosine`) computed in-stage
+    — the matmul finds the ~|answer| candidates fast, the exact fold runs
+    only on those, and no corpus re-join is needed downstream.
+    Driver-memory-bound — callers guard on corpus size."""
     spark = ids_vecs.sparkSession
 
     import pandas as pd  # noqa: PLC0415 — keep pandas off the import hot path
@@ -419,23 +445,31 @@ def _neardup_candidates_broadcast(
     unit = mat / np.where(norms == 0.0, 1.0, norms)[:, None]
     b_ids = spark.sparkContext.broadcast(all_ids)
     b_unit = spark.sparkContext.broadcast(unit)
+    b_mat = spark.sparkContext.broadcast(mat)
     slack = 10.0 ** (-round_digits) * 100.0
 
     def _candidates(batches):
-        ids_all, unit_all = b_ids.value, b_unit.value
+        ids_all, unit_all, mat_all = b_ids.value, b_unit.value, b_mat.value
+        order = {int(i): j for j, i in enumerate(ids_all)}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             block = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             bn = np.linalg.norm(block, axis=1)
-            block = block / np.where(bn == 0.0, 1.0, bn)[:, None]
-            sims = block @ unit_all.T
+            ublock = block / np.where(bn == 0.0, 1.0, bn)[:, None]
+            sims = ublock @ unit_all.T
             rid = np.asarray(pdf["id"].to_numpy(), dtype=np.int64)
             rows, cols = np.nonzero((sims >= threshold - slack) & (rid[:, None] < ids_all[None, :]))
             if len(rows):
-                yield pd.DataFrame({"id_a": rid[rows], "id_b": ids_all[cols]})
+                exact = [
+                    _seq_cosine(mat_all[order[int(rid[r])]], mat_all[c])
+                    for r, c in zip(rows, cols)
+                ]
+                yield pd.DataFrame(
+                    {"id_a": rid[rows], "id_b": ids_all[cols], "cos": exact}
+                )
 
-    return ids_vecs.mapInPandas(_candidates, schema="id_a long, id_b long")
+    return ids_vecs.mapInPandas(_candidates, schema="id_a long, id_b long, cos double")
 
 
 def _neardup_candidates_lsh(

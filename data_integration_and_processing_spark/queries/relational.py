@@ -1070,3 +1070,64 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("sum_price"),
         )
     )
+
+
+@register(
+    "join_temporal_pointintime",
+    oracle="""
+        WITH dim AS (
+            SELECT c_custkey, c_acctbal AS acctbal_v, 1 AS dim_version,
+                   DATE '1992-01-01' AS valid_from, DATE '1995-12-31' AS valid_to
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, c_acctbal + 100.0, 2, DATE '1996-01-01', NULL
+            FROM customer
+        )
+        SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+               acctbal_v, dim_version
+        FROM orders JOIN dim ON o_custkey = c_custkey
+         AND o_orderdate >= valid_from
+         AND o_orderdate <= coalesce(valid_to, DATE '9999-12-31')
+    """,
+    description=(
+        "temporal point-in-time join: each fact row matched to the SCD2 dimension "
+        "version whose [valid_from, valid_to] interval covers the event date (open "
+        "intervals via coalesce-to-infinity) — the lookup pattern every scd2_apply "
+        "consumer runs. Plan: broadcast equi-join on the key with the interval "
+        "predicate evaluated map-side; dimensions-with-history stay broadcastable "
+        "because versions-per-key is small"
+    ),
+    tags=("join", "temporal", "scd2"),
+)
+def join_temporal_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal_v"),
+        F.lit(1).alias("dim_version"),
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.lit("1995-12-31").cast("date").alias("valid_to"),
+    )
+    v2 = c.select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("acctbal_v"),
+        F.lit(2).alias("dim_version"),
+        F.lit("1996-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    return (
+        o.join(
+            F.broadcast(dim),
+            (o.o_custkey == dim.c_custkey)
+            & (o.o_orderdate >= dim.valid_from)
+            & (o.o_orderdate <= F.coalesce(dim.valid_to, F.lit("9999-12-31").cast("date"))),
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "acctbal_v",
+            "dim_version",
+        )
+    )
