@@ -415,3 +415,25 @@ def etl_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = o.filter(F.col("o_orderdate") <= F.lit("1997-06-30").cast("date"))
     out = transfer_incremental(o, target, watermark_col="o_orderdate")
     return out.withColumn("o_orderdate", F.col("o_orderdate").cast("string"))
+
+
+@register(
+    "etl_orc_roundtrip",
+    oracle="""
+        SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+    """,
+    description=(
+        "ORC sink+source round trip (columnar alternative to parquet, built into "
+        "Spark; same pushdown/pruning levers apply). Schema travels in the file "
+        "footer like parquet — no re-inference scan"
+    ),
+    tags=("etl", "source", "sink"),
+)
+def etl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.sources.readers import read_file
+    from data_integration_and_processing_spark.sources.writers import write_file
+
+    dest = f"{_SCRATCH}/part_orc"
+    cols = ["p_partkey", "p_name", "p_brand", "p_retailprice"]
+    write_file(load_table(spark, sf_dir, "part").select(*cols), dest, fmt="orc", mode="overwrite")
+    return read_file(spark, dest, fmt="orc")

@@ -323,3 +323,56 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("q").alias("min_quality"),
         F.max("q").alias("max_quality"),
     )
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term),
+        scored AS (
+            SELECT doc_id, term, tf, doc_freq,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY CAST(tf AS DOUBLE) / doc_freq DESC, term
+                   ) AS rn
+            FROM tf JOIN dfreq USING (term)
+        )
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+               CAST(doc_freq AS BIGINT) AS doc_freq,
+               round(CAST(tf AS DOUBLE) / doc_freq, 6) AS rel
+        FROM scored WHERE rn <= 3
+    """,
+    description=(
+        "per-doc top-3 salient terms by tf over document frequency (a tf-idf variant "
+        "with raw inverse-frequency weighting: tf/df is a single exact IEEE division, "
+        "so ranking is bit-deterministic across engines — a log-idf would tie-break on "
+        "libm's last ulp). Plan: token explode -> partial-agg tf shuffle; the "
+        "vocabulary-sized df table is broadcast; one window shuffle keyed by doc"
+    ),
+    tags=("text", "north-star", "aggregation", "window"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words_of(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("doc_freq"))
+    score = F.col("tf").cast("double") / F.col("doc_freq")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            F.round(score, 6).alias("rel"),
+        )
+    )
