@@ -437,3 +437,35 @@ def etl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["p_partkey", "p_name", "p_brand", "p_retailprice"]
     write_file(load_table(spark, sf_dir, "part").select(*cols), dest, fmt="orc", mode="overwrite")
     return read_file(spark, dest, fmt="orc")
+
+
+@register(
+    "etl_zorder_layout",
+    oracle="""
+        SELECT l_orderkey, l_partkey, l_extendedprice
+        FROM lineitem
+        WHERE l_orderkey <= 3000 AND l_partkey <= 100
+    """,
+    description=(
+        "Z-order (Morton-curve) layout round trip: lineitem rewritten along the "
+        "interleaved-bit curve of (l_orderkey, l_partkey), then scanned with a "
+        "selective predicate on BOTH dimensions. Results must equal the plain "
+        "filter (layout never changes semantics); the quantitative skipping win — "
+        "row-group min/max pruning effective on every indexed dimension, vs a "
+        "single-column sort helping only its own — is measured from parquet "
+        "footer stats in tests/test_storage_layout.py::TestZOrderLayout"
+    ),
+    tags=("etl", "sink", "partitioning", "scale"),
+)
+def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.layout import zorder_write
+
+    suffix = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    dest = f"{_SCRATCH}/lineitem_zorder_{suffix}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    zorder_write(li, dest, by=["l_orderkey", "l_partkey"], n_files=16)
+    return spark.read.parquet(dest).filter(
+        (F.col("l_orderkey") <= 3000) & (F.col("l_partkey") <= 100)
+    )

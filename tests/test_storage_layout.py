@@ -66,3 +66,69 @@ def test_partitioned_write_prunes_scan(spark, sf_dir, scratch):
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
     expected = e.filter(F.col("event_type") == "click").count()
     assert one_type.count() == expected
+
+
+class TestZOrderLayout:
+    """Z-order writes must make row-group min/max pruning effective on ALL
+    indexed dimensions, where a single-column sort helps only its own
+    column. Measured from actual parquet footer statistics, not plans."""
+
+    @staticmethod
+    def _skip_fraction(root: str, col: str, lo: int, hi: int) -> float:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        total = kept = 0
+        for f in glob.glob(f"{root}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                stats = {
+                    g.column(i).path_in_schema: g.column(i).statistics
+                    for i in range(g.num_columns)
+                }
+                s = stats[col]
+                total += 1
+                if not (s.max < lo or s.min > hi):
+                    kept += 1
+        return 1 - kept / total
+
+    def test_zorder_prunes_on_both_dimensions(self, spark, sf_dir, scratch):
+        from data_integration_and_processing_spark.operators.layout import zorder_write
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_extendedprice"
+        )
+        zorder_write(li, f"{scratch}/li_z", by=["l_orderkey", "l_partkey"], n_files=16)
+        (
+            li.repartitionByRange(16, "l_orderkey")
+            .sortWithinPartitions("l_orderkey")
+            .write.mode("overwrite")
+            .parquet(f"{scratch}/li_single")
+        )
+        max_ok = li.agg(F.max("l_orderkey")).first()[0]
+        max_pk = li.agg(F.max("l_partkey")).first()[0]
+        ok_range = (1, int(max_ok * 0.05))
+        pk_range = (1, int(max_pk * 0.05))
+
+        z_ok = self._skip_fraction(f"{scratch}/li_z", "l_orderkey", *ok_range)
+        z_pk = self._skip_fraction(f"{scratch}/li_z", "l_partkey", *pk_range)
+        s_ok = self._skip_fraction(f"{scratch}/li_single", "l_orderkey", *ok_range)
+        s_pk = self._skip_fraction(f"{scratch}/li_single", "l_partkey", *pk_range)
+
+        # single sort: near-perfect on its column, useless on the other
+        assert s_ok >= 0.8
+        assert s_pk == 0.0
+        # z-order: substantial pruning on BOTH dimensions
+        assert z_ok >= 0.4, f"z-order l_orderkey skip {z_ok}"
+        assert z_pk >= 0.4, f"z-order l_partkey skip {z_pk}"
+
+    def test_zorder_preserves_data(self, spark, sf_dir, scratch):
+        from data_integration_and_processing_spark.operators.layout import zorder_write
+
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        zorder_write(li, f"{scratch}/li_z_rt", by=["l_orderkey", "l_partkey"], n_files=8)
+        back = spark.read.parquet(f"{scratch}/li_z_rt")
+        assert back.count() == li.count()
+        assert back.exceptAll(li).isEmpty() and li.exceptAll(back).isEmpty()
