@@ -63,14 +63,17 @@ _PRIORITY: tuple[str, ...] = (
     "sim_topk_bruteforce",
     "sim_neardup_pairs",
     "sim_vector_ops_pack",
-    "sim_quantize_int8",
+    # storage layout (multi-dimensional skipping)
+    "etl_zorder_layout",
     # text-analysis family
     "text_language_id",
     "text_quality_score",
-    "text_token_count",
     "text_fingerprint",
     "text_pii_redaction",
     "pipeline_training_corpus",
+    # corpus curation family (r2)
+    "text_decontaminate",
+    "dedup_incremental_snapshot",
     # deterministic sampling family
     "sample_hash_deterministic",
     "sample_mix_to_target",
@@ -86,13 +89,11 @@ _PRIORITY: tuple[str, ...] = (
     "stream_sessionize_by_gap",
     "stream_dedup_watermark",
     "stream_stateful_user_stats",
-    "stream_upsert_sink",
     # multimodal plumbing
     "multimodal_binary_metadata",
     # scalar function packs
     "func_string_pack",
     "func_json_map_pack",
-    "func_permissive_cast",
     # scale utilities
     "ids_contiguous_assign",
     "profile_column_stats",
@@ -114,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "etl_transfer_append_roundtrip",
     "etl_upsert_merge",
     "etl_scd2_apply",
+    "etl_cdc_apply",
     "etl_jdbc_live_roundtrip",
 )
 

@@ -40,6 +40,12 @@ REQUIRED_FAMILY_TAGS = (
     "stateful",
     "pandas-udf",
     "asof",
+    # r2 families
+    "curation",
+    "cdc",
+    "incremental",
+    "partitioning",
+    "scale",
 )
 
 
