@@ -378,3 +378,48 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return run_stream_stream_join(spark, e)
+
+
+@register(
+    "stream_cdc_apply",
+    oracle="""
+        WITH log AS (
+            SELECT c_custkey, c_name, c_acctbal, 1 AS seq, 'I' AS op FROM customer
+            UNION ALL
+            SELECT c_custkey, c_name, c_acctbal + 50.0, 2, 'U' FROM customer
+            WHERE c_custkey % 7 = 2
+            UNION ALL
+            SELECT c_custkey, c_name, c_acctbal, 3, 'D' FROM customer
+            WHERE c_custkey % 13 = 5
+        ),
+        latest AS (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+            FROM log
+        )
+        SELECT c_custkey, c_name, c_acctbal FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+    description=(
+        "streaming CDC replay: the same I/U/D changelog as etl_cdc_apply delivered "
+        "as micro-batches (maxFilesPerTrigger=1) and merged seq-aware with tombstone "
+        "retention via foreachBatch — final sink state equals the batch collapse "
+        "regardless of batch boundaries or arrival order"
+    ),
+    tags=("streaming", "cdc", "incremental", "sink"),
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.streaming.pipelines import (
+        run_streaming_cdc_apply,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    inserts = c.select("*", F.lit(1).alias("seq"), F.lit("I").alias("op"))
+    updates = (
+        c.filter(F.col("c_custkey") % 7 == 2)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 50.0)
+        .select("*", F.lit(2).alias("seq"), F.lit("U").alias("op"))
+    )
+    deletes = c.filter(F.col("c_custkey") % 13 == 5).select(
+        "*", F.lit(3).alias("seq"), F.lit("D").alias("op")
+    )
+    log = inserts.unionByName(updates).unionByName(deletes)
+    return run_streaming_cdc_apply(spark, log, key_cols=["c_custkey"])
