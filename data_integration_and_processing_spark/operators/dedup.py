@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .parallelism import fan_out_scan
+
 _HAMMING_BITS = 63  # keep the simhash non-negative in a signed long
 
 
@@ -276,7 +278,8 @@ def minhash_lsh_pairs(
     # Jaccard over distinct hashed shingles equals Jaccard over shingles
     # up to 64-bit collisions (negligible).
     hs = (
-        df.select(F.col(id_col).alias("id"), shingle_keys(F.col(text_col), ngram).alias("hs"))
+        fan_out_scan(df)
+        .select(F.col(id_col).alias("id"), shingle_keys(F.col(text_col), ngram).alias("hs"))
         .filter(F.size("hs") > 0)
         # The hashed-shingle index feeds banding AND both sides of the
         # candidate verify join; without persist each consumer re-scans and
@@ -382,7 +385,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
         return pd.Series(out)
 
     wh = F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
-    return df.select(F.col(id_col).alias("id"), _sig(wh).alias("sig"))
+    return fan_out_scan(df).select(F.col(id_col).alias("id"), _sig(wh).alias("sig"))
 
 
 def _bit_vote(word_hashes: Column, j: int) -> Column:
@@ -538,7 +541,7 @@ def ngram_jaccard_pairs(
     next action report ``dropped_postings`` / ``dropped_posting_ids`` /
     ``candidate_postings`` so capped runs can see what they lost.
     """
-    sh = df.select(F.col(id_col).alias("id"), shingle_keys(F.col(text_col), n).alias("sh"))
+    sh = fan_out_scan(df).select(F.col(id_col).alias("id"), shingle_keys(F.col(text_col), n).alias("sh"))
     # consumed by sizes + both sides of the inverted-index join: materialize
     # once (the LSH "signature table" step; see minhash_lsh_pairs — same
     # cache_handle lifecycle)
