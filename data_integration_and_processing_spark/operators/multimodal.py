@@ -19,6 +19,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from .parallelism import fan_out_scan
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -86,7 +88,7 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)
+    return fan_out_scan(df.select(id_col, payload_col)).mapInPandas(batches, FEATURE_SCHEMA)
 
 
 RESIZE_SCHEMA = T.StructType(
@@ -132,7 +134,7 @@ def resize_images(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pay
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, RESIZE_SCHEMA)
+    return fan_out_scan(df.select(id_col, payload_col)).mapInPandas(batches, RESIZE_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -179,4 +181,4 @@ def sample_frames(
                 {"doc_id": ids, "frame_idx": idxs, "frame_bytes": sizes, "frame_md5": md5s}
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)
+    return fan_out_scan(df.select(id_col, payload_col)).mapInPandas(batches, FRAME_SCHEMA)

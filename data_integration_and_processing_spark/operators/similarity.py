@@ -19,6 +19,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .parallelism import fan_out_scan
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two float arrays, accumulated in doubles in index
@@ -58,7 +60,7 @@ def brute_force_topk(
     q = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
     sim = F.round(cosine(F.col(vec_col), q), round_digits)
     return (
-        df.select(F.col(id_col), sim.alias("cos_sim"))
+        fan_out_scan(df).select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
@@ -127,7 +129,7 @@ def lsh_topk(
     qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
     sim = F.round(cosine(F.col(vec_col), qcol), 6)
     return (
-        df.filter(cond)
+        fan_out_scan(df).filter(cond)
         .select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -158,7 +160,9 @@ def build_ivf_index(
 
     from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
 
-    feat = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    feat = fan_out_scan(df).withColumn(
+        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
     model = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell").fit(feat)
     assigned = model.transform(feat).drop("_features")
     assigned.write.mode("overwrite").partitionBy("_cell").parquet(f"{path}/data")
@@ -237,7 +241,7 @@ def build_lsh_index(
     b_planes = df.sparkSession.sparkContext.broadcast(planes)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-    ids_vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ids_vecs = fan_out_scan(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
     def _explode_tables(batches):
         pl = b_planes.value
@@ -366,10 +370,14 @@ def embedding_neardup_pairs(
 
     ``force_path`` ('broadcast' | 'lsh') pins a path for tests.
     """
-    ids_vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     path = force_path
     if path is None:
-        path = "broadcast" if _estimated_bytes(ids_vecs) <= broadcast_max_bytes else "lsh"
+        # size up the un-repartitioned plan: parquet-backed stats are exact
+        path = "broadcast" if _estimated_bytes(raw) <= broadcast_max_bytes else "lsh"
+    # both candidate stages are per-row compute (matmul / signatures) — fan
+    # the narrow fixture scan out before the Arrow boundary
+    ids_vecs = fan_out_scan(raw)
     if path == "broadcast":
         # the candidate stage already holds both vectors of every pair, so
         # it emits the EXACT verified cosine in-stage (bit-identical

@@ -16,6 +16,7 @@ from data_integration_and_processing_spark.operators.curation import (
     repetition_metrics,
 )
 from data_integration_and_processing_spark.queries.catalog import register
+from data_integration_and_processing_spark.operators.parallelism import fan_out_scan
 from data_integration_and_processing_spark.sources.tables import load_table
 
 
@@ -45,7 +46,7 @@ from data_integration_and_processing_spark.sources.tables import load_table
     tags=("text", "north-star", "curation"),
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     bench = d.filter(F.col("doc_id") % 41 == 7)
     train = d.filter(F.col("doc_id") % 41 != 7)
     return flag_contaminated(train, bench, n=4)
@@ -82,7 +83,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "north-star", "curation"),
 )
 def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     return repetition_metrics(d, n=2)
 
 
@@ -108,7 +109,7 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "north-star", "curation", "incremental"),
 )
 def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     snapshot = d.filter(F.col("doc_id") % 3 != 0).select(F.col("doc_id").alias("id"), "text")
     batch = (
         d.filter(F.col("doc_id") % 3 == 0)
@@ -136,5 +137,5 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "north-star", "curation", "udf"),
 )
 def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     return pack_sequences(d, token_budget=256)
