@@ -114,3 +114,55 @@ def redact_pii(text: Column) -> Column:
     """Replace email addresses then phone-like digit runs with placeholder
     tags. Order matters: emails can contain digits, so they go first."""
     return F.regexp_replace(F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<NUM>")
+
+
+def chunk_documents(
+    df,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split documents into overlapping token-window chunks — the step
+    between corpus curation and sequence packing in a training-data
+    pipeline (packing consumes whole docs; long docs must be chunked to
+    the context window first).
+
+    Windows start every ``stride = chunk_tokens - overlap`` tokens and stop
+    as soon as one reaches the end of the document (a later start would be
+    a pure suffix of the previous chunk — duplicated training data); the
+    last window may be short; a doc no longer than one window yields
+    exactly one chunk. All arithmetic is integer (start index, window
+    count) with the subtraction clamped non-negative BEFORE the division —
+    Spark's ``div`` truncates toward zero while DuckDB's ``//`` floors, so
+    negative numerators would diverge between engine and oracle. Plan
+    shape: pure map + in-task explode fan-out — NO shuffle, which is what
+    makes chunking free at 100 TB (the expansion factor ~ n_tokens/stride
+    rides inside each task).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    words = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), words.alias("_w"), F.size(words).alias("n_words"))
+    # last start index: ceil(max(0, n - chunk_tokens) / stride)
+    last = F.expr(f"(greatest(0, n_words - {chunk_tokens}) + {stride - 1}) div {stride}")
+    exploded = base.select(
+        id_col,
+        "_w",
+        "n_words",
+        F.posexplode(
+            # the sequence bound references the materialized n_words
+            # attribute (safe to re-reference — computed once; see
+            # spark-perf-traps)
+            F.transform(F.sequence(F.lit(0).cast("long"), last), lambda i: i * stride)
+        ).alias("chunk_id", "chunk_start"),
+    )
+    return exploded.select(
+        id_col,
+        "n_words",
+        "chunk_id",
+        "chunk_start",
+        F.least(F.lit(chunk_tokens), F.col("n_words") - F.col("chunk_start")).alias("chunk_len"),
+        F.array_join(F.slice(F.col("_w"), F.col("chunk_start") + 1, chunk_tokens), " ").alias("chunk_text"),
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from data_integration_and_processing_spark.operators.text_analysis import (
     BPE_ISH_PATTERN,
     STOPWORDS,
+    chunk_documents,
     fingerprint_md5,
     fingerprint_rolling,
     language_id,
@@ -21,6 +22,7 @@ from data_integration_and_processing_spark.operators.text_analysis import (
     words_of,
 )
 from data_integration_and_processing_spark.queries.catalog import register
+from data_integration_and_processing_spark.operators.parallelism import fan_out_scan
 from data_integration_and_processing_spark.sources.tables import load_table
 
 
@@ -56,7 +58,7 @@ FROM scored
     tags=("text", "north-star"),
 )
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     words = words_of(F.col("text"))
     return d.select(
         "doc_id",
@@ -98,7 +100,7 @@ FROM base
     tags=("text", "north-star"),
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.size(words_of(F.col("text"))).alias("n_words"),
@@ -120,7 +122,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "north-star"),
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     ws, bpe = token_counts(F.col("text"))
     return d.select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_ish_tokens"), "n_chars")
 
@@ -140,7 +142,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "north-star"),
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         fingerprint_md5(F.col("text")).alias("fp_md5"),
@@ -161,7 +163,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "north-star", "aggregation"),
 )
 def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     return d.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
@@ -192,7 +194,7 @@ def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_integration_and_processing_spark.operators.dedup import shingles
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     return (
         d.select(F.explode(shingles(F.col("text"), 3)).alias("gram"))
         .groupBy("gram")
@@ -233,7 +235,7 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     line = F.concat(
         F.element_at(words_of(F.col("text")), 1),
         F.lit("@mail.example.com tel 555-"),
@@ -304,7 +306,7 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_integration_and_processing_spark.operators.sampling import hash_bucket
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    d = fan_out_scan(load_table(spark, sf_dir, "documents")).filter(F.col("lang") == "en")
     scored = d.select(
         "doc_id",
         "source",
@@ -358,7 +360,7 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(words_of(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("doc_freq"))
@@ -376,3 +378,36 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(score, 6).alias("rel"),
         )
     )
+
+
+@register(
+    "text_chunk_documents",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words,
+                   len(string_split(text, ' ')) AS n_words
+            FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, n_words,
+                   unnest(generate_series(0, (greatest(0, n_words - 128) + 95) // 96)) AS i
+            FROM w
+        )
+        SELECT s.doc_id,
+               s.n_words,
+               CAST(s.i AS INT) AS chunk_id,
+               CAST(s.i * 96 AS INT) AS chunk_start,
+               CAST(least(128, s.n_words - s.i * 96) AS INT) AS chunk_len,
+               array_to_string(w.words[s.i * 96 + 1 : s.i * 96 + 128], ' ') AS chunk_text
+        FROM starts s JOIN w USING (doc_id)
+    """,
+    description=(
+        "overlapping token-window chunking (128-token windows, 32 overlap -> stride 96): "
+        "the pipeline step between curation and sequence packing. Integer-only window "
+        "arithmetic (engine-exact); pure map + in-task explode, zero shuffles at any scale"
+    ),
+    tags=("text", "north-star", "chunking"),
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    return chunk_documents(d, chunk_tokens=128, overlap=32)
