@@ -1,0 +1,206 @@
+"""Event-analytics queries over ``events`` (funnel, cohort retention,
+mergeable sketches).
+
+These are the classic product-analytics shapes a warehouse engine is asked
+for daily; none exist in the reference (SURVEY.md §2.2 capability surface).
+Scale notes per query; every count/ratio follows the float conventions
+(integer counts exact in any order; ratios one rounded IEEE division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_and_processing_spark.queries.catalog import register
+from data_integration_and_processing_spark.sources.tables import load_table
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+    SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t1
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    GROUP BY e.user_id
+),
+n AS (
+    SELECT (SELECT count(*) FROM v) AS nv,
+           (SELECT count(*) FROM c) AS nc,
+           (SELECT count(*) FROM p) AS np
+)
+SELECT 1 AS stage_id, 'view' AS stage, nv AS users,
+       CAST(1.0 AS DOUBLE) AS conversion FROM n
+UNION ALL
+SELECT 2, 'click_after_view', nc, round(nc / CAST(nullif(nv, 0) AS DOUBLE), 6) FROM n
+UNION ALL
+SELECT 3, 'purchase_after_click', np, round(np / CAST(nullif(nc, 0) AS DOUBLE), 6) FROM n
+"""
+
+
+@register(
+    "events_funnel_conversion",
+    oracle=_FUNNEL_ORACLE,
+    description=(
+        "ordered view->click->purchase funnel: first qualifying event per user per "
+        "stage, each stage strictly after the previous one. Three conditional "
+        "min-aggregations, each one shuffle keyed by user_id (the natural key the "
+        "events stream is grouped on at scale); stage counts are single-row "
+        "aggregates joined by a literal cross of three scalars"
+    ),
+    tags=("analytics", "events", "aggregation"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n = (
+        v.agg(F.count("*").alias("nv"))
+        .crossJoin(c.agg(F.count("*").alias("nc")))
+        .crossJoin(p.agg(F.count("*").alias("np")))
+    )
+    stage = F.explode(
+        F.array(
+            F.struct(
+                F.lit(1).alias("stage_id"),
+                F.lit("view").alias("stage"),
+                F.col("nv").alias("users"),
+                F.lit(1.0).alias("conversion"),
+            ),
+            F.struct(
+                F.lit(2).alias("stage_id"),
+                F.lit("click_after_view").alias("stage"),
+                F.col("nc").alias("users"),
+                F.round(F.col("nc") / F.expr("cast(nullif(nv, 0) as double)"), 6).alias(
+                    "conversion"
+                ),
+            ),
+            F.struct(
+                F.lit(3).alias("stage_id"),
+                F.lit("purchase_after_click").alias("stage"),
+                F.col("np").alias("users"),
+                F.round(F.col("np") / F.expr("cast(nullif(nc, 0) as double)"), 6).alias(
+                    "conversion"
+                ),
+            ),
+        )
+    )
+    return n.select(stage.alias("s")).select("s.stage_id", "s.stage", "s.users", "s.conversion")
+
+
+_WEEK = 7 * 86400
+
+_COHORT_ORACLE = f"""
+WITH firstseen AS (
+    SELECT user_id, CAST(floor(epoch(min(ts)) / {_WEEK}) AS BIGINT) AS cohort_week
+    FROM events GROUP BY user_id
+),
+active AS (
+    SELECT DISTINCT user_id, CAST(floor(epoch(ts) / {_WEEK}) AS BIGINT) AS active_week
+    FROM events
+),
+cohort_sizes AS (
+    SELECT cohort_week, count(*) AS cohort_size FROM firstseen GROUP BY cohort_week
+)
+SELECT f.cohort_week,
+       a.active_week - f.cohort_week AS week_offset,
+       count(*) AS active_users,
+       s.cohort_size,
+       round(count(*) / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM active a
+JOIN firstseen f ON a.user_id = f.user_id
+JOIN cohort_sizes s ON f.cohort_week = s.cohort_week
+GROUP BY f.cohort_week, a.active_week - f.cohort_week, s.cohort_size
+"""
+
+
+@register(
+    "events_cohort_retention",
+    oracle=_COHORT_ORACLE,
+    description=(
+        "cohort retention matrix: users bucketed by first-seen week, counted per "
+        "(cohort, week-offset) with retention vs cohort size. Two shuffles keyed by "
+        "user_id (first-seen + distinct active weeks) and one by (cohort, offset); "
+        "the cohort-size table is O(weeks) rows and broadcast into the final join. "
+        "epoch(ts) is timezone-free because the session runs UTC and the fixture "
+        "timestamps are naive — pinned by the oracle MATCH itself"
+    ),
+    tags=("analytics", "events", "aggregation", "window"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wk = F.floor(F.unix_timestamp("ts") / _WEEK).cast("bigint")
+    firstseen = e.groupBy("user_id").agg(
+        F.floor(F.unix_timestamp(F.min("ts")) / _WEEK).cast("bigint").alias("cohort_week")
+    )
+    active = e.select("user_id", wk.alias("active_week")).distinct()
+    sizes = firstseen.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return (
+        active.join(firstseen, "user_id")
+        .withColumn("week_offset", F.col("active_week") - F.col("cohort_week"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            F.round(F.col("active_users") / F.col("cohort_size").cast("double"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+@register(
+    "agg_hll_mergeable_rollup",
+    # no SQL oracle: HLL sketch binaries are engine-specific (Spark uses the
+    # Apache DataSketches HllSketch format). The merge-consistency and
+    # accuracy invariants are pinned in tests/test_analytics.py instead.
+    description=(
+        "mergeable-sketch rollup: per-(event_type, day) HLL sketches of user_id, "
+        "unioned upward to per-event_type distinct-user estimates WITHOUT re-scanning "
+        "events — the sketches-as-columns pattern that makes incremental / "
+        "hierarchical distinct counting O(groups), not O(rows), at 100 TB. Partial "
+        "aggregation applies to the sketch build (associative binary merge), so the "
+        "shuffle carries one ~2KB sketch per (type, day) instead of user ids"
+    ),
+    tags=("analytics", "events", "aggregation", "sketch"),
+)
+def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    daily = e.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct_users"),
+            F.sum("n_events").alias("n_events"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

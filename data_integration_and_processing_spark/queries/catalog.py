@@ -32,6 +32,7 @@ _QUERY_MODULES = [
     "data_integration_and_processing_spark.queries.sampling_queries",
     "data_integration_and_processing_spark.queries.streaming_queries",
     "data_integration_and_processing_spark.queries.multimodal_queries",
+    "data_integration_and_processing_spark.queries.analytics_queries",
 ]
 
 

@@ -1,0 +1,86 @@
+"""Invariants for the event-analytics surface.
+
+Funnel and cohort are value-checked against DuckDB by the driver; the HLL
+rollup has no SQL oracle (sketch binaries are engine-specific), so its two
+load-bearing properties are pinned here:
+
+1. merge consistency — estimate(union of per-day sketches) equals
+   estimate(one sketch built over all rows): the partial/final split the
+   rollup relies on cannot change the answer;
+2. accuracy — the default lgConfigK=12 sketch is within 2% of the exact
+   distinct count at fixture cardinalities (HLL error ~1.04/sqrt(2^12)
+   ≈ 1.6%).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from data_integration_and_processing_spark.sources.tables import load_table
+
+    return load_table(spark, SF_DIR, "events")
+
+
+def test_hll_union_of_partials_equals_direct_sketch(spark, events):
+    day = F.date_trunc("day", F.col("ts"))
+    merged = (
+        events.groupBy(F.col("event_type"), day.alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    direct = events.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    )
+    m = {r.event_type: r.est for r in merged.collect()}
+    d = {r.event_type: r.est for r in direct.collect()}
+    assert m == d
+
+
+def test_hll_estimate_within_2pct_of_exact(spark, events):
+    est = {
+        r.event_type: r.est
+        for r in events.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(est[et] - n) <= max(1, 0.02 * n), (et, est[et], n)
+
+
+def test_funnel_stages_are_monotone_and_ordered(spark):
+    from data_integration_and_processing_spark.queries.catalog import queries
+
+    rows = sorted(
+        queries()["events_funnel_conversion"](spark, SF_DIR).collect(),
+        key=lambda r: r.stage_id,
+    )
+    assert [r.stage for r in rows] == ["view", "click_after_view", "purchase_after_click"]
+    assert rows[0].users >= rows[1].users >= rows[2].users
+    assert rows[0].conversion == 1.0
+    for r in rows[1:]:
+        assert 0.0 <= r.conversion <= 1.0
+
+
+def test_cohort_offset_zero_has_full_retention(spark):
+    from data_integration_and_processing_spark.queries.catalog import queries
+
+    rows = queries()["events_cohort_retention"](spark, SF_DIR).collect()
+    # every user is active in their first-seen week by construction
+    for r in rows:
+        assert r.week_offset >= 0
+        if r.week_offset == 0:
+            assert r.active_users == r.cohort_size and r.retention == 1.0
+        assert r.active_users <= r.cohort_size
