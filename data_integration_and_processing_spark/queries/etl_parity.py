@@ -469,3 +469,52 @@ def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dest).filter(
         (F.col("l_orderkey") <= 3000) & (F.col("l_partkey") <= 100)
     )
+
+
+@register(
+    "etl_time_travel",
+    oracle="""
+        SELECT 1 AS version, count(*) AS n_rows,
+               CAST(sum(n_nationkey) AS BIGINT) AS sum_key FROM nation
+        UNION ALL
+        SELECT 2, count(*) + (SELECT count(*) FROM nation WHERE n_regionkey = 0),
+               CAST(sum(n_nationkey) + (SELECT sum(n_nationkey + 100) FROM nation WHERE n_regionkey = 0) AS BIGINT)
+        FROM nation
+        UNION ALL
+        SELECT 3, count(*), CAST(sum(n_nationkey) AS BIGINT) FROM nation
+    """,
+    description=(
+        "manifest-based snapshot versioning (sources/versioned.py): v1 = overwrite, "
+        "v2 = append (parent's files + new files, nothing rewritten), v3 = rollback "
+        "to v1 (a new manifest pointing at v1's files — O(1) data bytes). Each "
+        "version is then read back BY MANIFEST and aggregated; v1's result is "
+        "served by files that remained untouched through two later commits"
+    ),
+    tags=("etl", "sink", "versioned"),
+)
+def etl_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.sources.versioned import (  # noqa: PLC0415
+        read_version,
+        rollback,
+        write_version,
+    )
+
+    dest = f"{_SCRATCH}/nation_versioned"
+    shutil.rmtree(dest, ignore_errors=True)  # fresh table => deterministic history
+    nation = load_table(spark, sf_dir, "nation")
+    write_version(nation, dest, mode="overwrite")
+    extra = nation.filter(F.col("n_regionkey") == 0).withColumn(
+        "n_nationkey", F.col("n_nationkey") + F.lit(100)
+    )
+    write_version(extra, dest, mode="append")
+    rollback(dest, 1)
+    parts = [
+        read_version(spark, dest, v)
+        .agg(F.count("*").alias("n_rows"), F.sum("n_nationkey").cast("bigint").alias("sum_key"))
+        .select(F.lit(v).alias("version"), "n_rows", "sum_key")
+        for v in (1, 2, 3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,124 @@
+"""Snapshot-versioned parquet tables: manifest-based time travel.
+
+The lakehouse log pattern (what Delta Lake's `_delta_log` and Iceberg's
+metadata tree do), reduced to its load-bearing core on plain parquet:
+
+- data files are IMMUTABLE — every write lands new files in a fresh
+  subdirectory of ``{path}/data/``; nothing is ever rewritten or deleted
+  by a write;
+- a version is a MANIFEST (``{path}/_versions/v{N}.json``) listing exactly
+  the data files visible at that version, published atomically via
+  write-temp + ``os.rename``;
+- readers resolve a manifest and read only its files — never a directory
+  listing, so a reader positioned at v3 is untouched by a concurrent
+  writer publishing v4 (snapshot isolation for free), and there is no
+  list-after-write consistency window at all.
+
+At 100 TB the manifest is O(files) JSON — the data plane never moves for a
+metadata operation: rollback writes a manifest pointing at old files
+(O(1) data bytes), append writes only the appended files. Single-writer
+is assumed (the reference's deployment shape); a real multi-writer log
+adds a compare-and-swap on the version counter, which os.rename gives
+per-version here (the second writer of the same version number fails the
+rename on POSIX via the exclusive temp-name protocol below).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VERSION_RE = re.compile(r"^v(\d+)\.json$")
+
+
+def _versions_dir(path: str) -> str:
+    return os.path.join(path, "_versions")
+
+
+def list_versions(path: str) -> list[int]:
+    """Committed version numbers, ascending. Empty for a fresh path."""
+    vdir = _versions_dir(path)
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for name in os.listdir(vdir):
+        m = _VERSION_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(os.path.join(_versions_dir(path), f"v{version}.json")) as f:
+        return json.load(f)
+
+
+def _publish(path: str, version: int, files: list[str], parent: int | None, op: str) -> int:
+    vdir = _versions_dir(path)
+    os.makedirs(vdir, exist_ok=True)
+    manifest = {"version": version, "parent": parent, "op": op, "files": sorted(files)}
+    tmp = os.path.join(vdir, f".v{version}.{uuid.uuid4().hex}.tmp")
+    final = os.path.join(vdir, f"v{version}.json")
+    if os.path.exists(final):
+        raise FileExistsError(f"version {version} already committed at {path}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, final)
+    return version
+
+
+def _write_data_files(df: DataFrame, path: str) -> list[str]:
+    subdir = os.path.join(path, "data", uuid.uuid4().hex)
+    df.write.mode("error").parquet(subdir)
+    return [
+        os.path.join(subdir, f)
+        for f in os.listdir(subdir)
+        if f.endswith(".parquet")
+    ]
+
+
+def write_version(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` as a new version of the table at ``path``.
+
+    ``mode='overwrite'`` makes the new version exactly ``df``'s files;
+    ``'append'`` makes it the parent version's files plus ``df``'s. Returns
+    the committed version number (1-based). Old versions stay readable —
+    no data file is ever touched.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
+    existing = list_versions(path)
+    parent = existing[-1] if existing else None
+    new_files = _write_data_files(df, path)
+    if mode == "append" and parent is not None:
+        new_files = _read_manifest(path, parent)["files"] + new_files
+    return _publish(path, (parent or 0) + 1, new_files, parent, mode)
+
+
+def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """The table as of ``version`` (default: latest). Reads exactly the
+    manifest's file list — no directory listing, so concurrent commits
+    cannot change what this snapshot sees."""
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions} at {path}")
+    files = _read_manifest(path, version)["files"]
+    return spark.read.parquet(*files)
+
+
+def rollback(path: str, version: int) -> int:
+    """Publish a NEW version whose contents are exactly ``version``'s —
+    history is append-only (audit trail preserved), data plane untouched."""
+    versions = list_versions(path)
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions} at {path}")
+    files = _read_manifest(path, version)["files"]
+    return _publish(path, versions[-1] + 1, files, versions[-1], f"rollback({version})")

@@ -1,0 +1,77 @@
+"""Invariants for manifest-based snapshot versioning that the oracle query
+can't see: immutability of old snapshots under later commits, atomic
+publish (no partial manifests), duplicate-version refusal, and rollback
+being a metadata-only operation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_integration_and_processing_spark.sources.versioned import (
+    list_versions,
+    read_version,
+    rollback,
+    write_version,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(i, f"a{i}") for i in range(10)], "id LONG, s STRING")
+    df2 = spark.createDataFrame([(i, f"b{i}") for i in range(10, 15)], "id LONG, s STRING")
+    assert write_version(df1, path, mode="overwrite") == 1
+    assert write_version(df2, path, mode="append") == 2
+    return path
+
+
+def test_snapshots_are_immutable_under_later_commits(spark, table):
+    ids_v1_before = sorted(r.id for r in read_version(spark, table, 1).collect())
+    df3 = spark.createDataFrame([(99, "z")], "id LONG, s STRING")
+    write_version(df3, table, mode="overwrite")  # v3 replaces everything
+    assert sorted(r.id for r in read_version(spark, table, 1).collect()) == ids_v1_before
+    assert sorted(r.id for r in read_version(spark, table, 2).collect()) == list(range(15))
+    assert [r.id for r in read_version(spark, table, 3).collect()] == [99]
+    assert [r.id for r in read_version(spark, table).collect()] == [99]  # latest
+
+
+def test_append_reuses_parent_files_verbatim(spark, table):
+    with open(os.path.join(table, "_versions", "v1.json")) as f:
+        v1_files = set(json.load(f)["files"])
+    with open(os.path.join(table, "_versions", "v2.json")) as f:
+        v2 = json.load(f)
+    assert v1_files < set(v2["files"]) and v2["parent"] == 1 and v2["op"] == "append"
+
+
+def test_rollback_is_metadata_only_and_restores_contents(spark, table):
+    def data_files():
+        out = set()
+        for root, _dirs, files in os.walk(os.path.join(table, "data")):
+            out |= {os.path.join(root, f) for f in files if f.endswith(".parquet")}
+        return out
+
+    before = data_files()
+    v = rollback(table, 1)
+    assert v == 3 and data_files() == before  # no data plane movement
+    assert sorted(r.id for r in read_version(spark, table, 3).collect()) == list(range(10))
+    assert list_versions(table) == [1, 2, 3]
+
+
+def test_duplicate_version_commit_is_refused(spark, table, tmp_path):
+    # simulate a racing writer that computed the same version number
+    from data_integration_and_processing_spark.sources import versioned
+
+    df = spark.createDataFrame([(1, "x")], "id LONG, s STRING")
+    files = versioned._write_data_files(df, table)
+    with pytest.raises(FileExistsError):
+        versioned._publish(table, 2, files, 1, "append")
+
+
+def test_read_unknown_version_or_empty_table_raises(spark, table, tmp_path):
+    with pytest.raises(ValueError, match="version 9"):
+        read_version(spark, table, 9)
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, str(tmp_path / "nope"))
