@@ -423,3 +423,25 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     log = inserts.unionByName(updates).unionByName(deletes)
     return run_streaming_cdc_apply(spark, log, key_cols=["c_custkey"])
+
+
+@register(
+    "stream_hll_incremental",
+    # no SQL oracle: HLL sketch binaries are engine-specific. Register-exact
+    # equality with the one-shot batch sketch (any batching, any order) and
+    # 2% accuracy vs exact distinct counts are pinned in tests/test_analytics.py.
+    description=(
+        "incremental distinct-user counting over a stream: per-micro-batch HLL "
+        "sketches of user_id unioned into O(event_types) persistent state — the "
+        "streaming complement of agg_hll_mergeable_rollup; exact-dedup streaming "
+        "state would grow with distinct users, sketch state never does"
+    ),
+    tags=("streaming", "sketch", "incremental"),
+)
+def stream_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.streaming.pipelines import (
+        run_streaming_hll_distinct,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    return run_streaming_hll_distinct(spark, e)

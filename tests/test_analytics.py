@@ -84,3 +84,24 @@ def test_cohort_offset_zero_has_full_retention(spark):
         if r.week_offset == 0:
             assert r.active_users == r.cohort_size and r.retention == 1.0
         assert r.active_users <= r.cohort_size
+
+
+def test_streaming_hll_equals_batch_sketch_exactly(spark, events, tmp_path):
+    """Micro-batched union must reproduce the one-shot sketch register-for-
+    register: estimates are EQUAL, not merely close, whatever the batching."""
+    from data_integration_and_processing_spark.streaming.pipelines import (
+        run_streaming_hll_distinct,
+    )
+
+    e = events.select("event_id", "event_type", "user_id").repartition(4)  # >=4 micro-batches
+    streamed = {
+        r.event_type: r.est_distinct_users
+        for r in run_streaming_hll_distinct(spark, e, scratch_dir=str(tmp_path / "hll")).collect()
+    }
+    direct = {
+        r.event_type: r.est
+        for r in events.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert streamed == direct
