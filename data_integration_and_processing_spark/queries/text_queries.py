@@ -411,3 +411,119 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     return chunk_documents(d, chunk_tokens=128, overlap=32)
+
+
+_BM25_TERMS = ("query", "stream", "join")
+_BM25_K1 = 1.2
+_BM25_K1P1 = 2.2  # spelled as a literal in BOTH engines: 1.2 + 1.0 is a
+#                   DIFFERENT double than nearest-double("2.2")
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    t1, t2, t3 = _BM25_TERMS
+    per_term = ", ".join(
+        f"""max(CASE WHEN term = '{t}' THEN
+            ln(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+            * (tf * {_BM25_K1P1})
+            / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * (dl / avgdl)))
+        END) AS s_{t}"""
+        for t in _BM25_TERMS
+    )
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, string_split(text, ' ') AS words,
+                   len(string_split(text, ' ')) AS dl
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM docs
+        ),
+        tok AS (
+            SELECT doc_id, unnest(words) AS term FROM docs
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM tok
+            WHERE term IN ('{t1}', '{t2}', '{t3}')
+            GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, count(*) AS doc_freq FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT tf.doc_id, {per_term}
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN docs USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id,
+               round(coalesce(s_{t1}, 0.0) + coalesce(s_{t2}, 0.0) + coalesce(s_{t3}, 0.0), 6) AS bm25
+        FROM scored
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT 20
+    """
+
+
+@register(
+    "text_bm25_search",
+    oracle=_bm25_oracle(),
+    description=(
+        "BM25 full-text relevance (k1=1.2, b=0.75) for a fixed term set, top-20. "
+        "Determinism: per-(doc,term) partial scores reduce via max() (one row each "
+        "— no float-accumulation order), the <=3 term scores add in FIXED spelled-out "
+        "order, constants are identical decimal literals in both engines (1.2+1.0 is "
+        "a different double than 2.2), and the score rounds to 6 digits before "
+        "ranking with a doc_id tiebreak. Plan: token explode -> tf shuffle keyed by "
+        "(doc, term); df and corpus stats are tiny broadcasts; TakeOrderedAndProject"
+    ),
+    tags=("text", "north-star", "search"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    docs = d.select("doc_id", words_of(F.col("text")).alias("words")).withColumn(
+        "dl", F.size("words")
+    )
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tok = docs.select("doc_id", F.explode("words").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    part = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5)) / (F.col("doc_freq") + F.lit(0.5))
+        )
+        * (F.col("tf") * F.lit(_BM25_K1P1))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+    per_term = [
+        F.max(F.when(F.col("term") == t, part)).alias(f"s_{t}") for t in _BM25_TERMS
+    ]
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(docs.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(*per_term)
+    )
+    total = None
+    for t in _BM25_TERMS:  # FIXED addition order, mirrored in the oracle
+        c = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
+        total = c if total is None else total + c
+    return (
+        scored.select("doc_id", F.round(total, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
