@@ -1131,3 +1131,76 @@ def join_temporal_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim_version",
         )
     )
+
+
+_D1_SQL = "list_transform(generate_series(1, 18), i -> concat(substr({x}, 1, i - 1), substr({x}, i + 1, 18)))"
+
+
+@register(
+    "join_fuzzy_two_edit",
+    oracle=f"""
+        WITH probes AS (
+            SELECT s_suppkey + 10000 AS probe_id,
+                   concat(substr(d1, 1, 2 + s_suppkey % 5),
+                          substr(d1, 4 + s_suppkey % 5, 17)) AS probe_name
+            FROM (
+                SELECT s_suppkey,
+                       concat(substr(s_name, 1, 9 + s_suppkey % 8),
+                              substr(s_name, 11 + s_suppkey % 8, 18)) AS d1
+                FROM supplier
+            )
+        ),
+        bkeys AS (
+            SELECT s_suppkey, s_name,
+                   unnest(list_distinct(flatten([
+                       [s_name],
+                       {_D1_SQL.format(x='s_name')},
+                       flatten(list_transform({_D1_SQL.format(x='s_name')},
+                                              v -> {_D1_SQL.format(x='v')}))
+                   ]))) AS key
+            FROM supplier
+        ),
+        pkeys AS (
+            SELECT probe_id, probe_name,
+                   unnest(list_distinct(flatten([
+                       [probe_name],
+                       {_D1_SQL.format(x='probe_name')},
+                       flatten(list_transform({_D1_SQL.format(x='probe_name')},
+                                              v -> {_D1_SQL.format(x='v')}))
+                   ]))) AS key
+            FROM probes
+        )
+        SELECT DISTINCT b.s_suppkey, p.probe_id, b.s_name, p.probe_name,
+               levenshtein(b.s_name, p.probe_name) AS dist
+        FROM bkeys b JOIN pkeys p USING (key)
+        WHERE levenshtein(b.s_name, p.probe_name) <= 2
+    """,
+    description=(
+        "record linkage at edit distance <= 2: full SymSpell blocking — both sides "
+        "explode their up-to-2-deletion neighborhoods (~172 keys per 18-char string), "
+        "equi-join on shared keys, exact levenshtein verify on candidates only "
+        "(operators/linkage.py::fuzzy_join_within_k); probes are supplier names with "
+        "two characters deleted at key-dependent positions"
+    ),
+    tags=("join", "linkage", "north-star"),
+)
+def join_fuzzy_two_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.linkage import fuzzy_join_within_k
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    p1 = F.lit(10) + F.col("s_suppkey") % 8
+    d1 = F.concat(
+        F.substring(F.col("s_name"), F.lit(1), p1 - 1),
+        F.substring(F.col("s_name"), p1 + 1, F.lit(18)),
+    )
+    p2 = F.lit(3) + F.col("s_suppkey") % 5
+    probes = s.select(
+        (F.col("s_suppkey") + 10000).alias("probe_id"),
+        F.concat(
+            F.substring(d1, F.lit(1), p2 - 1),
+            F.substring(d1, p2 + 1, F.lit(17)),
+        ).alias("probe_name"),
+    )
+    return fuzzy_join_within_k(s, probes, "s_name", "probe_name", 18, k=2).select(
+        "s_suppkey", "probe_id", "s_name", "probe_name", "dist"
+    )
