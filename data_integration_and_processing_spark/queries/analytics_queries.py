@@ -204,3 +204,80 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_TREND_ORACLE = """
+WITH base AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS x,
+           CAST(value AS DECIMAL(18,9)) AS y
+    FROM events
+),
+sums AS (
+    SELECT event_type,
+           count(*) AS n,
+           sum(x) AS sx,
+           sum(x * x) AS sxx,
+           sum(y) AS sy,
+           sum(x * y) AS sxy,
+           sum(y * y) AS syy
+    FROM base GROUP BY event_type
+),
+sl AS (
+    SELECT *,
+           round((CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS slope
+    FROM sums
+)
+SELECT event_type, n, slope,
+       round((CAST(sy AS DOUBLE) - slope * sx) / n, 6) AS intercept,
+       round((CAST(n * sxy - sx * sy AS DOUBLE))
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS pearson_r
+FROM sl
+"""
+
+
+@register(
+    "agg_exact_stats_trend",
+    oracle=_TREND_ORACLE,
+    description=(
+        "OLS trend (slope/intercept of value vs day) and Pearson r per event_type "
+        "from EXACT sufficient statistics: integer/decimal sums (order-independent, "
+        "one pass, partial+final aggregation) finished with a fixed chain of IEEE "
+        "ops — the only float steps are two correctly-rounded sqrts and spelled-out "
+        "divisions, so results are bit-deterministic across engines, unlike "
+        "built-in corr()/regr_slope() whose streaming accumulators are "
+        "order-sensitive. This is also the 100 TB shape: sufficient statistics "
+        "shuffle as one small row per group; the regression math runs on G rows"
+    ),
+    tags=("analytics", "aggregation", "statistics"),
+)
+def agg_exact_stats_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("x"),
+        F.col("value").cast("decimal(18,9)").alias("y"),
+    )
+    sums = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    sl = sums.withColumn("slope", F.round(num / den, 6))
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return sl.select(
+        "event_type",
+        "n",
+        "slope",
+        F.round((F.col("sy").cast("double") - F.col("slope") * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(num / F.sqrt(den) / F.sqrt(vary), 6).alias("pearson_r"),
+    )
