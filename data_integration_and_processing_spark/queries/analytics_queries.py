@@ -281,3 +281,59 @@ def agg_exact_stats_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(num / F.sqrt(den) / F.sqrt(vary), 6).alias("pearson_r"),
     )
+
+
+_HIST_BINS = 20
+
+_HIST_ORACLE = f"""
+WITH bounds AS (
+    SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem
+),
+binned AS (
+    SELECT least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / {_HIST_BINS}.0) ) AS INT),
+                 {_HIST_BINS - 1}) AS bin,
+           lo, hi
+    FROM lineitem CROSS JOIN bounds
+)
+SELECT bin,
+       count(*) AS n,
+       round(lo + bin * ((hi - lo) / {_HIST_BINS}.0), 6) AS bin_lo,
+       round(lo + (bin + 1) * ((hi - lo) / {_HIST_BINS}.0), 6) AS bin_hi
+FROM binned GROUP BY bin, lo, hi
+"""
+
+
+@register(
+    "agg_equiwidth_histogram",
+    oracle=_HIST_ORACLE,
+    description=(
+        f"equi-width histogram of l_extendedprice in {_HIST_BINS} bins: pass 1 "
+        "computes min/max (exact DECIMAL column -> the bin width is one IEEE "
+        "division both engines mirror), pass 2 bins every row against the broadcast "
+        "single-row bounds and counts per bin — integer counts, order-independent. "
+        "The max value clamps into the last bin (floor((hi-lo)/w) == bins). At 100 "
+        "TB both passes are single scans with tiny partial-agg shuffles; the bounds "
+        "row broadcasts"
+    ),
+    tags=("analytics", "aggregation", "histogram"),
+)
+def agg_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(_HIST_BINS))
+    binned = li.select("l_extendedprice").crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast("int"),
+            F.lit(_HIST_BINS - 1),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin", "lo", "hi").agg(F.count("*").alias("n")).select(
+        "bin",
+        "n",
+        F.round(F.col("lo") + F.col("bin") * width, 6).alias("bin_lo"),
+        F.round(F.col("lo") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+    )
