@@ -17,12 +17,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-
-from .parallelism import fan_out_scan
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .parallelism import fan_out_scan
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -182,3 +183,95 @@ def sample_frames(
             )
 
     return fan_out_scan(df.select(id_col, payload_col)).mapInPandas(batches, FRAME_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("sig", T.LongType()),
+    ]
+)
+
+_PHASH_BITS = 63  # keep the signature non-negative in a signed long
+_PHASH_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 odd constant
+
+
+def perceptual_hash_signatures(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """63-bit perceptual signature over opaque payload bytes: every
+    overlapping 4-byte window hashes to 64 bits (multiply-mix) and bit-votes
+    — SimHash over the byte-window distribution, which is what a pHash
+    reduces to when the decoder is stubbed (a real pHash bit-votes DCT
+    coefficients of the decoded image; swap the window source, keep
+    everything downstream). Payloads sharing most of their content agree on
+    most votes, so near-identical media land within small Hamming distance.
+
+    One numpy reduction per payload inside Arrow-batched ``mapInPandas`` —
+    the same per-item-compute shape as feature extraction; no shuffle.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(_PHASH_BITS, dtype=np.uint64)
+        for pdf in it:
+            sigs = np.empty(len(pdf), dtype=np.int64)
+            for i, payload in enumerate(pdf[payload_col]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                if len(b) < 4:
+                    sigs[i] = 0
+                    continue
+                w = (
+                    b[:-3].astype(np.uint64)
+                    | (b[1:-2].astype(np.uint64) << np.uint64(8))
+                    | (b[2:-1].astype(np.uint64) << np.uint64(16))
+                    | (b[3:].astype(np.uint64) << np.uint64(24))
+                )
+                h = w * _PHASH_MIX
+                votes = (
+                    ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+                ).sum(axis=0)
+                sigs[i] = int(
+                    ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64).astype(np.int64)
+                )
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "sig": sigs})
+
+    return fan_out_scan(df.select(id_col, payload_col)).mapInPandas(batches, PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate payload pairs by perceptual-hash banding: signatures
+    cut into 4 x 16-bit bands, ids sharing any band pair up in-task
+    (``pairs_within_buckets`` — one shuffle keyed by band value), verified
+    by popcount(xor) <= max_hamming. Identical media always pair (all
+    bands equal); the banding guarantee covers Hamming <= 3 exactly, and
+    recalls larger distances with high probability when differing bits
+    cluster — the media-dedup trade documented here over an exact-cover
+    multi-index."""
+    from data_integration_and_processing_spark.operators.dedup import (  # noqa: PLC0415 — avoid import cycle
+        pairs_within_buckets,
+    )
+
+    sig = perceptual_hash_signatures(df, id_col, payload_col)
+    banded = sig.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = pairs_within_buckets(banded, ["band", "bucket"], payload_cols=("sig",))
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -96,3 +96,35 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_binary_payload(d), frame_size=64, stride=4)
+
+
+@register(
+    "multimodal_phash_neardup",
+    # no SQL oracle: the byte-window bit-vote signature has no DuckDB
+    # analogue. Identity / near-dup / far-pair invariants are pinned in
+    # tests/test_multimodal_phash.py.
+    description=(
+        "media near-dup detection: 63-bit perceptual signature (byte-window "
+        "SimHash; swaps to DCT bit-votes when a real decoder is present) over "
+        "payloads of documents unioned with truncated copies, banded 4x16-bit, "
+        "in-task pair expansion, popcount verify <= 6 — the multimodal->dedup "
+        "composition a media pipeline runs before training"
+    ),
+    tags=("multimodal", "north-star", "dedup", "pandas-udf"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.multimodal import (
+        phash_neardup_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    # near-dup twins: drop the last 2 words -> most byte windows unchanged
+    twins = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1)))
+        ).alias("text"),
+    )
+    corpus = attach_binary_payload(d.unionByName(twins))
+    return phash_neardup_pairs(corpus, max_hamming=6)
