@@ -60,3 +60,47 @@ def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         .select("r.rule", "r.n_violations", "r.n_rows", "r.pass")
         .orderBy("rule")
     )
+
+
+_CKSUM_MOD = 1_000_000_007
+_FIELD_SEP = 31  # unit separator
+_NULL_SENTINEL = 1  # SOH — cannot appear in cast-to-string values
+
+
+def row_checksum(cols: list[Column]) -> Column:
+    """Order-independent-summable row checksum: the row's columns cast to
+    string (NULL -> chr(1) sentinel), joined on chr(31), then a char-level
+    polynomial fold ``acc*31 + codepoint (mod 1e9+7)``.
+
+    Engine-portable BY CONSTRUCTION — the identical fold runs in any SQL
+    engine with split/reduce, which is the point: a transfer-verification
+    checksum must be computable on BOTH ends of a heterogeneous pipeline
+    (the reference moves data PG<->CH<->files; Spark's xxhash64 exists on
+    neither end). On an all-Spark pipeline, swap in ``F.xxhash64(*cols)``
+    for ~10x: same downstream algebra.
+    """
+    canon = F.concat_ws(
+        chr(_FIELD_SEP), *[F.coalesce(c.cast("string"), F.lit(chr(_NULL_SENTINEL))) for c in cols]
+    )
+    codes = F.transform(F.split(canon, ""), lambda ch: F.ascii(ch))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % _CKSUM_MOD,
+    )
+
+
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-row (n_rows, checksum) summary: SUM of row checksums in
+    DECIMAL(38,0) — exact at any row count, and order-independent because
+    addition commutes, so source and destination can each compute it with
+    their own partitioning/ordering and compare scalars. One scan, partial
+    +final aggregation; nothing moves but a single row."""
+    fp = row_checksum([F.col(c) for c in cols])
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # sum in DECIMAL(38,0) (exact at any scale), surface as BIGINT:
+        # rows * mod < 2^63 for any table below ~9e9 rows; past that keep
+        # the decimal
+        F.sum(fp.cast("decimal(38,0)")).cast("bigint").alias("checksum"),
+    )

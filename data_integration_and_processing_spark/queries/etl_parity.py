@@ -518,3 +518,52 @@ def etl_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_CKSUM_SQL_ROW = (
+    # BIGINT init so the fold accumulator can't overflow INT32 at acc*31
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split("
+    "concat_ws(chr(31), {cols}), ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+    "(acc, x) -> (acc * 31 + x) % 1000000007)"
+)
+
+
+@register(
+    "etl_checksum_reconcile",
+    oracle=f"""
+        WITH ck AS (
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CAST({_CKSUM_SQL_ROW.format(
+                       cols="coalesce(CAST(n_nationkey AS VARCHAR), chr(1)), "
+                            "coalesce(n_name, chr(1)), "
+                            "coalesce(CAST(n_regionkey AS VARCHAR), chr(1))"
+                   )} AS DECIMAL(38,0))) AS BIGINT) AS checksum
+            FROM nation
+        )
+        SELECT 'source' AS side, n_rows, checksum FROM ck
+        UNION ALL
+        SELECT 'destination', n_rows, checksum FROM ck
+    """,
+    description=(
+        "transfer reconciliation by order-independent table checksum "
+        "(operators/validation.py::table_checksum): char-level polynomial row "
+        "fold summed in DECIMAL(38,0) — source and a parquet-roundtripped "
+        "destination each compute one scalar under their own partitioning and "
+        "must agree; the engine-portable fold runs on BOTH ends of a "
+        "heterogeneous pipeline, which Spark-only hashes (xxhash64) cannot"
+    ),
+    tags=("etl", "validation", "checksum"),
+)
+def etl_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.validation import table_checksum
+
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    nation = load_table(spark, sf_dir, "nation").select(*cols)
+    dest = f"{_SCRATCH}/nation_checksum"
+    nation.write.mode("overwrite").parquet(dest)
+    back = spark.read.parquet(dest)
+    src = table_checksum(nation, cols).select(F.lit("source").alias("side"), "n_rows", "checksum")
+    dst = table_checksum(back, cols).select(
+        F.lit("destination").alias("side"), "n_rows", "checksum"
+    )
+    return src.unionByName(dst)
