@@ -337,3 +337,75 @@ def agg_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lo") + F.col("bin") * width, 6).alias("bin_lo"),
         F.round(F.col("lo") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
     )
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_extendedprice,
+                   ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin
+            FROM lineitem
+        )
+        SELECT bin, count(*) AS n,
+               min(l_extendedprice) AS bin_min,
+               max(l_extendedprice) AS bin_max
+        FROM ranked GROUP BY bin
+    """,
+    description=(
+        "equi-depth (quantile) histogram of l_extendedprice in 10 bins via ntile "
+        "over a TOTAL order (value + orderkey + linenumber tiebreak — ties split "
+        "identically in any engine only when the order is total). Complements the "
+        "equi-width histogram: depth buckets adapt to skew. The global sort is the "
+        "honest cost; at scale swap ntile for approx_percentile cut points and a "
+        "broadcast range join — same output schema, documented trade"
+    ),
+    tags=("analytics", "aggregation", "histogram", "window"),
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber")
+        .withColumn("bin", F.ntile(10).over(w))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_extendedprice").alias("bin_min"),
+            F.max("l_extendedprice").alias("bin_max"),
+        )
+    )
+
+
+@register(
+    "agg_sorted_collect",
+    oracle="""
+        SELECT r.r_name AS region_name,
+               count(*) AS n_nations,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
+               list_sort(list(n.n_name)) AS nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    description=(
+        "deterministic collection aggregation: collect_list is ORDER-NONDETERMINISTIC "
+        "in any parallel engine (partition arrival order), so reporting-grade "
+        "string_agg/array outputs must sort inside the aggregation — array_sort("
+        "collect_list(...)) mirrored by string_agg(... ORDER BY)/list_sort. The "
+        "grouped collect shuffles only (region, name) pairs"
+    ),
+    tags=("analytics", "aggregation", "collection"),
+)
+def agg_sorted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n, r = load_table(spark, sf_dir, "nation"), load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
+            F.array_sort(F.collect_list("n_name")).alias("nations"),
+        )
+    )
