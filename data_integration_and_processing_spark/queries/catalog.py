@@ -70,14 +70,13 @@ _PRIORITY: tuple[str, ...] = (
     "text_language_id",
     "text_quality_score",
     "text_fingerprint",
-    "text_pii_redaction",
     "pipeline_training_corpus",
     # corpus curation family (r2)
     "text_decontaminate",
     "dedup_incremental_snapshot",
+    "text_chunk_documents",
     # deterministic sampling family
     "sample_hash_deterministic",
-    "sample_mix_to_target",
     # Arrow UDF surface
     "udf_pandas_scalar",
     "udf_grouped_map_zscore",
@@ -88,16 +87,18 @@ _PRIORITY: tuple[str, ...] = (
     "stream_tumbling_window",
     "stream_session_window",
     "stream_sessionize_by_gap",
-    "stream_dedup_watermark",
     "stream_stateful_user_stats",
     # multimodal plumbing
     "multimodal_binary_metadata",
     # scalar function packs
     "func_string_pack",
-    "func_json_map_pack",
     # scale utilities
     "ids_contiguous_assign",
     "profile_column_stats",
+    # event analytics + lakehouse maintenance (r2, this session)
+    "events_funnel_conversion",
+    "etl_time_travel",
+    "etl_checksum_reconcile",
     # relational engine representatives
     "filter_predicate_pushdown",
     "project_derived_columns",

@@ -46,6 +46,11 @@ REQUIRED_FAMILY_TAGS = (
     "incremental",
     "partitioning",
     "scale",
+    # r2 families added this session
+    "analytics",
+    "versioned",
+    "checksum",
+    "chunking",
 )
 
 
