@@ -433,24 +433,80 @@ def simhash_candidates(
 # duplicate-cluster formation (transitive closure of the pair graph)
 # ---------------------------------------------------------------------------
 
+def _components_driver_unionfind(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Small-graph fast path: collect (id_a, id_b) longs, union-find with
+    path compression, relabel every set to its min member — exactly the
+    distributed fixpoint's output (min reachable id), including singleton
+    semantics (every vertex that appears in any pair gets a row)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = pairs.select(id_a, id_b).collect()
+    for r in rows:
+        a, b = int(r[0]), int(r[1])
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-id root => min labels
+    out = [(x, find(x)) for x in parent]
+    return pairs.sparkSession.createDataFrame(out, "id long, component long")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    max_driver_pairs: int = 2_000_000,
+    force_path: str | None = None,
 ) -> DataFrame:
     """Connected components of the near-duplicate pair graph: (id, component)
     with component = min id reachable. Pair detectors find EDGES; dedup
     needs CLUSTERS (A~B, B~C => {A,B,C} keeps one survivor), so this is the
     step every real pipeline runs after MinHash/SimHash/cosine pairing.
 
-    Iterative min-label propagation: each round every vertex takes the min
-    of its own label and its neighbors' labels — converges in O(graph
-    diameter) rounds (near-dup graphs are shallow: big components are
-    star/clique-like). Each round is one join + one aggregate, shuffle-keyed
-    by vertex; ``localCheckpoint`` truncates the growing lineage so round N
-    doesn't replan rounds 1..N-1. Raises if ``max_iter`` rounds don't
-    converge (diameter > max_iter signals a pathological graph)."""
+    Routed by edge count (the same guarded-fast-path pattern as
+    ``embedding_neardup_pairs``):
+
+    - up to ``max_driver_pairs`` edges (2M pairs = 32 MB of longs): driver
+      union-find — near-dup pair sets are usually tiny relative to the
+      corpus, and a dozen distributed rounds cost more than collecting two
+      long columns. Identical output to the distributed path (unit-pinned).
+    - larger: iterative min-label propagation — each round every vertex
+      takes the min of its own and its neighbors' labels, converging in
+      O(graph diameter) rounds (near-dup graphs are shallow: big components
+      are star/clique-like). Each round is one join + one aggregate,
+      shuffle-keyed by vertex; ``localCheckpoint`` truncates the growing
+      lineage so round N doesn't replan rounds 1..N-1. Raises if
+      ``max_iter`` rounds don't converge (diameter > max_iter signals a
+      pathological graph).
+
+    ``force_path`` ('driver' | 'distributed') pins a path for tests.
+    """
+    if force_path not in (None, "driver", "distributed"):
+        raise ValueError(f"unknown force_path: {force_path!r}")
+    path = force_path
+    routed = pairs
+    if path is None:
+        # persist before counting: the count and the consumer otherwise
+        # each recompute the (often expensive) upstream candidate stage
+        routed = pairs.persist()
+        path = "driver" if routed.count() <= max_driver_pairs else "distributed"
+    if path == "driver":
+        try:
+            return _components_driver_unionfind(routed, id_a, id_b)
+        finally:
+            if routed is not pairs:
+                routed.unpersist()
+    pairs = routed
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -505,9 +561,13 @@ def connected_components(
         labels = updated.drop("_changed")
         if changed == 0:
             edges.unpersist()
+            if routed is not pairs:
+                routed.unpersist()
             # the final checkpoint stays live — the returned labels read it
             return labels
     edges.unpersist()
+    if routed is not pairs:
+        routed.unpersist()
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

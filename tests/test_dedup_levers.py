@@ -242,3 +242,21 @@ def test_dedup_cache_handle_lifecycle(spark, sf_dir):
     after = jsc.getPersistentRDDs().size()
     # only the final connected-components checkpoint may stay live
     assert after - before <= 1, f"cache leak: {before} -> {after} persistent RDDs"
+
+
+def test_components_driver_and_distributed_paths_agree(spark):
+    """The union-find fast path must replicate the distributed fixpoint
+    exactly — min-reachable-id labels, every paired vertex present."""
+    from data_integration_and_processing_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21), (5, 9), (9, 7),
+         (30, 31), (31, 32), (32, 30), (100, 4)],
+        "id_a long, id_b long",
+    )
+    drv = sorted((r.id, r.component) for r in
+                 connected_components(pairs, force_path="driver").collect())
+    dist = sorted((r.id, r.component) for r in
+                  connected_components(pairs, force_path="distributed").collect())
+    assert drv == dist
+    assert (100, 1) in drv  # transitivity across the late edge
