@@ -66,3 +66,39 @@ def test_rejects_overlap_not_smaller_than_window(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_chunking_reconstruction_property(spark):
+    """Hypothesis over random (n_words, chunk_tokens, overlap): stride
+    prefixes + the last chunk always reconstruct the document exactly, and
+    chunk counts match the closed form."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cases = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=200),
+        ct=st.integers(min_value=2, max_value=64),
+        ov=st.integers(min_value=0, max_value=63),
+    )
+    def collect(n, ct, ov):
+        if ov < ct:
+            cases.append((n, ct, ov))
+
+    collect()
+    # one Spark job for all hypothesis-drawn cases: row i = case i
+    rows = [(i, " ".join(f"t{j}" for j in range(n)), ct, ov) for i, (n, ct, ov) in enumerate(cases)]
+    for i, text, ct, ov in rows:
+        df = spark.createDataFrame([(i, text)], "doc_id LONG, text STRING")
+        chunks = sorted(chunk_documents(df, ct, ov).collect(), key=lambda r: r.chunk_id)
+        n = chunks[0].n_words
+        stride = ct - ov
+        expect_chunks = 1 + max(0, -(-(n - ct) // stride)) if n > ct else 1
+        assert len(chunks) == expect_chunks, (n, ct, ov)
+        rebuilt = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c.chunk_text.split(" ")[:stride])
+        rebuilt.extend(chunks[-1].chunk_text.split(" "))
+        assert rebuilt == text.split(" "), (n, ct, ov)
