@@ -22,7 +22,24 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructType, TimestampNTZType
+
+
+def _watermarkable(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (with local timezone).
+
+    Parquet timestamps written with ``isAdjustedToUTC=false`` are inferred
+    as TIMESTAMP_NTZ, which ``withWatermark`` rejects
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session pins
+    ``spark.sql.session.timeZone=UTC`` (session.py), so this cast relabels
+    the same wall-clock value — window bounds and oracle comparisons are
+    unchanged.
+    """
+    out = df
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            out = out.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return out
 
 
 def tumbling_window_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
@@ -79,7 +96,7 @@ def run_streaming_window_pipeline(
     scratch = scratch_dir or f"/tmp/diaps_stream_{uuid.uuid4().hex[:8]}"
     src, sink, ckpt = f"{scratch}/src", f"{scratch}/sink", f"{scratch}/ckpt"
     shutil.rmtree(scratch, ignore_errors=True)
-    events.write.mode("overwrite").parquet(src)
+    _watermarkable(events).write.mode("overwrite").parquet(src)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
@@ -108,7 +125,7 @@ def _staged_stream(spark: SparkSession, events: DataFrame, scratch: str) -> tupl
     sink_path)."""
     src, sink = f"{scratch}/src", f"{scratch}/sink"
     shutil.rmtree(scratch, ignore_errors=True)
-    events.write.mode("overwrite").parquet(src)
+    _watermarkable(events).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
     return stream, sink
 
