@@ -33,6 +33,8 @@ _QUERY_MODULES = [
     "data_integration_and_processing_spark.queries.streaming_queries",
     "data_integration_and_processing_spark.queries.multimodal_queries",
     "data_integration_and_processing_spark.queries.analytics_queries",
+    "data_integration_and_processing_spark.queries.quality_queries",
+    "data_integration_and_processing_spark.queries.temporal_queries",
 ]
 
 

@@ -1,0 +1,249 @@
+"""Data-quality audit queries: referential integrity, key uniqueness,
+modal-value profiling, heavy hitters.
+
+The reference loads tables blind (`SELECT *` transfers,
+`/root/reference/PostgresDatabase.py:146`) and its roadmap lists
+validation as an unimplemented idea (`/root/reference/md.md:43-49`); a
+production pipeline runs these audits on every batch. Scale shapes:
+
+- FK orphan checks are LEFT ANTI joins on the key column only — the child
+  scan is pruned to one column, the parent side is a distinct key set
+  (broadcast for dimension-sized parents, shuffle otherwise). No audit
+  ever carries payload columns through a shuffle.
+- Uniqueness audits are count vs count-distinct over the key column — one
+  partial+final aggregate per table, no join at all.
+- Mode / heavy hitters are two-level aggregations (count per value, then
+  argmax / threshold filter) — both levels map-side-combinable, and the
+  second level's input is value-cardinality-sized, not row-count-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_integration_and_processing_spark.queries.catalog import register
+from data_integration_and_processing_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# referential integrity
+# ---------------------------------------------------------------------------
+
+_FKS = (
+    # (fk label, child table, child key, parent table, parent key)
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+_FK_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{label}' AS fk_name,
+           (SELECT count(*) FROM {child}) AS child_rows,
+           (SELECT count(*) FROM {child} ch
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pkey} = ch.{ckey})
+           ) AS orphan_rows
+    FROM (SELECT 1)
+    """
+    for label, child, ckey, parent, pkey in _FKS
+)
+
+_FK_ORACLE = f"""
+WITH audit AS ({_FK_ORACLE})
+SELECT fk_name, child_rows, orphan_rows,
+       round(orphan_rows / CAST(child_rows AS DOUBLE), 6) AS orphan_ratio
+FROM audit ORDER BY fk_name
+"""
+
+
+@register(
+    "quality_fk_orphan_audit",
+    oracle=_FK_ORACLE,
+    description=(
+        "referential-integrity audit: orphan counts for every FK edge of the star "
+        "schema via LEFT ANTI joins on pruned key columns; dimension-sized parents "
+        "broadcast, fact-sized parents shuffle on the key. One row per FK edge."
+    ),
+    tags=("quality", "join", "audit"),
+)
+def quality_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for label, child, ckey, parent, pkey in _FKS:
+        ch = load_table(spark, sf_dir, child).select(F.col(ckey).alias("_k"))
+        par = load_table(spark, sf_dir, parent).select(F.col(pkey).alias("_k")).distinct()
+        if parent in ("part", "supplier", "customer"):
+            par = F.broadcast(par)
+        orphans = ch.join(par, "_k", "left_anti").agg(F.count("*").alias("orphan_rows"))
+        total = ch.agg(F.count("*").alias("child_rows"))
+        row = (
+            total.crossJoin(orphans)
+            .select(
+                F.lit(label).alias("fk_name"),
+                "child_rows",
+                "orphan_rows",
+                F.round(F.col("orphan_rows") / F.col("child_rows").cast("double"), 6).alias(
+                    "orphan_ratio"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_name")
+
+
+# ---------------------------------------------------------------------------
+# key uniqueness
+# ---------------------------------------------------------------------------
+
+_PKS = (
+    ("customer", "c_custkey"),
+    ("documents", "doc_id"),
+    ("events", "event_id"),
+    ("orders", "o_orderkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+)
+
+_PK_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{table}' AS table_name,
+           count(*) AS total_rows,
+           count(DISTINCT {key}) AS distinct_keys,
+           count(*) - count(DISTINCT {key}) AS duplicate_rows
+    FROM {table}
+    """
+    for table, key in _PKS
+)
+_PK_ORACLE = f"SELECT * FROM ({_PK_ORACLE}) ORDER BY table_name"
+
+
+@register(
+    "quality_pk_uniqueness_audit",
+    oracle=_PK_ORACLE,
+    description=(
+        "primary-key uniqueness audit across six tables: total vs distinct key "
+        "counts, one partial+final aggregate per table over the pruned key column — "
+        "no joins, no payload through the shuffle"
+    ),
+    tags=("quality", "aggregation", "audit"),
+)
+def quality_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for table, key in _PKS:
+        t = load_table(spark, sf_dir, table)
+        row = t.agg(
+            F.count("*").alias("total_rows"),
+            F.countDistinct(key).alias("distinct_keys"),
+        ).select(
+            F.lit(table).alias("table_name"),
+            "total_rows",
+            "distinct_keys",
+            (F.col("total_rows") - F.col("distinct_keys")).alias("duplicate_rows"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# modal value per group
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH byhour AS (
+    SELECT event_type, CAST(hour(ts) AS INT) AS event_hour, count(*) AS n_events
+    FROM events GROUP BY event_type, hour(ts)
+),
+ranked AS (
+    SELECT event_type, event_hour, n_events,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY n_events DESC, event_hour ASC
+           ) AS rn
+    FROM byhour
+)
+SELECT event_type, event_hour AS modal_hour, n_events
+FROM ranked WHERE rn = 1 ORDER BY event_type
+"""
+
+
+@register(
+    "agg_mode_per_group",
+    oracle=_MODE_ORACLE,
+    description=(
+        "exact mode (most frequent value, smallest-value tiebreak) per group: "
+        "count per (group, value) with map-side combine, then a row_number window "
+        "over the value-cardinality-sized intermediate — the second shuffle carries "
+        "groups x values rows, not input rows"
+    ),
+    tags=("quality", "aggregation", "window"),
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    byhour = (
+        e.groupBy("event_type", F.hour("ts").cast("int").alias("event_hour"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("event_hour").asc()
+    )
+    return (
+        byhour.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("event_hour").alias("modal_hour"), "n_events")
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters
+# ---------------------------------------------------------------------------
+
+_HH_SUPPORT = 0.005  # fraction of total token occurrences
+
+_HH_ORACLE = f"""
+WITH toks AS (
+    SELECT lower(unnest(string_split(text, ' '))) AS token FROM documents
+),
+counts AS (
+    SELECT token, count(*) AS n_occurrences FROM toks GROUP BY token
+),
+total AS (SELECT sum(n_occurrences) AS n_total FROM counts)
+SELECT token, n_occurrences,
+       round(n_occurrences / CAST(n_total AS DOUBLE), 6) AS support
+FROM counts, total
+WHERE n_occurrences >= {_HH_SUPPORT} * n_total
+ORDER BY n_occurrences DESC, token
+"""
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle=_HH_ORACLE,
+    description=(
+        "exact heavy hitters: whitespace tokens with support >= 0.5% of all token "
+        "occurrences. Explode -> count (map-side combinable, shuffle keyed by token) "
+        "-> threshold against a broadcast scalar total. The candidate set after the "
+        "first aggregate is vocabulary-sized; at 100 TB the same plan holds because "
+        "only (token, count) pairs ever shuffle"
+    ),
+    tags=("quality", "text", "aggregation"),
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .select(F.lower("w").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    total = counts.agg(F.sum("n_occurrences").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") >= _HH_SUPPORT * F.col("n_total"))
+        .select(
+            "token",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("n_total").cast("double"), 6).alias("support"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+    )
