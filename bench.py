@@ -71,21 +71,26 @@ REGRESSION_FLOOR_SEC = 0.3
 
 
 def _baseline_queries() -> tuple[str, dict[str, float]]:
-    """Per-query timings from the newest BENCH_r{N}.json, if any."""
+    """Per-query timings from the newest PARSEABLE BENCH_r{N}.json, if any.
+
+    A failed round leaves an artifact with ``"parsed": null``; fall back past
+    it to the newest round that actually recorded timings so the regression
+    gate never silently disappears.
+    """
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, str] | None = None
+    rounds: list[tuple[int, str]] = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), path)
-    if best is None:
-        return "", {}
-    try:
-        with open(best[1]) as f:
-            doc = json.load(f)
-        return os.path.basename(best[1]), dict(doc["parsed"]["queries"])
-    except Exception:  # noqa: BLE001 — a malformed artifact must not kill the bench
-        return "", {}
+        if m:
+            rounds.append((int(m.group(1)), path))
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            return os.path.basename(path), dict(doc["parsed"]["queries"])
+        except Exception:  # noqa: BLE001 — a malformed artifact must not kill the bench
+            continue
+    return "", {}
 
 
 def _dedup_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:

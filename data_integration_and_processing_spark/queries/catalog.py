@@ -34,7 +34,6 @@ _QUERY_MODULES = [
     "data_integration_and_processing_spark.queries.multimodal_queries",
     "data_integration_and_processing_spark.queries.analytics_queries",
     "data_integration_and_processing_spark.queries.quality_queries",
-    "data_integration_and_processing_spark.queries.temporal_queries",
 ]
 
 

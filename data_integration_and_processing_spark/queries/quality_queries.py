@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_integration_and_processing_spark.queries.catalog import register
-from data_integration_and_processing_spark.sources.tables import load_table
+from data_integration_and_processing_spark.sources.tables import BROADCAST_DIMS, load_table
 
 # ---------------------------------------------------------------------------
 # referential integrity
@@ -73,7 +73,9 @@ def quality_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for label, child, ckey, parent, pkey in _FKS:
         ch = load_table(spark, sf_dir, child).select(F.col(ckey).alias("_k"))
         par = load_table(spark, sf_dir, parent).select(F.col(pkey).alias("_k")).distinct()
-        if parent in ("part", "supplier", "customer"):
+        # Only constant-ish dimensions broadcast; customer/orders scale with SF
+        # (~150k rows/SF => ~1.5B keys at the 100 TB target) and must shuffle.
+        if parent in BROADCAST_DIMS:
             par = F.broadcast(par)
         orphans = ch.join(par, "_k", "left_anti").agg(F.count("*").alias("orphan_rows"))
         total = ch.agg(F.count("*").alias("child_rows"))
@@ -198,7 +200,10 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact heavy hitters
 # ---------------------------------------------------------------------------
 
-_HH_SUPPORT = 0.005  # fraction of total token occurrences
+# Support threshold 1/200 = 0.5%. Expressed as the integer comparison
+# n_occurrences * 200 >= n_total in BOTH engines so no float/DECIMAL boundary
+# disagreement is possible when a count lands exactly on the threshold.
+_HH_SUPPORT_DENOM = 200
 
 _HH_ORACLE = f"""
 WITH toks AS (
@@ -211,7 +216,7 @@ total AS (SELECT sum(n_occurrences) AS n_total FROM counts)
 SELECT token, n_occurrences,
        round(n_occurrences / CAST(n_total AS DOUBLE), 6) AS support
 FROM counts, total
-WHERE n_occurrences >= {_HH_SUPPORT} * n_total
+WHERE n_occurrences * {_HH_SUPPORT_DENOM} >= n_total
 ORDER BY n_occurrences DESC, token
 """
 
@@ -239,7 +244,7 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = counts.agg(F.sum("n_occurrences").alias("n_total"))
     return (
         counts.crossJoin(F.broadcast(total))
-        .filter(F.col("n_occurrences") >= _HH_SUPPORT * F.col("n_total"))
+        .filter(F.col("n_occurrences") * _HH_SUPPORT_DENOM >= F.col("n_total"))
         .select(
             "token",
             "n_occurrences",
