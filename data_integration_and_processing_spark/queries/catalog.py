@@ -34,6 +34,7 @@ _QUERY_MODULES = [
     "data_integration_and_processing_spark.queries.multimodal_queries",
     "data_integration_and_processing_spark.queries.analytics_queries",
     "data_integration_and_processing_spark.queries.quality_queries",
+    "data_integration_and_processing_spark.queries.temporal_queries",
 ]
 
 
@@ -58,7 +59,6 @@ _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     # dedup family
     "dedup_exact",
-    "dedup_normalized_exact",
     "dedup_ngram_jaccard",
     "dedup_embedding_clusters",
     # similarity family
@@ -111,6 +111,9 @@ _PRIORITY: tuple[str, ...] = (
     "window_topk_per_group",
     "sort_multi_key_limit",
     "set_ops_nations",
+    # temporal family (r3); dedup_normalized_exact left the window to make
+    # room — its tags (dedup/north-star) stay covered by four other entries
+    "temporal_interval_merge",
     "subquery_correlated_avg",
     "q3_shipping_priority",
     # ETL parity, one per sink semantic

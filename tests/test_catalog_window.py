@@ -51,6 +51,8 @@ REQUIRED_FAMILY_TAGS = (
     "versioned",
     "checksum",
     "chunking",
+    # r3 families
+    "temporal",
 )
 
 
