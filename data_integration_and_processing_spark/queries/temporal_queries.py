@@ -324,3 +324,166 @@ def temporal_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+_ZSCORE_WINDOW = 20  # trailing observations (excluding current) per series
+_ZSCORE_MIN_N = 10
+_ZSCORE_THRESHOLD = 2.5
+
+_ZSCORE_ORACLE = f"""
+WITH s AS (
+    SELECT event_type, event_id,
+           epoch_us(ts) AS us,
+           CAST(value AS DOUBLE) AS v,
+           CAST(value AS DECIMAL(14,6)) AS vd
+    FROM events
+),
+w AS (
+    SELECT event_type, event_id, us, v,
+           count(*)      OVER fr AS n_w,
+           sum(vd)       OVER fr AS sum_w,
+           sum(vd * vd)  OVER fr AS sumsq_w
+    FROM s
+    WINDOW fr AS (PARTITION BY event_type ORDER BY us, event_id
+                  ROWS BETWEEN {_ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING)
+),
+z AS (
+    SELECT event_type, event_id, v, n_w,
+           CAST(sum_w AS DOUBLE) / n_w AS mean_w,
+           (CAST(sumsq_w AS DOUBLE) - CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE) / n_w)
+               / (n_w - 1) AS var_w
+    FROM w WHERE n_w >= {_ZSCORE_MIN_N}
+)
+SELECT event_type, event_id,
+       round(v, 6) AS value,
+       round(mean_w, 6) AS rolling_mean,
+       round((v - mean_w) / sqrt(var_w), 6) AS zscore
+FROM z
+WHERE var_w > 0 AND abs((v - mean_w) / sqrt(var_w)) > {_ZSCORE_THRESHOLD}
+ORDER BY event_type, event_id
+"""
+
+
+@register(
+    "temporal_rolling_zscore",
+    oracle=_ZSCORE_ORACLE,
+    description=(
+        "rolling z-score anomaly detection per series: trailing-20 window of "
+        "DECIMAL sufficient statistics (sum, sum-of-squares — exact in any "
+        "accumulation order), one IEEE mean/variance/z finish per row, flag "
+        "|z| > 2.5. One window pass = one shuffle keyed by the series; the frame "
+        "never materializes, only two running decimal sums"
+    ),
+    tags=("temporal", "window", "anomaly", "quality"),
+)
+def temporal_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("value").cast("double").alias("v"),
+        F.col("value").cast("decimal(14,6)").alias("vd"),
+    )
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("us").asc(), F.col("event_id").asc())
+        .rowsBetween(-_ZSCORE_WINDOW, -1)
+    )
+    w = (
+        s.withColumn("n_w", F.count("*").over(fr))
+        .withColumn("sum_w", F.sum("vd").over(fr))
+        .withColumn("sumsq_w", F.sum(F.col("vd") * F.col("vd")).over(fr))
+        .filter(F.col("n_w") >= _ZSCORE_MIN_N)
+    )
+    mean_w = F.col("sum_w").cast("double") / F.col("n_w")
+    var_w = (
+        F.col("sumsq_w").cast("double")
+        - F.col("sum_w").cast("double") * F.col("sum_w").cast("double") / F.col("n_w")
+    ) / (F.col("n_w") - 1)
+    z = (F.col("v") - mean_w) / F.sqrt(var_w)
+    return (
+        w.filter((var_w > 0) & (F.abs(z) > _ZSCORE_THRESHOLD))
+        .select(
+            "event_type",
+            "event_id",
+            F.round(F.col("v"), 6).alias("value"),
+            F.round(mean_w, 6).alias("rolling_mean"),
+            F.round(z, 6).alias("zscore"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based outlier audit
+# ---------------------------------------------------------------------------
+
+_MAD_K = 1.4826  # consistency constant: MAD ~ sigma for a normal distribution
+_MAD_THRESHOLD = 3.0
+
+_MAD_ORACLE = f"""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.50) AS med_v
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, e.value, m.med_v, abs(e.value - m.med_v) AS adev
+    FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, quantile_cont(adev, 0.50) AS mad_v
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       count(*) AS n_rows,
+       round(max(m.mad_v), 6) AS mad,
+       round(max(d.med_v), 6) AS median_value,
+       sum(CASE WHEN d.adev > {_MAD_THRESHOLD} * {_MAD_K} * m.mad_v THEN 1 ELSE 0 END)
+           AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@register(
+    "quality_outlier_mad",
+    oracle=_MAD_ORACLE,
+    description=(
+        "robust outlier audit per series: median + median-absolute-deviation "
+        "(exact interpolated percentiles), flag |x - median| > 3 * 1.4826 * MAD. "
+        "Two value-cardinality aggregates broadcast back onto the scan — the "
+        "events table is read twice but never shuffled with payload; medians are "
+        "per-group scalars, so the joins are broadcast at any scale"
+    ),
+    tags=("temporal", "quality", "percentile", "anomaly"),
+)
+def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.percentile("value", 0.50).alias("med_v"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med_v"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.50).alias("mad_v"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.max("mad_v"), 6).alias("mad"),
+            F.round(F.max("med_v"), 6).alias("median_value"),
+            F.sum(
+                F.when(
+                    F.col("adev") > F.lit(_MAD_THRESHOLD * _MAD_K) * F.col("mad_v"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
