@@ -409,3 +409,72 @@ def agg_sorted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list("n_name")).alias("nations"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH s AS (
+    SELECT user_id, event_type,
+           epoch_us(ts) AS us, event_id
+    FROM events
+),
+t AS (
+    SELECT user_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS from_type,
+           event_type AS to_type
+    FROM s
+),
+c AS (
+    SELECT from_type, to_type, count(*) AS n_transitions
+    FROM t WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+),
+tot AS (
+    SELECT from_type, sum(n_transitions) AS n_from FROM c GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       round(c.n_transitions / CAST(t.n_from AS DOUBLE), 6) AS prob
+FROM c JOIN tot t USING (from_type)
+ORDER BY c.from_type, c.to_type
+"""
+
+
+@register(
+    "events_transition_matrix",
+    oracle=_TRANSITION_ORACLE,
+    description=(
+        "first-order Markov transition matrix of event types per user journey: "
+        "lag window keyed by user_id (the partitioning an event store already "
+        "has), then a count aggregate whose input is one row per event and whose "
+        "output is event-type-cardinality-squared — the normalizing totals join "
+        "is over that tiny matrix, broadcast at any scale"
+    ),
+    tags=("analytics", "events", "window", "aggregation"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")).asc(), F.col("event_id").asc()
+    )
+    trans = (
+        e.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n_transitions").alias("n_from"))
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("n_from").cast("double"), 6).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -139,3 +139,81 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     return pack_sequences(d, token_budget=256)
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplicate overlap (contamination between dumps)
+# ---------------------------------------------------------------------------
+
+_SOURCE_OVERLAP_ORACLE = """
+WITH d AS (
+    SELECT DISTINCT source,
+           md5(array_to_string((string_split(lower(text), ' '))[1:8], ' ')) AS digest
+    FROM documents
+),
+sizes AS (
+    SELECT source, count(*) AS n_distinct FROM d GROUP BY source
+),
+shared AS (
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+    FROM d a JOIN d b ON a.digest = b.digest AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT s.source_a, s.source_b, s.n_shared,
+       sa.n_distinct AS n_a, sb.n_distinct AS n_b,
+       round(s.n_shared / CAST(sa.n_distinct + sb.n_distinct - s.n_shared AS DOUBLE), 6)
+           AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.source = s.source_a
+JOIN sizes sb ON sb.source = s.source_b
+ORDER BY s.source_a, s.source_b
+"""
+
+
+@register(
+    "corpus_source_overlap",
+    oracle=_SOURCE_OVERLAP_ORACLE,
+    description=(
+        "duplicate-content overlap between corpus sources (the 'is dump B a "
+        "re-crawl of dump A' contamination question), keyed on a normalized "
+        "8-word-prefix fingerprint (the standard blocking key when exact digests "
+        "are too strict): distinct (source, digest) pairs, digest-keyed self-join "
+        "so only 16-byte digests ever shuffle — "
+        "never document text — then a source-pair-cardinality aggregate with "
+        "Jaccard from broadcast per-source sizes. The digest join key is "
+        "high-cardinality and uniform, so partitions stay balanced at 100 TB"
+    ),
+    tags=("curation", "dedup", "join", "north-star"),
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 1, 8))
+    d = docs.select("source", F.md5(prefix.cast("binary")).alias("digest")).distinct()
+    sizes = d.groupBy("source").agg(F.count("*").alias("n_distinct"))
+    a = d.select(F.col("source").alias("source_a"), "digest")
+    b = d.select(F.col("source").alias("source_b"), "digest")
+    shared = (
+        a.join(b, "digest")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_distinct").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_distinct").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
