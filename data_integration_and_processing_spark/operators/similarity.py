@@ -523,3 +523,180 @@ def _neardup_candidates_lsh(
 
     banded = ids_vecs.mapInPandas(_signatures, schema="id long, table int, bucket long")
     return pairs_within_buckets(banded, ["table", "bucket"])
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+
+def _train_pq_codebooks(
+    sample: np.ndarray, m: int, nbits: int, seed: int, n_iter: int = 25
+) -> np.ndarray:
+    """Lloyd k-means per subspace on a driver-side training sample —
+    deterministic (seeded kmeans++ init, fixed iteration count, argmin ties
+    to the lowest code). Returns (m, 2**nbits, dim//m) float64 codebooks.
+
+    Driver-side training is the standard PQ shape (FAISS trains on a
+    bounded sample too): codebooks are a few KB of model state; only the
+    ENCODING pass must be distributed, and is.
+    """
+    n, dim = sample.shape
+    dsub = dim // m
+    ncodes = min(2**nbits, n)
+    books = np.empty((m, 2**nbits, dsub))
+    for j in range(m):
+        rs = np.random.RandomState(seed + j)
+        x = sample[:, j * dsub : (j + 1) * dsub]
+        # kmeans++ seeding
+        centers = [x[rs.randint(n)]]
+        for _ in range(ncodes - 1):
+            d2 = np.min(
+                [((x - c) ** 2).sum(axis=1) for c in centers], axis=0
+            )
+            total = float(d2.sum())
+            if total <= 0.0:
+                centers.append(x[rs.randint(n)])
+                continue
+            centers.append(x[rs.choice(n, p=d2 / total)])
+        cb = np.array(centers)
+        for _ in range(n_iter):
+            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cb)):
+                members = x[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        # pad (tiny-sample case) so every code id is addressable
+        if len(cb) < 2**nbits:
+            cb = np.vstack([cb, np.repeat(cb[-1:], 2**nbits - len(cb), axis=0)])
+        books[j] = cb
+    return books
+
+
+def build_pq_index(
+    df: DataFrame,
+    path: str,
+    m: int = 8,
+    nbits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    train_cap: int = 100_000,
+) -> str:
+    """Build a product-quantization index: train per-subspace codebooks on
+    a deterministic hash-ordered sample (driver-side, bounded by
+    ``train_cap``), then encode the WHOLE corpus distributed — each unit-
+    normalized vector becomes ``m`` codes of ``nbits`` bits, i.e. ~m bytes
+    instead of 4*dim. Layout::
+
+        {path}/data/part-*.parquet       (id, codes array<int>, v array<float>)
+        {path}/codebooks/part-*.parquet  (subspace, code, center array<double>)
+        {path}/meta/part-*.parquet       (m, nbits, dim, seed)
+
+    Originals ride along in ``data`` for the probe's exact re-rank stage
+    (FAISS's refine pattern). At 100 TB the codes table is ~1/32 the corpus
+    — the ADC scan touches only it; originals are fetched for the tiny
+    refined candidate set.
+    """
+    import pandas as pd  # noqa: PLC0415 — keep pandas off the import hot path
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot index an empty corpus")
+    dim = int(first["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+
+    ids_vecs = fan_out_scan(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sample_rows = (
+        ids_vecs.orderBy(F.xxhash64("id").asc(), F.col("id").asc())
+        .limit(train_cap)
+        .collect()
+    )
+    mat = np.array([np.asarray(r["v"], dtype=np.float64) for r in sample_rows])
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / np.where(norms == 0.0, 1.0, norms)[:, None]
+    books = _train_pq_codebooks(unit, m, nbits, seed)
+    b_books = df.sparkSession.sparkContext.broadcast(books)
+    dsub = dim // m
+
+    def _encode(batches):
+        cb = b_books.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            bn = np.linalg.norm(block, axis=1)
+            ublock = block / np.where(bn == 0.0, 1.0, bn)[:, None]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                xj = ublock[:, j * dsub : (j + 1) * dsub]
+                d2 = ((xj[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "codes": list(codes), "v": pdf["v"]}
+            )
+
+    encoded = ids_vecs.mapInPandas(_encode, schema="id long, codes array<int>, v array<float>")
+    encoded.write.mode("overwrite").parquet(f"{path}/data")
+    book_rows = [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(m)
+        for c in range(books.shape[1])
+    ]
+    df.sparkSession.createDataFrame(
+        book_rows, "subspace int, code int, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    df.sparkSession.createDataFrame(
+        [(m, nbits, dim, seed)], "m int, nbits int, dim int, seed int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return path
+
+
+def pq_probe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    refine: int = 8,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Probe a :func:`build_pq_index` index with asymmetric distance
+    computation: the query is NOT quantized — a driver-side lookup table
+    LUT[j][c] = <q_j, center_{j,c}> (m * 2**nbits doubles) turns each row's
+    approximate cosine into ``sum_j LUT[j][codes[j]]``, evaluated as a pure
+    JVM expression over the codes column (table lookups + adds, no Python,
+    no shuffle). The top ``k * refine`` ADC candidates get the exact
+    zip_with/aggregate cosine on their stored originals; output is the
+    exact-scored top-k of that refined set."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    m, nbits = int(meta["m"]), int(meta["nbits"])
+    dsub = int(meta["dim"]) // m
+    books = np.zeros((m, 2**nbits, dsub))
+    for r in spark.read.parquet(f"{path}/codebooks").collect():
+        books[int(r["subspace"]), int(r["code"])] = np.asarray(r["center"])
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    uq = q / (qn if qn else 1.0)
+    lut = np.einsum(
+        "jcd,jd->jc", books, uq.reshape(m, dsub)
+    )  # inner products per (subspace, code)
+
+    adc = None
+    for j in range(m):
+        lut_j = F.array(*[F.lit(float(x)) for x in lut[j]])
+        term = F.element_at(lut_j, F.element_at("codes", j + 1) + F.lit(1))
+        adc = term if adc is None else adc + term
+    qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    sim = F.round(cosine(F.col("v"), qcol), round_digits)
+    return (
+        spark.read.parquet(f"{path}/data")
+        .select("id", "v", F.round(adc, round_digits).alias("_adc"))
+        .orderBy(F.desc("_adc"), F.asc("id"))
+        .limit(k * refine)
+        .select(F.col("id").alias(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -253,3 +253,33 @@ def sim_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(f"{path}/meta"):
         build_lsh_index(e.filter(F.col("vec_id") != 0), path, n_planes=4, n_tables=8)
     return lsh_probe(spark, path, q, k=10)
+
+
+@register(
+    "sim_topk_pq",
+    oracle=None,  # quantization cells are engine-specific; recall + exact re-rank pinned in tests/test_ann_recall.py
+    description=(
+        "approximate ANN via product quantization: per-subspace codebooks trained "
+        "once on a deterministic sample, corpus encoded distributed to m 4-bit "
+        "codes (~1/32 the bytes), probes scored by asymmetric-distance table "
+        "lookups as pure JVM expressions, then exact cosine re-rank of the "
+        "refined candidate set (FAISS build/probe/refine shape)"
+    ),
+    tags=("similarity", "north-star", "quantization"),
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from data_integration_and_processing_spark.operators.similarity import (
+        build_pq_index,
+        pq_probe,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    path = f"/tmp/diaps_scratch/pq_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    # meta lands last in build_pq_index, so its presence marks a complete
+    # index: build once per (read-only) fixture, probe thereafter
+    if not os.path.exists(f"{path}/meta"):
+        build_pq_index(e.filter(F.col("vec_id") != 0), path, m=8, nbits=4)
+    return pq_probe(spark, path, q, k=10)

@@ -36,12 +36,20 @@ def test_lsh_recall(spark, sf_dir, bf_top10):
     assert _recall(lsh, bf_top10) >= 0.4
 
 
+def test_pq_recall(spark, sf_dir, bf_top10):
+    pq = [r.vec_id for r in SPECS["sim_topk_pq"].spark(spark, sf_dir).collect()]
+    assert len(pq) == 10
+    # 8x4-bit codebooks + exact re-rank of an 80-candidate refine pool; the
+    # ADC ordering concentrates true neighbors far better than chance (0.16)
+    assert _recall(pq, bf_top10) >= 0.5
+
+
 def test_approx_results_are_subset_quality(spark, sf_dir, bf_top10):
     """Every approx result must be a real vector with cos_sim <= the exact
     best — i.e. approximation never invents better-than-exact scores."""
     bf = {r.vec_id: r.cos_sim for r in SPECS["sim_topk_bruteforce"].spark(spark, sf_dir).collect()}
     best = max(bf.values())
-    for name in ("sim_topk_ivf", "sim_topk_lsh"):
+    for name in ("sim_topk_ivf", "sim_topk_lsh", "sim_topk_pq"):
         for r in SPECS[name].spark(spark, sf_dir).collect():
             assert r.cos_sim <= best + 1e-9, f"{name} produced impossible score {r.cos_sim}"
 
