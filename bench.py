@@ -60,6 +60,8 @@ HEADLINE = [
     "stream_tumbling_window",
     "stream_session_window",
     "pipeline_training_corpus",
+    "temporal_interval_merge",
+    "temporal_rolling_zscore",
 ]
 
 

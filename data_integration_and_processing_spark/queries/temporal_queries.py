@@ -487,3 +487,25 @@ def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_ewma_stateful",
+    oracle=_EWMA_ORACLE,  # the SAME oracle as the batch fold: the streaming
+    # recurrence performs the identical float64 operation sequence
+    description=(
+        "streaming twin of temporal_ewma: the order-dependent recurrence carried "
+        "across micro-batches in O(1) per-key state (applyInPandasWithState), "
+        "under an explicit per-key ordered-delivery contract (time-range chunk "
+        "replay). Hash-matches the batch fold's SQL oracle bit-for-bit — a "
+        "stateful streaming operator with a value-checked result"
+    ),
+    tags=("temporal", "streaming", "stateful", "fold"),
+)
+def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.streaming.pipelines import (  # noqa: PLC0415
+        run_streaming_ewma,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return run_streaming_ewma(spark, e, alpha=_EWMA_ALPHA).orderBy("user_id")

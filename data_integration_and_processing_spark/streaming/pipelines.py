@@ -594,3 +594,135 @@ def run_streaming_hll_distinct(
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming EWMA: an ORDER-DEPENDENT stateful fold
+# ---------------------------------------------------------------------------
+
+_EWMA_OUT_SCHEMA = "user_id long, n_obs long, ewma double, last_value double"
+_EWMA_STATE_SCHEMA = "ewma double, n long, last_v double"
+
+
+def _make_ewma_fn(alpha: float):
+    def _ewma_fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Carry the EWMA recurrence across micro-batches in O(1) state
+        (ewma, n, last value). Rows WITHIN a delivered chunk are sorted by
+        (event-time, event_id) before folding; ACROSS chunks the operator
+        relies on the per-key ordered-delivery contract documented on
+        :func:`run_streaming_ewma`. float64 ops in the same order as the
+        batch fold => bit-identical results."""
+        if state.exists:
+            ewma, n, last_v = state.get
+        else:
+            ewma, n, last_v = None, 0, None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["us", "event_id"])
+            for v in pdf["value"].astype("float64"):
+                ewma = float(v) if ewma is None else alpha * float(v) + (1.0 - alpha) * ewma
+                last_v = float(v)
+            n += len(pdf)
+        state.update((ewma, n, last_v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_obs": [n], "ewma": [ewma], "last_value": [last_v]}
+        )
+
+    return _ewma_fn
+
+
+def run_streaming_ewma(
+    spark: SparkSession,
+    events: DataFrame,
+    alpha: float = 0.3,
+    n_chunks: int = 4,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Streaming twin of the batch EWMA fold (`operators/temporal.ewma_fold`):
+    the sequential recurrence carried across micro-batches in O(1)
+    per-key state via ``applyInPandasWithState``.
+
+    An EWMA is order-dependent, so unlike the engine's other stateful ops
+    it carries an explicit **delivery contract**: per key, events must
+    arrive in event-time order across micro-batches (the guarantee a
+    Kafka topic keyed by user gives within a partition). The replay
+    harness honors it structurally — the staged input is split into
+    event-time-range chunk files written sequentially, and
+    ``maxFilesPerTrigger=1`` replays them oldest-first — so the streaming
+    fold performs the exact float64 operation sequence of the batch fold
+    and hash-matches the same SQL oracle. Out-of-order sources need the
+    watermark-buffered variant (hold rows in state until the watermark
+    passes, fold only then): same state schema plus a pending buffer, at
+    the cost of state proportional to the watermark delay.
+
+    Per micro-batch the plan is one shuffle on user_id into the state
+    store; emitted updates are cumulative, so the read-back keeps each
+    user's highest-count row and the result is independent of how many
+    chunks the replay used.
+    """
+    import time as _time  # noqa: PLC0415
+
+    scratch = scratch_dir or f"/tmp/diaps_ewma_{uuid.uuid4().hex[:8]}"
+    src, sink = f"{scratch}/src", f"{scratch}/sink"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    staged = _watermarkable(events).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("value").cast("double").alias("value"),
+    )
+    bounds = staged.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).first()
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = max(hi - lo + 1, 1)
+    # sequential time-range chunk writes => strictly increasing file mtimes
+    # => the file source replays them in event-time order
+    for i in range(n_chunks):
+        c_lo = lo + span * i // n_chunks
+        c_hi = lo + span * (i + 1) // n_chunks
+        chunk = staged.filter((F.col("us") >= c_lo) & (F.col("us") < c_hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        _make_ewma_fn(alpha),
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    (
+        updates.writeStream.outputMode("update")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    out = spark.read.parquet(sink)
+    # cumulative updates: the max-n row per user is the final fold state
+    w = Window.partitionBy("user_id").orderBy(F.col("n_obs").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_obs",
+            F.round("ewma", 6).alias("ewma"),
+            F.round("last_value", 6).alias("last_value"),
+        )
+    )

@@ -161,3 +161,20 @@ def test_ewma_stays_in_codegen(spark, sf_dir):
     plan = _plan(all_specs()["temporal_ewma"].spark(spark, sf_dir))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_streaming_ewma_invariant_to_chunking(spark, sf_dir):
+    """Under the ordered-delivery contract the fold result must not depend
+    on how many micro-batches the replay used (1 chunk == pure batch)."""
+    from data_integration_and_processing_spark.streaming.pipelines import run_streaming_ewma
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    one = {
+        r["user_id"]: (r["n_obs"], r["ewma"], r["last_value"])
+        for r in run_streaming_ewma(spark, e, alpha=0.3, n_chunks=1).collect()
+    }
+    many = {
+        r["user_id"]: (r["n_obs"], r["ewma"], r["last_value"])
+        for r in run_streaming_ewma(spark, e, alpha=0.3, n_chunks=6).collect()
+    }
+    assert one == many
