@@ -478,3 +478,75 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# cumulative distinct users (running distinct rewritten as first-seen)
+# ---------------------------------------------------------------------------
+
+_CUMDISTINCT_ORACLE = """
+WITH s AS (
+    SELECT user_id, epoch_us(ts) // 86400000000 AS day_num FROM events
+),
+active AS (
+    SELECT day_num, count(DISTINCT user_id) AS n_active_users
+    FROM s GROUP BY day_num
+),
+first_seen AS (
+    SELECT user_id, min(day_num) AS first_day FROM s GROUP BY user_id
+),
+new_per_day AS (
+    SELECT first_day AS day_num, count(*) AS n_new_users
+    FROM first_seen GROUP BY first_day
+)
+SELECT a.day_num, a.n_active_users,
+       coalesce(n.n_new_users, 0) AS n_new_users,
+       sum(coalesce(n.n_new_users, 0))
+           OVER (ORDER BY a.day_num ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_distinct_users
+FROM active a LEFT JOIN new_per_day n USING (day_num)
+ORDER BY a.day_num
+"""
+
+
+@register(
+    "events_cumulative_distinct_users",
+    oracle=_CUMDISTINCT_ORACLE,
+    description=(
+        "running distinct-user count per day — the textbook rewrite of an "
+        "unscalable windowed COUNT(DISTINCT): distinct-per-day for actives, plus "
+        "min(day) per user ('first seen') so the cumulative curve is a running "
+        "SUM over day-cardinality rows instead of a distinct over an ever-growing "
+        "window. Two shuffles keyed by day and user; the global-order window runs "
+        "over |days| rows, not |events|"
+    ),
+    tags=("analytics", "events", "window", "aggregation"),
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day_us = F.lit(86_400_000_000)
+    # exact integer day ordinal (us - us % d) / d — the division is over an
+    # exact multiple, never a rounding double quotient
+    s = e.select(
+        "user_id",
+        ((us - us % day_us) / day_us).cast("long").alias("day_num"),
+    )
+    active = s.groupBy("day_num").agg(F.countDistinct("user_id").alias("n_active_users"))
+    first_seen = s.groupBy("user_id").agg(F.min("day_num").alias("first_day"))
+    new_per_day = first_seen.groupBy(F.col("first_day").alias("day_num")).agg(
+        F.count("*").alias("n_new_users")
+    )
+    w = Window.orderBy("day_num").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(new_per_day, "day_num", "left")
+        .select(
+            "day_num",
+            "n_active_users",
+            F.coalesce("n_new_users", F.lit(0)).alias("n_new_users"),
+            F.sum(F.coalesce("n_new_users", F.lit(0))).over(w).alias("cum_distinct_users"),
+        )
+        .orderBy("day_num")
+    )

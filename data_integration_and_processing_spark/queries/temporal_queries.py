@@ -509,3 +509,132 @@ def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return run_streaming_ewma(spark, e, alpha=_EWMA_ALPHA).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# linear-interpolation resampling
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_STEP_US = 6 * 3600 * 1_000_000  # 6-hour grid
+
+_RESAMPLE_ORACLE = f"""
+WITH obs AS (
+    SELECT event_type, epoch_us(ts) AS us, event_id, CAST(value AS DOUBLE) AS v
+    FROM events
+),
+bounds AS (
+    SELECT event_type, min(us) AS lo, max(us) AS hi FROM obs GROUP BY event_type
+),
+grid AS (
+    SELECT b.event_type, g.t
+    FROM bounds b,
+         LATERAL unnest(generate_series(
+             (b.lo + {_RESAMPLE_STEP_US} - 1) // {_RESAMPLE_STEP_US} * {_RESAMPLE_STEP_US},
+             b.hi, {_RESAMPLE_STEP_US})) AS g(t)
+),
+unioned AS (
+    SELECT event_type, us, 1 AS is_obs, coalesce(event_id, -1) AS ord_id, v, us AS obs_us
+    FROM obs
+    UNION ALL
+    SELECT event_type, t AS us, 0 AS is_obs, -1 AS ord_id, NULL AS v, NULL AS obs_us
+    FROM grid
+),
+scanned AS (
+    SELECT event_type, us, is_obs,
+           last_value(v IGNORE NULLS)  OVER fr_prev AS prev_v,
+           last_value(obs_us IGNORE NULLS) OVER fr_prev AS prev_us,
+           first_value(v IGNORE NULLS) OVER fr_next AS next_v,
+           first_value(obs_us IGNORE NULLS) OVER fr_next AS next_us
+    FROM unioned
+    WINDOW fr_prev AS (PARTITION BY event_type ORDER BY us, is_obs DESC, ord_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           fr_next AS (PARTITION BY event_type ORDER BY us, is_obs DESC, ord_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, us AS grid_us,
+       round(CASE WHEN next_us = prev_us THEN prev_v
+                  ELSE prev_v + (next_v - prev_v)
+                       * (CAST(us - prev_us AS DOUBLE) / CAST(next_us - prev_us AS DOUBLE))
+             END, 6) AS value_interp
+FROM scanned
+WHERE is_obs = 0 AND prev_us IS NOT NULL AND next_us IS NOT NULL
+ORDER BY event_type, grid_us
+"""
+
+
+@register(
+    "temporal_resample_linear",
+    oracle=_RESAMPLE_ORACLE,
+    description=(
+        "resample each series to a 6-hour grid with LINEAR interpolation "
+        "(completing the resample matrix next to stream_gapfill_locf's LOCF): "
+        "grid markers unioned with observations, ONE window partitioning serves "
+        "both the backward (last ignore-nulls) and forward (first ignore-nulls) "
+        "scans, one interpolation expression per grid row. A single shuffle "
+        "keyed by the series; the grid adds |series| x |buckets| marker rows, "
+        "tiny next to the fact table"
+    ),
+    tags=("temporal", "window", "timeseries"),
+)
+def temporal_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    step = _RESAMPLE_STEP_US
+    obs = e.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.lit(1).alias("is_obs"),
+        F.coalesce("event_id", F.lit(-1)).alias("ord_id"),
+        F.col("value").cast("double").alias("v"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("obs_us"),
+    )
+    bounds = e.groupBy("event_type").agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("lo"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("hi"),
+    )
+    # exact integer ceil-to-grid: (lo + step-1) - ((lo + step-1) % step) —
+    # never a double quotient that could round across a grid boundary
+    lo_pad = F.col("lo") + F.lit(step - 1)
+    grid_start = lo_pad - (lo_pad % F.lit(step))
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence(grid_start, F.col("hi"), F.lit(step))).alias("us"),
+        F.lit(0).alias("is_obs"),
+        F.lit(-1).alias("ord_id"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(None).cast("long").alias("obs_us"),
+    )
+    unioned = obs.unionByName(grid)
+    order = [F.col("us").asc(), F.col("is_obs").desc(), F.col("ord_id").asc()]
+    w_prev = Window.partitionBy("event_type").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_next = Window.partitionBy("event_type").orderBy(*order).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    scanned = (
+        unioned.withColumn("prev_v", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn("prev_us", F.last("obs_us", ignorenulls=True).over(w_prev))
+        .withColumn("next_v", F.first("v", ignorenulls=True).over(w_next))
+        .withColumn("next_us", F.first("obs_us", ignorenulls=True).over(w_next))
+    )
+    frac = (F.col("us") - F.col("prev_us")).cast("double") / (
+        F.col("next_us") - F.col("prev_us")
+    ).cast("double")
+    interp = F.when(F.col("next_us") == F.col("prev_us"), F.col("prev_v")).otherwise(
+        F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+    )
+    return (
+        scanned.filter(
+            (F.col("is_obs") == 0)
+            & F.col("prev_us").isNotNull()
+            & F.col("next_us").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.col("us").alias("grid_us"),
+            F.round(interp, 6).alias("value_interp"),
+        )
+        .orderBy("event_type", "grid_us")
+    )
