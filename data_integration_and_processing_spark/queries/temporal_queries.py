@@ -638,3 +638,26 @@ def temporal_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "grid_us")
     )
+
+
+@register(
+    "stream_ewma_watermarked",
+    oracle=_EWMA_ORACLE,  # same oracle again: the buffered fold commits in
+    # event-time order, so disorder does not change the result
+    description=(
+        "out-of-order-tolerant streaming EWMA: late events (deterministically "
+        "delayed into later micro-batches by the replay) buffer in per-key state "
+        "until the watermark passes, then fold in event-time order; the emitted "
+        "projection over the pending tail makes the final answer the complete "
+        "ordered fold — hash-matches the batch fold's SQL oracle despite "
+        "disordered delivery. State = O(1) fold + O(watermark window) buffer"
+    ),
+    tags=("temporal", "streaming", "stateful", "watermark", "fold"),
+)
+def stream_ewma_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.streaming.pipelines import (  # noqa: PLC0415
+        run_streaming_ewma_watermarked,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return run_streaming_ewma_watermarked(spark, e, alpha=_EWMA_ALPHA).orderBy("user_id")

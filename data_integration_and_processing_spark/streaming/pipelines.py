@@ -726,3 +726,174 @@ def run_streaming_ewma(
             F.round("last_value", 6).alias("last_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# watermark-buffered EWMA: the out-of-order-tolerant ordered fold
+# ---------------------------------------------------------------------------
+
+_EWMA_WM_OUT_SCHEMA = (
+    "user_id long, n_seen long, n_folded long, n_pending long, "
+    "ewma_projected double, last_value double"
+)
+_EWMA_WM_STATE_SCHEMA = (
+    "ewma double, n long, last_v double, "
+    "pend_us array<long>, pend_id array<long>, pend_v array<double>"
+)
+
+
+def _make_ewma_watermark_fn(alpha: float):
+    def _fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Ordered fold under bounded disorder: new rows land in a pending
+        buffer; only the prefix at or below the current watermark is folded
+        into committed state (in event-time order — the watermark guarantees
+        no earlier row can still arrive), and the emitted row carries BOTH
+        the committed fold and the projection over the sorted pending tail.
+        At end of replay the projection IS the complete ordered fold, so the
+        result matches the batch fold even when micro-batches interleave
+        late data. State = O(1) committed fold + O(watermark-delay window)
+        pending rows — the price of disorder tolerance."""
+        if state.exists:
+            ewma, n, last_v, p_us, p_id, p_v = state.get
+            p_us, p_id, p_v = list(p_us or ()), list(p_id or ()), list(p_v or ())
+        else:
+            ewma, n, last_v, p_us, p_id, p_v = None, 0, None, [], [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            p_us.extend(int(x) for x in pdf["us"])
+            p_id.extend(int(x) for x in pdf["event_id"])
+            p_v.extend(float(x) for x in pdf["value"])
+        order = sorted(range(len(p_us)), key=lambda i: (p_us[i], p_id[i]))
+        p_us = [p_us[i] for i in order]
+        p_id = [p_id[i] for i in order]
+        p_v = [p_v[i] for i in order]
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        k = 0
+        while k < len(p_us) and p_us[k] <= wm_us:
+            v = p_v[k]
+            ewma = v if ewma is None else alpha * v + (1.0 - alpha) * ewma
+            last_v = v
+            n += 1
+            k += 1
+        p_us, p_id, p_v = p_us[k:], p_id[k:], p_v[k:]
+        state.update((ewma, n, last_v, p_us, p_id, p_v))
+
+        proj, proj_last = ewma, last_v
+        for v in p_v:
+            proj = v if proj is None else alpha * v + (1.0 - alpha) * proj
+            proj_last = v
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [n + len(p_v)],
+                "n_folded": [n],
+                "n_pending": [len(p_v)],
+                "ewma_projected": [proj],
+                "last_value": [proj_last],
+            }
+        )
+
+    return _fn
+
+
+def run_streaming_ewma_watermarked(
+    spark: SparkSession,
+    events: DataFrame,
+    alpha: float = 0.3,
+    delay: str = "8 days",
+    n_chunks: int = 4,
+    late_fraction_mod: int = 10,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Out-of-order-tolerant streaming EWMA: the ordered fold under a real
+    watermark instead of :func:`run_streaming_ewma`'s ordered-delivery
+    contract.
+
+    The replay deliberately injects disorder: events are staged into
+    event-time-range chunks, but a deterministic ~1/``late_fraction_mod``
+    of each chunk is delayed into the NEXT chunk file — bounded lateness of
+    one chunk span, the shape a real at-least-once bus produces. The
+    watermark ``delay`` exceeds that bound, so the stateful fold buffers
+    disordered rows and commits them in event-time order once the watermark
+    passes; no row is ever dropped, and the final projected fold equals the
+    batch fold bit-for-bit (same oracle as ``temporal_ewma``).
+
+    Per micro-batch: one shuffle on user_id into the state store. State is
+    the O(1) committed fold plus the pending window — bounded by the
+    watermark delay, the honest cost of disorder tolerance.
+    """
+    import time as _time  # noqa: PLC0415
+
+    scratch = scratch_dir or f"/tmp/diaps_ewmawm_{uuid.uuid4().hex[:8]}"
+    src, sink = f"{scratch}/src", f"{scratch}/sink"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    staged = _watermarkable(events).select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("value").cast("double").alias("value"),
+    )
+    bounds = staged.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).first()
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = max(hi - lo + 1, 1)
+    time_chunk = F.least(
+        F.lit(n_chunks - 1),
+        ((F.col("us") - F.lit(lo)) * n_chunks / F.lit(span)).cast("long"),
+    )
+    # deterministic late rows: ~1/mod of each chunk slips into the next one
+    is_late = (F.abs(F.xxhash64("event_id")) % late_fraction_mod) == 0
+    chunked = staged.withColumn(
+        "_chunk", F.least(F.lit(n_chunks - 1), time_chunk + is_late.cast("long"))
+    )
+    for i in range(n_chunks):
+        chunk = chunked.filter(F.col("_chunk") == i).drop("_chunk")
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", delay)
+    )
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        _make_ewma_watermark_fn(alpha),
+        outputStructType=_EWMA_WM_OUT_SCHEMA,
+        stateStructType=_EWMA_WM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(sink)
+
+    (
+        updates.writeStream.outputMode("update")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    out = spark.read.parquet(sink)
+    # the projection in a user's LAST update covers every seen event in
+    # event-time order — the complete ordered fold
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc(), F.col("n_seen").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_seen").alias("n_obs"),
+            F.round("ewma_projected", 6).alias("ewma"),
+            F.round("last_value", 6).alias("last_value"),
+        )
+    )

@@ -178,3 +178,24 @@ def test_streaming_ewma_invariant_to_chunking(spark, sf_dir):
         for r in run_streaming_ewma(spark, e, alpha=0.3, n_chunks=6).collect()
     }
     assert one == many
+
+
+def test_watermarked_ewma_survives_disorder(spark, sf_dir):
+    """Late rows delayed into later micro-batches must neither drop nor
+    fold out of order: result equals the batch fold, and every event is
+    seen (n_obs matches the per-user event count)."""
+    from data_integration_and_processing_spark.operators.temporal import ewma_fold
+    from data_integration_and_processing_spark.streaming.pipelines import (
+        run_streaming_ewma_watermarked,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wm = {
+        r["user_id"]: (r["n_obs"], r["ewma"], r["last_value"])
+        for r in run_streaming_ewma_watermarked(spark, e, alpha=0.3).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_obs"], r["ewma"], r["last_value"])
+        for r in ewma_fold(e, ["user_id"], alpha=0.3).collect()
+    }
+    assert wm == batch
