@@ -283,3 +283,65 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(f"{path}/meta"):
         build_pq_index(e.filter(F.col("vec_id") != 0), path, m=8, nbits=4)
     return pq_probe(spark, path, q, k=10)
+
+
+_KNN_K = 3
+_KNN_NQ = 10  # query batch: vec_id < 10
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {_KNN_NQ}),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {_KNN_NQ}),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           round({_cos_sql('c.embedding', 'q.embedding')}, 6) AS cos_sim
+    FROM c, q
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM ranked WHERE rank <= {_KNN_K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "sim_knn_join",
+    oracle=_KNN_ORACLE,
+    description=(
+        "exact k-NN JOIN (batch retrieval): top-k corpus neighbors for EVERY "
+        "vector in a query batch, in ONE corpus pass — the query side is "
+        "broadcast (a retrieval batch is bounded by construction), each corpus "
+        "row scores against all queries JVM-side, and a per-query window top-k "
+        "ranks candidates. At 100 TB: corpus scan x |Q| comparisons, no corpus "
+        "shuffle beyond the query-cardinality-sized ranking exchange; larger "
+        "query batches chunk, or route through the LSH/IVF/PQ indexes"
+    ),
+    tags=("similarity", "north-star", "join", "topk"),
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.filter(F.col("vec_id") >= _KNN_NQ).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+        .orderBy("query_id", "rank")
+    )

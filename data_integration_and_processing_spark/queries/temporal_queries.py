@@ -661,3 +661,98 @@ def stream_ewma_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return run_streaming_ewma_watermarked(spark, e, alpha=_EWMA_ALPHA).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast (coupled recurrences as a struct fold)
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+
+# DuckDB 1.0's lambda binder miscompiles a struct lambda whose duplicated
+# subexpression re-reads an accumulator field (acc.b resolves to the
+# element's field) — so the oracle iterates the recurrence with a recursive
+# CTE instead: plain SQL projections, one level per observation index, the
+# identical float operation sequence as the Spark fold.
+_HOLT_ORACLE = f"""
+WITH RECURSIVE s AS (
+    SELECT event_type,
+           list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), event_id) AS vals
+    FROM events GROUP BY event_type
+),
+r AS (
+    SELECT event_type, 2 AS t, len(vals) AS n, vals,
+           vals[1] AS l,
+           CASE WHEN len(vals) >= 2 THEN vals[2] - vals[1]
+                ELSE CAST(0.0 AS DOUBLE) END AS b
+    FROM s
+    UNION ALL
+    SELECT event_type, t + 1, n, vals,
+           {_HOLT_ALPHA} * vals[t] + {1.0 - _HOLT_ALPHA} * (l + b),
+           {_HOLT_BETA} * (({_HOLT_ALPHA} * vals[t] + {1.0 - _HOLT_ALPHA} * (l + b)) - l)
+               + {1.0 - _HOLT_BETA} * b
+    FROM r WHERE t <= n
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+       round(l, 6) AS level,
+       round(b, 6) AS trend,
+       round(l + b, 6) AS forecast_next
+FROM r WHERE t = n + 1
+ORDER BY event_type
+"""
+
+
+@register(
+    "temporal_holt_forecast",
+    oracle=_HOLT_ORACLE,
+    description=(
+        "Holt double-exponential-smoothing forecast per series: TWO coupled "
+        "recurrences (level + trend) folded as ONE struct-accumulator left-fold "
+        "inside whole-stage codegen — F.aggregate with a struct zero vs DuckDB "
+        "list_reduce over structs, identical operation order, bit-identical "
+        "doubles. One-step-ahead forecast = level + trend. Same single-shuffle "
+        "scale shape as the EWMA fold"
+    ),
+    tags=("temporal", "aggregation", "fold", "forecast"),
+)
+def temporal_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    staged = e.select(
+        "event_type",
+        F.struct(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("u"),
+            F.col("event_id").alias("t"),
+            F.col("value").cast("double").alias("v"),
+        ).alias("_obs"),
+    )
+    arr = F.array_sort(F.collect_list("_obs"))
+    vals = F.transform(arr, lambda o: o["v"])
+    init = F.struct(
+        F.element_at(vals, 1).alias("l"),
+        F.when(F.size(vals) >= 2, F.element_at(vals, 2) - F.element_at(vals, 1))
+        .otherwise(F.lit(0.0))
+        .alias("b"),
+    )
+
+    def _step(acc, x):
+        new_l = F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        new_b = F.lit(b) * (
+            (F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"])) - acc["l"]
+        ) + F.lit(1.0 - b) * acc["b"]
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    st = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))), init, _step
+    )
+    return (
+        staged.groupBy("event_type")
+        .agg(
+            F.size(arr).cast("bigint").alias("n_obs"),
+            F.round(st["l"], 6).alias("level"),
+            F.round(st["b"], 6).alias("trend"),
+            F.round(st["l"] + st["b"], 6).alias("forecast_next"),
+        )
+        .orderBy("event_type")
+    )
