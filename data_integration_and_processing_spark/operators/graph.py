@@ -1,0 +1,87 @@
+"""Iterative graph analytics over DataFrame edge lists.
+
+The reference has no graph surface; these are the Pregel-shaped algorithms
+an analytics engine is asked for once entity relationships exist (the
+duplicate-cluster labeler in ``operators/dedup.py::connected_components``
+is the same execution pattern). Scale shape per iteration: ONE shuffle
+keyed by vertex id — ranks and degrees are (id, double) pairs, never
+payload — and ``localCheckpoint`` truncates the lineage every few rounds
+so plan size stays constant no matter the iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Standard power iteration: every vertex starts at rank 1 (the
+    "mass = |V|" convention, so ranks are comparable across graph sizes),
+    each round sends ``rank/out_degree`` along every edge, and
+    ``new_rank = (1-d) + d * (received + dangling_share)`` — dangling
+    vertices (no out-edges) redistribute their rank uniformly, which keeps
+    total mass at exactly |V| every round (the conservation law the tests
+    pin).
+
+    Plan per iteration: ``ranks ⋈ out_degree`` is a co-partitioned join on
+    the vertex id, the contribution aggregate is one shuffle keyed by dst,
+    and the dangling share is a scalar cross-joined back (broadcast). With
+    V vertices and E edges each round moves O(E) (id, double) pairs — the
+    Pregel shape; iteration count is fixed (deterministic), not
+    convergence-tested, so two runs are bit-identical.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = edges.select(src.alias("src"), dst.alias("dst"))
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n_v = vertices.count()
+    out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_degree"))
+    ranks = vertices.select("id", F.lit(1.0).alias("rank"))
+
+    for i in range(n_iter):
+        with_deg = ranks.join(out_deg, "id", "left")
+        # dangling mass: vertices with no out-edges spread their rank evenly
+        dangling = with_deg.filter(F.col("out_degree").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling_sum")
+        )
+        contribs = (
+            e.join(with_deg.filter(F.col("out_degree").isNotNull()),
+                   e.src == F.col("id"))
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_degree")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("received"))
+        )
+        ranks = (
+            vertices.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("received"), F.lit(0.0))
+                        + F.col("_dangling_sum") / F.lit(float(n_v))
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            # materialize + truncate lineage: constant-size plan per round
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -550,3 +550,57 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("day_num")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the customer-part co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_pagerank",
+    oracle=None,  # fixed-iteration power method; no SQL analogue (recursive
+    # CTEs can't aggregate per level) — mass conservation, determinism, and
+    # degree-rank correlation pinned in tests/test_graph.py
+    description=(
+        "PageRank over the customer<->part co-purchase graph (orders x lineitem "
+        "edges, symmetrized): 10 fixed power iterations, each ONE shuffle of "
+        "(vertex, double) pairs keyed by destination — the Pregel shape — with "
+        "dangling-mass redistribution and localCheckpoint lineage truncation. "
+        "Returns the top 25 vertices by rank (deterministic tiebreak)"
+    ),
+    tags=("analytics", "graph", "iterative", "north-star"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.graph import pagerank  # noqa: PLC0415
+
+    orders, lineitem = (
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    # bipartite co-purchase edges: customer -> part, namespaced into one id
+    # space (customers even, parts odd), symmetrized so no vertex dangles
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_v"),
+            (F.col("l_partkey") * 2 + 1).alias("part_v"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cust_v").alias("src"), F.col("part_v").alias("dst")).unionByName(
+        pairs.select(F.col("part_v").alias("src"), F.col("cust_v").alias("dst"))
+    )
+    ranks = pagerank(edges, damping=0.85, n_iter=10)
+    return (
+        ranks.select(
+            "id",
+            F.when(F.col("id") % 2 == 0, F.lit("customer")).otherwise(F.lit("part")).alias(
+                "vertex_type"
+            ),
+            (F.col("id") / F.lit(2)).cast("long").alias("entity_key"),
+            F.round("rank", 6).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), F.col("id").asc())
+        .limit(25)
+    )

@@ -1,0 +1,47 @@
+"""Behavioral checks for the iterative graph operators (no SQL oracle:
+recursive CTEs cannot aggregate per level, so the contract is conservation
+laws + determinism + structural sanity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_integration_and_processing_spark.operators.graph import pagerank
+from data_integration_and_processing_spark.queries.catalog import all_specs
+
+
+def _star_edges(spark, n_leaves=6):
+    # hub 0 <-> leaves 1..n (symmetric star)
+    rows = [(0, i) for i in range(1, n_leaves + 1)] + [(i, 0) for i in range(1, n_leaves + 1)]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_pagerank_conserves_mass(spark):
+    ranks = pagerank(_star_edges(spark), n_iter=8)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    n_v = ranks.count()
+    assert abs(total - n_v) < 1e-6
+
+
+def test_pagerank_hub_dominates_star(spark):
+    ranks = {r["id"]: r["rank"] for r in pagerank(_star_edges(spark), n_iter=8).collect()}
+    hub, leaves = ranks[0], [v for k, v in ranks.items() if k != 0]
+    assert hub > max(leaves) * 2
+    # leaves are symmetric => identical ranks
+    assert max(leaves) - min(leaves) < 1e-12
+
+
+def test_pagerank_dangling_mass_redistributes(spark):
+    # 0 -> 1 -> 2, vertex 2 dangles; mass must still sum to |V|
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    ranks = pagerank(e, n_iter=12)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 3.0) < 1e-6
+
+
+def test_pagerank_fixed_iterations_deterministic(spark, sf_dir):
+    q = all_specs()["graph_pagerank"].spark
+    a = [(r["id"], r["rank"]) for r in q(spark, sf_dir).collect()]
+    b = [(r["id"], r["rank"]) for r in q(spark, sf_dir).collect()]
+    assert a == b
+    assert len(a) == 25
