@@ -264,3 +264,85 @@ def etl_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "linestatus_domain": one_of("l_linestatus", ["O", "F"]),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# ML preprocessing: feature scaling pack
+# ---------------------------------------------------------------------------
+
+_SCALE_ORACLE = """
+WITH stats AS (
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS mu,
+           sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 - CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   * CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*))
+                / (count(*) - 1)) AS sigma,
+           min(l_extendedprice) AS vmin,
+           max(l_extendedprice) AS vmax,
+           quantile_cont(l_extendedprice, 0.50) AS med,
+           quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25) AS iqr
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       round(l.l_extendedprice, 6) AS price,
+       round((l.l_extendedprice - s.mu) / s.sigma, 6) AS zscore,
+       round((l.l_extendedprice - s.vmin) / (s.vmax - s.vmin), 6) AS minmax,
+       round((l.l_extendedprice - s.med) / s.iqr, 6) AS robust
+FROM lineitem l JOIN stats s USING (l_returnflag)
+WHERE l.l_orderkey % 100 = 0
+ORDER BY l.l_orderkey, l.l_linenumber
+"""
+
+
+@register(
+    "prep_feature_scaling",
+    oracle=_SCALE_ORACLE,
+    description=(
+        "ML preprocessing pack: z-score (DECIMAL sufficient statistics -> one "
+        "IEEE finish), min-max, and robust (median/IQR, exact interpolated "
+        "percentiles) scaling per group — stats are one aggregate over the full "
+        "table, broadcast back onto the row scan; the output subset is "
+        "deterministic (l_orderkey % 100). The shape a feature pipeline runs "
+        "before training: full-data statistics, row-level transform, no "
+        "driver-side fit object"
+    ),
+    tags=("sampling", "preprocessing", "aggregation", "north-star"),
+)
+def prep_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    vd = F.col("l_extendedprice").cast("decimal(12,2)")
+    stats = l.groupBy("l_returnflag").agg(
+        (F.sum(vd).cast("double") / F.count("*")).alias("mu"),
+        F.sqrt(
+            (
+                F.sum(vd * vd).cast("double")
+                - F.sum(vd).cast("double") * F.sum(vd).cast("double") / F.count("*")
+            )
+            / (F.count("*") - 1)
+        ).alias("sigma"),
+        F.min("l_extendedprice").alias("vmin"),
+        F.max("l_extendedprice").alias("vmax"),
+        F.percentile("l_extendedprice", 0.50).alias("med"),
+        (F.percentile("l_extendedprice", 0.75) - F.percentile("l_extendedprice", 0.25)).alias(
+            "iqr"
+        ),
+    )
+    price = F.col("l_extendedprice")
+    return (
+        l.filter(F.col("l_orderkey") % 100 == 0)
+        .join(F.broadcast(stats), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round(price, 6).alias("price"),
+            F.round((price - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
+            F.round((price - F.col("vmin")) / (F.col("vmax") - F.col("vmin")), 6).alias(
+                "minmax"
+            ),
+            F.round((price - F.col("med")) / F.col("iqr"), 6).alias("robust"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

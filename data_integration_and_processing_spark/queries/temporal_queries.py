@@ -756,3 +756,109 @@ def temporal_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (closed form: prefix sum - running min)
+# ---------------------------------------------------------------------------
+
+# One-sided CUSUM s+_i = max(0, s+_{i-1} + (x_i - mu - slack)) has the closed
+# form s+_i = P_i - min(0, P_1..P_i) with P the prefix sum of (x - mu - slack)
+# — a running sum + running min over ONE window order, no sequential fold.
+_CUSUM_ORACLE = """
+WITH stats AS (
+    SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(14,6))) AS DOUBLE) / count(*) AS mu,
+           count(*) AS n_obs,
+           sqrt((CAST(sum(CAST(value AS DECIMAL(14,6)) * CAST(value AS DECIMAL(14,6))) AS DOUBLE)
+                 - CAST(sum(CAST(value AS DECIMAL(14,6))) AS DOUBLE)
+                   * CAST(sum(CAST(value AS DECIMAL(14,6))) AS DOUBLE) / count(*))
+                / (count(*) - 1)) AS sigma
+    FROM events GROUP BY event_type
+),
+y AS (
+    SELECT e.event_type, e.event_id, epoch_us(e.ts) AS us,
+           CAST(e.value AS DOUBLE) - s.mu - 0.5 * s.sigma AS dev,
+           s.sigma, s.n_obs
+    FROM events e JOIN stats s USING (event_type)
+),
+p AS (
+    SELECT event_type, event_id, us, sigma, n_obs,
+           sum(dev) OVER (PARTITION BY event_type ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+    FROM y
+),
+m AS (
+    SELECT event_type, sigma, n_obs, prefix,
+           min(prefix) OVER (PARTITION BY event_type ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_min
+    FROM p
+),
+c AS (
+    SELECT event_type, sigma, n_obs,
+           prefix - least(run_min, 0.0) AS cusum
+    FROM m
+)
+SELECT event_type, n_obs,
+       round(max(cusum), 6) AS max_cusum,
+       sum(CASE WHEN cusum > 4.0 * sigma THEN 1 ELSE 0 END) AS n_alarms
+FROM c GROUP BY event_type, n_obs ORDER BY event_type
+"""
+
+
+@register(
+    "temporal_cusum_changepoint",
+    oracle=_CUSUM_ORACLE,
+    description=(
+        "one-sided CUSUM change-point statistic per series WITHOUT a sequential "
+        "fold: the recurrence max(0, s + dev) equals prefix_sum - min(0, running_"
+        "min(prefix_sum)) — a running sum and running min over ONE window order, "
+        "so the scan stays a single shuffle keyed by the series. Baseline mu/sigma "
+        "from DECIMAL sufficient statistics; alarms counted above 4 sigma"
+    ),
+    tags=("temporal", "window", "anomaly"),
+)
+def temporal_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(14,6)")
+    stats = e.groupBy("event_type").agg(
+        (F.sum(vd).cast("double") / F.count("*")).alias("mu"),
+        F.count("*").alias("n_obs"),
+        F.sqrt(
+            (
+                F.sum(vd * vd).cast("double")
+                - F.sum(vd).cast("double") * F.sum(vd).cast("double") / F.count("*")
+            )
+            / (F.count("*") - 1)
+        ).alias("sigma"),
+    )
+    y = e.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        (F.col("value").cast("double") - F.col("mu") - 0.5 * F.col("sigma")).alias("dev"),
+        "sigma",
+        "n_obs",
+    )
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("us").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = y.withColumn("prefix", F.sum("dev").over(fr)).withColumn(
+        "run_min", F.min("prefix").over(fr)
+    )
+    cusum = F.col("prefix") - F.least(F.col("run_min"), F.lit(0.0))
+    return (
+        p.select("event_type", "n_obs", "sigma", cusum.alias("cusum"))
+        .groupBy("event_type", "n_obs")
+        .agg(
+            F.round(F.max("cusum"), 6).alias("max_cusum"),
+            F.sum(F.when(F.col("cusum") > 4.0 * F.col("sigma"), 1).otherwise(0)).alias(
+                "n_alarms"
+            ),
+        )
+        .orderBy("event_type")
+    )
