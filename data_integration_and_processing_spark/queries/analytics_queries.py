@@ -604,3 +604,53 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("id").asc())
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline query)
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+SELECT p_partkey,
+       round(p_retailprice, 6) AS price,
+       CAST(p_size AS BIGINT) AS size
+FROM part a
+WHERE NOT EXISTS (
+    SELECT 1 FROM part b
+    WHERE b.p_retailprice < a.p_retailprice AND b.p_size > a.p_size
+)
+ORDER BY price, p_partkey
+"""
+
+
+@register(
+    "analytics_pareto_frontier",
+    oracle=_SKYLINE_ORACLE,
+    description=(
+        "skyline / Pareto frontier (minimize price, maximize size, strict "
+        "dominance): the quadratic NOT-EXISTS definition rewritten as a "
+        "linear-scan window — per distinct price the group max size, a running "
+        "max over the price order lagged by one group, and a part survives iff "
+        "no strictly-cheaper price group beats its size. The global-order window "
+        "runs over |distinct prices| grouped rows, not |parts|; the part scan "
+        "itself shuffles once on the price key"
+    ),
+    tags=("analytics", "window", "skyline"),
+)
+def analytics_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    thresholds = per_price.withColumn("best_cheaper", F.max("gmax").over(w))
+    return (
+        p.join(thresholds.select("p_retailprice", "best_cheaper"), "p_retailprice")
+        .filter(F.col("best_cheaper").isNull() | (F.col("best_cheaper") <= F.col("p_size")))
+        .select(
+            "p_partkey",
+            F.round("p_retailprice", 6).alias("price"),
+            F.col("p_size").cast("bigint").alias("size"),
+        )
+        .orderBy("price", "p_partkey")
+    )
