@@ -199,3 +199,72 @@ def test_watermarked_ewma_survives_disorder(spark, sf_dir):
         for r in ewma_fold(e, ["user_id"], alpha=0.3).collect()
     }
     assert wm == batch
+
+
+def test_cusum_closed_form_matches_recurrence(spark, sf_dir):
+    """prefix_sum - min(0, running_min(prefix_sum)) must equal the literal
+    recurrence max(0, s + dev) folded in order — verified on real data by
+    recomputing driver-side from the same inputs."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    rows = con.execute(
+        """
+        WITH stats AS (
+            SELECT event_type,
+                   CAST(sum(CAST(value AS DECIMAL(14,6))) AS DOUBLE) / count(*) AS mu,
+                   sqrt((CAST(sum(CAST(value AS DECIMAL(14,6)) * CAST(value AS DECIMAL(14,6))) AS DOUBLE)
+                         - CAST(sum(CAST(value AS DECIMAL(14,6))) AS DOUBLE)
+                           * CAST(sum(CAST(value AS DECIMAL(14,6))) AS DOUBLE) / count(*))
+                        / (count(*) - 1)) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, CAST(e.value AS DOUBLE) - s.mu - 0.5 * s.sigma AS dev,
+               s.sigma
+        FROM events e JOIN stats s USING (event_type)
+        ORDER BY e.event_type, epoch_us(e.ts), e.event_id
+        """
+    ).fetchall()
+    expect: dict[str, tuple[float, int]] = {}
+    state: dict[str, float] = {}
+    for etype, dev, sigma in rows:
+        s = max(0.0, state.get(etype, 0.0) + dev)
+        state[etype] = s
+        mx, alarms = expect.get(etype, (0.0, 0))
+        expect[etype] = (max(mx, s), alarms + (1 if s > 4.0 * sigma else 0))
+    out = {
+        r["event_type"]: (r["max_cusum"], r["n_alarms"])
+        for r in all_specs()["temporal_cusum_changepoint"].spark(spark, sf_dir).collect()
+    }
+    for etype, (mx, alarms) in expect.items():
+        assert out[etype][0] == round(mx, 6), etype
+        assert out[etype][1] == alarms, etype
+
+
+def test_pareto_frontier_semantics(spark):
+    # (price, size): (1,5) and (2,9) on frontier; (3,7) dominated by (2,9);
+    # duplicates of a frontier point both survive (strict dominance);
+    # (2,3) dominated by (1,5)
+    rows = [
+        (1, 1.0, 5),
+        (2, 2.0, 9),
+        (3, 3.0, 7),
+        (4, 2.0, 9),
+        (5, 2.0, 3),
+    ]
+    df = spark.createDataFrame(rows, "p_partkey long, p_retailprice double, p_size int")
+    import data_integration_and_processing_spark.queries.analytics_queries as aq
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    per_price = df.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    thresholds = per_price.withColumn("best_cheaper", F.max("gmax").over(w))
+    out = sorted(
+        r["p_partkey"]
+        for r in df.join(thresholds.select("p_retailprice", "best_cheaper"), "p_retailprice")
+        .filter(F.col("best_cheaper").isNull() | (F.col("best_cheaper") <= F.col("p_size")))
+        .collect()
+    )
+    assert out == [1, 2, 4]
