@@ -391,15 +391,30 @@ def temporal_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("v"),
         F.col("value").cast("decimal(14,6)").alias("vd"),
     )
-    fr = (
-        Window.partitionBy("event_type")
-        .orderBy(F.col("us").asc(), F.col("event_id").asc())
-        .rowsBetween(-_ZSCORE_WINDOW, -1)
+    # Sliding-frame aggregates re-scan the frame per row (O(window) adds
+    # each); running sums are O(1)/row, and because the sums are DECIMAL the
+    # frame sum equals the difference of cumulative sums EXACTLY — so the
+    # trailing window is two lagged-cumsum subtractions, not a frame scan.
+    ord_w = Window.partitionBy("event_type").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
     )
+    run = ord_w.rowsBetween(Window.unboundedPreceding, 0)
+    zero = F.lit(0).cast("decimal(14,6)")
     w = (
-        s.withColumn("n_w", F.count("*").over(fr))
-        .withColumn("sum_w", F.sum("vd").over(fr))
-        .withColumn("sumsq_w", F.sum(F.col("vd") * F.col("vd")).over(fr))
+        s.withColumn("_rn", F.row_number().over(ord_w))
+        .withColumn("_cum", F.sum("vd").over(run))
+        .withColumn("_cumsq", F.sum(F.col("vd") * F.col("vd")).over(run))
+        .withColumn("n_w", F.least(F.col("_rn") - 1, F.lit(_ZSCORE_WINDOW)))
+        .withColumn(
+            "sum_w",
+            F.coalesce(F.lag("_cum", 1).over(ord_w), zero)
+            - F.coalesce(F.lag("_cum", _ZSCORE_WINDOW + 1).over(ord_w), zero),
+        )
+        .withColumn(
+            "sumsq_w",
+            F.coalesce(F.lag("_cumsq", 1).over(ord_w), zero)
+            - F.coalesce(F.lag("_cumsq", _ZSCORE_WINDOW + 1).over(ord_w), zero),
+        )
         .filter(F.col("n_w") >= _ZSCORE_MIN_N)
     )
     mean_w = F.col("sum_w").cast("double") / F.col("n_w")
