@@ -654,3 +654,88 @@ def analytics_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price", "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution
+# ---------------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH s AS (
+    SELECT user_id, event_id, event_type,
+           epoch_us(ts) AS us
+    FROM events
+),
+tagged AS (
+    SELECT user_id, event_id, event_type, us,
+           last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+           last_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+               OVER w AS touch_event_id,
+           last_value(CASE WHEN event_type <> 'purchase' THEN us END IGNORE NULLS)
+               OVER w AS touch_us
+    FROM s
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS purchase_event_id, touch_type, touch_event_id,
+       us - touch_us AS gap_us
+FROM tagged
+WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+ORDER BY user_id, purchase_event_id
+"""
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=_ATTRIBUTION_ORACLE,
+    description=(
+        "last-touch attribution: each purchase credited to the user's most recent "
+        "preceding non-purchase event — a conditional last_value(IGNORE NULLS) "
+        "over the trailing frame, ONE window pass on the user_id partitioning the "
+        "event store already has; no self-join, no as-of join, integer-"
+        "microsecond gaps"
+    ),
+    tags=("analytics", "events", "window", "attribution"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    tagged = (
+        s.withColumn(
+            "touch_type",
+            F.last(F.when(not_purchase, F.col("event_type")), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "touch_event_id",
+            F.last(F.when(not_purchase, F.col("event_id")), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "touch_us",
+            F.last(F.when(not_purchase, F.col("us")), ignorenulls=True).over(w),
+        )
+    )
+    return (
+        tagged.filter((F.col("event_type") == "purchase") & F.col("touch_type").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            "touch_type",
+            "touch_event_id",
+            (F.col("us") - F.col("touch_us")).alias("gap_us"),
+        )
+        .orderBy("user_id", "purchase_event_id")
+    )
