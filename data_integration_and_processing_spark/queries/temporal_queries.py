@@ -877,3 +877,25 @@ def temporal_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_ohlc_continuous",
+    oracle=_OHLC_ORACLE,  # same oracle as the batch bars: OHLC decomposes,
+    # so the merged sink equals the batch aggregate bit-for-bit
+    description=(
+        "continuous-aggregate maintenance of OHLC bars: each micro-batch's "
+        "partial (struct-keyed open/close, high/low, DECIMAL sum) merges into a "
+        "keyed sink with the SAME associative functions — batch-boundary and "
+        "arrival-order independent, hash-matching the batch oracle. The "
+        "TimescaleDB-cagg / Materialize pattern for a non-trivial aggregate"
+    ),
+    tags=("temporal", "streaming", "aggregation"),
+)
+def stream_ohlc_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.streaming.pipelines import (  # noqa: PLC0415
+        run_streaming_ohlc,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return run_streaming_ohlc(spark, e).orderBy("event_type", "bucket_id")

@@ -897,3 +897,111 @@ def run_streaming_ewma_watermarked(
             F.round("last_value", 6).alias("last_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming OHLC: continuous maintenance of a decomposable aggregate
+# ---------------------------------------------------------------------------
+
+
+def run_streaming_ohlc(
+    spark: SparkSession,
+    events: DataFrame,
+    bucket_seconds: int = 86_400,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Continuous OHLC maintenance: every micro-batch folds its partial
+    open/high/low/close state into a keyed parquet sink — the streaming twin
+    of ``operators/temporal.ohlc_bars`` and the continuous-aggregate pattern
+    (TimescaleDB caggs / Materialize) for a NON-trivial aggregate.
+
+    OHLC is fully decomposable: open/close ride in (ts_us, tiebreak, value)
+    structs merged with plain struct min/max, high/low/count are trivially
+    associative, and the value sum accumulates as DECIMAL — so the merged
+    state is independent of micro-batch boundaries AND batch arrival order,
+    and the final table equals the batch aggregate bit-for-bit (same SQL
+    oracle). Per batch: one shuffle keyed by (series, bucket) carrying one
+    partial row per group; the sink merge re-aggregates sink ∪ partials
+    with the SAME min/max/sum functions (on Delta/Iceberg this is a single
+    MERGE INTO with greatest/least/+ update expressions).
+    """
+    scratch = scratch_dir or f"/tmp/diaps_ohlc_{uuid.uuid4().hex[:8]}"
+    src, sink = f"{scratch}/src", f"{scratch}/sink"
+    shutil.rmtree(scratch, ignore_errors=True)
+    staged = _watermarkable(events).select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("value").cast("double").alias("v"),
+    )
+    # multi-file staging => real multi-batch replay; boundaries must not matter
+    staged.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    bucket_us = F.lit(1_000_000 * bucket_seconds)
+    key = F.struct(F.col("us"), F.col("event_id"))
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn(
+                "bucket_id",
+                ((F.col("us") - F.col("us") % bucket_us) / bucket_us).cast("bigint"),
+            )
+            .groupBy("event_type", "bucket_id")
+            .agg(
+                F.min(F.struct(F.col("us"), F.col("event_id"), F.col("v"))).alias("open_k"),
+                F.max("v").alias("high"),
+                F.min("v").alias("low"),
+                F.max(F.struct(F.col("us"), F.col("event_id"), F.col("v"))).alias("close_k"),
+                F.count("*").alias("n_events"),
+                F.sum(F.col("v").cast("decimal(14,6)")).alias("sum_dec"),
+            )
+        )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        import os  # noqa: PLC0415
+
+        partial = _partial(batch_df)
+        if os.path.exists(sink):
+            merged = (
+                spark.read.parquet(sink)
+                .unionByName(partial)
+                .groupBy("event_type", "bucket_id")
+                .agg(
+                    F.min("open_k").alias("open_k"),
+                    F.max("high").alias("high"),
+                    F.min("low").alias("low"),
+                    F.max("close_k").alias("close_k"),
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_dec").alias("sum_dec"),
+                )
+            )
+        else:
+            merged = partial
+        staging = f"{sink}.staging"
+        merged.write.mode("overwrite").parquet(staging)
+        final = spark.read.parquet(staging)
+        final.write.mode("overwrite").parquet(sink)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return spark.read.parquet(sink).select(
+        "event_type",
+        "bucket_id",
+        F.col("open_k.v").alias("open"),
+        "high",
+        "low",
+        F.col("close_k.v").alias("close"),
+        "n_events",
+        F.round(F.col("sum_dec").cast("double"), 6).alias("sum_value"),
+    )
