@@ -739,3 +739,83 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id", "purchase_event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted median (exact, cumulative-weight formulation)
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH s AS (
+    SELECT l_returnflag,
+           CAST(l_extendedprice AS DOUBLE) AS v,
+           CAST(l_quantity AS DECIMAL(12,2)) AS w
+    FROM lineitem
+),
+cum AS (
+    SELECT l_returnflag, v, w,
+           sum(w) OVER (PARTITION BY l_returnflag ORDER BY v, w
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+           sum(w) OVER (PARTITION BY l_returnflag) AS total
+    FROM s
+),
+med AS (
+    SELECT l_returnflag, min(v) AS weighted_median
+    FROM cum WHERE 2 * cumw >= total GROUP BY l_returnflag
+),
+p90 AS (
+    SELECT l_returnflag, min(v) AS weighted_p90
+    FROM cum WHERE 10 * cumw >= 9 * total GROUP BY l_returnflag
+)
+SELECT m.l_returnflag,
+       round(m.weighted_median, 6) AS weighted_median,
+       round(p.weighted_p90, 6) AS weighted_p90
+FROM med m JOIN p90 p USING (l_returnflag)
+ORDER BY m.l_returnflag
+"""
+
+
+@register(
+    "agg_weighted_median",
+    oracle=_WMEDIAN_ORACLE,
+    description=(
+        "exact weighted median + weighted p90 (quantity-weighted price): running "
+        "DECIMAL weight sums over the value order, threshold picked with the "
+        "integer-safe comparison 2*cumw >= total (no float division at the "
+        "boundary). One window shuffle keyed by the group; the threshold "
+        "aggregates are group-cardinality-sized"
+    ),
+    tags=("analytics", "aggregation", "percentile", "window"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    l = load_table(spark, sf_dir, "lineitem")
+    s = l.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("w"),
+    )
+    ordw = Window.partitionBy("l_returnflag").orderBy(F.col("v").asc(), F.col("w").asc())
+    cum = s.withColumn(
+        "cumw", F.sum("w").over(ordw.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("total", F.sum("w").over(Window.partitionBy("l_returnflag")))
+    med = (
+        cum.filter(2 * F.col("cumw") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("v").alias("weighted_median"))
+    )
+    p90 = (
+        cum.filter(10 * F.col("cumw") >= 9 * F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("v").alias("weighted_p90"))
+    )
+    return (
+        med.join(p90, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("weighted_median", 6).alias("weighted_median"),
+            F.round("weighted_p90", 6).alias("weighted_p90"),
+        )
+        .orderBy("l_returnflag")
+    )
