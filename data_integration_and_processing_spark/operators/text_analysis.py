@@ -166,3 +166,71 @@ def chunk_documents(
         F.least(F.lit(chunk_tokens), F.col("n_words") - F.col("chunk_start")).alias("chunk_len"),
         F.array_join(F.slice(F.col("_w"), F.col("chunk_start") + 1, chunk_tokens), " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable approximate frequency table)
+# ---------------------------------------------------------------------------
+
+
+def countmin_sketch(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Build a Count-Min sketch of item frequencies as a (depth x width)
+    counter table: one row per (row_idx, bucket) with its counter.
+
+    Each of the ``depth`` rows uses an independently-seeded xxhash64; an
+    item increments one counter per row. The build is a single groupBy over
+    (row, bucket) — map-side combinable, shuffle carries at most
+    depth*width counter rows per map task — and two sketches merge by
+    adding counters (the mergeability HLL has for distinct counts, here
+    for frequencies). Estimate = min over rows of the item's counters:
+    never an underestimate, overestimate bounded by e*N/width with
+    probability 1 - (1/e)^depth.
+    """
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row_idx")
+    items = df.select(F.col(item_col).alias("item")).select("item", rows)
+    return (
+        items.select(
+            "row_idx",
+            (
+                F.abs(F.xxhash64(F.col("item"), F.col("row_idx") + F.lit(seed)))
+                % F.lit(width)
+            ).alias("bucket"),
+        )
+        .groupBy("row_idx", "bucket")
+        .agg(F.count("*").alias("counter"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Estimate the frequency of each probe item from a
+    :func:`countmin_sketch` table: recompute the item's (row, bucket)
+    coordinates, join the counter table (depth*width rows — broadcast at
+    any scale), and take the min counter per item. Missing buckets count
+    as zero."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row_idx")
+    coords = probes.select(F.col(item_col).alias("item")).select("item", rows).select(
+        "item",
+        "row_idx",
+        (
+            F.abs(F.xxhash64(F.col("item"), F.col("row_idx") + F.lit(seed)))
+            % F.lit(width)
+        ).alias("bucket"),
+    )
+    return (
+        coords.join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("counter", F.lit(0))).alias("est_count"))
+    )

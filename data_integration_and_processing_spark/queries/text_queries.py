@@ -527,3 +527,40 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "text_countmin_heavy_hitters",
+    oracle=None,  # xxhash64 has no DuckDB twin; the CMS guarantees (never
+    # underestimates, bounded overestimate) are pinned in tests/test_analytics.py
+    description=(
+        "Count-Min sketch frequency estimates for the exact top-20 tokens: the "
+        "second mergeable-sketch family (HLL counts distincts, CMS counts "
+        "frequencies). Build = one map-side-combinable groupBy over (row, bucket) "
+        "— the shuffle carries at most depth*width counters per task regardless "
+        "of corpus size; two sketches merge by adding counters, so per-day "
+        "sketches roll up without re-scanning, and estimates never underestimate"
+    ),
+    tags=("text", "sketch", "north-star", "aggregation"),
+)
+def text_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.text_analysis import (  # noqa: PLC0415
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    exact_top = (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("token").asc())
+        .limit(20)
+    )
+    sketch = countmin_sketch(tokens, "token")
+    est = countmin_estimate(sketch, exact_top.select(F.col("token").alias("item")))
+    return (
+        exact_top.join(est, exact_top.token == est.item)
+        .select("token", "true_count", "est_count")
+        .orderBy(F.col("true_count").desc(), F.col("token").asc())
+    )

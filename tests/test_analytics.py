@@ -105,3 +105,36 @@ def test_streaming_hll_equals_batch_sketch_exactly(spark, events, tmp_path):
         .collect()
     }
     assert streamed == direct
+
+
+def test_countmin_never_underestimates_and_bounds_error(spark, sf_dir):
+    """CMS guarantees: est >= true for every item; overestimate bounded by
+    e*N/width with overwhelming probability at depth 4."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_integration_and_processing_spark.operators.text_analysis import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+    from data_integration_and_processing_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    n_total = tokens.count()
+    truth = tokens.groupBy("token").agg(F.count("*").alias("true_count"))
+    sketch = countmin_sketch(tokens, "token", depth=4, width=1024)
+    est = countmin_estimate(
+        sketch, truth.select(F.col("token").alias("item")), depth=4, width=1024
+    )
+    joined = truth.join(est, truth.token == est.item).select("true_count", "est_count").collect()
+    assert joined, "no tokens"
+    bound = math.e * n_total / 1024
+    n_over_bound = 0
+    for r in joined:
+        assert r["est_count"] >= r["true_count"]
+        if r["est_count"] - r["true_count"] > bound:
+            n_over_bound += 1
+    # P(err > eN/w) <= e^-depth per item; allow a generous tail
+    assert n_over_bound <= max(3, len(joined) // 50)
