@@ -252,3 +252,74 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_occurrences").desc(), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# Leading digits come from the DECIMAL's string form (identical rendering in
+# both engines) — never from log10, whose libm rounding at exact powers of
+# ten differs across platforms.
+_BENFORD_ORACLE = """
+WITH vals AS (
+    SELECT 'orders.o_totalprice' AS metric,
+           substr(CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR), 1, 1) AS d
+    FROM orders WHERE o_totalprice > 0
+    UNION ALL
+    SELECT 'lineitem.l_extendedprice',
+           substr(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) AS VARCHAR), 1, 1)
+    FROM lineitem WHERE l_extendedprice > 0
+),
+counts AS (
+    SELECT metric, CAST(d AS INT) AS digit, count(*) AS n
+    FROM vals GROUP BY metric, d
+),
+tot AS (SELECT metric, sum(n) AS n_total FROM counts GROUP BY metric)
+SELECT c.metric, c.digit, c.n,
+       round(c.n / CAST(t.n_total AS DOUBLE), 6) AS observed_freq,
+       round(log10(1.0 + 1.0 / c.digit), 6) AS benford_freq
+FROM counts c JOIN tot t USING (metric)
+ORDER BY c.metric, c.digit
+"""
+
+
+@register(
+    "quality_benford_audit",
+    oracle=_BENFORD_ORACLE,
+    description=(
+        "Benford first-digit audit of the monetary columns: leading digits "
+        "extracted from the DECIMAL string form (engine-identical; log10-based "
+        "extraction is unsafe at exact powers of ten), counted per metric, "
+        "compared against the Benford expectation log10(1 + 1/d). Pure "
+        "map + digit-cardinality aggregate — the fraud/quality screen a "
+        "warehouse runs over every numeric feed"
+    ),
+    tags=("quality", "audit", "aggregation"),
+)
+def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def digits(table: str, col: str) -> DataFrame:
+        t = load_table(spark, sf_dir, table)
+        return t.filter(F.col(col) > 0).select(
+            F.lit(f"{table}.{col}").alias("metric"),
+            F.substring(F.col(col).cast("decimal(14,2)").cast("string"), 1, 1).alias("d"),
+        )
+
+    vals = digits("orders", "o_totalprice").unionByName(
+        digits("lineitem", "l_extendedprice")
+    )
+    counts = vals.groupBy("metric", F.col("d").cast("int").alias("digit")).agg(
+        F.count("*").alias("n")
+    )
+    tot = counts.groupBy("metric").agg(F.sum("n").alias("n_total"))
+    return (
+        counts.join(F.broadcast(tot), "metric")
+        .select(
+            "metric",
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("n_total").cast("double"), 6).alias("observed_freq"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_freq"),
+        )
+        .orderBy("metric", "digit")
+    )
