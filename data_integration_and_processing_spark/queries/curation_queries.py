@@ -217,3 +217,53 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "dedup_chunk_neardup",
+    oracle=None,  # MinHash banding has no DuckDB twin (xxhash64); component
+    # invariants are pinned in tests/test_chunking.py and tests/test_dedup_levers.py,
+    # and the pair set here is Jaccard-verified in-plan (candidates only)
+    description=(
+        "passage-level near-dedup: chunk every document into overlapping "
+        "128-token windows (shuffle-free in-task fan-out), then MinHash-LSH "
+        "banding over chunk texts finds near-duplicate PASSAGES across "
+        "documents — the cross-document boilerplate detector exact doc-level "
+        "dedup misses. Same banded one-shuffle candidate plan as "
+        "dedup_minhash_lsh, only the unit is the chunk; the output keeps only "
+        "cross-document pairs (same-doc overlapping windows are near-dups by "
+        "construction)"
+    ),
+    tags=("curation", "dedup", "chunking", "north-star"),
+)
+def dedup_chunk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.dedup import minhash_lsh_pairs  # noqa: PLC0415
+    from data_integration_and_processing_spark.operators.text_analysis import chunk_documents  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, chunk_tokens=64, overlap=16).select(
+        # chunk key packs (doc, chunk) into one long: doc_id < 1e12 in any
+        # fixture, chunk_id < 4096 by the 64-token window over bounded docs
+        (F.col("doc_id") * 4096 + F.col("chunk_id")).alias("chunk_key"),
+        F.col("chunk_text"),
+    )
+    pairs = minhash_lsh_pairs(
+        chunks, text_col="chunk_text", id_col="chunk_key", jaccard_threshold=0.6
+    )
+    # dividing by a power of two is EXACT in binary floating point (pure
+    # exponent shift), so the cast-back can never round across a key
+    doc_a = (F.col("id_a") / 4096).cast("long")
+    doc_b = (F.col("id_b") / 4096).cast("long")
+    return (
+        pairs.withColumn("doc_a", doc_a)
+        .withColumn("doc_b", doc_b)
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            "doc_a",
+            (F.col("id_a") % 4096).alias("chunk_a"),
+            "doc_b",
+            (F.col("id_b") % 4096).alias("chunk_b"),
+            "jaccard",
+        )
+        .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+    )
