@@ -346,3 +346,78 @@ def prep_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted systematic (PPS) sampling — exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+_PPS_K = 50  # target sample size per stratum
+
+# Selection rule: scale weights to integer cents; row i is selected iff
+# floor(cumw_i * k / total) > floor(cumw_prev * k / total) — i.e. a multiple
+# of total/k falls inside the row's weight interval. Pure bigint arithmetic,
+# positive operands (Spark div truncates, DuckDB // floors — identical on
+# positives), no float anywhere.
+_PPS_ORACLE = f"""
+WITH s AS (
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS w_cents
+    FROM lineitem
+),
+c AS (
+    SELECT l_returnflag, l_orderkey, l_linenumber, w_cents,
+           sum(w_cents) OVER (PARTITION BY l_returnflag
+                              ORDER BY l_orderkey, l_linenumber, w_cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+           sum(w_cents) OVER (PARTITION BY l_returnflag) AS total
+    FROM s
+)
+SELECT l_returnflag, l_orderkey, l_linenumber, w_cents, cumw
+FROM c
+WHERE (cumw * {_PPS_K}) // total > ((cumw - w_cents) * {_PPS_K}) // total
+ORDER BY l_returnflag, l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "sample_weighted_systematic",
+    oracle=_PPS_ORACLE,
+    description=(
+        "deterministic probability-proportional-to-size (PPS) systematic sample, "
+        "k per stratum: weights scaled to integer cents, running cumulative "
+        "weight per stratum, a row is selected iff a multiple of total/k lands "
+        "in its weight interval — pure bigint comparisons, no float, no RNG, so "
+        "the sample is reproducible on any engine. One window shuffle keyed by "
+        "the stratum; the fixed traversal order is the documented cost (PPS "
+        "needs SOME total order — at scale use a hash-of-key order per stratum)"
+    ),
+    tags=("sampling", "north-star", "window"),
+)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    l = load_table(spark, sf_dir, "lineitem")
+    s = l.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("bigint").alias("w_cents"),
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture; adding
+    # w_cents makes tied rows interchangeable (identical sort keys => the
+    # cumw sequence is invariant to their relative order)
+    ordw = Window.partitionBy("l_returnflag").orderBy(
+        "l_orderkey", "l_linenumber", "w_cents"
+    )
+    c = s.withColumn(
+        "cumw", F.sum("w_cents").over(ordw.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("total", F.sum("w_cents").over(Window.partitionBy("l_returnflag")))
+    sel = F.expr(f"(cumw * {_PPS_K}) div total") > F.expr(
+        f"((cumw - w_cents) * {_PPS_K}) div total"
+    )
+    return (
+        c.filter(sel)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "w_cents", "cumw")
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    )
