@@ -62,6 +62,8 @@ HEADLINE = [
     "pipeline_training_corpus",
     "temporal_interval_merge",
     "temporal_rolling_zscore",
+    "sim_knn_join",
+    "dedup_chunk_neardup",
 ]
 
 
