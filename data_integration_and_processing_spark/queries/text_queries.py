@@ -564,3 +564,60 @@ def text_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "true_count", "est_count")
         .orderBy(F.col("true_count").desc(), F.col("token").asc())
     )
+
+
+_TRENDING_K = 3
+
+_TRENDING_ORACLE = f"""
+WITH tok AS (
+    SELECT epoch_us(e.ts) // 21600000000 AS bucket_id,
+           lower(unnest(string_split(d.text, ' '))) AS token
+    FROM events e JOIN documents d ON e.event_id = d.doc_id
+),
+counts AS (
+    SELECT bucket_id, token, count(*) AS n FROM tok GROUP BY bucket_id, token
+),
+ranked AS (
+    SELECT bucket_id, token, n,
+           row_number() OVER (PARTITION BY bucket_id ORDER BY n DESC, token ASC) AS rank
+    FROM counts
+)
+SELECT bucket_id, token, n, rank
+FROM ranked WHERE rank <= {_TRENDING_K}
+ORDER BY bucket_id, rank
+"""
+
+
+@register(
+    "text_trending_terms",
+    oracle=_TRENDING_ORACLE,
+    description=(
+        "trending terms: top-k tokens per 6-hour window over the event-joined "
+        "document stream — explode -> (window, token) count with map-side "
+        "combine -> per-window row_number over the vocabulary-sized "
+        "intermediate. The trending dashboard every content pipeline runs; the "
+        "second shuffle carries (window x token) counts, never raw tokens"
+    ),
+    tags=("text", "window", "topk", "north-star"),
+)
+def text_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents")
+    # deterministic event->document pairing (the fixture has no direct FK):
+    # event_id = doc_id stands in for a document-published event stream
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bucket = ((us - us % F.lit(21_600_000_000)) / F.lit(21_600_000_000)).cast("bigint")
+    tok = (
+        e.select(bucket.alias("bucket_id"), "event_id")
+        .join(d.select("doc_id", "text"), F.col("event_id") == F.col("doc_id"))
+        .select("bucket_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    )
+    counts = tok.groupBy("bucket_id", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("bucket_id").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TRENDING_K)
+        .orderBy("bucket_id", "rank")
+    )
