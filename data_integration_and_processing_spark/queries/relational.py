@@ -1204,3 +1204,116 @@ def join_fuzzy_two_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join_within_k(s, probes, "s_name", "probe_name", 18, k=2).select(
         "s_suppkey", "probe_id", "s_name", "probe_name", "dist"
     )
+
+
+_ASOF_NEAREST_ORACLE = """
+WITH ev AS (
+    SELECT user_id AS k, epoch_us(ts) AS us, 1 AS is_obs, event_id AS ord_id,
+           event_id, epoch_us(ts) AS obs_us
+    FROM events
+),
+mk AS (
+    SELECT o_custkey AS k, epoch_us(o_orderdate) AS us, 0 AS is_obs,
+           -o_orderkey AS ord_id, CAST(NULL AS BIGINT) AS event_id,
+           CAST(NULL AS BIGINT) AS obs_us
+    FROM orders WHERE o_custkey <= 200
+),
+u AS (SELECT * FROM ev UNION ALL SELECT * FROM mk),
+scanned AS (
+    SELECT k, us, is_obs, ord_id,
+           last_value(event_id IGNORE NULLS) OVER fp AS prev_id,
+           last_value(obs_us IGNORE NULLS)  OVER fp AS prev_us,
+           first_value(event_id IGNORE NULLS) OVER fn AS next_id,
+           first_value(obs_us IGNORE NULLS)  OVER fn AS next_us
+    FROM u
+    WINDOW fp AS (PARTITION BY k ORDER BY us, is_obs DESC, ord_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fn AS (PARTITION BY k ORDER BY us, is_obs DESC, ord_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT -ord_id AS o_orderkey, k AS o_custkey,
+       CASE WHEN next_us IS NULL THEN prev_id
+            WHEN prev_us IS NULL THEN next_id
+            WHEN us - prev_us <= next_us - us THEN prev_id
+            ELSE next_id END AS nearest_event_id,
+       CASE WHEN next_us IS NULL THEN us - prev_us
+            WHEN prev_us IS NULL THEN next_us - us
+            WHEN us - prev_us <= next_us - us THEN us - prev_us
+            ELSE next_us - us END AS gap_us
+FROM scanned
+WHERE is_obs = 0 AND (prev_us IS NOT NULL OR next_us IS NOT NULL)
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "join_asof_nearest",
+    oracle=_ASOF_NEAREST_ORACLE,
+    description=(
+        "nearest-neighbor as-of join (both directions, backward tiebreak): "
+        "orders become marker rows UNIONED into the per-user event stream, one "
+        "window partitioning serves the backward and forward ignore-nulls scans, "
+        "and each marker picks the nearer neighbor — an as-of join in BOTH "
+        "directions with ZERO join operators: one shuffle keyed by the user, "
+        "total work O(|events| + |orders|) per key"
+    ),
+    tags=("join", "asof", "window", "temporal"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    ev = e.select(
+        F.col("user_id").alias("k"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.lit(1).alias("is_obs"),
+        F.col("event_id").alias("ord_id"),
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("obs_us"),
+    )
+    mk = o.filter(F.col("o_custkey") <= 200).select(
+        F.col("o_custkey").alias("k"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("us"),
+        F.lit(0).alias("is_obs"),
+        (-F.col("o_orderkey")).alias("ord_id"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("obs_us"),
+    )
+    u = ev.unionByName(mk)
+    order = [F.col("us").asc(), F.col("is_obs").desc(), F.col("ord_id").asc()]
+    fp = W.partitionBy("k").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    fn = W.partitionBy("k").orderBy(*order).rowsBetween(0, W.unboundedFollowing)
+    scanned = (
+        u.withColumn("prev_id", F.last("event_id", ignorenulls=True).over(fp))
+        .withColumn("prev_us", F.last("obs_us", ignorenulls=True).over(fp))
+        .withColumn("next_id", F.first("event_id", ignorenulls=True).over(fn))
+        .withColumn("next_us", F.first("obs_us", ignorenulls=True).over(fn))
+    )
+    prev_gap = F.col("us") - F.col("prev_us")
+    next_gap = F.col("next_us") - F.col("us")
+    nearest_id = (
+        F.when(F.col("next_us").isNull(), F.col("prev_id"))
+        .when(F.col("prev_us").isNull(), F.col("next_id"))
+        .when(prev_gap <= next_gap, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+    )
+    gap = (
+        F.when(F.col("next_us").isNull(), prev_gap)
+        .when(F.col("prev_us").isNull(), next_gap)
+        .when(prev_gap <= next_gap, prev_gap)
+        .otherwise(next_gap)
+    )
+    return (
+        scanned.filter(
+            (F.col("is_obs") == 0)
+            & (F.col("prev_us").isNotNull() | F.col("next_us").isNotNull())
+        )
+        .select(
+            (-F.col("ord_id")).alias("o_orderkey"),
+            F.col("k").alias("o_custkey"),
+            nearest_id.alias("nearest_event_id"),
+            gap.alias("gap_us"),
+        )
+        .orderBy("o_orderkey")
+    )
