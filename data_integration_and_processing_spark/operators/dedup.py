@@ -61,14 +61,18 @@ def shingle_keys(text: Column, n: int = 3) -> Column:
     what index-based operators (posting lists, minhash banding) actually
     need. Skipping the per-shingle string allocation + re-hash roughly
     halves signature cost on 50-word docs; long-array ``array_distinct``
-    beats string-array too."""
+    beats string-array too.
+
+    The pairwise combine is ``xxhash64(x, y)`` — ANSI-safe (a polynomial
+    ``x*31+y`` mix relies on wrap-around long multiplication, which throws
+    ARITHMETIC_OVERFLOW under Spark 4's default ``spark.sql.ansi.enabled``)
+    and hash-quality-equivalent for key purposes."""
     words = F.split(text, " ")
     hw = F.transform(words, lambda w: F.xxhash64(w))
     k = F.size(hw) - (n - 1)
     acc = F.slice(hw, 1, k)
     for j in range(1, n):
-        # wrap-around long arithmetic is exactly what a hash mix wants
-        acc = F.zip_with(acc, F.slice(hw, j + 1, k), lambda x, y: x * F.lit(31) + y)
+        acc = F.zip_with(acc, F.slice(hw, j + 1, k), lambda x, y: F.xxhash64(x, y))
     return F.array_distinct(F.when(k >= 1, acc).otherwise(F.array().cast("array<long>")))
 
 

@@ -44,13 +44,16 @@ def pagerank(
     """
     src, dst = F.col(src_col), F.col(dst_col)
     e = edges.select(src.alias("src"), dst.alias("dst"))
+    # vertices and out_deg are loop-invariant: persist once so the n_iter
+    # rounds don't re-scan the raw edge lineage every iteration
     vertices = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
+        .persist()
     )
     n_v = vertices.count()
-    out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_degree"))
+    out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_degree")).persist()
     ranks = vertices.select("id", F.lit(1.0).alias("rank"))
 
     for i in range(n_iter):

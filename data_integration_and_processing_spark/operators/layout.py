@@ -53,7 +53,11 @@ def zvalue(
         col = (F.col(c) if isinstance(c, str) else c).cast("long")
         lo, hi = int(mins[i]), int(maxs[i])
         span = max(hi - lo, 1)
-        q = ((col - F.lit(lo)) * F.lit(top) / F.lit(span)).cast("long")
+        # keep (col - lo) * top < 2^63 even under ANSI (no wrap-around):
+        # pre-shift wide domains so the offset stays under 2^(63-bits).
+        shift = max(0, span.bit_length() - (63 - bits))
+        offset = F.shiftright(col - F.lit(lo), shift) if shift else (col - F.lit(lo))
+        q = ((offset * F.lit(top)) / F.lit(max(span >> shift, 1))).cast("long")
         q = F.greatest(F.lit(0).cast("long"), F.least(F.lit(top).cast("long"), q))
         for b in range(bits):
             bit = F.shiftright(q, b).bitwiseAND(F.lit(1).cast("long"))

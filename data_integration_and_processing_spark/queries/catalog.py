@@ -61,16 +61,16 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_embedding_clusters",
-    # similarity family
+    # similarity family (r4: sim_knn_join rotated in, sim_vector_ops_pack
+    # out — proven green in r3)
     "sim_topk_bruteforce",
     "sim_neardup_pairs",
-    "sim_vector_ops_pack",
+    "sim_knn_join",
     # storage layout (multi-dimensional skipping)
     "etl_zorder_layout",
-    # text-analysis family
+    # text-analysis family (r4: text_fingerprint out, proven r3)
     "text_language_id",
     "text_quality_score",
-    "text_fingerprint",
     "pipeline_training_corpus",
     # corpus curation family (r2)
     "text_decontaminate",
@@ -78,44 +78,47 @@ _PRIORITY: tuple[str, ...] = (
     "text_chunk_documents",
     # deterministic sampling family
     "sample_hash_deterministic",
-    # Arrow UDF surface
-    "udf_pandas_scalar",
+    # Arrow UDF surface (r4: udf_pandas_scalar out, proven r3)
     "udf_grouped_map_zscore",
     "udf_cogrouped_asof",
     # skew mitigation
     "skew_salted_agg",
-    # streaming family
-    "stream_tumbling_window",
+    # streaming family (r4: stream_tumbling_window out, proven r3)
     "stream_session_window",
     "stream_sessionize_by_gap",
     "stream_stateful_user_stats",
     # multimodal plumbing
     "multimodal_binary_metadata",
-    # scalar function packs
+    # scalar function packs (r4: func_json_map_pack rotated in)
     "func_string_pack",
+    "func_json_map_pack",
     # scale utilities
     "ids_contiguous_assign",
     "profile_column_stats",
-    # event analytics + lakehouse maintenance (r2, this session)
-    "events_funnel_conversion",
-    "etl_time_travel",
-    "etl_checksum_reconcile",
-    # relational engine representatives
+    # relational engine representatives (r4 rotation: fuzzy-join and exact
+    # percentile out — proven green in r3 — broadcast-dim, range-band,
+    # lag/lead, rollup and cube in: each was replica-only until now)
     "filter_predicate_pushdown",
     "project_derived_columns",
     "join_inner_shuffle",
     "join_asof_event",
-    "join_fuzzy_deletion_blocking",
+    "join_broadcast_dim",
+    "join_range_band",
     "agg_groupby_stats",
-    "agg_exact_percentile",
+    "agg_rollup",
+    "agg_cube",
     "window_topk_per_group",
+    "window_lag_lead",
     "sort_multi_key_limit",
     "set_ops_nations",
-    # temporal family (r3); dedup_normalized_exact left the window to make
-    # room — its tags (dedup/north-star) stay covered by four other entries
+    # temporal family (r3 + r4: temporal_ewma in)
     "temporal_interval_merge",
+    "temporal_ewma",
     "subquery_correlated_avg",
-    "q3_shipping_priority",
+    # TPC-H depth (r4: q2 partsupp variant in, q3 out — proven r3)
+    "q2_min_cost_supplier",
+    # quality audits (r4: benford rotated in after the digit-0 fix)
+    "quality_benford_audit",
     # ETL parity, one per sink semantic
     "etl_transfer_overwrite_roundtrip",
     "etl_transfer_append_roundtrip",

@@ -241,10 +241,15 @@ def dedup_chunk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_integration_and_processing_spark.operators.text_analysis import chunk_documents  # noqa: PLC0415
 
     d = load_table(spark, sf_dir, "documents")
+    # chunk key packs (doc, chunk) into one long: doc_id < 1e12 in any
+    # fixture, chunk_id < 4096 for docs under ~196k words at this stride.
+    # The in-plan guard raises instead of silently attributing chunks of an
+    # over-long document to the wrong doc_id.
+    packed = F.when(
+        F.col("chunk_id") < 4096, F.col("doc_id") * 4096 + F.col("chunk_id")
+    ).otherwise(F.raise_error(F.concat(F.lit("chunk_id overflows 4096-slot packing for doc_id="), F.col("doc_id").cast("string"))))
     chunks = chunk_documents(d, chunk_tokens=64, overlap=16).select(
-        # chunk key packs (doc, chunk) into one long: doc_id < 1e12 in any
-        # fixture, chunk_id < 4096 by the 64-token window over bounded docs
-        (F.col("doc_id") * 4096 + F.col("chunk_id")).alias("chunk_key"),
+        packed.alias("chunk_key"),
         F.col("chunk_text"),
     )
     pairs = minhash_lsh_pairs(

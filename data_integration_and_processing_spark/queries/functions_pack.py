@@ -179,7 +179,7 @@ def func_json_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
         F.get_json_object("props", "$.missing").alias("missing_key"),
         F.array_join(F.map_keys(as_map), ",").alias("map_keys_joined"),
         F.array_join(F.map_values(as_map), ",").alias("map_values_joined"),
@@ -231,8 +231,9 @@ def func_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     """,
     description=(
-        "permissive-cast semantics (session default ANSI off): malformed casts yield NULL, "
-        "mirroring DuckDB TRY_CAST — a 100 TB pipeline must degrade per-row, not abort"
+        "permissive-cast semantics via try_cast: malformed casts yield NULL regardless of "
+        "spark.sql.ansi.enabled, mirroring DuckDB TRY_CAST — a 100 TB pipeline must degrade "
+        "per-row, not abort"
     ),
     tags=("functions", "cast", "etl"),
 )
@@ -240,9 +241,9 @@ def func_permissive_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k_ok"),
-        F.col("event_type").cast("int").alias("bad_int"),
-        F.col("event_type").cast("timestamp").alias("bad_ts"),
-        F.coalesce(F.col("event_type").cast("int"), F.lit(-1)).alias("bad_with_default"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_ok"),
+        F.col("event_type").try_cast("int").alias("bad_int"),
+        F.col("event_type").try_cast("timestamp").alias("bad_ts"),
+        F.coalesce(F.col("event_type").try_cast("int"), F.lit(-1)).alias("bad_with_default"),
         F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
     )

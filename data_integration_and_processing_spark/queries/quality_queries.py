@@ -265,11 +265,11 @@ _BENFORD_ORACLE = """
 WITH vals AS (
     SELECT 'orders.o_totalprice' AS metric,
            substr(CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR), 1, 1) AS d
-    FROM orders WHERE o_totalprice > 0
+    FROM orders WHERE o_totalprice >= 1
     UNION ALL
     SELECT 'lineitem.l_extendedprice',
            substr(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) AS VARCHAR), 1, 1)
-    FROM lineitem WHERE l_extendedprice > 0
+    FROM lineitem WHERE l_extendedprice >= 1
 ),
 counts AS (
     SELECT metric, CAST(d AS INT) AS digit, count(*) AS n
@@ -291,7 +291,9 @@ ORDER BY c.metric, c.digit
         "Benford first-digit audit of the monetary columns: leading digits "
         "extracted from the DECIMAL string form (engine-identical; log10-based "
         "extraction is unsafe at exact powers of ten), counted per metric, "
-        "compared against the Benford expectation log10(1 + 1/d). Pure "
+        "compared against the Benford expectation log10(1 + 1/d). Values "
+        "below 1 are excluded: their decimal form leads with '0', whose "
+        "Benford expectation log10(1+1/0) is undefined. Pure "
         "map + digit-cardinality aggregate — the fraud/quality screen a "
         "warehouse runs over every numeric feed"
     ),
@@ -300,7 +302,7 @@ ORDER BY c.metric, c.digit
 def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     def digits(table: str, col: str) -> DataFrame:
         t = load_table(spark, sf_dir, table)
-        return t.filter(F.col(col) > 0).select(
+        return t.filter(F.col(col) >= 1).select(
             F.lit(f"{table}.{col}").alias("metric"),
             F.substring(F.col(col).cast("decimal(14,2)").cast("string"), 1, 1).alias("d"),
         )

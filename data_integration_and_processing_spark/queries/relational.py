@@ -8,7 +8,7 @@ join/agg strategy; scale notes on each query record the plan we expect at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_integration_and_processing_spark.queries.catalog import register
@@ -354,15 +354,36 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL estimate is engine-specific; rows-only check by design
-    description="approx_count_distinct (HyperLogLog++) — the 100 TB-scale path for distincts",
+    oracle=None,  # HLL estimate is engine-specific; the query self-enforces
+    # its accuracy bound in-plan (raise_error beyond 5x the configured rsd),
+    # so the driver's rows-only check fails loudly if the sketch degrades
+    description=(
+        "approx_count_distinct (HyperLogLog++) — the 100 TB-scale path for "
+        "distincts. Emits the exact count and relative error alongside, and "
+        "raises in-plan if |approx-exact|/exact > 5*rsd: the rows-only "
+        "correctness check therefore exercises the sketch's bound, not just "
+        "that it ran"
+    ),
     tags=("aggregation", "distinct", "approx"),
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    rsd = 0.01
+    agg = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=rsd).alias("raw_approx"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
         F.count("*").alias("n_rows"),
+    )
+    rel_err = F.abs(F.col("raw_approx") - F.col("exact_parts")) / F.col("exact_parts")
+    checked = F.when(rel_err <= 5 * rsd, F.col("raw_approx")).otherwise(
+        F.raise_error(F.lit("HLL estimate outside 5*rsd accuracy bound"))
+    )
+    return agg.select(
+        "l_returnflag",
+        checked.alias("approx_parts"),
+        "exact_parts",
+        F.round(rel_err, 6).alias("rel_err"),
+        "n_rows",
     )
 
 
@@ -1002,20 +1023,39 @@ def join_fuzzy_deletion_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_percentile",
-    oracle=None,  # approx sketch is engine-specific; tolerance vs exact is pinned in tests/test_plan_properties.py
+    oracle=None,  # approx sketch is engine-specific; the query self-enforces
+    # a 1% relative tolerance vs the exact percentile in-plan (raise_error),
+    # and the tighter rank-error bound is pinned in tests/test_plan_properties.py
     description=(
         "approximate percentiles (KLL-style sketch, percentile_approx): the scale path — "
         "exact percentile memory grows with distinct values, the sketch is fixed-size "
-        "and mergeable across partitions; accuracy bound pinned against the exact "
-        "aggregate in tests"
+        "and mergeable across partitions. Emits the exact percentiles and relative "
+        "errors alongside and raises in-plan beyond 1% relative error, so the "
+        "rows-only check exercises the bound"
     ),
     tags=("aggregation", "percentile", "approx"),
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+    agg = l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("raw_p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("raw_p95"),
+        F.percentile("l_extendedprice", 0.5).alias("p50_exact"),
+        F.percentile("l_extendedprice", 0.95).alias("p95_exact"),
+    )
+
+    def _checked(raw: str, exact: str) -> Column:
+        rel = F.abs(F.col(raw) - F.col(exact)) / F.col(exact)
+        return F.when(rel <= 0.01, F.col(raw)).otherwise(
+            F.raise_error(F.lit(f"{raw} outside 1% of {exact}"))
+        )
+
+    return agg.select(
+        "l_returnflag",
+        _checked("raw_p50", "p50_exact").alias("p50_approx"),
+        _checked("raw_p95", "p95_exact").alias("p95_approx"),
+        F.round("p50_exact", 6).alias("p50_exact"),
+        F.round("p95_exact", 6).alias("p95_exact"),
     )
 
 

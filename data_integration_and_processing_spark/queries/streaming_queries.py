@@ -310,9 +310,11 @@ def stream_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_sessionize_by_gap",
     oracle="""
         WITH flagged AS (
+            -- exact epoch-microsecond gap: ts carries microseconds, and
+            -- second-truncated comparisons can flip boundary gaps
             SELECT user_id, event_id, ts,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                         THEN 1 ELSE 0 END AS new_sess
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -341,7 +343,13 @@ def stream_sessionize_by_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         F.when(
-            prev.isNull() | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800), 1
+            prev.isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(prev.cast("timestamp"))
+                > 1_800_000_000
+            ),
+            1,
         )
         .otherwise(0)
         .alias("new_sess"),

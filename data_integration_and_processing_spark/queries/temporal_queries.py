@@ -137,7 +137,7 @@ WITH iv AS (
     FROM events
 ),
 flagged AS (
-    SELECT user_id, s_us, e_us,
+    SELECT user_id, s_us, e_us, event_id,
            CASE WHEN max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us, event_id
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                      IS NULL
@@ -147,8 +147,10 @@ flagged AS (
     FROM iv
 ),
 islands AS (
+    -- event_id tiebreak keeps the running sum deterministic when rows tie
+    -- on (s_us, e_us) — same user, same timestamp, constant hold
     SELECT user_id, s_us, e_us,
-           sum(new_island) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+           sum(new_island) OVER (PARTITION BY user_id ORDER BY s_us, e_us, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS island_id
     FROM flagged

@@ -266,13 +266,16 @@ WITH base AS (
     FROM documents WHERE lang = 'en'
 ),
 scored AS (
+    -- round(q, 6) at source: the re-spelled arithmetic can drift from the
+    -- Spark expression in the last ulp; rounding pins the gate AND the
+    -- min/max aggregates to the same value in both engines
     SELECT *,
-           least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+           round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
            + least(CAST(stop_cnt AS DOUBLE) / n_words * 5.0, 1.0) * 0.3
            + (1.0 - least(CAST(punct_chars AS DOUBLE) / n_chars * 10.0, 1.0)) * 0.2
            + (CASE WHEN CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words >= 3.0
                     AND CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words <= 10.0
-                   THEN 1.0 ELSE 0.5 END) * 0.1 AS q
+                   THEN 1.0 ELSE 0.5 END) * 0.1, 6) AS q
     FROM base
 ),
 kept AS (
@@ -311,7 +314,8 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.size(words_of(F.col("text"))).alias("n_words"),
-        quality_score(F.col("text")).alias("q"),
+        # round(q, 6) at source — pins gate + min/max to the oracle's value
+        F.round(quality_score(F.col("text")), 6).alias("q"),
         F.md5(F.col("text").cast("binary")).alias("fp"),
     ).filter(F.col("q") >= 0.5)
     survivors = (

@@ -52,10 +52,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # ANSI off: engine semantics are permissive-SQL (NULL on bad cast /
-        # div-by-zero) to match the oracle and the reference's pandas
-        # behavior rather than erroring mid-pipeline at TB scale.
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI on (the Spark 4 default, and what any stock deployment runs):
+        # every operator must be ANSI-clean — permissive per-row degradation
+        # is expressed explicitly with try_cast/try_divide where a 100 TB
+        # pipeline needs it, never by relying on session-wide wrap-around.
+        # SPARK_GRAFT_ANSI=false restores the legacy permissive session.
+        .config("spark.sql.ansi.enabled", os.environ.get("SPARK_GRAFT_ANSI", "true"))
         # local mode runs every executor thread inside the driver JVM, so
         # this is the whole memory budget; 8g showed broadcast-OOM cliffs in
         # heavy multi-persist sessions on the 50k-doc dedup probes

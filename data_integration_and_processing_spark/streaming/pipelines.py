@@ -14,6 +14,7 @@ state.
 
 from __future__ import annotations
 
+import os
 import shutil
 import uuid
 from collections.abc import Iterable, Iterator
@@ -663,6 +664,7 @@ def run_streaming_ewma(
     user's highest-count row and the result is independent of how many
     chunks the replay used.
     """
+    import glob as _glob  # noqa: PLC0415
     import time as _time  # noqa: PLC0415
 
     scratch = scratch_dir or f"/tmp/diaps_ewma_{uuid.uuid4().hex[:8]}"
@@ -678,14 +680,22 @@ def run_streaming_ewma(
     bounds = staged.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).first()
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     span = max(hi - lo + 1, 1)
-    # sequential time-range chunk writes => strictly increasing file mtimes
-    # => the file source replays them in event-time order
+    # FileStreamSource replays oldest-mtime-first; wall-clock write order
+    # alone can tie on filesystems with coarse mtime granularity, so each
+    # chunk's part files get an explicit, strictly increasing mtime
+    # (2s apart) via os.utime — replay order is deterministic on any fs.
+    base_mtime = int(_time.time()) - 2 * (n_chunks + 1)
+    seen: set[str] = set()
     for i in range(n_chunks):
         c_lo = lo + span * i // n_chunks
         c_hi = lo + span * (i + 1) // n_chunks
         chunk = staged.filter((F.col("us") >= c_lo) & (F.col("us") < c_hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
-        _time.sleep(0.05)
+        t = base_mtime + 2 * i
+        for f in _glob.glob(f"{src}/*.parquet"):
+            if f not in seen:
+                os.utime(f, (t, t))
+                seen.add(f)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
