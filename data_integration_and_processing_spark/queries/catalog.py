@@ -89,36 +89,38 @@ _PRIORITY: tuple[str, ...] = (
     "stream_stateful_user_stats",
     # multimodal plumbing
     "multimodal_binary_metadata",
-    # scalar function packs (r4: func_json_map_pack rotated in)
+    # scalar function packs
     "func_string_pack",
-    "func_json_map_pack",
     # scale utilities
     "ids_contiguous_assign",
     "profile_column_stats",
-    # relational engine representatives (r4 rotation: fuzzy-join and exact
-    # percentile out — proven green in r3 — broadcast-dim, range-band,
-    # lag/lead, rollup and cube in: each was replica-only until now)
+    # lakehouse maintenance singletons (versioned / checksum tags)
+    "etl_time_travel",
+    "etl_checksum_reconcile",
+    # relational engine representatives (r4 rotation: funnel, fuzzy-deletion
+    # join and exact percentile out — proven green in r3 — broadcast-dim,
+    # range-band, two-edit fuzzy join, rollup and weighted-median in: each
+    # was replica-only until now)
     "filter_predicate_pushdown",
     "project_derived_columns",
     "join_inner_shuffle",
     "join_asof_event",
     "join_broadcast_dim",
     "join_range_band",
+    "join_fuzzy_two_edit",
     "agg_groupby_stats",
     "agg_rollup",
-    "agg_cube",
+    "agg_weighted_median",
     "window_topk_per_group",
-    "window_lag_lead",
     "sort_multi_key_limit",
     "set_ops_nations",
     # temporal family (r3 + r4: temporal_ewma in)
     "temporal_interval_merge",
     "temporal_ewma",
     "subquery_correlated_avg",
-    # TPC-H depth (r4: q2 partsupp variant in, q3 out — proven r3)
+    # TPC-H depth (r4: q2 partsupp variant in — carries the tpch tag — q3
+    # out, proven r3)
     "q2_min_cost_supplier",
-    # quality audits (r4: benford rotated in after the digit-0 fix)
-    "quality_benford_audit",
     # ETL parity, one per sink semantic
     "etl_transfer_overwrite_roundtrip",
     "etl_transfer_append_roundtrip",

@@ -309,7 +309,10 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_integration_and_processing_spark.operators.sampling import hash_bucket
 
-    d = fan_out_scan(load_table(spark, sf_dir, "documents")).filter(F.col("lang") == "en")
+    # no fan_out_scan here: the per-row work (md5 + quality arithmetic) is
+    # too cheap to amortize a full-text repartition — measured +16% at
+    # sf0.1 when added in r3; the fp window shuffle redistributes anyway
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     scored = d.select(
         "doc_id",
         "source",
