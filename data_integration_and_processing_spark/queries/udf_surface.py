@@ -279,3 +279,92 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(others.groupBy("user_id"))
         .applyInPandas(_asof_cogroup, schema="user_id long, event_id long, prior_event_id long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native surface (Spark 4): applyInArrow / mapInArrow
+# ---------------------------------------------------------------------------
+# One tier faster than the pandas forms: the user function receives pyarrow
+# containers directly, skipping the Arrow<->pandas conversion entirely.
+# The pandas twins above stay the ergonomic default; these are the hot-path
+# form when the per-batch logic is itself expressible in pyarrow.compute.
+
+
+def _arrow_group_stats(key, tbl):
+    import pyarrow as pa  # noqa: PLC0415 — imported on the executor
+    import pyarrow.compute as pc  # noqa: PLC0415
+
+    # sums/maxima over whole-number-valued doubles: exact in IEEE, so the
+    # result is bit-identical to any engine's aggregate
+    return pa.table(
+        {
+            "l_returnflag": [key[0].as_py() if hasattr(key[0], "as_py") else key[0]],
+            "l_linestatus": [key[1].as_py() if hasattr(key[1], "as_py") else key[1]],
+            "n_rows": [tbl.num_rows],
+            "sum_qty": [pc.sum(tbl.column("l_quantity")).as_py()],
+            "max_price": [pc.max(tbl.column("l_extendedprice")).as_py()],
+        }
+    )
+
+
+@register(
+    "udf_arrow_grouped_map",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               sum(l_quantity) AS sum_qty,
+               max(l_extendedprice) AS max_price
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    description=(
+        "grouped-map applyInArrow (Spark 4 arrow-native UDF): per-group stats "
+        "computed in pyarrow.compute with zero pandas conversion — the fastest "
+        "Python extension tier; one shuffle keyed by the group columns, "
+        "Arrow batches both directions"
+    ),
+    tags=("udf", "arrow", "aggregation"),
+)
+def udf_arrow_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").applyInArrow(
+        _arrow_group_stats,
+        schema="l_returnflag string, l_linestatus string, n_rows long, sum_qty double, max_price double",
+    )
+
+
+def _arrow_charge_batches(batches):
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.compute as pc  # noqa: PLC0415
+
+    one = pa.scalar(1.0)
+    for b in batches:
+        # (price * (1 - disc)) * (1 + tax): same association order as the
+        # oracle SQL, so every double is the identical IEEE result
+        net = pc.multiply(b.column("l_extendedprice"), pc.subtract(one, b.column("l_discount")))
+        charge = pc.multiply(net, pc.add(one, b.column("l_tax")))
+        yield pa.RecordBatch.from_arrays(
+            [b.column("l_orderkey"), b.column("l_linenumber"), charge],
+            names=["l_orderkey", "l_linenumber", "charge"],
+        )
+
+
+@register(
+    "udf_arrow_map_batches",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               (l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS charge
+        FROM lineitem WHERE l_linenumber = 2
+    """,
+    description=(
+        "mapInArrow batch transform: per-batch pyarrow.compute arithmetic with "
+        "no pandas materialization; the JVM-side filter runs before the Python "
+        "stage so only matching rows cross the Arrow boundary"
+    ),
+    tags=("udf", "arrow"),
+)
+def udf_arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(F.col("l_linenumber") == 2).mapInArrow(
+        _arrow_charge_batches,
+        schema="l_orderkey long, l_linenumber int, charge double",
+    )
