@@ -339,6 +339,112 @@ def minhash_lsh_dedup(
     return df.join(dropped, on=id_col, how="left_anti")
 
 
+def _lsh_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    ngram: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(hashed-shingles, banded-LSH-index) pair for ``df``.
+
+    ``hs`` is persisted — it feeds banding AND the exact-Jaccard verify;
+    callers unpersist after materializing downstream results. ``banded``
+    rows carry only (id, band, bucket): 24 bytes through every shuffle.
+    """
+    rows = num_hashes // bands
+    hs = (
+        fan_out_scan(df)
+        .select(F.col(id_col).alias("id"), shingle_keys(F.col(text_col), ngram).alias("hs"))
+        .filter(F.size("hs") > 0)
+        .persist()
+    )
+    sig_udf = minhash_signature_vectorized(num_hashes)
+    banded = (
+        hs.select("id", sig_udf(F.col("hs")).alias("sig"))
+        .select("id", F.posexplode(lsh_bands(F.col("sig"), bands, rows)).alias("band", "bucket"))
+    )
+    return hs, banded
+
+
+def neardup_against_snapshot(
+    batch: DataFrame,
+    snapshot: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    ngram: int = 3,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Near-dedup a NEW batch against an already-near-deduped corpus
+    snapshot, then within the batch itself: the steady-state form of
+    MinHash-LSH dedup (the near-dup twin of
+    ``curation.dedup_against_snapshot``'s exact digest anti-join).
+
+    Re-running ``minhash_lsh_dedup`` over snapshot+batch costs O(corpus)
+    per ingest; this costs O(batch) shingling plus one shuffle join of the
+    batch's banded rows against the snapshot's banded LSH index. Plan:
+
+    1. Snapshot index rows group per (band, bucket) into member arrays —
+       buckets over ``max_bucket`` are dropped with the same degenerate-
+       band rationale (and observable-recall trade) as
+       ``pairs_within_buckets``.
+    2. Batch banded rows join those buckets (shuffle keyed by the
+       high-cardinality (band, bucket)); member expansion happens in-task.
+    3. Candidates verify by exact Jaccard over hashed shingle sets; any
+       batch doc matching a snapshot doc at/over the threshold is dropped.
+    4. Survivors then near-dedup among themselves via
+       :func:`minhash_lsh_dedup` (a fresh batch can contain its own dups).
+
+    At 100 TB the snapshot's ``banded`` index and hashed-shingle table are
+    write-once artifacts maintained alongside the corpus (bucketed on
+    (band, bucket) and id respectively), so step 2 co-locates and the
+    snapshot is never re-shingled — the per-ingest cost is O(batch +
+    matched buckets), independent of corpus size.
+    """
+    hs_b, banded_b = _lsh_index(batch, id_col, text_col, num_hashes, bands, ngram)
+    hs_s, banded_s = _lsh_index(snapshot, id_col, text_col, num_hashes, bands, ngram)
+
+    snap_buckets = (
+        banded_s.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("id")).alias("snap_ids"))
+        .filter(F.size("snap_ids") <= max_bucket)
+    )
+    cand = (
+        banded_b.join(snap_buckets, ["band", "bucket"])
+        .select(F.col("id").alias("id_b"), F.explode("snap_ids").alias("id_s"))
+        .dropDuplicates(["id_b", "id_s"])
+    )
+    inter = F.size(F.array_intersect("hs_batch", "hs_snap"))
+    union = F.size("hs_batch") + F.size("hs_snap") - inter
+    contaminated = (
+        cand.join(hs_b.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_batch")), "id_b")
+        .join(hs_s.select(F.col("id").alias("id_s"), F.col("hs").alias("hs_snap")), "id_s")
+        .filter((inter.cast("double") / union) >= jaccard_threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        # materialize now so both shingle caches can be released before the
+        # in-batch pass (which re-derives its own lineage from `batch`)
+        .localCheckpoint(eager=True)
+    )
+    hs_b.unpersist()
+    hs_s.unpersist()
+    survivors = batch.join(contaminated, id_col, "left_anti")
+    return minhash_lsh_dedup(
+        survivors,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        ngram=ngram,
+        max_bucket=max_bucket,
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

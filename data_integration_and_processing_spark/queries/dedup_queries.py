@@ -250,3 +250,36 @@ def dedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", F.posexplode(lsh_bands(F.col("sig"), 8, 4)).alias("band", "bucket")
     )
     return bucket_cap_report(banded, ["band", "bucket"], max_bucket=64)
+
+
+@register(
+    "dedup_incremental_neardup",
+    oracle=None,  # MinHash-LSH banding has no DuckDB twin (xxhash64);
+    # semantics pinned in tests/test_incremental_neardup.py
+    description=(
+        "steady-state NEAR-dedup ingest: a new batch (novel docs + truncated "
+        "near-copies of snapshot docs) joins the snapshot's banded LSH index "
+        "on (band, bucket), exact-Jaccard-verifies candidates, drops "
+        "snapshot-near-dups, then near-dedups within the batch — O(batch + "
+        "matched buckets) per ingest instead of re-running dedup over the "
+        "whole corpus. The near-dup twin of dedup_incremental_snapshot"
+    ),
+    tags=("dedup", "north-star", "incremental"),
+)
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.dedup import (  # noqa: PLC0415
+        neardup_against_snapshot,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    truncated = F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 5, F.lit(1))), " ")
+    snapshot = d.filter(F.col("doc_id") % 3 != 0).select(F.col("doc_id").alias("id"), "text")
+    novel = d.filter(F.col("doc_id") % 3 == 0).select(F.col("doc_id").alias("id"), "text")
+    injected = (
+        d.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 1))
+        .select((F.col("doc_id") + 500_000).alias("id"), truncated.alias("text"))
+    )
+    batch = novel.unionByName(injected)
+    out = neardup_against_snapshot(batch, snapshot, id_col="id", text_col="text")
+    return out.select("id", (F.col("id") >= 500_000).alias("was_injected")).orderBy("id")
