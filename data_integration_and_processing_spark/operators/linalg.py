@@ -1,0 +1,140 @@
+"""Distributed linear algebra over embedding columns: one-pass moment
+aggregation (count / mean / Gram matrix) and PCA projection / whitening.
+
+No reference counterpart (the reference is a pandas ETL bridge; SURVEY.md
+§2.2) — but a training-data pipeline over embedded corpora needs exactly
+this shape: statistics whose per-partition partials are tiny (O(d^2)
+floats) tree-aggregate to the driver, the O(d^3) eigendecomposition runs
+driver-side where d is small (64-1024), and the resulting projection
+matrix broadcasts back for a map-only Arrow-batched transform. One corpus
+pass for the moments, one for the projection — nothing wide, nothing
+iterative, no O(n) state anywhere off the executors.
+
+Determinism contract: partial moments are computed per spark partition
+with numpy float64 matmuls, collected, then summed on the driver in
+partition-id order — the same operation sequence every run, so the
+covariance (and therefore the eigenbasis) is bit-stable for a fixed input
+partitioning. Eigenvector sign is normalized (largest-|entry| coordinate
+made positive) so the basis is unique even under degenerate-eigenvalue
+reordering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_MOMENT_SCHEMA = StructType(
+    [
+        StructField("pid", LongType()),
+        StructField("n", LongType()),
+        StructField("s", ArrayType(DoubleType())),
+        StructField("g", ArrayType(DoubleType())),
+    ]
+)
+
+
+def corpus_moments(df: DataFrame, vec_col: str = "embedding") -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, mean, covariance) of the vector column in ONE distributed pass.
+
+    Per spark partition an Arrow-batched task computes (n_p, sum_p,
+    X_p^T X_p) — d + d^2 doubles regardless of row count — and the driver
+    combines the partials in partition order. At 100 TB this is the same
+    plan: the shuffle carries one tiny row per partition, the driver holds
+    O(parts * d^2) transiently and O(d^2) after the fold.
+    """
+
+    def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = None
+        g = None
+        pid = -1
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            pid = int(pdf["_pid"].iloc[0])
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            gram = x.T @ x
+            g = gram if g is None else g + gram
+        if n:
+            yield pd.DataFrame({"pid": [pid], "n": [n], "s": [list(s)], "g": [list(g.ravel())]})
+
+    parts = (
+        df.select(F.col(vec_col).alias(vec_col), F.spark_partition_id().cast("long").alias("_pid"))
+        .mapInPandas(_partials, schema=_MOMENT_SCHEMA)
+        .collect()
+    )
+    if not parts:
+        raise ValueError("corpus_moments: empty input")
+    parts.sort(key=lambda r: r["pid"])
+    d = len(parts[0]["s"])
+    n = 0
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in parts:
+        n += r["n"]
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def _sign_fixed_eigh(cov: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Eigenpairs sorted by descending eigenvalue, sign-normalized so each
+    eigenvector's largest-|entry| coordinate is positive (unique basis)."""
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    flips = np.sign(vecs[np.abs(vecs).argmax(axis=0), np.arange(vecs.shape[1])])
+    flips[flips == 0] = 1.0
+    return vals, vecs * flips
+
+
+def pca_project(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    whiten: bool = False,
+) -> tuple[DataFrame, np.ndarray]:
+    """Project the corpus onto its top-``k`` principal components.
+
+    Returns ``(projected_df, explained_variance_ratio)`` where the frame
+    carries (id, array<double> of length k). ``whiten=True`` scales each
+    component to unit variance (the PCA-whitening transform feeding
+    e.g. cosine-ANN indexes that assume isotropy).
+
+    Plan: one moments pass (see :func:`corpus_moments`), driver-side
+    ``eigh`` on the d x d covariance, then a map-only Arrow-batched
+    projection with the (d x k) matrix shipped in the UDF closure —
+    broadcast-sized at any corpus scale.
+    """
+    n, mean, cov = corpus_moments(df, vec_col)
+    vals, vecs = _sign_fixed_eigh(cov)
+    total = float(np.clip(vals, 0, None).sum()) or 1.0
+    ratio = np.clip(vals[:k], 0, None) / total
+    w = vecs[:, :k]
+    if whiten:
+        w = w / np.sqrt(np.clip(vals[:k], 1e-12, None))
+    w = np.ascontiguousarray(w)
+    mean_c = mean.copy()
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _proj(col: pd.Series) -> pd.Series:
+        x = np.stack(col.to_numpy()).astype(np.float64) - mean_c
+        out = x @ w
+        return pd.Series(list(out))
+
+    return df.select(F.col(id_col), _proj(F.col(vec_col)).alias("components")), ratio

@@ -567,3 +567,55 @@ def etl_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("destination").alias("side"), "n_rows", "checksum"
     )
     return src.unionByName(dst)
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle="""
+        WITH cal AS (
+            SELECT m AS month, ((m - 1) // 3) + 1 AS quarter
+            FROM (SELECT unnest(range(1, 13)) AS m)
+        )
+        SELECT c.month,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        FROM orders o
+        JOIN cal c ON month(o.o_orderdate) = c.month
+        WHERE c.quarter = 2
+        GROUP BY c.month
+        ORDER BY c.month
+    """,
+    description=(
+        "dynamic partition pruning: fact table hive-partitioned on the join key "
+        "(order month), joined to a broadcast calendar dim filtered to one quarter — "
+        "Spark injects the dim's surviving keys as a runtime PartitionFilter "
+        "(dynamicpruning#N) on the fact scan, so only 3 of 12 partition directories "
+        "are read. Static pruning needs the literal in the query; DPP gets the same "
+        "skip when the filter is only discoverable through a join — at 100 TB the "
+        "difference between scanning a quarter and scanning a year. Plan-shape "
+        "pinned in tests/test_storage_layout.py"
+    ),
+    tags=("etl", "join", "partitioning", "source", "scale"),
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dest = f"{_SCRATCH}/orders_by_month"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.month("o_orderdate").alias("month"),
+    )
+    o.write.mode("overwrite").partitionBy("month").parquet(dest)
+    fact = spark.read.parquet(dest)
+    cal = spark.range(1, 13).select(
+        F.col("id").cast("int").alias("month"),
+        (((F.col("id") - 1) / 3).cast("int") + 1).alias("quarter"),
+    )
+    return (
+        fact.join(F.broadcast(cal.filter(F.col("quarter") == 2)), "month")
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("sum_price"),
+        )
+        .orderBy("month")
+    )

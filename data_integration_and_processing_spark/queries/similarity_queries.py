@@ -345,3 +345,31 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _KNN_K)
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "sim_pca_project",
+    oracle=None,  # eigendecomposition has no DuckDB twin; moments vs numpy,
+    # determinism, and whitening identity are pinned in tests/test_linalg.py
+    description=(
+        "distributed PCA: one-pass per-partition (count, sum, X'X) moment "
+        "partials (d + d^2 doubles each) tree-aggregate to the driver, "
+        "driver-side eigh on the 64x64 covariance, sign-normalized basis, "
+        "then a map-only Arrow-batched projection with the broadcast-sized "
+        "(d x k) matrix in the UDF closure — the linear-algebra shape that "
+        "scales to any corpus size with O(d^2) driver state"
+    ),
+    tags=("similarity", "north-star", "linalg", "pandas-udf"),
+)
+def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.linalg import pca_project  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings")
+    projected, ratio = pca_project(e, k=8)
+    rounded = F.transform("components", lambda x: F.round(x, 6))
+    # explained-variance ratios ride along as a constant audit column
+    return projected.select(
+        "vec_id",
+        rounded.alias("components"),
+        F.lit(round(float(ratio.sum()), 6)).alias("explained_var_top8"),
+    ).orderBy("vec_id")

@@ -132,3 +132,20 @@ class TestZOrderLayout:
         back = spark.read.parquet(f"{scratch}/li_z_rt")
         assert back.count() == li.count()
         assert back.exceptAll(li).isEmpty() and li.exceptAll(back).isEmpty()
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(spark, sf_dir):
+    """join_dynamic_partition_pruning must actually prune at runtime: the
+    fact scan's PartitionFilters must carry a dynamicpruning subquery fed by
+    the broadcast calendar dim, and the pruned plan must read only the
+    matching quarter's directories."""
+    from data_integration_and_processing_spark.queries.etl_parity import (
+        join_dynamic_partition_pruning,
+    )
+
+    df = join_dynamic_partition_pruning(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the result is the quarter only
+    months = [r["month"] for r in df.collect()]
+    assert months == [4, 5, 6]
