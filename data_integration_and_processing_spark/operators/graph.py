@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_stats"]
 
 
 def pagerank(
@@ -88,3 +88,80 @@ def pagerank(
             # materialize + truncate lineage: constant-size plan per round
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Global triangle census of an undirected simple graph: one row of
+    (n_vertices, n_edges, n_wedges, n_triangles, clustering_coeff).
+
+    Enumeration is **degree-oriented**: every undirected edge is oriented
+    from its lower-(degree, id) endpoint to the higher one, then triangles
+    are closed by joining oriented paths a->b->c with the oriented edge
+    a->c. Orientation makes each triangle count exactly once AND bounds
+    every vertex's out-degree by O(sqrt(m)), so the path-join fan-out is
+    O(m^1.5) total — the classic bound that survives power-law degree
+    skew, where the naive a<b<c-by-id orientation can put a celebrity
+    vertex's full neighborhood on one side of the join. Three shuffles
+    (degree agg, path join, closing join), all keyed by vertex/edge ids.
+
+    The count itself is orientation-independent, so any engine's simpler
+    enumeration (e.g. id-ordered in a SQL oracle) must agree exactly.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    # canonical undirected edge set (a < b), self-loops dropped
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient by (deg, id): src is the lower-ranked endpoint
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = und.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    paths = (
+        oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .join(oriented.select(F.col("u").alias("y"), F.col("v").alias("z")), "y")
+    )
+    # close x->y->z with oriented x->z OR z->x is impossible (orientation is
+    # acyclic by the (deg, id) total order), so only x->z closes
+    tri = paths.join(
+        oriented.select(F.col("u").alias("x"), F.col("v").alias("z")), ["x", "z"]
+    ).agg(F.count("*").alias("n_triangles"))
+    stats = deg.agg(
+        F.count("*").alias("n_vertices"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long").alias("n_wedges"),
+    )
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(F.col("n_wedges") > 0, 3.0 * F.col("n_triangles") / F.col("n_wedges")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -819,3 +819,64 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "graph_triangle_census",
+    oracle="""
+        WITH pp AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        ),
+        deg AS (
+            SELECT id, count(*) AS deg FROM (
+                SELECT a AS id FROM pp UNION ALL SELECT b AS id FROM pp
+            ) GROUP BY id
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+                   CAST(sum(deg * (deg - 1)) AS BIGINT) / 2 AS n_wedges
+            FROM deg
+        ),
+        tri AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM pp e1
+            JOIN pp e2 ON e1.b = e2.a
+            JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT agg.n_vertices,
+               (SELECT CAST(count(*) AS BIGINT) FROM pp) AS n_edges,
+               agg.n_wedges,
+               tri.n_triangles,
+               round(CASE WHEN agg.n_wedges > 0
+                          THEN 3.0 * tri.n_triangles / agg.n_wedges
+                          ELSE 0.0 END, 6) AS clustering_coeff
+        FROM agg, tri
+    """,
+    description=(
+        "global triangle census of the part co-purchase graph (parts sharing an "
+        "order): degree-oriented enumeration — edges point from the lower-(degree, "
+        "id) endpoint, bounding the path-join fan-out by O(sqrt(m)) per vertex and "
+        "total work by O(m^1.5) even under power-law degree skew; the id-ordered SQL "
+        "oracle enumerates the same orientation-independent count. Output: vertices, "
+        "edges, wedges, triangles, global clustering coefficient"
+    ),
+    tags=("analytics", "graph", "join", "aggregation"),
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.graph import triangle_stats  # noqa: PLC0415
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    edges = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return triangle_stats(edges)

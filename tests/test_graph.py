@@ -45,3 +45,38 @@ def test_pagerank_fixed_iterations_deterministic(spark, sf_dir):
     b = [(r["id"], r["rank"]) for r in q(spark, sf_dir).collect()]
     assert a == b
     assert len(a) == 25
+
+
+class TestTriangleStats:
+    def _stats(self, spark, edge_list):
+        from data_integration_and_processing_spark.operators.graph import triangle_stats
+
+        df = spark.createDataFrame(edge_list, "src long, dst long")
+        return triangle_stats(df).collect()[0]
+
+    def test_k4_complete_graph(self, spark):
+        # K4: 4 vertices, 6 edges, 12 wedges, 4 triangles, coeff = 1.0
+        edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+        r = self._stats(spark, edges)
+        assert (r["n_vertices"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (4, 6, 12, 4)
+        assert r["clustering_coeff"] == 1.0
+
+    def test_path_graph_has_no_triangles(self, spark):
+        r = self._stats(spark, [(0, 1), (1, 2), (2, 3)])
+        assert r["n_triangles"] == 0
+        assert r["n_wedges"] == 2
+
+    def test_duplicate_reversed_and_self_edges_normalize(self, spark):
+        # triangle given redundantly: both directions, dupes, a self-loop
+        edges = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (0, 2), (1, 1)]
+        r = self._stats(spark, edges)
+        assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+        assert r["clustering_coeff"] == 1.0
+
+    def test_skewed_hub_counts_correctly(self, spark):
+        # star hub 0 -- 1..10 plus one rim edge (1,2): exactly 1 triangle,
+        # the shape where naive id-orientation piles the hub's whole
+        # neighborhood on one join side
+        edges = [(0, i) for i in range(1, 11)] + [(1, 2)]
+        r = self._stats(spark, edges)
+        assert r["n_triangles"] == 1
