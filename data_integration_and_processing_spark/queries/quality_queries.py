@@ -325,3 +325,94 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("metric", "digit")
     )
+
+
+@register(
+    "quality_psi_drift",
+    oracle="""
+        WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0),
+        cur AS (
+            SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 1.1
+                        ELSE o_totalprice END AS v
+            FROM orders WHERE o_orderkey % 2 = 1
+        ),
+        bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM ref),
+        rbin AS (
+            SELECT least(CAST(floor((v - lo) / ((hi - lo) / 10.0)) AS INT), 9) AS bin
+            FROM ref, bounds
+        ),
+        cbin AS (
+            SELECT greatest(least(CAST(floor((v - lo) / ((hi - lo) / 10.0)) AS INT), 9), 0) AS bin
+            FROM cur, bounds
+        ),
+        rc AS (SELECT bin, count(*) AS n_ref FROM rbin GROUP BY bin),
+        cc AS (SELECT bin, count(*) AS n_cur FROM cbin GROUP BY bin),
+        grid AS (SELECT unnest(range(0, 10)) AS bin),
+        j AS (
+            SELECT g.bin,
+                   coalesce(rc.n_ref, 0) AS n_ref,
+                   coalesce(cc.n_cur, 0) AS n_cur,
+                   (SELECT count(*) FROM ref) AS t_ref,
+                   (SELECT count(*) FROM cur) AS t_cur
+            FROM grid g LEFT JOIN rc ON g.bin = rc.bin LEFT JOIN cc ON g.bin = cc.bin
+        )
+        SELECT CAST(bin AS INT) AS bin,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               round((n_cur + 1.0) / (t_cur + 10.0) - (n_ref + 1.0) / (t_ref + 10.0), 6) AS p_delta,
+               round(((n_cur + 1.0) / (t_cur + 10.0) - (n_ref + 1.0) / (t_ref + 10.0))
+                     * ln(((n_cur + 1.0) / (t_cur + 10.0)) / ((n_ref + 1.0) / (t_ref + 10.0))), 6)
+                   AS psi_term
+        FROM j ORDER BY bin
+    """,
+    description=(
+        "population-stability-index drift audit between two snapshots (even "
+        "orderkeys = reference, odd = current with urgent-priority prices "
+        "shifted 10%): reference min/max fixes 10 equi-width bins, both "
+        "sides histogram with one partial-agg shuffle each, Laplace-smoothed "
+        "bin shares produce per-bin PSI terms (sum > 0.2 = actionable "
+        "drift). The audit every recurring 100 TB feed runs before "
+        "accepting a new snapshot; two scans, two tiny shuffles, broadcast "
+        "grid join"
+    ),
+    tags=("quality", "audit", "histogram", "aggregation"),
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.filter(F.col("o_orderkey") % 2 == 0).select(F.col("o_totalprice").alias("v"))
+    cur = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("v")
+    )
+    lo, hi = ref.agg(F.min("v"), F.max("v")).first()
+    width = (hi - lo) / 10.0
+    t_ref = ref.count()
+    t_cur = cur.count()
+    rbin = ref.select(F.least(F.floor((F.col("v") - lo) / width).cast("int"), F.lit(9)).alias("bin"))
+    cbin = cur.select(
+        F.greatest(
+            F.least(F.floor((F.col("v") - lo) / width).cast("int"), F.lit(9)), F.lit(0)
+        ).alias("bin")
+    )
+    rc = rbin.groupBy("bin").agg(F.count("*").alias("n_ref"))
+    cc = cbin.groupBy("bin").agg(F.count("*").alias("n_cur"))
+    grid = o.sparkSession.range(10).select(F.col("id").cast("int").alias("bin"))
+    j = (
+        grid.join(F.broadcast(rc), "bin", "left")
+        .join(F.broadcast(cc), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    p_ref = (F.col("n_ref") + 1.0) / (t_ref + 10.0)
+    p_cur = (F.col("n_cur") + 1.0) / (t_cur + 10.0)
+    return j.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p_cur - p_ref, 6).alias("p_delta"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    ).orderBy("bin")

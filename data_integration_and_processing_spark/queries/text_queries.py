@@ -628,3 +628,52 @@ def text_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TRENDING_K)
         .orderBy("bucket_id", "rank")
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        vocab AS (
+            SELECT term, count(*) AS tf,
+                   (SELECT count(*) FROM tok) AS n_total
+            FROM tok GROUP BY term
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(log10(CAST(v.tf AS DOUBLE) / v.n_total)), 6) AS avg_logprob
+        FROM tok t JOIN vocab v USING (term)
+        GROUP BY t.doc_id
+    """,
+    description=(
+        "unigram language-model scoring (the perplexity-proxy quality filter "
+        "production corpora gate on): corpus unigram frequencies -> per-doc "
+        "mean log10 token probability. Plan: one token-explode aggregate "
+        "builds the vocabulary (partial-agg shuffle), the vocabulary-sized "
+        "frequency table broadcasts back onto the token stream, one shuffle "
+        "keyed by doc re-aggregates — the fact table never shuffles twice. "
+        "Rare-token-heavy (low avg_logprob) docs are gibberish/OCR-noise "
+        "candidates; high means boilerplate"
+    ),
+    tags=("text", "north-star", "quality", "aggregation"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(words_of(F.col("text"))).alias("term"))
+    tok = tok.persist()
+    n_total = tok.count()
+    vocab = tok.groupBy("term").agg(F.count("*").alias("tf"))
+    out = (
+        tok.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log10(F.col("tf").cast("double") / F.lit(n_total))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+    tok.unpersist()
+    return out
