@@ -123,3 +123,29 @@ def test_validation_report_is_single_pass(spark, sf_dir):
     df = catalog.all_specs()["etl_validation_report"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_unigram_logprob_broadcasts_vocabulary(spark, sf_dir):
+    """text_unigram_logprob's vocabulary join must broadcast the frequency
+    table onto the token stream — a shuffle join on term would re-exchange
+    the whole exploded token fact twice."""
+    plan = _plan(all_specs()["text_unigram_logprob"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_psi_drift_scans_are_column_pruned(spark, sf_dir):
+    """quality_psi_drift touches only price/priority/orderkey; the orders
+    scans must not read the full 9-column schema."""
+    plan = _plan(all_specs()["quality_psi_drift"].spark(spark, sf_dir))
+    scans = [ln for ln in plan.splitlines() if "orders" in ln and "ReadSchema" in ln]
+    assert scans
+    for ln in scans:
+        schema_part = ln.split("ReadSchema:")[1]
+        assert schema_part.count(",") <= 2, f"orders scan not pruned: {schema_part}"
+
+
+def test_triangle_census_has_no_cartesian(spark, sf_dir):
+    """The degree-oriented path join must stay an equi-join on vertex ids —
+    a CartesianProduct here means the orientation rewrite regressed."""
+    plan = _plan(all_specs()["graph_triangle_census"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
