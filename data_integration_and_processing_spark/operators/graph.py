@@ -112,11 +112,13 @@ def triangle_stats(
     enumeration (e.g. id-ordered in a SQL oracle) must agree exactly.
     """
     a, b = F.col(src_col), F.col(dst_col)
-    # canonical undirected edge set (a < b), self-loops dropped
+    # canonical undirected edge set (a < b), self-loops dropped; persisted —
+    # it feeds the degree aggregate, the orientation join and the edge count
     und = (
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") < F.col("b"))
         .distinct()
+        .persist()
     )
     deg = (
         und.select(F.col("a").alias("id"))
@@ -131,10 +133,12 @@ def triangle_stats(
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
+    # consumed by both sides of the path join AND the closing join: persist
+    # so the orientation lineage (two degree joins) computes once
     oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ).persist()
     paths = (
         oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
         .join(oriented.select(F.col("u").alias("y"), F.col("v").alias("z")), "y")
@@ -149,7 +153,7 @@ def triangle_stats(
         (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long").alias("n_wedges"),
     )
     n_edges = und.agg(F.count("*").alias("n_edges"))
-    return (
+    out = (
         stats.crossJoin(F.broadcast(n_edges))
         .crossJoin(F.broadcast(tri))
         .select(
@@ -164,4 +168,9 @@ def triangle_stats(
                 6,
             ).alias("clustering_coeff"),
         )
+        # single-row census: materialize eagerly so both caches release now
+        .localCheckpoint(eager=True)
     )
+    und.unpersist()
+    oriented.unpersist()
+    return out
