@@ -176,15 +176,19 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_hll_mergeable_rollup",
     # no SQL oracle: HLL sketch binaries are engine-specific (Spark uses the
-    # Apache DataSketches HllSketch format). The merge-consistency and
-    # accuracy invariants are pinned in tests/test_analytics.py instead.
+    # Apache DataSketches HllSketch format). The accuracy bound is enforced
+    # in-plan below (raise_error beyond 5% of the exact distinct count), so
+    # the rows-only check exercises it; merge-consistency is pinned in
+    # tests/test_analytics.py.
     description=(
         "mergeable-sketch rollup: per-(event_type, day) HLL sketches of user_id, "
         "unioned upward to per-event_type distinct-user estimates WITHOUT re-scanning "
         "events — the sketches-as-columns pattern that makes incremental / "
         "hierarchical distinct counting O(groups), not O(rows), at 100 TB. Partial "
         "aggregation applies to the sketch build (associative binary merge), so the "
-        "shuffle carries one ~2KB sketch per (type, day) instead of user ids"
+        "shuffle carries one ~2KB sketch per (type, day) instead of user ids. The "
+        "exact-distinct audit columns exist for the verification harness; a "
+        "production rollup drops them (they are the O(rows) cost the sketch avoids)"
     ),
     tags=("analytics", "events", "aggregation", "sketch"),
 )
@@ -195,12 +199,27 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id").alias("sketch"),
         F.count("*").alias("n_events"),
     )
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("raw_est"),
+        F.sum("n_events").alias("n_events"),
+        F.count("*").alias("n_days"),
+    )
+    exact = e.groupBy("event_type").agg(F.count_distinct("user_id").alias("exact_distinct_users"))
+    rel_err = F.abs(F.col("raw_est") - F.col("exact_distinct_users")) / F.col(
+        "exact_distinct_users"
+    )
+    checked = F.when(rel_err <= 0.05, F.col("raw_est")).otherwise(
+        F.raise_error(F.lit("merged HLL estimate beyond 5% of exact distinct count"))
+    )
     return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct_users"),
-            F.sum("n_events").alias("n_events"),
-            F.count("*").alias("n_days"),
+        rolled.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            checked.alias("est_distinct_users"),
+            "exact_distinct_users",
+            F.round(rel_err, 6).alias("rel_err"),
+            "n_events",
+            "n_days",
         )
         .orderBy("event_type")
     )

@@ -539,7 +539,9 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_countmin_heavy_hitters",
     oracle=None,  # xxhash64 has no DuckDB twin; the CMS guarantees (never
-    # underestimates, bounded overestimate) are pinned in tests/test_analytics.py
+    # underestimates, bounded overestimate) are ALSO enforced in-plan below
+    # (raise_error on violation), so the rows-only check exercises them;
+    # the same bounds are pinned in tests/test_analytics.py
     description=(
         "Count-Min sketch frequency estimates for the exact top-20 tokens: the "
         "second mergeable-sketch family (HLL counts distincts, CMS counts "
@@ -566,9 +568,18 @@ def text_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketch = countmin_sketch(tokens, "token")
     est = countmin_estimate(sketch, exact_top.select(F.col("token").alias("item")))
+    n_tokens = tokens.count()
+    # CMS contract, enforced in-plan: est >= true always; overestimate
+    # bounded by eps*N with eps = e/width (width=1024 -> ~0.27% of N)
+    eps_n = (2.718281828 / 1024.0) * n_tokens
+    checked = F.when(
+        (F.col("est_count") >= F.col("true_count"))
+        & (F.col("est_count") <= F.col("true_count") + F.lit(eps_n)),
+        F.col("est_count"),
+    ).otherwise(F.raise_error(F.lit("CMS estimate outside its guarantee band")))
     return (
         exact_top.join(est, exact_top.token == est.item)
-        .select("token", "true_count", "est_count")
+        .select("token", "true_count", checked.alias("est_count"))
         .orderBy(F.col("true_count").desc(), F.col("token").asc())
     )
 
