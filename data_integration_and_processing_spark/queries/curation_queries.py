@@ -272,3 +272,105 @@ def dedup_chunk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
     )
+
+
+@register(
+    "pipeline_entity_resolution",
+    oracle="""
+        WITH base AS (
+            SELECT s_suppkey,
+                   lower(trim(s_name)) || ' '
+                   || CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS nm
+            FROM supplier
+        ),
+        ent AS (
+            SELECT s_suppkey AS id, nm AS name FROM base
+            UNION ALL
+            SELECT s_suppkey + 10000,
+                   concat(substr(nm, 1, (s_suppkey % 10) + 1),
+                          substr(nm, (s_suppkey % 10) + 3))
+            FROM base
+        ),
+        edges AS (
+            SELECT a.id AS ea, b.id AS eb
+            FROM ent a JOIN ent b
+              ON a.id < b.id AND levenshtein(a.name, b.name) <= 1
+        ),
+        sym AS (
+            SELECT ea AS a, eb AS b FROM edges
+            UNION SELECT eb, ea FROM edges
+        ),
+        reach AS (
+            WITH RECURSIVE r(a, b) AS (
+                SELECT id, id FROM ent
+                UNION
+                SELECT r.a, sym.b FROM r JOIN sym ON r.b = sym.a
+            )
+            SELECT * FROM r
+        ),
+        lab AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a),
+        cl AS (
+            SELECT component AS cluster_rep,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   list_sort(list(id)) AS members
+            FROM lab GROUP BY component
+        )
+        SELECT cl.cluster_rep, cl.n_members, cl.members, e.name AS rep_name
+        FROM cl JOIN ent e ON e.id = cl.cluster_rep
+        ORDER BY cl.cluster_rep
+    """,
+    description=(
+        "end-to-end entity resolution: normalize -> SymSpell deletion-neighborhood "
+        "blocking (exact recall at edit distance 1, no cross join) -> levenshtein "
+        "verify on candidates -> similarity graph -> connected components -> "
+        "canonical min-id cluster with members and representative name. The oracle "
+        "cross-joins levenshtein and closes the graph with a recursive CTE — "
+        "feasible only at oracle scale, which is exactly the point of the blocked "
+        "plan. The dedup twin of pipeline_training_corpus for structured records"
+    ),
+    tags=("curation", "linkage", "dedup", "graph", "pipeline", "north-star"),
+)
+def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.dedup import connected_components  # noqa: PLC0415
+    from data_integration_and_processing_spark.operators.linkage import fuzzy_join_within_k  # noqa: PLC0415
+
+    s = load_table(spark, sf_dir, "supplier")
+    name = F.concat(
+        F.lower(F.trim(F.col("s_name"))),
+        F.lit(" "),
+        F.col("s_acctbal").cast("decimal(12,2)").cast("string"),
+    )
+    orig = s.select(F.col("s_suppkey").alias("id"), name.alias("name"))
+    p = (F.col("s_suppkey") % 10) + 1
+    mutated = s.select(
+        (F.col("s_suppkey") + 10000).alias("id"),
+        F.concat(F.substring(name, 1, p), F.substring(name, p + 2, F.lit(128))).alias("name"),
+    )
+    ent = orig.unionByName(mutated)
+    base = ent.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"))
+    probes = ent.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"))
+    pairs = (
+        fuzzy_join_within_k(base, probes, "name_a", "name_b", max_len=64, k=1)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    lab = connected_components(pairs)
+    # singletons keep their own id as component
+    labeled = (
+        ent.join(lab, ent.id == lab.id, "left")
+        .select(ent.id.alias("eid"), F.coalesce("component", ent.id).alias("component"))
+    )
+    cl = labeled.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.array_sort(F.collect_list("eid")).alias("members"),
+    )
+    return (
+        cl.join(ent, cl.component == ent.id)
+        .select(
+            F.col("component").alias("cluster_rep"),
+            "n_members",
+            "members",
+            F.col("name").alias("rep_name"),
+        )
+        .orderBy("cluster_rep")
+    )
