@@ -421,3 +421,48 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "l_orderkey", "l_linenumber", "w_cents", "cumw")
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     )
+
+
+_EXACT_N_PER_STRATUM = 50
+_EXACT_N_KEY_SQL = hash_bucket_sql(["doc_id"], 1_000_003, seed=17)
+
+
+@register(
+    "sample_exact_stratum_counts",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ({_EXACT_N_KEY_SQL}) ASC, doc_id ASC
+                   ) AS rn
+            FROM documents
+        )
+        SELECT source, doc_id, rn
+        FROM ranked WHERE rn <= {_EXACT_N_PER_STRATUM}
+        ORDER BY source, rn
+    """,
+    description=(
+        "exact-N per-stratum sampling: rank each stratum by a portable "
+        "deterministic integer hash of the row key (the same generated-SQL-twin "
+        "spec as every sampler here) and keep the first N — 'exactly 50 "
+        "uniformly-random docs per source, reproducibly', where fraction-based "
+        "sampling can only hit N in expectation. One shuffle keyed by stratum; "
+        "for huge strata swap row_number for a two-pass threshold estimate "
+        "(sample the hash distribution, filter below the estimated N-th "
+        "quantile, exact-rank the small survivor set)"
+    ),
+    tags=("sampling", "north-star", "window"),
+)
+def sample_exact_stratum_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    key = hash_bucket(["doc_id"], 1_000_003, seed=17)
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _EXACT_N_PER_STRATUM)
+        .select("source", "doc_id", "rn")
+        .orderBy("source", "rn")
+    )
