@@ -64,6 +64,10 @@ HEADLINE = [
     "temporal_rolling_zscore",
     "sim_knn_join",
     "dedup_chunk_neardup",
+    # r4 additions (no prior baseline; the regression gate skips unknown keys)
+    "text_unigram_logprob",
+    "quality_psi_drift",
+    "join_dynamic_partition_pruning",
 ]
 
 

@@ -138,3 +138,28 @@ def pca_project(
         return pd.Series(list(out))
 
     return df.select(F.col(id_col), _proj(F.col(vec_col)).alias("components")), ratio
+
+
+def merge_moments(
+    a: tuple[int, np.ndarray, np.ndarray],
+    b: tuple[int, np.ndarray, np.ndarray],
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Combine two corpora's (n, mean, cov) into the union's moments
+    WITHOUT re-scanning either — the mergeability that makes the moment
+    pass incremental: keep per-shard/per-day moments as tiny artifacts
+    (d + d^2 doubles) and fold new data in O(d^2), exactly like HLL and
+    CMS sketches merge by addition. Parallel-axis combination:
+
+        mean = weighted mean
+        cov  = weighted covs + weighted outer(mean_a - mean_b)
+    """
+    n_a, m_a, c_a = a
+    n_b, m_b, c_b = b
+    n = n_a + n_b
+    if n == 0:
+        raise ValueError("merge_moments: both inputs empty")
+    w_a, w_b = n_a / n, n_b / n
+    mean = w_a * m_a + w_b * m_b
+    d = m_a - m_b
+    cov = w_a * c_a + w_b * c_b + (w_a * w_b) * np.outer(d, d)
+    return n, mean, cov

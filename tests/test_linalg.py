@@ -63,3 +63,16 @@ def test_projection_preserves_pairwise_distances_topk_full_rank(spark, sf_dir):
     d_orig = np.linalg.norm(x_orig[:, None] - x_orig[None, :], axis=-1)
     d_proj = np.linalg.norm(x_proj[:, None] - x_proj[None, :], axis=-1)
     np.testing.assert_allclose(d_proj, d_orig, rtol=1e-6, atol=1e-8)
+
+
+def test_merged_moments_equal_whole_corpus_moments(spark, sf_dir):
+    from data_integration_and_processing_spark.operators.linalg import merge_moments
+
+    e = _emb(spark, sf_dir)
+    left = e.filter("vec_id % 2 = 0")
+    right = e.filter("vec_id % 2 = 1")
+    merged = merge_moments(corpus_moments(left), corpus_moments(right))
+    n, mean, cov = corpus_moments(e)
+    assert merged[0] == n
+    np.testing.assert_allclose(merged[1], mean, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(merged[2], cov, rtol=1e-9, atol=1e-12)
