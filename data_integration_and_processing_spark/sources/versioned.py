@@ -122,3 +122,45 @@ def rollback(path: str, version: int) -> int:
         raise ValueError(f"version {version} not in {versions} at {path}")
     files = _read_manifest(path, version)["files"]
     return _publish(path, versions[-1] + 1, files, versions[-1], f"rollback({version})")
+
+
+def vacuum(path: str, keep_last: int = 2) -> dict:
+    """Retention sweep (the Delta ``VACUUM`` analogue): retire manifests
+    older than the newest ``keep_last`` and delete data files no retained
+    manifest references. Returns audit counts.
+
+    Safety order matters — manifests are removed FIRST, then orphaned data
+    files: a crash between the two steps leaves unreferenced files (re-run
+    vacuum) rather than manifests pointing at deleted data. A reader
+    positioned at a retained version is untouched; snapshot isolation only
+    ends for versions the retention policy has expired. At 100 TB this is
+    a metadata walk plus deletes of unreferenced files — the data plane
+    cost is proportional to what expired, never to table size.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_versions(path)
+    if not versions:
+        return {"versions_removed": 0, "versions_kept": 0, "files_removed": 0, "files_kept": 0}
+    kept_versions = versions[-keep_last:]
+    expired = [v for v in versions if v not in kept_versions]
+    referenced: set[str] = set()
+    for v in kept_versions:
+        referenced.update(_read_manifest(path, v)["files"])
+    candidates: set[str] = set()
+    for v in expired:
+        candidates.update(_read_manifest(path, v)["files"])
+    # 1. retire expired manifests (after this, no reader can resolve them)
+    for v in expired:
+        os.remove(os.path.join(_versions_dir(path), f"v{v}.json"))
+    # 2. delete data files only the expired manifests referenced
+    orphans = sorted(candidates - referenced)
+    for f in orphans:
+        if os.path.exists(f):
+            os.remove(f)
+    return {
+        "versions_removed": len(expired),
+        "versions_kept": len(kept_versions),
+        "files_removed": len(orphans),
+        "files_kept": len(referenced),
+    }

@@ -75,3 +75,61 @@ def test_read_unknown_version_or_empty_table_raises(spark, table, tmp_path):
         read_version(spark, table, 9)
     with pytest.raises(FileNotFoundError):
         read_version(spark, str(tmp_path / "nope"))
+
+
+class TestVacuum:
+    def test_vacuum_keeps_retained_versions_readable(self, spark, sf_dir, tmp_path):
+        from data_integration_and_processing_spark.sources.versioned import (
+            list_versions,
+            read_version,
+            vacuum,
+            write_version,
+        )
+
+        path = str(tmp_path / "vt")
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        write_version(n.limit(5), path, mode="overwrite")   # v1
+        write_version(n.limit(3), path, mode="append")      # v2
+        write_version(n.limit(2), path, mode="overwrite")   # v3
+        write_version(n.limit(1), path, mode="append")      # v4
+        report = vacuum(path, keep_last=2)
+        assert report["versions_removed"] == 2
+        assert list_versions(path) == [3, 4]
+        # retained versions read intact
+        assert read_version(spark, path, 3).count() == 2
+        assert read_version(spark, path, 4).count() == 3
+        # expired versions are gone
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            read_version(spark, path, 1)
+
+    def test_vacuum_never_deletes_files_shared_with_retained(self, spark, sf_dir, tmp_path):
+        from data_integration_and_processing_spark.sources.versioned import (
+            _read_manifest,
+            vacuum,
+            write_version,
+        )
+        import os as _os
+
+        path = str(tmp_path / "vt2")
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        write_version(n.limit(5), path, mode="overwrite")   # v1
+        write_version(n.limit(3), path, mode="append")      # v2 shares v1's files
+        write_version(n.limit(2), path, mode="append")      # v3 shares v1+v2's
+        vacuum(path, keep_last=2)  # v1 expires, but its files live on in v2/v3
+        for v in (2, 3):
+            for f in _read_manifest(path, v)["files"]:
+                assert _os.path.exists(f), f"retained manifest v{v} lost {f}"
+
+    def test_vacuum_idempotent_and_bounds(self, spark, sf_dir, tmp_path):
+        from data_integration_and_processing_spark.sources.versioned import vacuum, write_version
+        import pytest as _pytest
+
+        path = str(tmp_path / "vt3")
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        write_version(n.limit(2), path, mode="overwrite")
+        assert vacuum(path, keep_last=5)["versions_removed"] == 0
+        second = vacuum(path, keep_last=1)
+        assert second["versions_removed"] == 0 and second["files_removed"] == 0
+        with _pytest.raises(ValueError):
+            vacuum(path, keep_last=0)
