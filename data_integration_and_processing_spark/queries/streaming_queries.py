@@ -453,3 +453,31 @@ def stream_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
     return run_streaming_hll_distinct(spark, e)
+
+
+@register(
+    "stream_jdbc_upsert_sink",
+    oracle="""
+        SELECT user_id, count(*) AS n_events,
+               min(event_id) AS first_event_id, max(event_id) AS last_event_id
+        FROM events GROUP BY user_id
+    """,
+    description=(
+        "streaming upsert into a LIVE JDBC warehouse (embedded Derby): stateful "
+        "per-user aggregates land per micro-batch as DELETE-matched-keys + batched "
+        "INSERT inside foreachBatch — the portable JDBC upsert; result read back "
+        "over JDBC and value-checked against the batch aggregate. The streaming "
+        "form of the reference's bulk-load path"
+    ),
+    tags=("streaming", "stateful", "sink", "jdbc", "merge"),
+)
+def stream_jdbc_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.streaming.pipelines import (  # noqa: PLC0415
+        run_streaming_jdbc_upsert,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    url = f"jdbc:derby:/tmp/diaps_scratch/derby_stream_{_uuid.uuid4().hex[:8]};create=true"
+    return run_streaming_jdbc_upsert(spark, e, url)
