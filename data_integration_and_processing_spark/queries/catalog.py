@@ -35,6 +35,7 @@ _QUERY_MODULES = [
     "data_integration_and_processing_spark.queries.analytics_queries",
     "data_integration_and_processing_spark.queries.quality_queries",
     "data_integration_and_processing_spark.queries.temporal_queries",
+    "data_integration_and_processing_spark.queries.scale_queries",
 ]
 
 
