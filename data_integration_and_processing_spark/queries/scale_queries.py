@@ -224,3 +224,98 @@ def etl_partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile-digest rollup (third sketch family after HLL + CMS)
+# ---------------------------------------------------------------------------
+
+_QD_B = 64  # mass chunks per day summary — rank error of the merge <= 1/B
+_QD_ACCURACY = 10000  # percentile_approx accuracy => +1/accuracy rank error
+_QD_TARGETS = (0.5, 0.9, 0.99)
+# merge rank error <= 1/B, build error <= 1/accuracy per day; generous slack
+# on top because the audit is a hard raise_error, not a soft metric
+_QD_RANK_TOL = 1.0 / _QD_B + 0.01
+
+
+@register(
+    "agg_quantile_digest_rollup",
+    # no SQL oracle: the day summaries are engine-specific sketches
+    # (percentile_approx's deterministic GK summary). The rank-accuracy bound
+    # is enforced in-plan below (raise_error when the merged estimate's true
+    # CDF position drifts more than 1/B + slack from the target), so the
+    # rows-only check still exercises a guarantee; merge-consistency and
+    # tolerance are pinned in tests/test_quantile_digest.py.
+    description=(
+        "mergeable quantile rollup: per-(event_type, day) equi-depth summaries "
+        f"({_QD_B} cutpoints + a count) merged upward to per-event_type p50/p90/p99 "
+        "WITHOUT re-scanning events — each day summary contributes B equal-mass "
+        "chunks and the month-level quantile is read off the weighted cumulative "
+        "distribution of day*B tiny rows. State per group is O(B); the shuffle "
+        "carries summaries, never values. The exact-percentile audit columns and "
+        "the raise_error rank-bound exist for the verification harness; a "
+        "production rollup drops them (they are the O(rows) cost the digest avoids)"
+    ),
+    tags=("analytics", "aggregation", "sketch", "scale"),
+)
+def agg_quantile_digest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    # chunk representatives at the B mass-midpoints (2i+1)/2B: each stands
+    # for exactly 1/B of the day's mass in the reconstruction
+    probs = [(2 * i + 1) / (2 * _QD_B) for i in range(_QD_B)]
+    daily = e.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.percentile_approx("value", F.array(*[F.lit(p) for p in probs]), F.lit(_QD_ACCURACY)).alias(
+            "cuts"
+        ),
+        F.count("*").alias("n_events"),
+    )
+    chunks = daily.select(
+        "event_type",
+        F.explode("cuts").alias("v"),
+        (F.col("n_events").cast("double") / _QD_B).alias("w"),
+    )
+    part = Window.partitionBy("event_type")
+    ordered = part.orderBy("v", "w").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = chunks.select(
+        "event_type",
+        "v",
+        F.sum("w").over(ordered).alias("cum_w"),
+        F.sum("w").over(part).alias("total_w"),
+    )
+    # one row per (event_type, target): smallest v whose cumulative mass
+    # reaches t * total — the weighted-quantile read-off
+    est = None
+    for t in _QD_TARGETS:
+        got = cum.groupBy("event_type").agg(
+            F.lit(t).alias("p"),
+            F.min(F.when(F.col("cum_w") >= F.lit(t) * F.col("total_w"), F.col("v"))).alias(
+                "est_value"
+            ),
+        )
+        est = got if est is None else est.unionByName(got)
+
+    # exact audit: true CDF position of each estimate (one extra events scan,
+    # dropped in production where the digest IS the answer)
+    audited = (
+        e.select("event_type", "value")
+        .join(F.broadcast(est), "event_type")
+        .groupBy("event_type", "p")
+        .agg(
+            F.first("est_value").alias("est_value"),
+            F.avg(F.when(F.col("value") <= F.col("est_value"), 1.0).otherwise(0.0)).alias(
+                "frac_le"
+            ),
+        )
+    )
+    rank_err = F.abs(F.col("frac_le") - F.col("p"))
+    checked = F.when(rank_err <= _QD_RANK_TOL, F.round("est_value", 6)).otherwise(
+        F.raise_error(F.lit("merged quantile estimate beyond the 1/B rank-error bound"))
+    )
+    return audited.select(
+        "event_type",
+        "p",
+        checked.alias("est_value"),
+        F.round(rank_err, 6).alias("rank_err"),
+    ).orderBy("event_type", "p")

@@ -1,0 +1,45 @@
+"""Mergeable quantile-digest rollup guarantees.
+
+Same discipline as the HLL / CMS sketch families (tests/test_analytics.py):
+the rows-only catalog entry is backed here by hard bounds — merging per-day
+equi-depth summaries must land within the 1/B rank-error budget of the true
+quantile, deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_integration_and_processing_spark.queries.scale_queries import (
+    _QD_RANK_TOL,
+    _QD_TARGETS,
+    agg_quantile_digest_rollup,
+)
+
+
+def test_rank_error_within_budget(spark, sf_dir):
+    out = agg_quantile_digest_rollup(spark, sf_dir).collect()
+    types = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type").distinct().count()
+    assert len(out) == types * len(_QD_TARGETS)
+    # the query raise_errors beyond tolerance; re-assert the recorded errors
+    assert all(r["rank_err"] <= _QD_RANK_TOL for r in out)
+
+
+def test_merged_estimate_tracks_exact_quantile_in_rank_space(spark, sf_dir):
+    """The merged estimate's CDF position is within tolerance of the target —
+    checked independently of the query's own audit columns."""
+    est = {(r["event_type"], r["p"]): r["est_value"] for r in agg_quantile_digest_rollup(spark, sf_dir).collect()}
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for (etype, p), v in est.items():
+        frac = (
+            e.filter(F.col("event_type") == etype)
+            .agg(F.avg(F.when(F.col("value") <= F.lit(v), 1.0).otherwise(0.0)))
+            .collect()[0][0]
+        )
+        assert abs(frac - p) <= _QD_RANK_TOL, (etype, p, frac)
+
+
+def test_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, agg_quantile_digest_rollup(spark, sf_dir).collect()))
+    b = sorted(map(tuple, agg_quantile_digest_rollup(spark, sf_dir).collect()))
+    assert a == b
