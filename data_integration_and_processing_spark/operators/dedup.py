@@ -773,3 +773,57 @@ def normalize_for_dedup(text: Column) -> Column:
     at pure map cost — the standard first pass before MinHash spends real
     money on the hard ones."""
     return F.trim(F.regexp_replace(F.regexp_replace(F.lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs with n-gram CONTAINMENT >= threshold: inter / min(|A|, |B|).
+
+    Jaccard misses asymmetric inclusion — a document wholly quoted inside a
+    much larger one has jaccard ~= |A|/|B| (small) but containment 1.0; a
+    training-corpus boilerplate/quotation detector needs the latter. Same
+    inverted-index plan as ngram_jaccard_pairs (one shuffle keyed by the
+    8-byte shingle hash, in-task i<j pair expansion, optional df cap for hot
+    shingles), only the normalization differs.
+    """
+    sh = fan_out_scan(df).select(
+        F.col(id_col).alias("id"), shingle_keys(F.col(text_col), n).alias("sh")
+    )
+    sh = sh.filter(F.size("sh") > 0)
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("s"))
+    postings = inv.groupBy("s").agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    postings = postings.filter(F.size("ids") > 1)
+    if max_shingle_df is not None:
+        postings = postings.filter(F.size("ids") <= max_shingle_df)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    pair_inter = (
+        postings.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pair_inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment", F.col("inter").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "inter", "containment")
+    )

@@ -104,7 +104,10 @@ _PRIORITY: tuple[str, ...] = (
     # was replica-only until now)
     "filter_predicate_pushdown",
     "project_derived_columns",
-    "join_inner_shuffle",
+    # r4.2 rotation: join_inner_shuffle out (proven green r3; the join family
+    # keeps five other window rows), Bloom semi-join reduction in — first
+    # hard signal for the runtime-filter family
+    "join_bloom_prefilter",
     "join_asof_event",
     "join_broadcast_dim",
     "join_range_band",
@@ -124,7 +127,9 @@ _PRIORITY: tuple[str, ...] = (
     "q2_min_cost_supplier",
     # ETL parity, one per sink semantic
     "etl_transfer_overwrite_roundtrip",
-    "etl_transfer_append_roundtrip",
+    # r4.2 rotation: append roundtrip out (green r3; overwrite keeps the
+    # sink-semantic signal), Merkle partition diff in
+    "etl_partition_diff",
     "etl_upsert_merge",
     "etl_scd2_apply",
     "etl_cdc_apply",

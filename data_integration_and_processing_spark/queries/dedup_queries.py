@@ -283,3 +283,77 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = novel.unionByName(injected)
     out = neardup_against_snapshot(batch, snapshot, id_col="id", text_col="text")
     return out.select("id", (F.col("id") >= 500_000).alias("was_injected")).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# containment near-dup (asymmetric inclusion)
+# ---------------------------------------------------------------------------
+
+# Inclusion fixture: every 5th document gains a prefix copy holding its first
+# 40% of words — jaccard vs the original is ~0.4 (below any near-dup
+# threshold) but containment is 1.0.
+_CONTAIN_SQL = """
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 20000 AS id,
+           array_to_string(string_split(text, ' ')[1:greatest(3,
+               CAST(floor(len(string_split(text, ' ')) * 0.4) AS INT))], ' ') AS text
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _with_prefix_copies(df: DataFrame) -> DataFrame:
+    words = F.split(F.col("text"), " ")
+    k = F.greatest(F.lit(3), F.floor(F.size(words) * 0.4).cast("int"))
+    prefix = F.array_join(F.slice(words, F.lit(1), k), " ")
+    orig = df.select(F.col("doc_id").alias("id"), "text")
+    copies = df.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 20000).alias("id"), prefix.alias("text")
+    )
+    return orig.unionByName(copies)
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+        WITH u AS ({_CONTAIN_SQL}),
+        sh AS (
+            SELECT id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> concat_ws(' ', string_split(text, ' ')[i],
+                                           string_split(text, ' ')[i+1],
+                                           string_split(text, ' ')[i+2])))) AS s
+            FROM u WHERE len(string_split(text, ' ')) >= 3
+        ),
+        sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        pair_inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT id_a, id_b, inter,
+               round(CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
+        FROM pair_inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.9
+    """,
+    description=(
+        "asymmetric containment near-dup: pairs with n-gram containment "
+        "inter/min(|A|,|B|) >= 0.9 — catches a document wholly included in a larger "
+        "one (quotes, boilerplate, prefix truncations), which Jaccard structurally "
+        "misses (inclusion jaccard ~= |A|/|B|). Same inverted-index single-shuffle "
+        "plan as dedup_ngram_jaccard, 8-byte shingle-hash keys, in-task i<j pair "
+        "expansion, df-cap lever for hot shingles"
+    ),
+    tags=("dedup", "north-star"),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.dedup import (  # noqa: PLC0415
+        ngram_containment_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    u = _with_prefix_copies(d)
+    out = ngram_containment_pairs(u, text_col="text", id_col="id", n=3, threshold=0.9)
+    return out.withColumn("containment", F.round("containment", 6))
