@@ -700,3 +700,90 @@ def pq_probe(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ann_join_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate k-NN JOIN: every query row gets its top-k corpus
+    neighbors, but each query only ever meets the ``nprobe`` nearest of
+    ``n_cells`` coarse-quantizer cells — ~nprobe/n_cells of the brute-force
+    candidate volume.
+
+    The exact k-NN join (:func:`knn_join` / the ``sim_knn_join`` query)
+    broadcasts the query side and scans the full corpus per query — right
+    when queries are few. This is the other regime: a large query BATCH
+    against a large corpus, where all-pairs is the scale killer. Plan:
+
+    1. train the KMeans coarse quantizer once on the corpus (driver model,
+       O(n_cells * dim) broadcast);
+    2. assign corpus rows to cells — one narrow map;
+    3. route each query to its nprobe nearest cells via a broadcast join
+       against the n_cells centroid rows (window rank, JVM-side distance);
+    4. shuffle BOTH sides on cell — the join fan-out per query is the cell
+       payload, not the corpus — and window-rank the exact cosine within
+       candidates to top-k.
+
+    Recall loss is the IVF trade: a true neighbor living in an unprobed
+    cell is missed; tests/test_ann_recall.py pins the floor. Centroid count
+    scales with corpus size (sqrt(N) rule of thumb) — the centroid table
+    stays broadcastable far past 10^9 vectors.
+    """
+    from pyspark.ml.clustering import KMeans  # noqa: PLC0415
+    from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    feat = fan_out_scan(corpus).withColumn(
+        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell").fit(feat)
+    corpus_cells = model.transform(feat).select(
+        F.col(id_col).alias("_nbr_id"),
+        F.col(vec_col).alias("_nbr_vec"),
+        F.col("_cell").cast("int").alias("_cell"),
+    )
+
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cent = queries.sparkSession.createDataFrame(centers, "cell int, center array<double>")
+    # squared L2 distance query->centroid, JVM fold — no UDF
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), F.col("center"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_rank = Window.partitionBy(query_id_col).orderBy(F.asc("_d2"), F.asc("cell"))
+    routed = (
+        # deliberate broadcast cartesian: n_cells rows against the query batch
+        queries.select(F.col(query_id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_d2", d2)
+        .withColumn("_pr", F.row_number().over(probe_rank))
+        .filter(F.col("_pr") <= nprobe)
+        .select(query_id_col, vec_col, F.col("cell").alias("_cell"))
+    )
+
+    sim = F.round(cosine(F.col(vec_col), F.col("_nbr_vec")), round_digits)
+    nbr_rank = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("_nbr_id"))
+    return (
+        routed.join(corpus_cells, "_cell")
+        .withColumn("cos_sim", sim)
+        .withColumn("rank", F.row_number().over(nbr_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col("_nbr_id").alias("neighbor_id"),
+            "cos_sim",
+            "rank",
+        )
+    )

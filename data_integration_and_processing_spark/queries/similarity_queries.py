@@ -373,3 +373,31 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounded.alias("components"),
         F.lit(round(float(ratio.sum()), 6)).alias("explained_var_top8"),
     ).orderBy("vec_id")
+
+
+@register(
+    "sim_ann_join_ivf",
+    oracle=None,  # KMeans cell assignments are engine-specific; recall vs the
+    # exact k-NN join is pinned in tests/test_ann_recall.py
+    description=(
+        "approximate k-NN JOIN via IVF routing: corpus assigned to coarse-quantizer "
+        "cells once, each query shuffled only to its nprobe nearest cells, exact "
+        "cosine + window top-k within candidates — ~nprobe/n_cells of the all-pairs "
+        "volume. The complement of sim_knn_join's broadcast regime: BOTH sides large. "
+        "At 100 TB: sqrt(N) centroids keep the routing table broadcastable and the "
+        "per-cell join co-partitioned; recall floor pinned in tests"
+    ),
+    tags=("similarity", "north-star", "join", "topk", "ann", "scale"),
+)
+def sim_ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        ann_join_ivf,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.filter(F.col("vec_id") % 25 != 0)
+    out = ann_join_ivf(q, c, k=10, n_cells=8, nprobe=2)
+    return out.orderBy("query_id", "rank")
