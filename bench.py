@@ -68,6 +68,11 @@ HEADLINE = [
     "text_unigram_logprob",
     "quality_psi_drift",
     "join_dynamic_partition_pruning",
+    "join_bloom_prefilter",
+    "etl_partition_diff",
+    "agg_quantile_digest_rollup",
+    "dedup_ngram_containment",
+    "sim_ann_join_ivf",
 ]
 
 

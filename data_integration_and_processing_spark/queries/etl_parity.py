@@ -619,3 +619,76 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# GDPR delete-propagation cascade
+# ---------------------------------------------------------------------------
+
+_ERASE_MOD = 131  # erasure-request list: customers with c_custkey % 131 == 0
+
+_ERASE_ORACLE = f"""
+WITH del_cust AS (SELECT c_custkey FROM customer WHERE c_custkey % {_ERASE_MOD} = 0),
+del_orders AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM del_cust)),
+stats AS (
+    SELECT 'customer' AS table_name,
+           (SELECT count(*) FROM customer) AS rows_before,
+           (SELECT count(*) FROM del_cust) AS rows_deleted
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM del_orders)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+)
+SELECT table_name, rows_before, rows_deleted, rows_before - rows_deleted AS rows_after
+FROM stats ORDER BY table_name
+"""
+
+
+@register(
+    "etl_delete_propagation",
+    oracle=_ERASE_ORACLE,
+    description=(
+        "right-to-erasure cascade: a small deletion-request key set propagates "
+        "customer -> orders -> lineitem through the FK graph via anti/semi joins, "
+        "emitting a per-table audit (before/deleted/after). The request list and "
+        "the first-hop surviving keys are broadcast-sized by construction; the "
+        "lineitem hop joins on o_orderkey — at 100 TB that's the one real shuffle, "
+        "and AQE converts it to broadcast whenever the deleted-order set stays "
+        "under the threshold. The audit row counts are what a compliance log "
+        "records alongside the rewritten table"
+    ),
+    tags=("etl", "privacy", "join", "audit"),
+)
+def etl_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    del_cust = cust.filter(F.col("c_custkey") % _ERASE_MOD == 0).select("c_custkey")
+    del_orders = orders.join(
+        F.broadcast(del_cust.withColumnRenamed("c_custkey", "o_custkey")), "o_custkey", "left_semi"
+    ).select("o_orderkey")
+    del_li = li.join(
+        F.broadcast(del_orders.withColumnRenamed("o_orderkey", "l_orderkey")), "l_orderkey", "left_semi"
+    )
+
+    def _audit(name: str, full: DataFrame, deleted: DataFrame) -> DataFrame:
+        n_full = full.agg(F.count("*").alias("rows_before"))
+        n_del = deleted.agg(F.count("*").alias("rows_deleted"))
+        return n_full.crossJoin(n_del).select(
+            F.lit(name).alias("table_name"),
+            "rows_before",
+            "rows_deleted",
+            (F.col("rows_before") - F.col("rows_deleted")).alias("rows_after"),
+        )
+
+    out = (
+        _audit("customer", cust, del_cust)
+        .unionByName(_audit("lineitem", li, del_li))
+        .unionByName(_audit("orders", orders, del_orders))
+    )
+    return out.orderBy("table_name")

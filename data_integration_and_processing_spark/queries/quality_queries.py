@@ -416,3 +416,46 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_cur - p_ref, 6).alias("p_delta"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+_KANON_K = 4
+
+_KANON_ORACLE = f"""
+SELECT c_nationkey,
+       c_mktsegment,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+       count(*) AS group_size
+FROM customer
+GROUP BY 1, 2, 3
+HAVING count(*) < {_KANON_K}
+ORDER BY 1, 2, 3
+"""
+
+
+@register(
+    "quality_k_anonymity",
+    oracle=_KANON_ORACLE,
+    description=(
+        "privacy audit: quasi-identifier groups (nation x segment x coarse balance "
+        "bucket) whose size is below k — the re-identifiable rows a training-data "
+        "release must suppress or generalize. One partial-agg shuffle keyed by the "
+        "quasi-identifier tuple; output is violation-groups-sized, not row-sized"
+    ),
+    tags=("quality", "audit", "privacy"),
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
+        )
+        .agg(F.count("*").alias("group_size"))
+        .filter(F.col("group_size") < _KANON_K)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
+    )

@@ -688,3 +688,62 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE merge-step statistics
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 30
+
+_BPE_ORACLE = f"""
+WITH words AS (
+    SELECT lower(w) AS word, count(*) AS wc
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+    WHERE len(w) >= 2
+    GROUP BY 1
+),
+pair_rows AS (
+    SELECT word, wc, unnest(generate_series(1, len(word) - 1)) AS i FROM words
+),
+pairs AS (
+    SELECT substr(word, CAST(i AS INT), 2) AS pair, CAST(sum(wc) AS BIGINT) AS cnt
+    FROM pair_rows GROUP BY 1
+)
+SELECT pair, cnt FROM pairs ORDER BY cnt DESC, pair ASC LIMIT {_BPE_TOPK}
+"""
+
+
+@register(
+    "text_bpe_merge_step",
+    oracle=_BPE_ORACLE,
+    description=(
+        "tokenizer-training primitive: one BPE merge iteration's pair statistics. "
+        "The key scale move is BPE's own: corpus folds to a VOCABULARY first (one "
+        "word-keyed partial-agg shuffle), then adjacent-symbol-pair counts are "
+        "computed over vocab rows weighted by word frequency — pair stats cost "
+        "O(vocab), not O(corpus), exactly why real BPE trainers operate on the "
+        "word-count table. Top-30 merge candidates, fully deterministic tie-break"
+    ),
+    tags=("text", "north-star", "tokenizer"),
+)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .select(F.lower(F.col("w")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.col("word").substr(i, F.lit(2)),
+    )
+    return (
+        words.select(F.explode(bigrams).alias("pair"), F.col("wc"))
+        .groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(_BPE_TOPK)
+    )
