@@ -174,3 +174,48 @@ def triangle_stats(
     und.unpersist()
     oriented.unpersist()
     return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source_ids: list[int],
+    max_depth: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Single-source(-set) BFS shortest distances, Pregel-shaped: expand the
+    frontier one level per iteration, anti-join against already-settled
+    vertices (first reach IS the min distance), stop at ``max_depth`` or an
+    empty frontier.
+
+    Scale shape: each level is one join keyed by vertex id (frontier x
+    adjacency) plus one anti join against the settled set — no path
+    enumeration ever happens, so dense graphs cost O(frontier * avg_degree)
+    per level, not O(#paths). The frontier is localCheckpointed per level
+    (same lineage-truncation discipline as pagerank above); the settled set
+    grows monotonically and stays vertex-bounded.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct().persist()
+    dist = spark.createDataFrame([(int(s), 0) for s in source_ids], "id long, dist int")
+    frontier = dist.select("id")
+    live: list[DataFrame] = []
+    try:
+        for depth in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(e, frontier["id"] == e["src"])
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(dist.select("id"), "id", "left_anti")
+                .withColumn("dist", F.lit(depth))
+                .localCheckpoint(eager=True)
+            )
+            live.append(nxt)
+            if nxt.limit(1).count() == 0:
+                break
+            dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+            live.append(dist)
+            frontier = nxt.select("id")
+        return dist
+    finally:
+        e.unpersist()

@@ -899,3 +899,55 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_stats(edges)
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest distances (third graph operator)
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_DEPTH = 3
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE e AS (
+    SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+    UNION
+    SELECT DISTINCT l_suppkey * 2 + 1, l_partkey * 2 FROM lineitem
+),
+bfs(id, dist) AS (
+    SELECT CAST(2 AS BIGINT) AS id, 0 AS dist
+    UNION
+    SELECT e.dst, bfs.dist + 1
+    FROM bfs JOIN e ON e.src = bfs.id
+    WHERE bfs.dist < {_BFS_MAX_DEPTH}
+)
+SELECT id, CAST(min(dist) AS INT) AS dist FROM bfs GROUP BY id ORDER BY id
+"""
+
+
+@register(
+    "graph_bfs_distances",
+    oracle=_BFS_ORACLE,
+    description=(
+        "Pregel-shaped BFS over the part-supplier bipartite graph (nodes 2p / "
+        "2s+1): per level ONE vertex-keyed join (frontier x adjacency) and one "
+        "anti join against the settled set — first reach is the min distance, no "
+        "path enumeration, so a dense graph costs O(frontier * degree) per level "
+        "while the recursive-CTE oracle pays the path blowup. Frontier and "
+        "settled set localCheckpointed per level (lineage truncation). The "
+        "level-synchronous loop is the driver-coordination pattern pagerank and "
+        "connected components already use; depth-bounded here"
+    ),
+    tags=("analytics", "graph", "join", "scale"),
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.graph import bfs_distances  # noqa: PLC0415
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"), (F.col("l_suppkey") * 2 + 1).alias("dst")
+    )
+    rev = li.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"), (F.col("l_partkey") * 2).alias("dst")
+    )
+    edges = fwd.unionByName(rev)
+    return bfs_distances(edges, [2], max_depth=_BFS_MAX_DEPTH).orderBy("id")

@@ -319,3 +319,76 @@ def agg_quantile_digest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         checked.alias("est_value"),
         F.round(rank_err, 6).alias("rank_err"),
     ).orderBy("event_type", "p")
+
+
+# ---------------------------------------------------------------------------
+# snapshot changelog extraction (inverse of etl_cdc_apply)
+# ---------------------------------------------------------------------------
+
+_CDC_EXTRACT_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_totalprice FROM orders
+), replica AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT CASE WHEN r.o_orderkey IS NULL THEN 'D'
+            WHEN b.o_orderkey IS NULL THEN 'I'
+            ELSE 'U' END AS op,
+       coalesce(b.o_orderkey, r.o_orderkey) AS o_orderkey,
+       round(b.o_totalprice, 2) AS old_totalprice,
+       round(r.o_totalprice, 2) AS new_totalprice
+FROM base b FULL OUTER JOIN replica r ON b.o_orderkey = r.o_orderkey
+WHERE b.o_orderkey IS NULL OR r.o_orderkey IS NULL
+   OR b.o_totalprice <> r.o_totalprice
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "etl_snapshot_cdc_extract",
+    oracle=_CDC_EXTRACT_ORACLE,
+    description=(
+        "changelog EXTRACTION between two table snapshots — the inverse of "
+        "etl_cdc_apply: key-joined full outer compare emitting I/U/D rows with "
+        "old/new values, the feed a downstream CDC consumer replays. One shuffle "
+        "per side keyed by the primary key; value compare is column-local. Pairs "
+        "with etl_partition_diff at 100 TB: the Merkle diff locates divergent "
+        "buckets first, and this extraction then runs on ~1/n_buckets of the data"
+    ),
+    tags=("etl", "cdc", "reconcile", "scale"),
+)
+def etl_snapshot_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    replica = (
+        base.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+    )
+    b = base.select(F.col("o_orderkey").alias("b_key"), F.col("o_totalprice").alias("b_price"))
+    r = replica.select(F.col("o_orderkey").alias("r_key"), F.col("o_totalprice").alias("r_price"))
+    joined = b.join(r, b["b_key"] == r["r_key"], "full_outer")
+    op = (
+        F.when(F.col("r_key").isNull(), F.lit("D"))
+        .when(F.col("b_key").isNull(), F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    return (
+        joined.filter(
+            F.col("b_key").isNull()
+            | F.col("r_key").isNull()
+            | (F.col("b_price") != F.col("r_price"))
+        )
+        .select(
+            op.alias("op"),
+            F.coalesce(F.col("b_key"), F.col("r_key")).alias("o_orderkey"),
+            F.round("b_price", 2).alias("old_totalprice"),
+            F.round("r_price", 2).alias("new_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -80,3 +80,41 @@ class TestTriangleStats:
         edges = [(0, i) for i in range(1, 11)] + [(1, 2)]
         r = self._stats(spark, edges)
         assert r["n_triangles"] == 1
+
+
+class TestBfsDistances:
+    def _edges(self, spark, pairs):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        return df.unionByName(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    def test_path_graph_distances(self, spark):
+        from data_integration_and_processing_spark.operators.graph import bfs_distances
+
+        edges = self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        got = {r["id"]: r["dist"] for r in bfs_distances(edges, [1], max_depth=10).collect()}
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    def test_depth_bound_and_disconnected(self, spark):
+        from data_integration_and_processing_spark.operators.graph import bfs_distances
+
+        edges = self._edges(spark, [(1, 2), (2, 3), (3, 4), (7, 8)])
+        got = {r["id"]: r["dist"] for r in bfs_distances(edges, [1], max_depth=2).collect()}
+        # depth-bounded: 4 unreached; disconnected component never appears
+        assert got == {1: 0, 2: 1, 3: 2}
+
+    def test_min_distance_on_diamond(self, spark):
+        from data_integration_and_processing_spark.operators.graph import bfs_distances
+
+        # two paths 1->4: length 2 via 2, length 3 via (5, 6) — min wins
+        edges = self._edges(spark, [(1, 2), (2, 4), (1, 5), (5, 6), (6, 4)])
+        got = {r["id"]: r["dist"] for r in bfs_distances(edges, [1], max_depth=5).collect()}
+        assert got[4] == 2
+
+    def test_multi_source(self, spark):
+        from data_integration_and_processing_spark.operators.graph import bfs_distances
+
+        edges = self._edges(spark, [(1, 2), (2, 3), (9, 3)])
+        got = {r["id"]: r["dist"] for r in bfs_distances(edges, [1, 9], max_depth=5).collect()}
+        assert got[3] == 1 and got[1] == 0 and got[9] == 0
