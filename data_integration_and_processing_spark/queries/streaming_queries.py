@@ -481,3 +481,28 @@ def stream_jdbc_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     url = f"jdbc:derby:/tmp/diaps_scratch/derby_stream_{_uuid.uuid4().hex[:8]};create=true"
     return run_streaming_jdbc_upsert(spark, e, url)
+
+
+@register(
+    "stream_countmin_heavy_hitters",
+    # no SQL oracle: xxhash64 bucket coordinates have no DuckDB twin. The
+    # guarantees are pinned in tests/test_analytics.py: streaming-merged
+    # counters are IDENTICAL to the one-shot batch sketch (any batching),
+    # and estimates never underestimate exact counts.
+    description=(
+        "streaming heavy hitters in bounded state: per-micro-batch Count-Min "
+        "counter tables merged into persistent state by counter ADDITION (the "
+        "frequency-analogue of stream_hll_incremental's register max), plus a "
+        "k-per-batch exact candidate set; final top-k estimated from the merged "
+        "sketch. State is O(depth*width + candidates) however long the stream or "
+        "wide the key space"
+    ),
+    tags=("streaming", "sketch", "incremental"),
+)
+def stream_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.streaming.pipelines import (  # noqa: PLC0415
+        run_streaming_countmin_heavy_hitters,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    return run_streaming_countmin_heavy_hitters(spark, e, k=10)

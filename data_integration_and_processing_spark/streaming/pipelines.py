@@ -1083,3 +1083,83 @@ def run_streaming_jdbc_upsert(
     from data_integration_and_processing_spark.sources.readers import read_jdbc  # noqa: PLC0415
 
     return read_jdbc(spark, url, table)
+
+
+def run_streaming_countmin_heavy_hitters(
+    spark: SparkSession,
+    events: DataFrame,
+    scratch_dir: str | None = None,
+    k: int = 10,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Streaming heavy hitters in bounded state: per micro-batch, (a) fold
+    the batch into a Count-Min counter table and MERGE it into the state
+    sketch by adding counters (CMS's mergeability — same algebra the HLL
+    pipeline uses with register-max), and (b) union the batch's exact
+    top-k users into a candidate table (bounded by k * #batches, dedup'd).
+    The final answer estimates each candidate's frequency from the merged
+    sketch and takes the global top-k.
+
+    State is O(depth*width + candidates) regardless of stream length or
+    user cardinality — the unbounded-state alternative is a per-user
+    running count, i.e. the whole key space resident forever. Counter
+    addition commutes, so the merged sketch is IDENTICAL to a batch sketch
+    over the whole corpus regardless of micro-batch boundaries; CMS never
+    underestimates, so a true heavy hitter can only be displaced by an
+    overestimated rival — probability bounded by (1/e)^depth per probe at
+    width >= e*N/err."""
+    from data_integration_and_processing_spark.operators.text_analysis import (  # noqa: PLC0415
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    scratch = scratch_dir or f"/tmp/diaps_cms_{uuid.uuid4().hex[:8]}"
+    stream, sink = _staged_stream(spark, events, scratch)
+    cms_state, cand_state = f"{sink}_cms", f"{sink}_cand"
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.sparkSession
+        items = batch_df.select(F.col("user_id").cast("string").alias("item"))
+        batch_sk = countmin_sketch(items, "item", depth=depth, width=width)
+        batch_top = (
+            items.groupBy("item")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("item"))
+            .limit(k)
+            .select("item")
+        )
+        try:
+            state = b.read.parquet(cms_state)
+            merged = (
+                state.unionByName(batch_sk)
+                .groupBy("row_idx", "bucket")
+                .agg(F.sum("counter").alias("counter"))
+            )
+            cand = b.read.parquet(cand_state).unionByName(batch_top).distinct()
+        except Exception:  # noqa: BLE001 — first batch: no state yet
+            batch_sk.write.mode("overwrite").parquet(cms_state)
+            batch_top.write.mode("overwrite").parquet(cand_state)
+            return
+        merged.write.mode("overwrite").parquet(f"{cms_state}_stage")
+        b.read.parquet(f"{cms_state}_stage").write.mode("overwrite").parquet(cms_state)
+        cand.write.mode("overwrite").parquet(f"{cand_state}_stage")
+        b.read.parquet(f"{cand_state}_stage").write.mode("overwrite").parquet(cand_state)
+
+    (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .option("maxFilesPerTrigger", 1)
+        .foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    sketch = spark.read.parquet(cms_state)
+    cand = spark.read.parquet(cand_state)
+    est = countmin_estimate(sketch, cand, depth=depth, width=width)
+    return (
+        est.select(F.col("item").cast("long").alias("user_id"), "est_count")
+        .orderBy(F.desc("est_count"), F.asc("user_id"))
+        .limit(k)
+    )

@@ -138,3 +138,42 @@ def test_countmin_never_underestimates_and_bounds_error(spark, sf_dir):
             n_over_bound += 1
     # P(err > eN/w) <= e^-depth per item; allow a generous tail
     assert n_over_bound <= max(3, len(joined) // 50)
+
+
+class TestStreamingCountMin:
+    def test_streaming_merge_equals_batch_sketch_and_never_underestimates(self, spark, sf_dir):
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from data_integration_and_processing_spark.operators.text_analysis import countmin_sketch
+        from data_integration_and_processing_spark.streaming.pipelines import (
+            run_streaming_countmin_heavy_hitters,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+        scratch = f"/tmp/diaps_cms_test_{uuid.uuid4().hex[:8]}"
+        top = run_streaming_countmin_heavy_hitters(spark, e, scratch_dir=scratch, k=10)
+        got = top.collect()
+        assert len(got) == 10
+
+        # merged streaming sketch == one-shot batch sketch, counter for counter
+        batch_sk = {
+            (r["row_idx"], r["bucket"]): r["counter"]
+            for r in countmin_sketch(
+                e.select(F.col("user_id").cast("string").alias("item")), "item", depth=4, width=2048
+            ).collect()
+        }
+        merged_sk = {
+            (r["row_idx"], r["bucket"]): r["counter"]
+            for r in spark.read.parquet(f"{scratch}/sink_cms").collect()
+        }
+        assert merged_sk == batch_sk
+
+        # CMS never underestimates the exact frequency
+        exact = {
+            r["user_id"]: r["n"]
+            for r in e.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        }
+        for r in got:
+            assert r["est_count"] >= exact[r["user_id"]], r
