@@ -73,6 +73,7 @@ HEADLINE = [
     "agg_quantile_digest_rollup",
     "dedup_ngram_containment",
     "sim_ann_join_ivf",
+    "dedup_ngram_jaccard_prefix",
 ]
 
 

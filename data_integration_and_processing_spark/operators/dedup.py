@@ -827,3 +827,98 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "inter", "containment")
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """PPJoin-style prefix-filtered Jaccard join — same RESULT as
+    :func:`ngram_jaccard_pairs` at the same threshold, far fewer candidate
+    pairs.
+
+    Prefix-filtering theorem: order every document's shingles by a global
+    total order (ascending document frequency, rarest first); two documents
+    with Jaccard >= t MUST share at least one shingle inside each one's
+    first ``|d| - floor(t*|d|) + 1`` shingles. So only the prefixes are
+    indexed — the posting lists that drive the m^2 pair expansion shrink by
+    ~(1-t), and crucially they shrink MOST for the hot (high-df) shingles
+    that dominate the expansion, because high-df shingles sort to the END
+    of every document and fall out of the prefixes entirely. Candidates are
+    then verified with the exact intersection, so the filter is lossless —
+    the oracle for the unfiltered operator checks this one too.
+
+    Extra cost vs the plain plan: one df-count aggregate and one join to
+    attach global orders — both shingle-keyed, map-side combinable. At
+    100 TB that trade is the difference between a feasible and an
+    infeasible all-pairs stage; the df-cap lever in the plain operator
+    bounds the same expansion but LOSSILY.
+    """
+    sh = fan_out_scan(df).select(
+        F.col(id_col).alias("id"), shingle_keys(F.col(text_col), n).alias("sh")
+    )
+    # consumed by df-count, prefix build, AND both verify sides — same
+    # persist/cache_handle lifecycle as ngram_jaccard_pairs
+    sh = sh.filter(F.size("sh") > 0).persist()
+    if cache_handle is not None:
+        cache_handle.append(sh)
+
+    # global document frequency per shingle: the total order is (df, s)
+    tok = sh.select("id", F.explode("sh").alias("s"))
+    dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
+
+    # per-document shingles sorted rarest-first; keep only the prefix
+    ordered = (
+        tok.join(dfreq, "s")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("toks"))
+    )
+    n_sh = F.size("toks")
+    # floor (not ceil) keeps the prefix >= the theoretical bound: lossless
+    p_len = (n_sh - F.floor(F.lit(threshold) * n_sh) + 1).cast("int")
+    prefix = ordered.select(
+        "id", F.transform(F.slice("toks", F.lit(1), p_len), lambda x: x["s"]).alias("pref")
+    )
+
+    # index ONLY prefixes; i<j pair expansion inside posting lists
+    postings = (
+        prefix.select(F.explode("pref").alias("s"), "id")
+        .groupBy("s")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+    # exact verify: the full shingle sets of both sides, array_intersect
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    out = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+    return out

@@ -357,3 +357,51 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = _with_prefix_copies(d)
     out = ngram_containment_pairs(u, text_col="text", id_col="id", n=3, threshold=0.9)
     return out.withColumn("containment", F.round("containment", 6))
+
+
+@register(
+    "dedup_ngram_jaccard_prefix",
+    # IDENTICAL oracle to dedup_ngram_jaccard: prefix filtering is lossless,
+    # so the result set must match the unfiltered inverted-index plan exactly.
+    oracle=f"""
+        WITH u AS ({_MUTATED_SQL}),
+        sh AS (
+            SELECT id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> concat_ws(' ', string_split(text, ' ')[i],
+                                           string_split(text, ' ')[i+1],
+                                           string_split(text, ' ')[i+2])))) AS s
+            FROM u WHERE len(string_split(text, ' ')) >= 3
+        ),
+        sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        pair_inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT id_a, id_b, inter,
+               CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        FROM pair_inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    """,
+    description=(
+        "PPJoin-style prefix-filtered Jaccard join: shingles globally ordered "
+        "rarest-first, only each document's first |d|-floor(t|d|)+1 shingles "
+        "indexed — hot shingles sort to the END of every document and fall out of "
+        "the posting lists entirely, so the m^2 pair expansion collapses exactly "
+        "where it hurts. Candidates verified with the exact intersection, making "
+        "the filter lossless: the oracle is dedup_ngram_jaccard's, unchanged. The "
+        "lossless counterpart of that operator's LOSSY df-cap lever"
+    ),
+    tags=("dedup", "north-star", "scale"),
+)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.dedup import (  # noqa: PLC0415
+        ngram_jaccard_pairs_prefix,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    u = _with_mutated_copies(d)
+    return ngram_jaccard_pairs_prefix(u, text_col="text", id_col="id", n=3, threshold=0.5)

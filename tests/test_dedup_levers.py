@@ -260,3 +260,69 @@ def test_components_driver_and_distributed_paths_agree(spark):
                   connected_components(pairs, force_path="distributed").collect())
     assert drv == dist
     assert (100, 1) in drv  # transitivity across the late edge
+
+
+class TestPrefixFilteredJaccard:
+    def test_result_identical_to_unfiltered_plan(self, spark, sf_dir):
+        from data_integration_and_processing_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            ngram_jaccard_pairs_prefix,
+        )
+        from data_integration_and_processing_spark.queries.dedup_queries import (
+            _with_mutated_copies,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        u = _with_mutated_copies(d)
+        plain = {
+            (r["id_a"], r["id_b"], r["inter"])
+            for r in ngram_jaccard_pairs(u, text_col="text", id_col="id", n=3, threshold=0.5).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"], r["inter"])
+            for r in ngram_jaccard_pairs_prefix(
+                u, text_col="text", id_col="id", n=3, threshold=0.5
+            ).collect()
+        }
+        assert plain == pref
+        assert plain  # non-degenerate fixture
+
+    def test_prefix_shrinks_candidate_volume(self, spark, sf_dir):
+        """The point of the filter: candidate pairs from prefix postings are a
+        small fraction of the full inverted-index expansion."""
+        from pyspark.sql import functions as F
+
+        from data_integration_and_processing_spark.operators.dedup import shingle_keys
+        from data_integration_and_processing_spark.queries.dedup_queries import (
+            _with_mutated_copies,
+        )
+
+        u = _with_mutated_copies(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        sh = u.select(F.col("id"), shingle_keys(F.col("text"), 3).alias("sh")).filter(
+            F.size("sh") > 0
+        )
+        tok = sh.select("id", F.explode("sh").alias("s"))
+        dfreq = tok.groupBy("s").agg(F.count("*").alias("df"))
+
+        def pair_volume(posting_src):
+            per_shingle = posting_src.groupBy("s").agg(F.count("*").alias("m")).filter(F.col("m") > 1)
+            return per_shingle.agg(
+                F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("pairs")
+            ).collect()[0]["pairs"]
+
+        full_pairs = pair_volume(tok)
+        ordered = (
+            tok.join(dfreq, "s")
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("toks"))
+        )
+        p_len = (F.size("toks") - F.floor(F.lit(0.5) * F.size("toks")) + 1).cast("int")
+        pref_tok = ordered.select(
+            "id",
+            F.explode(
+                F.transform(F.slice("toks", F.lit(1), p_len), lambda x: x["s"])
+            ).alias("s"),
+        )
+        pref_pairs = pair_volume(pref_tok)
+        # prefix indexing must cut the posting-list pair expansion hard
+        assert pref_pairs <= full_pairs * 0.55, (pref_pairs, full_pairs)
