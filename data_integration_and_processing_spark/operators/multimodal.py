@@ -275,3 +275,121 @@ def phash_neardup_pairs(
         "id_b",
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (Gear CDC)
+# ---------------------------------------------------------------------------
+
+# Deterministic gear table: 256 pseudorandom 64-bit values, fixed seed so
+# chunk boundaries are stable across sessions/machines.
+_GEAR = np.random.default_rng(0x6EA5).integers(0, 2**63, size=256, dtype=np.int64).view(np.uint64)
+_GEAR_WINDOW = 48  # bytes of context that influence a boundary decision
+
+
+def _gear_hashes(data: np.ndarray) -> np.ndarray:
+    """Windowed gear rolling hash at every byte position, vectorized.
+
+    The classic sequential form ``h = (h << 1) + gear[b]`` keeps only the
+    last 64 bytes' influence (older bytes shift out); the equivalent
+    windowed closed form ``h_i = sum_{j<W} gear[b_{i-j}] << j`` is W shifted
+    adds over the whole array — O(W*n) vectorized numpy instead of an O(n)
+    Python byte loop that is ~100x slower per byte.
+    """
+    g = _GEAR[data]
+    h = np.zeros(len(data), dtype=np.uint64)
+    for j in range(min(_GEAR_WINDOW, 64)):
+        shifted = g << np.uint64(j)
+        h[j:] += shifted[: len(data) - j] if j else shifted
+    return h
+
+
+def cdc_boundaries(
+    payload: bytes, min_len: int = 64, avg_len: int = 512, max_len: int = 2048
+) -> list[int]:
+    """Chunk boundary offsets (exclusive ends) for one payload.
+
+    A boundary lands where the windowed gear hash has its low log2(avg_len)
+    bits zero, subject to min/max chunk-length guards (the guards are the
+    only sequential part — they scan the sparse candidate list, not bytes).
+    Content-defined = boundaries move WITH the content: inserting bytes
+    early shifts offsets but the hash re-synchronizes at the next content
+    boundary, so all later chunks keep their identity — the property that
+    makes chunk-level dedup of mutated media possible at all.
+    """
+    n = len(payload)
+    if n == 0:
+        return []
+    mask = np.uint64(avg_len - 1)
+    h = _gear_hashes(np.frombuffer(payload, dtype=np.uint8))
+    candidates = np.nonzero((h & mask) == 0)[0]
+    ends: list[int] = []
+    start = 0
+    ci = 0
+    while start < n:
+        limit = min(start + max_len, n)
+        cut = limit
+        while ci < len(candidates) and candidates[ci] + 1 <= limit:
+            pos = int(candidates[ci]) + 1  # boundary AFTER the matching byte
+            if pos >= start + min_len:
+                cut = pos
+                ci += 1
+                break
+            ci += 1
+        ends.append(cut)
+        start = cut
+    return ends
+
+
+def cdc_chunk_payloads(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    min_len: int = 64,
+    avg_len: int = 512,
+    max_len: int = 2048,
+) -> DataFrame:
+    """Explode binary payloads into content-defined chunks:
+    (id, chunk_idx, offset, length, chunk_md5).
+
+    Arrow-batched mapInPandas — the hashing is vectorized numpy per payload,
+    no per-byte Python. Downstream chunk-level dedup is then ordinary
+    exact dedup on chunk_md5 (hash-groupBy), which is the point: CDC turns
+    'this 4 GB video differs by a 2-byte metadata edit' into '99.9% of its
+    chunks are byte-identical and dedup away'.
+    """
+    import hashlib  # noqa: PLC0415
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("offset", T.IntegerType()),
+            T.StructField("length", T.IntegerType()),
+            T.StructField("chunk_md5", T.StringType()),
+        ]
+    )
+
+    def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["_id"], pdf["_payload"]):
+                data = bytes(payload)
+                start = 0
+                for idx, end in enumerate(cdc_boundaries(data, min_len, avg_len, max_len)):
+                    rows.append(
+                        (
+                            int(rid),
+                            idx,
+                            start,
+                            end - start,
+                            hashlib.md5(data[start:end]).hexdigest(),
+                        )
+                    )
+                    start = end
+            yield pd.DataFrame(rows, columns=["id", "chunk_idx", "offset", "length", "chunk_md5"])
+
+    src = fan_out_scan(df).select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload")
+    )
+    return src.mapInPandas(chunk_batches, schema=schema).withColumnRenamed("id", id_col)

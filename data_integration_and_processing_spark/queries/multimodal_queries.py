@@ -128,3 +128,27 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = attach_binary_payload(d.unionByName(twins))
     return phash_neardup_pairs(corpus, max_hamming=6)
+
+
+@register(
+    "multimodal_cdc_chunks",
+    oracle=None,  # gear-hash boundaries have no SQL twin; reassembly,
+    # determinism and shift-resilience pinned in tests/test_cdc_chunking.py
+    description=(
+        "content-defined chunking (Gear CDC) of binary payloads: boundaries land "
+        "where a windowed rolling hash masks to zero, so an edit early in a file "
+        "shifts only its local chunk — every later chunk keeps its identity and "
+        "dedups away as ordinary exact dedup on chunk_md5. Arrow-batched "
+        "mapInPandas with vectorized numpy hashing, no per-byte Python. The "
+        "media-payload analogue of text passage-level dedup"
+    ),
+    tags=("multimodal", "north-star", "dedup", "pandas-udf"),
+)
+def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.multimodal import (  # noqa: PLC0415
+        cdc_chunk_payloads,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    m = attach_binary_payload(d)
+    return cdc_chunk_payloads(m).orderBy("doc_id", "chunk_idx")
