@@ -951,3 +951,60 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = fwd.unionByName(rev)
     return bfs_distances(edges, [2], max_depth=_BFS_MAX_DEPTH).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern detection (MATCH_RECOGNIZE-shaped)
+# ---------------------------------------------------------------------------
+
+# view, then a click with no purchase between, then the purchase —
+# greedy-quantifier-free so Java regex and RE2 scan identically.
+_PATTERN = "v[^p]*c[^p]*p"
+
+_PATTERN_ORACLE = f"""
+WITH seqs AS (
+    SELECT user_id,
+           count(*) AS n_events,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY event_id) AS seq
+    FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(len(regexp_extract_all(seq, '{_PATTERN}')) AS INT) AS n_matches
+FROM seqs
+WHERE len(regexp_extract_all(seq, '{_PATTERN}')) > 0
+ORDER BY user_id
+"""
+
+
+@register(
+    "events_pattern_detect",
+    oracle=_PATTERN_ORACLE,
+    description=(
+        "MATCH_RECOGNIZE-shaped sequential pattern detection: each user's event "
+        "stream folds to an ordered symbol string (one shuffle, event_id total "
+        "order) and the pattern 'view, then click with no purchase between, then "
+        "purchase' runs as a regex over it — counts of non-overlapping matches. "
+        "Per-user state is the symbol string (bounded by the user's event count); "
+        "the pattern machinery itself is JVM regexp, no UDF. The generalization of "
+        "events_funnel_conversion's fixed three-step shape to arbitrary patterns"
+    ),
+    tags=("analytics", "events", "window"),
+)
+def events_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    symbols = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("event_id", "event_type"))),
+            lambda x: x["event_type"].substr(1, 1),
+        ),
+    )
+    seqs = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), symbols.alias("seq")
+    )
+    n_matches = F.regexp_count(F.col("seq"), F.lit(_PATTERN)).cast("int")
+    return (
+        seqs.select("user_id", "n_events", n_matches.alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+        .orderBy("user_id")
+    )
