@@ -151,3 +151,46 @@ def mix_to_target(
     )
     joined = df.join(F.broadcast(fracs), group_col == F.col("_g"))
     return joined.where(hash_bucket(keys, n_buckets, seed) < F.col("_thresh")).drop("_g", "_thresh")
+
+
+def temperature_mix(
+    df: DataFrame,
+    group: Column | str,
+    keys: Sequence[Column | str],
+    budget_frac: float = 0.6,
+    n_buckets: int = 1000,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-weighted corpus mixing at T=2 (alpha = 1/2): group g's
+    target share of the row budget is sqrt(n_g) / sum_h sqrt(n_h) — the
+    standard multilingual/multi-source rebalance that upsamples small
+    sources relative to their natural share without flattening to uniform
+    (:func:`mix_to_target` is the T=inf limit; natural sampling is T=1).
+
+    Deterministic and engine-portable BY CONSTRUCTION: the weight uses
+    floor(sqrt(n)) — IEEE sqrt is correctly rounded (general pow is not,
+    which is why alpha is fixed at 1/2), and every downstream step is
+    integer arithmetic, so the SQL twin computes bit-identical thresholds.
+    Same two-pass shape as mix_to_target: a group-count aggregate, a
+    broadcast join of the per-group thresholds, one hash-filter map over
+    the big table — which is never shuffled.
+    """
+    group_col = F.col(group) if isinstance(group, str) else group
+    counts = df.groupBy(group_col.alias("_g")).agg(F.count("*").alias("_n"))
+    isqrt = F.floor(F.sqrt(F.col("_n").cast("double"))).cast("long")
+    tot = counts.select(
+        F.sum("_n").alias("_total"), F.sum(isqrt).alias("_z")
+    )
+    budget_rows = F.floor(F.lit(budget_frac) * F.col("_total")).cast("long")
+    thresh = F.least(
+        F.lit(n_buckets).cast("long"),
+        F.floor(
+            (budget_rows * isqrt * F.lit(n_buckets)).cast("double")
+            / (F.col("_z") * F.col("_n")).cast("double")
+        ).cast("long"),
+    )
+    fracs = counts.crossJoin(tot).select("_g", thresh.alias("_thresh"))
+    joined = df.join(F.broadcast(fracs), group_col == F.col("_g"))
+    return joined.where(hash_bucket(keys, n_buckets, seed) < F.col("_thresh")).drop(
+        "_g", "_thresh"
+    )

@@ -466,3 +466,53 @@ def sample_exact_stratum_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "rn")
         .orderBy("source", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature mixing (T=2): sqrt-weighted source rebalance
+# ---------------------------------------------------------------------------
+
+_TEMP_BUCKET = hash_bucket_sql(["doc_id"], 1000)
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=f"""
+        WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS total,
+                   CAST(sum(CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS BIGINT) AS z
+            FROM counts
+        ),
+        th AS (
+            SELECT source,
+                   least(1000, CAST(floor(
+                       CAST(CAST(floor(0.6 * total) AS BIGINT)
+                            * CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)
+                            * 1000 AS DOUBLE)
+                       / CAST(z * n AS DOUBLE)) AS BIGINT)) AS thresh
+            FROM counts, tot
+        )
+        SELECT d.doc_id, d.source, CAST({_TEMP_BUCKET.replace('doc_id', 'd.doc_id')} AS BIGINT) AS bucket
+        FROM documents d JOIN th ON d.source = th.source
+        WHERE {_TEMP_BUCKET.replace('doc_id', 'd.doc_id')} < th.thresh
+    """,
+    description=(
+        "temperature-weighted corpus mixing (T=2): source g keeps "
+        "budget * sqrt(n_g)/sum sqrt(n_h) rows — upsamples small sources relative "
+        "to natural share without flattening to uniform (mix_to_target is the "
+        "T=inf limit). floor(sqrt) + integer arithmetic keeps Spark and the SQL "
+        "twin bit-identical (IEEE sqrt is correctly rounded; general pow is not); "
+        "the corpus is scanned once, filtered by the broadcast per-source "
+        "threshold, never shuffled"
+    ),
+    tags=("sampling", "north-star", "scale"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.sampling import (  # noqa: PLC0415
+        temperature_mix,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = temperature_mix(d, "source", ["doc_id"], budget_frac=0.6)
+    return kept.select("doc_id", "source", hash_bucket(["doc_id"], 1000).alias("bucket"))

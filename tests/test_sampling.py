@@ -89,3 +89,33 @@ def test_mix_to_target_balances_groups(spark, sf_dir):
         # every group lands near the smallest group's size (1/n_buckets
         # quantization + hash variance)
         assert abs(n - target) <= max(5, 0.15 * target), (lang, n, target)
+
+
+class TestTemperatureMix:
+    def test_shares_track_sqrt_weights_within_quantization(self, spark, sf_dir):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from data_integration_and_processing_spark.operators.sampling import temperature_mix
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        kept = temperature_mix(d, "source", ["doc_id"], budget_frac=0.6)
+        nat = {r["source"]: r["n"] for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        got = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        total = sum(nat.values())
+        budget = math.floor(0.6 * total)
+        z = sum(math.floor(math.sqrt(n)) for n in nat.values())
+        for src, n in nat.items():
+            target = budget * math.floor(math.sqrt(n)) / z
+            # hash quantization: threshold rounds to 1/1000, plus hash noise
+            assert abs(got.get(src, 0) - min(target, n)) <= max(0.05 * n, 25), (src, got.get(src), target)
+
+    def test_deterministic_and_subset(self, spark, sf_dir):
+        from data_integration_and_processing_spark.operators.sampling import temperature_mix
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = {r["doc_id"] for r in temperature_mix(d, "source", ["doc_id"]).select("doc_id").collect()}
+        b = {r["doc_id"] for r in temperature_mix(d, "source", ["doc_id"]).select("doc_id").collect()}
+        assert a == b
+        assert a <= {r["doc_id"] for r in d.select("doc_id").collect()}
