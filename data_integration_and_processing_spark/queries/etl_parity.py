@@ -9,6 +9,7 @@ pipelines (O11-O13) compose exactly these pieces.
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,7 +20,11 @@ from data_integration_and_processing_spark.plans.pipelines import transfer
 from data_integration_and_processing_spark.queries.catalog import register
 from data_integration_and_processing_spark.sources.tables import load_table
 
-_SCRATCH = "/tmp/diaps_scratch"
+# Per-process scratch: embedded Derby is single-process (a second JVM booting
+# the same database dir fails), and the parquet sink roundtrips rmtree/
+# overwrite their targets — two concurrent harness runs (driver verify +
+# bench, or replica + pytest) must not share either.
+_SCRATCH = f"/tmp/diaps_scratch_{os.getpid()}"
 
 
 @register(
