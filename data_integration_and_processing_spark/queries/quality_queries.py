@@ -459,3 +459,63 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("group_size") < _KANON_K)
         .orderBy("c_nationkey", "c_mktsegment", "bal_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew profiler
+# ---------------------------------------------------------------------------
+
+_SKEW_KEYS = (
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+)
+
+_SKEW_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{label}' AS join_key,
+           count(*) AS n_groups,
+           CAST(max(n) AS BIGINT) AS max_group,
+           CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY n) AS DOUBLE) AS p50_group,
+           CAST(percentile_cont(0.99) WITHIN GROUP (ORDER BY n) AS DOUBLE) AS p99_group,
+           round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6) AS skew_factor
+    FROM (SELECT {col} AS k, count(*) AS n FROM {table} GROUP BY {col}) g
+    """
+    for label, table, col in _SKEW_KEYS
+)
+
+_SKEW_ORACLE = f"SELECT * FROM ({_SKEW_ORACLE}) ORDER BY join_key"
+
+
+@register(
+    "profile_join_key_skew",
+    oracle=_SKEW_ORACLE,
+    description=(
+        "pre-join skew diagnostic: per candidate join key, the group-size "
+        "distribution (p50/p99/max) and the skew factor max*groups/rows — the "
+        "number that predicts whether a shuffle join stalls on one reducer. Each "
+        "key costs one partial-agg shuffle producing key-cardinality rows, then a "
+        "single-row summary; the output is what decides between plain shuffle, "
+        "salting (skew_salted_join), or AQE skew splitting BEFORE burning the "
+        "cluster on the wrong plan"
+    ),
+    tags=("quality", "profiling", "skew", "scale"),
+)
+def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for label, table, col in _SKEW_KEYS:
+        t = load_table(spark, sf_dir, table)
+        groups = t.groupBy(F.col(col).alias("k")).agg(F.count("*").alias("n"))
+        summary = groups.agg(
+            F.lit(label).alias("join_key"),
+            F.count("*").alias("n_groups"),
+            F.max("n").cast("bigint").alias("max_group"),
+            F.expr("percentile(n, 0.5)").cast("double").alias("p50_group"),
+            F.expr("percentile(n, 0.99)").cast("double").alias("p99_group"),
+            F.round(F.max("n").cast("double") * F.count("*") / F.sum("n"), 6).alias(
+                "skew_factor"
+            ),
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out.orderBy("join_key")
