@@ -506,3 +506,39 @@ def stream_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
 
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     return run_streaming_countmin_heavy_hitters(spark, e, k=10)
+
+
+@register(
+    "stream_pattern_detect",
+    # the batch twin's oracle, unchanged: the DFA fold must agree with the
+    # regexp over the whole ordered history regardless of chunk boundaries
+    oracle=f"""
+WITH seqs AS (
+    SELECT user_id,
+           count(*) AS n_events,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY event_id) AS seq
+    FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(len(regexp_extract_all(seq, 'v[^p]*c[^p]*p')) AS INT) AS n_matches
+FROM seqs
+WHERE len(regexp_extract_all(seq, 'v[^p]*c[^p]*p')) > 0
+ORDER BY user_id
+""",
+    description=(
+        "streaming MATCH_RECOGNIZE: the batch pattern regex compiled to a 3-state "
+        "DFA carried through applyInPandasWithState — per-user state is three "
+        "integers however long the stream (the batch twin's symbol string grows "
+        "with history). Ordered replay via event_id-range chunk staging; "
+        "hash-checked against the batch twin's SQL oracle, so chunk boundaries "
+        "provably cannot change the answer"
+    ),
+    tags=("streaming", "stateful", "analytics"),
+)
+def stream_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.streaming.pipelines import (  # noqa: PLC0415
+        run_streaming_pattern_detect,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    return run_streaming_pattern_detect(spark, e).orderBy("user_id")

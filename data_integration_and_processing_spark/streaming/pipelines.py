@@ -1163,3 +1163,119 @@ def run_streaming_countmin_heavy_hitters(
         .orderBy(F.desc("est_count"), F.asc("user_id"))
         .limit(k)
     )
+
+
+_PATTERN_OUT_SCHEMA = "user_id long, n_events long, n_matches int"
+_PATTERN_STATE_SCHEMA = "dfa int, n_matches int, n_events long"
+
+
+def _pattern_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """O(1)-state streaming equivalent of the batch regex
+    ``v[^p]*c[^p]*p``: the pattern is a 3-state DFA (need-v / seen-v /
+    seen-c), and non-overlapping match counting is the DFA with a counter —
+    the state never holds the event history, only (dfa, count, n).
+
+    Equivalence with Java-regex non-overlapping scanning: a match ends at
+    the FIRST 'p' after which a 'v'...'c' prefix is pending (greedy [^p]*
+    cannot cross a 'p'), and scanning resumes after that 'p' — exactly the
+    DFA's count-and-reset transition. Rows within a batch fold in event_id
+    order; cross-batch order is the staged replay's event_id-range chunks.
+    """
+    dfa, n_matches, n_events = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values("event_id")
+        for sym in pdf["sym"]:
+            if sym == "p":
+                if dfa == 2:
+                    n_matches += 1
+                dfa = 0
+            elif sym == "v":
+                if dfa == 0:
+                    dfa = 1
+            elif sym == "c":
+                if dfa == 1:
+                    dfa = 2
+            n_events += 1
+    state.update((dfa, n_matches, n_events))
+    yield pd.DataFrame(
+        [(key[0], n_events, n_matches)], columns=["user_id", "n_events", "n_matches"]
+    )
+
+
+def run_streaming_pattern_detect(
+    spark: SparkSession,
+    events: DataFrame,
+    scratch_dir: str | None = None,
+    n_chunks: int = 6,
+) -> DataFrame:
+    """Streaming sequential-pattern detection: the batch twin
+    (``events_pattern_detect``) folds each user's ordered symbols and runs a
+    regexp; this version carries the compiled DFA through
+    applyInPandasWithState so per-user state is THREE integers however long
+    the stream — the state-bounding rewrite MATCH_RECOGNIZE engines do
+    internally. Ordered delivery uses the same event_id-range chunk staging
+    as the EWMA fold (explicit strictly-increasing mtimes)."""
+    import glob as _glob  # noqa: PLC0415
+    import time as _time  # noqa: PLC0415
+
+    scratch = scratch_dir or f"/tmp/diaps_pat_{uuid.uuid4().hex[:8]}"
+    src, sink = f"{scratch}/src", f"{scratch}/sink"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    staged = _watermarkable(events).select(
+        "user_id", "event_id", F.substring("event_type", 1, 1).alias("sym")
+    )
+    bounds = staged.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi")).first()
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = max(hi - lo + 1, 1)
+    base_mtime = int(_time.time()) - 2 * (n_chunks + 1)
+    seen: set[str] = set()
+    for i in range(n_chunks):
+        c_lo = lo + span * i // n_chunks
+        c_hi = lo + span * (i + 1) // n_chunks
+        chunk = staged.filter((F.col("event_id") >= c_lo) & (F.col("event_id") < c_hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        t = base_mtime + 2 * i
+        for f in _glob.glob(f"{src}/*.parquet"):
+            if f not in seen:
+                os.utime(f, (t, t))
+                seen.add(f)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        _pattern_fn,
+        outputStructType=_PATTERN_OUT_SCHEMA,
+        stateStructType=_PATTERN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    (
+        updates.writeStream.outputMode("update")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    out = spark.read.parquet(sink)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col("n_matches") > 0)
+        .select("user_id", "n_events", "n_matches")
+    )

@@ -126,3 +126,25 @@ def test_transform_with_state_or_documented_gate(spark, sf_dir):
         F.max("event_id").alias("last_event_id"),
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_pattern_detect_chunk_invariant(spark, sf_dir):
+    """The DFA fold's answer cannot depend on micro-batch boundaries."""
+    import uuid
+
+    from data_integration_and_processing_spark.streaming.pipelines import (
+        run_streaming_pattern_detect,
+    )
+
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "event_type", "ts")
+        .filter("user_id < 30")
+    )
+    runs = []
+    for n_chunks in (2, 5):
+        scratch = f"/tmp/diaps_pat_test_{uuid.uuid4().hex[:8]}"
+        out = run_streaming_pattern_detect(spark, e, scratch_dir=scratch, n_chunks=n_chunks)
+        runs.append(sorted(map(tuple, out.collect())))
+    assert runs[0] == runs[1]
+    assert runs[0]  # fixture produces matches
