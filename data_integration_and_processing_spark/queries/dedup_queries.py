@@ -405,3 +405,138 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     u = _with_mutated_copies(d)
     return ngram_jaccard_pairs_prefix(u, text_col="text", id_col="id", n=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# quality-aware survivor selection (argmax per near-dup cluster)
+# ---------------------------------------------------------------------------
+
+
+def _survivor_oracle() -> str:
+    from data_integration_and_processing_spark.queries.text_queries import (  # noqa: PLC0415
+        _EN_STOPS,
+    )
+
+    return f"""
+        WITH u AS ({_MUTATED_SQL}),
+        sh AS (
+            SELECT id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> concat_ws(' ', string_split(text, ' ')[i],
+                                           string_split(text, ' ')[i+1],
+                                           string_split(text, ' ')[i+2])))) AS s
+            FROM u WHERE len(string_split(text, ' ')) >= 3
+        ),
+        sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        pair_inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+            GROUP BY a.id, b.id
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM pair_inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+        ),
+        sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+            WITH RECURSIVE r(a, b) AS (
+                SELECT id, id FROM u
+                UNION
+                SELECT r.a, sym.b FROM r JOIN sym ON r.b = sym.a
+            )
+            SELECT * FROM r
+        ),
+        lab AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a),
+        q AS (
+            SELECT id, round(
+               least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+               + least(CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_EN_STOPS}))) AS DOUBLE)
+                       / len(string_split(text, ' ')) * 5.0, 1.0) * 0.3
+               + (1.0 - least(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                              / length(text) * 10.0, 1.0)) * 0.2
+               + (CASE WHEN CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                            / len(string_split(text, ' ')) >= 3.0
+                        AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                            / len(string_split(text, ' ')) <= 10.0
+                       THEN 1.0 ELSE 0.5 END) * 0.1, 9) AS quality
+            FROM u
+        ),
+        ranked AS (
+            SELECT lab.id, lab.component, q.quality,
+                   row_number() OVER (PARTITION BY lab.component
+                                      ORDER BY q.quality DESC, lab.id ASC) AS rn
+            FROM lab JOIN q ON q.id = lab.id
+        )
+        SELECT component AS cluster_rep,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(min(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS survivor_id,
+               round(min(CASE WHEN rn = 1 THEN quality END), 6) AS survivor_quality
+        FROM ranked
+        GROUP BY component
+        HAVING count(*) > 1
+        ORDER BY component
+    """
+
+
+@register(
+    "dedup_quality_survivors",
+    oracle=_survivor_oracle(),
+    description=(
+        "quality-aware survivor selection: near-dup pairs -> connected-component "
+        "clusters -> per cluster keep the HIGHEST-QUALITY member (window argmax, "
+        "quality rounded to 9 decimals so both engines rank identically, id "
+        "tiebreak) instead of dedup_pipeline_end2end's min-id rule — at corpus "
+        "scale the survivor choice decides what the model trains on, and min-id "
+        "keeps whichever copy crawled first, not the cleanest one"
+    ),
+    tags=("dedup", "north-star", "graph", "pipeline"),
+)
+def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.dedup import (  # noqa: PLC0415
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from data_integration_and_processing_spark.operators.text_analysis import (  # noqa: PLC0415
+        quality_score,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    u = _with_mutated_copies(d)
+    handle: list = []
+    pairs = ngram_jaccard_pairs(
+        u, text_col="text", id_col="id", n=3, threshold=0.5, cache_handle=handle
+    ).select("id_a", "id_b")
+    lab = connected_components(pairs)
+    labeled = (
+        u.join(lab, u.id == lab.id, "left")
+        .select(u.id.alias("did"), F.coalesce("component", u.id).alias("component"))
+    )
+    q = u.select(F.col("id").alias("qid"), F.round(quality_score(F.col("text")), 9).alias("quality"))
+    ranked = labeled.join(q, F.col("did") == F.col("qid")).select("did", "component", "quality")
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("did"))
+    out = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min(F.when(F.col("rn") == 1, F.col("did"))).cast("bigint").alias("survivor_id"),
+            F.round(F.min(F.when(F.col("rn") == 1, F.col("quality"))), 6).alias(
+                "survivor_quality"
+            ),
+        )
+        .filter(F.col("n_members") > 1)
+        .select(
+            F.col("component").alias("cluster_rep"),
+            "n_members",
+            "survivor_id",
+            "survivor_quality",
+        )
+        .orderBy("cluster_rep")
+    )
+    for cached in handle:
+        cached.unpersist()
+    return out
