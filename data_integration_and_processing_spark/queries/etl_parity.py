@@ -697,3 +697,38 @@ def etl_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_audit("orders", orders, del_orders))
     )
     return out.orderBy("table_name")
+
+
+@register(
+    "etl_xml_roundtrip",
+    oracle="""
+        SELECT r_regionkey, r_name FROM region
+    """,
+    description=(
+        "XML sink+source round trip on Spark 4's NATIVE xml data source (rowTag "
+        "records, explicit schema back — the legacy-feed interchange format the "
+        "reference's XLSX path sits next to). Distributed on both sides like any "
+        "file source: one writer task per partition, splittable scan by file"
+    ),
+    tags=("etl", "source", "sink"),
+)
+def etl_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.sources.readers import read_file  # noqa: PLC0415
+    from data_integration_and_processing_spark.sources.writers import write_file  # noqa: PLC0415
+
+    dest = f"{_SCRATCH}/region_xml"
+    cols = ["r_regionkey", "r_name"]
+    write_file(
+        load_table(spark, sf_dir, "region").select(*cols),
+        dest,
+        fmt="xml",
+        mode="overwrite",
+        options={"rootTag": "regions", "rowTag": "region"},
+    )
+    return read_file(
+        spark,
+        dest,
+        fmt="xml",
+        schema="r_regionkey long, r_name string",
+        options={"rowTag": "region"},
+    )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_integration_and_processing_spark.functions.schema_mapping import schema_for_pandas
 
-FILE_FORMATS = {"parquet", "csv", "json", "orc"}
+FILE_FORMATS = {"parquet", "csv", "json", "orc", "xml"}  # xml: native in Spark 4
 
 
 def read_file(
