@@ -1357,3 +1357,43 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-text entry point: one ANSI string, two engines
+# ---------------------------------------------------------------------------
+
+# The SAME string is executed by spark.sql() AND handed to DuckDB as the
+# oracle — the portability statement for SQL-first users migrating off the
+# reference: the engine's SQL surface is ANSI enough that the query text
+# itself is the contract, not the DataFrame DSL.
+_SQL_PARITY_TEXT = """
+SELECT n.n_name AS nation,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name
+HAVING count(*) > 10
+ORDER BY nation
+"""
+
+
+@register(
+    "sql_text_parity",
+    oracle=_SQL_PARITY_TEXT,
+    description=(
+        "SQL-text entry point: the identical ANSI string runs through spark.sql() "
+        "over temp views AND through DuckDB as its own oracle — joins, aggregate, "
+        "HAVING, ORDER BY. Catalyst still plans it like the DSL twin (broadcast "
+        "the dimensions, shuffle the fact once), because SQL and DataFrame code "
+        "meet in the same logical plan"
+    ),
+    tags=("flagship", "join", "aggregation", "sql"),
+)
+def sql_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_PARITY_TEXT)
