@@ -298,7 +298,10 @@ def _gear_hashes(data: np.ndarray) -> np.ndarray:
     """
     g = _GEAR[data]
     h = np.zeros(len(data), dtype=np.uint64)
-    for j in range(min(_GEAR_WINDOW, 64)):
+    # j is bounded by the payload length: for j >= len(data) the shifted
+    # contribution is empty, and the negative slice below would otherwise
+    # mis-shape on payloads shorter than the window
+    for j in range(min(_GEAR_WINDOW, 64, len(data))):
         shifted = g << np.uint64(j)
         h[j:] += shifted[: len(data) - j] if j else shifted
     return h

@@ -74,3 +74,17 @@ def test_distributed_chunking_matches_local(spark, sf_dir):
         assert [r["length"] for r in rows] == [e2 - e1 for e1, e2 in zip([0] + ends[:-1], ends)]
         # reassembly: offsets tile the payload
         assert rows[0]["offset"] == 0 and rows[-1]["offset"] + rows[-1]["length"] == len(data)
+
+
+def test_short_payloads_chunk_without_error():
+    """Payloads shorter than the gear window (48 B) must not crash the
+    vectorized hash — regression: negative slice shape mismatch at sf0.1."""
+    for n in (0, 1, 2, 47, 48, 49):
+        data = bytes(range(n % 256))[:n] if n else b""
+        ends = cdc_boundaries(data)
+        if n == 0:
+            assert ends == []
+        else:
+            assert ends[-1] == n and sum(
+                e2 - e1 for e1, e2 in zip([0] + ends[:-1], ends)
+            ) == n
