@@ -58,8 +58,9 @@ class QuerySpec:
 _PRIORITY: tuple[str, ...] = (
     # flagship
     "q1_pricing_summary",
-    # dedup family
-    "dedup_exact",
+    # dedup family (r4.3: dedup_exact out — green r1/r3 — prefix-filtered
+    # jaccard in for its first hard signal)
+    "dedup_ngram_jaccard_prefix",
     "dedup_ngram_jaccard",
     "dedup_embedding_clusters",
     # similarity family (r4: sim_knn_join rotated in, sim_vector_ops_pack
@@ -112,7 +113,9 @@ _PRIORITY: tuple[str, ...] = (
     "join_broadcast_dim",
     "join_range_band",
     "join_fuzzy_two_edit",
-    "agg_groupby_stats",
+    # r4.3: agg_groupby_stats out (green r3; rollup + weighted-median keep
+    # the aggregation signal), SQL-text entry point in
+    "sql_text_parity",
     "agg_rollup",
     "agg_weighted_median",
     "window_topk_per_group",
