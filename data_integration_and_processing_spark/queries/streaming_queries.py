@@ -542,3 +542,27 @@ def stream_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
     return run_streaming_pattern_detect(spark, e).orderBy("user_id")
+
+
+@register(
+    "stream_quantile_rollup",
+    # no SQL oracle: the summaries are engine-specific GK sketches and the
+    # merge path is replay-dependent; the rank-error bound vs exact
+    # quantiles is pinned in tests/test_quantile_digest.py.
+    description=(
+        "streaming quantiles in O(B) state per key: per-micro-batch equi-depth "
+        "summaries merged into persistent state by weighted-CDF re-quantization — "
+        "the third streaming sketch family (HLL merges by register max, CMS by "
+        "counter addition, quantile digests by chunk stacking). Each merge adds "
+        "<= 1/B rank error; the emitted rank_err audit column is checked against "
+        "exact quantiles in tests"
+    ),
+    tags=("streaming", "sketch", "incremental", "percentile"),
+)
+def stream_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.streaming.pipelines import (  # noqa: PLC0415
+        run_streaming_quantile_digest,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value", "ts")
+    return run_streaming_quantile_digest(spark, e)

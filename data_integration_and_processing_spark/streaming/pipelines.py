@@ -1279,3 +1279,120 @@ def run_streaming_pattern_detect(
         .filter(F.col("n_matches") > 0)
         .select("user_id", "n_events", "n_matches")
     )
+
+
+def run_streaming_quantile_digest(
+    spark: SparkSession,
+    events: DataFrame,
+    scratch_dir: str | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Streaming quantiles in O(B) state per key: each micro-batch folds to
+    an equi-depth summary (B mass-midpoint cutpoints + count) per
+    event_type, and the state merges summary+summary by stacking the two
+    chunk sets on the weighted CDF and re-reading B cutpoints — the
+    continuous-aggregate quantile maintenance TimescaleDB-style systems do,
+    and the third streaming sketch family after HLL (register max) and CMS
+    (counter addition).
+
+    Each merge adds at most 1/B rank error, so a replay in k chunks is
+    bounded by ~k/B + the build sketch's 1/accuracy — with B=256 and a
+    6-chunk replay that is ~0.03; tests pin 0.05 against exact quantiles.
+    """
+    scratch = scratch_dir or f"/tmp/diaps_qd_{uuid.uuid4().hex[:8]}"
+    stream, sink = _staged_stream(spark, events, scratch)
+    state_path = f"{sink}_qd"
+    probs = [(2 * i + 1) / (2 * n_buckets) for i in range(n_buckets)]
+
+    def _summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.percentile_approx(
+                "value", F.array(*[F.lit(p) for p in probs]), F.lit(10000)
+            ).alias("cuts"),
+            F.count("*").cast("double").alias("n"),
+        )
+
+    def _requantize(summaries: DataFrame) -> DataFrame:
+        """Merge >=1 summaries per key back to ONE B-cutpoint summary."""
+        from pyspark.sql.window import Window  # noqa: PLC0415
+
+        chunks = summaries.select(
+            "event_type", F.explode("cuts").alias("v"), (F.col("n") / n_buckets).alias("w")
+        )
+        part = Window.partitionBy("event_type")
+        ordered = part.orderBy("v", "w").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cum = chunks.select(
+            "event_type",
+            "v",
+            F.sum("w").over(ordered).alias("cum_w"),
+            F.sum("w").over(part).alias("total_w"),
+        )
+        targets = F.explode(F.array(*[F.lit(p) for p in probs])).alias("p")
+        tgt = cum.select("event_type", "total_w").groupBy("event_type").agg(
+            F.first("total_w").alias("total_w")
+        ).select("event_type", "total_w", targets)
+        new_cuts = (
+            tgt.join(cum.select("event_type", "v", "cum_w"), "event_type")
+            .filter(F.col("cum_w") >= F.col("p") * F.col("total_w"))
+            .groupBy("event_type", "p")
+            .agg(F.min("v").alias("q"), F.first("total_w").alias("total_w"))
+            .groupBy("event_type")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "q"))), lambda x: x["q"]
+                ).alias("cuts"),
+                F.first("total_w").alias("n"),
+            )
+        )
+        return new_cuts
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.sparkSession
+        batch_sum = _summarize(batch_df)
+        try:
+            state = b.read.parquet(state_path)
+        except Exception:  # noqa: BLE001 — first batch
+            batch_sum.write.mode("overwrite").parquet(state_path)
+            return
+        merged = _requantize(state.unionByName(batch_sum))
+        merged.write.mode("overwrite").parquet(f"{state_path}_stage")
+        b.read.parquet(f"{state_path}_stage").write.mode("overwrite").parquet(state_path)
+
+    (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .option("maxFilesPerTrigger", 6)
+        .foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+
+    state = spark.read.parquet(state_path)
+    est = None
+    for t in (0.5, 0.9, 0.99):
+        idx = min(int(t * n_buckets), n_buckets - 1)
+        got = state.select(
+            "event_type",
+            F.lit(t).alias("p"),
+            F.element_at("cuts", idx + 1).alias("est_value"),
+        )
+        est = got if est is None else est.unionByName(got)
+
+    # exact-CDF audit (the harness column; production drops it)
+    audited = (
+        events.select("event_type", "value")
+        .join(F.broadcast(est), "event_type")
+        .groupBy("event_type", "p")
+        .agg(
+            F.round(F.first("est_value"), 6).alias("est_value"),
+            F.round(
+                F.abs(
+                    F.avg(F.when(F.col("value") <= F.col("est_value"), 1.0).otherwise(0.0))
+                    - F.first("p")
+                ),
+                6,
+            ).alias("rank_err"),
+        )
+    )
+    return audited.orderBy("event_type", "p")

@@ -43,3 +43,25 @@ def test_deterministic(spark, sf_dir):
     a = sorted(map(tuple, agg_quantile_digest_rollup(spark, sf_dir).collect()))
     b = sorted(map(tuple, agg_quantile_digest_rollup(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_streaming_digest_rank_error_within_budget(spark, sf_dir):
+    """Replay-merged streaming summaries stay within the compounded 1/B
+    budget of the true quantiles (B=256, multi-chunk replay => ~0.03;
+    pinned at 0.05)."""
+    import uuid
+
+    from data_integration_and_processing_spark.streaming.pipelines import (
+        run_streaming_quantile_digest,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value", "ts"
+    )
+    scratch = f"/tmp/diaps_qd_test_{uuid.uuid4().hex[:8]}"
+    out = run_streaming_quantile_digest(spark, e, scratch_dir=scratch).collect()
+    types = e.select("event_type").distinct().count()
+    assert len(out) == types * 3
+    assert all(r["rank_err"] <= 0.05 for r in out), sorted(
+        (r["event_type"], r["p"], r["rank_err"]) for r in out
+    )
