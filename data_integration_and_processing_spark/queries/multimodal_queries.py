@@ -152,3 +152,59 @@ def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     m = attach_binary_payload(d)
     return cdc_chunk_payloads(m).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "multimodal_chunk_dedup",
+    oracle=None,  # composition over gear-hash chunks (no SQL twin); the
+    # chunk operator's invariants live in tests/test_cdc_chunking.py and the
+    # dedup ratio asserted here is structural (copies share all their chunks)
+    description=(
+        "chunk-level media dedup composition: payloads (plus byte-identical "
+        "copies) -> Gear CDC chunks -> exact dedup on chunk_md5 -> per-corpus "
+        "storage audit (logical vs deduped bytes). The raise_error guard pins the "
+        "structural fact that an exact copy contributes zero unique chunks — the "
+        "chunk-store dedup model (restic/borg/casync) on a DataFrame engine"
+    ),
+    tags=("multimodal", "north-star", "dedup", "pandas-udf"),
+)
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.multimodal import (  # noqa: PLC0415
+        cdc_chunk_payloads,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    m = attach_binary_payload(u)
+    chunks = cdc_chunk_payloads(m)
+    audit = chunks.agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("length").alias("logical_bytes"),
+        F.count_distinct("chunk_md5").alias("n_unique_chunks"),
+    )
+    unique_bytes = (
+        chunks.groupBy("chunk_md5").agg(F.first("length").alias("length")).agg(
+            F.sum("length").alias("deduped_bytes")
+        )
+    )
+    out = audit.crossJoin(unique_bytes).select(
+        "n_chunks",
+        "n_unique_chunks",
+        "logical_bytes",
+        "deduped_bytes",
+        F.round(F.lit(1.0) - F.col("deduped_bytes") / F.col("logical_bytes"), 6).alias(
+            "savings_ratio"
+        ),
+    )
+    # structural guarantee: 1/4 of logical bytes are byte-identical copies,
+    # so dedup must recover at least ~20% (copies share ALL their chunks)
+    checked = F.when(F.col("savings_ratio") >= 0.2, F.col("savings_ratio")).otherwise(
+        F.raise_error(F.lit("chunk dedup failed to recover the duplicated payload bytes"))
+    )
+    return out.select(
+        "n_chunks", "n_unique_chunks", "logical_bytes", "deduped_bytes", checked.alias("savings_ratio")
+    )

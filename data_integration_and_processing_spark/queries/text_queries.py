@@ -747,3 +747,74 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(_BPE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV-rate diagnostics
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOP_N = 500
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, source, lower(unnest(string_split(text, ' '))) AS w
+    FROM documents
+),
+vocab AS (
+    SELECT w FROM (
+        SELECT w, count(*) AS c FROM tok GROUP BY w
+        ORDER BY c DESC, w ASC LIMIT {_VOCAB_TOP_N}
+    ) t
+)
+SELECT source,
+       count(*) AS n_tokens,
+       sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END) AS in_vocab,
+       round(1.0 - sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM tok
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=_VOCAB_ORACLE,
+    description=(
+        "tokenizer diagnostics: per-source OOV rate against the corpus top-N "
+        "vocabulary — the number that says whether a vocabulary (or tokenizer "
+        "merge table) trained on the mix actually covers each source. Vocabulary "
+        "is one token-keyed partial-agg shuffle + top-N (vocab-sized, "
+        "broadcastable at any corpus size because N is fixed); the coverage pass "
+        "is a broadcast semi-membership flag folded per source — the corpus "
+        "shuffles once, keyed by source"
+    ),
+    tags=("text", "north-star", "tokenizer"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w0")
+    ).select("source", F.lower(F.col("w0")).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_VOCAB_TOP_N)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "w", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_in_vocab"), F.lit(0))).alias("in_vocab"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(F.coalesce(F.col("_in_vocab"), F.lit(0)))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
