@@ -1008,3 +1008,77 @@ def events_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_matches") > 0)
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# time-bounded funnel (each step within 72h of the previous)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_TB_ORACLE = """
+WITH v AS (
+    SELECT user_id, min(ts) AS t_v FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t_c
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t_v AND e.ts <= v.t_v + INTERVAL 72 HOUR
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_c AND e.ts <= c.t_c + INTERVAL 72 HOUR
+    GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase,
+       round((SELECT count(*) FROM p) / CAST((SELECT count(*) FROM v) AS DOUBLE), 6)
+           AS conversion
+"""
+
+
+@register(
+    "events_funnel_time_bounded",
+    oracle=_FUNNEL_TB_ORACLE,
+    description=(
+        "time-bounded funnel: view -> click -> purchase with each step within 72h "
+        "of the previous (the unbounded funnel overcounts users who 'converted' "
+        "months later). Three user-keyed conditional-min aggregates, each joined "
+        "to the prior step's anchor time — every pass is column-pruned and "
+        "partial-agg combinable; timestamps compare at microsecond precision in "
+        "both engines"
+    ),
+    tags=("analytics", "events", "temporal"),
+)
+def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    step = F.expr("INTERVAL 72 HOURS")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t_v"))
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t_v")) & (F.col("ts") <= F.col("t_v") + step))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_c"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t_c")) & (F.col("ts") <= F.col("t_c") + step))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_click"))
+    np_ = p.agg(F.count("*").alias("n_purchase"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(F.col("n_purchase") / F.col("n_view").cast("double"), 6).alias("conversion"),
+        )
+    )
