@@ -1397,3 +1397,81 @@ def sql_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_PARITY_TEXT)
+
+
+# ---------------------------------------------------------------------------
+# binned interval-overlap join (large x large ranges)
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+_INCIDENT_HALF_US = 1_800_000_000  # ±30 min around each error event
+
+_INTERVAL_ORACLE = """
+WITH a AS (
+    SELECT user_id, date_trunc('day', ts) AS d,
+           epoch_us(min(ts)) AS s, epoch_us(max(ts)) + 1 AS e
+    FROM events GROUP BY user_id, date_trunc('day', ts)
+),
+b AS (
+    SELECT event_id, epoch_us(ts) - 1800000000 AS s, epoch_us(ts) + 1800000000 AS e
+    FROM events WHERE event_type = 'error'
+),
+pairs AS (
+    SELECT DISTINCT a.user_id, a.d, b.event_id
+    FROM a JOIN b ON a.s < b.e AND b.s < a.e
+)
+SELECT user_id, count(*) AS n_overlaps
+FROM pairs GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register(
+    "join_interval_binned",
+    oracle=_INTERVAL_ORACLE,
+    description=(
+        "interval-overlap join where BOTH range sets are large (user-day activity "
+        "intervals x ±30min incident windows): each interval explodes to the hour "
+        "buckets it touches, the join runs bucket-equal (an ordinary hash join a "
+        "shuffle can partition), candidates dedupe, and the exact overlap "
+        "predicate verifies. The oracle pays the quadratic theta join; the engine "
+        "pays O(intervals x buckets-touched) — the binning join_range_band's "
+        "broadcast-small-side shape cannot provide once neither side broadcasts"
+    ),
+    tags=("join", "range", "temporal", "scale"),
+)
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # ts may arrive as TIMESTAMP_NTZ under a stock session; unix_micros needs LTZ
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    a = (
+        e.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.min(us).alias("s"), (F.max(us) + 1).alias("e"))
+    )
+    b = e.filter(F.col("event_type") == "error").select(
+        "event_id",
+        (us - _INCIDENT_HALF_US).alias("bs"),
+        (us + _INCIDENT_HALF_US).alias("be"),
+    )
+    a_binned = a.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("s") / _HOUR_US).cast("long"), ((F.col("e") - 1) / _HOUR_US).cast("long")
+            )
+        ),
+    )
+    b_binned = b.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("bs") / _HOUR_US).cast("long"), ((F.col("be") - 1) / _HOUR_US).cast("long")
+            )
+        ),
+    )
+    pairs = (
+        a_binned.join(b_binned, "bucket")
+        .filter((F.col("s") < F.col("be")) & (F.col("bs") < F.col("e")))
+        .select("user_id", "d", "event_id")
+        .distinct()
+    )
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_overlaps")).orderBy("user_id")
