@@ -149,3 +149,30 @@ def test_triangle_census_has_no_cartesian(spark, sf_dir):
     a CartesianProduct here means the orientation rewrite regressed."""
     plan = _plan(all_specs()["graph_triangle_census"].spark(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_binned_interval_join_is_hash_not_nested_loop(spark, sf_dir):
+    """join_interval_binned's whole point: the overlap join runs as a
+    bucket-equal HASH join, never the BroadcastNestedLoopJoin a raw theta
+    condition produces."""
+    plan = _plan(all_specs()["join_interval_binned"].spark(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # the bucket-equal join is present as a real join
+
+
+def test_bloom_prefilter_probes_are_broadcast(spark, sf_dir):
+    """join_bloom_prefilter: every bitmap probe is a broadcast hash join
+    (the bitmap table must never shuffle the fact side), and the exact semi
+    join survives at the end."""
+    plan = _plan(all_specs()["join_bloom_prefilter"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # 3 probe joins (+ semi)
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_coverage_membership_is_broadcast(spark, sf_dir):
+    """text_vocab_coverage: the fixed-N vocabulary joins as a broadcast —
+    the token stream is never shuffled for the membership flag."""
+    plan = _plan(all_specs()["text_vocab_coverage"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
