@@ -207,14 +207,15 @@ def main() -> int:
     # lands on whichever query runs first and reads as a regression
     spark.range(1).write.format("noop").mode("overwrite").save()
 
-    # best-of-2 per query: in-session drift (GC pauses, executor-thread
-    # scheduling, page-cache state) adds ~±20% to single runs, which false-
-    # alarms the regression gate; the min of two runs is the standard
-    # noise floor for a fixed plan on a warm JVM
+    # best-of-3 per query: in-session drift (GC pauses, executor-thread
+    # scheduling, Python-worker pool warm-up, page-cache state) adds
+    # ~±20-35% to single runs — pandas-UDF queries drift hardest while the
+    # worker pool warms — which false-alarms the regression gate; the min
+    # of three runs is a stable noise floor for a fixed plan on a warm JVM
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             specs[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

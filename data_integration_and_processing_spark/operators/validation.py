@@ -104,3 +104,30 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
         # the decimal
         F.sum(fp.cast("decimal(38,0)")).cast("bigint").alias("checksum"),
     )
+
+
+def mask_columns(df: DataFrame, policy: dict[str, str]) -> DataFrame:
+    """Apply a column-level masking policy — the governance step between a
+    raw table and a training/analytics release.
+
+    Strategies: ``hash`` (md5 of the string form — referentially stable, so
+    joins on the masked key still work), ``redact`` (constant sentinel),
+    ``generalize:<n>`` (floor numeric to multiples of n — k-anonymity's
+    generalization move; see the quality_k_anonymity audit), ``keep``.
+    Pure column expressions: the plan stays one codegen'd projection, no
+    shuffle, no UDF.
+    """
+    out = df
+    for col, strategy in policy.items():
+        if strategy == "keep":
+            continue
+        if strategy == "hash":
+            out = out.withColumn(col, F.md5(F.col(col).cast("string")))
+        elif strategy == "redact":
+            out = out.withColumn(col, F.lit("REDACTED"))
+        elif strategy.startswith("generalize:"):
+            n = int(strategy.split(":", 1)[1])
+            out = out.withColumn(col, (F.floor(F.col(col) / n) * n).cast("double"))
+        else:
+            raise ValueError(f"unknown masking strategy {strategy!r} for column {col!r}")
+    return out

@@ -10,6 +10,7 @@ Nothing touches the driver; Catalyst fuses the projection into the scan.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable, Sequence
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -198,3 +199,46 @@ def transfer_incremental(
     cutoff = target.agg(F.max(watermark_col)).collect()[0][0]
     fresh = source if cutoff is None else source.filter(F.col(watermark_col) > F.lit(cutoff))
     return target.unionByName(fresh)
+
+
+def backfill(
+    spark: SparkSession,
+    partition_fn: Callable[[SparkSession, str], DataFrame],
+    dest: str,
+    partitions: Sequence[str],
+    partition_col: str = "p",
+    force: Sequence[str] = (),
+) -> dict[str, str]:
+    """Idempotent partitioned backfill: (re)compute each named partition
+    through ``partition_fn(spark, p)`` and land it atomically under
+    ``dest/{partition_col}={p}/``; partitions already present are skipped
+    unless listed in ``force``.
+
+    The unit of work and of atomicity is ONE partition: each lands in a
+    ``_tmp`` sibling and is renamed into place, so a crash mid-backfill
+    leaves every completed partition readable and every incomplete one
+    invisible — re-running converges (the reference's whole-table re-copy,
+    `/root/reference/ETLManager.py:60-99`, restarts from zero instead).
+    Returns {partition: "written" | "skipped"} for the run's audit log.
+
+    At cluster scale the driver loop only sequences job submission —
+    each partition's compute is a full distributed job, and independent
+    partitions can be submitted from concurrent threads because their
+    directories never overlap.
+    """
+    import os as _os  # noqa: PLC0415
+    import shutil as _shutil  # noqa: PLC0415
+
+    outcome: dict[str, str] = {}
+    for p in partitions:
+        part_dir = f"{dest}/{partition_col}={p}"
+        if _os.path.exists(part_dir) and p not in force:
+            outcome[p] = "skipped"
+            continue
+        tmp_dir = f"{dest}/_tmp_{partition_col}={p}"
+        _shutil.rmtree(tmp_dir, ignore_errors=True)
+        partition_fn(spark, p).write.mode("overwrite").parquet(tmp_dir)
+        _shutil.rmtree(part_dir, ignore_errors=True)
+        _os.replace(tmp_dir, part_dir)
+        outcome[p] = "written"
+    return outcome

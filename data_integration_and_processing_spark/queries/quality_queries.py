@@ -519,3 +519,39 @@ def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = summary if out is None else out.unionByName(summary)
     return out.orderBy("join_key")
+
+
+@register(
+    "etl_mask_columns",
+    oracle="""
+        SELECT c_custkey,
+               md5(CAST(c_name AS VARCHAR)) AS c_name,
+               'REDACTED' AS c_mktsegment,
+               CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS c_acctbal,
+               c_nationkey
+        FROM customer
+    """,
+    description=(
+        "column-level masking policy (operators/validation.py::mask_columns): "
+        "hash (referentially stable — joins on the masked key still work), "
+        "redact, and generalize-to-multiple (k-anonymity's generalization move) "
+        "as pure column expressions — one codegen'd projection, no shuffle, no "
+        "UDF. The governance step between a raw table and a release"
+    ),
+    tags=("etl", "quality", "privacy", "projection"),
+)
+def etl_mask_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.validation import (  # noqa: PLC0415
+        mask_columns,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    return mask_columns(
+        c,
+        {
+            "c_custkey": "keep",
+            "c_name": "hash",
+            "c_mktsegment": "redact",
+            "c_acctbal": "generalize:1000",
+        },
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal", "c_nationkey")
