@@ -732,3 +732,53 @@ def etl_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="r_regionkey long, r_name string",
         options={"rowTag": "region"},
     )
+
+
+@register(
+    "etl_xlsx_distributed_scan",
+    oracle="""
+        SELECT CAST(n_nationkey % 3 AS BIGINT) AS shard,
+               count(*) AS n_rows,
+               CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+        FROM nation GROUP BY 1 ORDER BY 1
+    """,
+    description=(
+        "O1 at Spark's execution model: a 3-file xlsx drop scanned through the "
+        "Python DataSource (sources/xlsx_datasource.py) — one partition per "
+        "workbook file, cells parsed executor-side by the stdlib zipfile parser, "
+        "driver never touches data. The distributed upgrade of read_excel's "
+        "single-file driver path; a 10k-file vendor drop scans 10k-wide"
+    ),
+    tags=("etl", "source", "xlsx", "scale"),
+)
+def etl_xlsx_distributed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.sources.xlsx import write_minimal_xlsx  # noqa: PLC0415
+    from data_integration_and_processing_spark.sources.xlsx_datasource import (  # noqa: PLC0415
+        XlsxDataSource,
+    )
+
+    drop = f"{_SCRATCH}/nation_xlsx_drop"
+    shutil.rmtree(drop, ignore_errors=True)
+    os.makedirs(drop, exist_ok=True)
+    rows = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    for shard in range(3):
+        write_minimal_xlsx(
+            f"{drop}/shard{shard}.xlsx",
+            header=["n_nationkey", "n_name"],
+            rows=[[int(r["n_nationkey"]), r["n_name"]] for r in rows if r["n_nationkey"] % 3 == shard],
+        )
+    try:
+        spark.dataSource.register(XlsxDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    df = (
+        spark.read.format("xlsx")
+        .schema("n_nationkey bigint, n_name string")
+        .option("path", f"{drop}/*.xlsx")
+        .load()
+    )
+    return (
+        df.groupBy((F.col("n_nationkey") % 3).alias("shard"))
+        .agg(F.count("*").alias("n_rows"), F.sum("n_nationkey").cast("bigint").alias("sum_key"))
+        .orderBy("shard")
+    )

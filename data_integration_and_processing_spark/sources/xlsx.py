@@ -122,3 +122,53 @@ def read_xlsx_pandas(path: str, sheet_name: int | str = 0):
         return pd.DataFrame()
     header = [str(h) if h is not None else f"col{i}" for i, h in enumerate(rows[0])]
     return pd.DataFrame(rows[1:], columns=header)
+
+
+def write_minimal_xlsx(path: str, header: list, rows: list, sheet: str = "Sheet1") -> None:
+    """Hand-rolled minimal .xlsx writer (no openpyxl in this container):
+    shared strings for text cells, numerics/booleans inline, A1-style
+    references. Produces exactly the subset read_xlsx_rows parses — used by
+    tests and fixture generation for the distributed xlsx source."""
+    strings: list[str] = []
+
+    def cell(ref: str, v) -> str:
+        if isinstance(v, str):
+            if v not in strings:
+                strings.append(v)
+            return f'<c r="{ref}" t="s"><v>{strings.index(v)}</v></c>'
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if v is None:
+            return ""
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    def col_letter(i: int) -> str:
+        out = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            out = chr(ord("A") + r) + out
+        return out
+
+    all_rows = [header, *rows]
+    body = "".join(
+        '<row r="%d">%s</row>'
+        % (ri + 1, "".join(cell(f"{col_letter(ci)}{ri + 1}", v) for ci, v in enumerate(row)))
+        for ri, row in enumerate(all_rows)
+    )
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns="http://schemas.openxmlformats.org/package/2006/relationships"'
+    rid = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    sst = "".join(f"<si><t>{s}</t></si>" for s in strings)
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr(
+            "xl/workbook.xml",
+            f'<workbook {ns} {rid}><sheets><sheet name="{sheet}" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<Relationships {rns}><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        z.writestr("xl/sharedStrings.xml", f"<sst {ns}>{sst}</sst>")
+        z.writestr("xl/worksheets/sheet1.xml", f"<worksheet {ns}><sheetData>{body}</sheetData></worksheet>")

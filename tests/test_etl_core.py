@@ -121,54 +121,9 @@ def test_table_name_from_path():
     assert table_name_from_path("/data/Wildberries_Reviews.XLSX") == "wildberries_reviews"
 
 
-def _write_minimal_xlsx(path, header, rows, sheet="Sheet1"):
-    """Hand-rolled minimal .xlsx (no openpyxl in the container): shared
-    strings for text cells, numeric cells inline, A1-style references."""
-    import zipfile
-
-    strings: list[str] = []
-
-    def cell(ref, v):
-        if isinstance(v, str):
-            if v not in strings:
-                strings.append(v)
-            return f'<c r="{ref}" t="s"><v>{strings.index(v)}</v></c>'
-        if isinstance(v, bool):
-            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
-        if v is None:
-            return ""
-        return f'<c r="{ref}"><v>{v}</v></c>'
-
-    def col_letter(i):
-        out = ""
-        i += 1
-        while i:
-            i, r = divmod(i - 1, 26)
-            out = chr(ord("A") + r) + out
-        return out
-
-    all_rows = [header, *rows]
-    body = "".join(
-        '<row r="%d">%s</row>'
-        % (ri + 1, "".join(cell(f"{col_letter(ci)}{ri + 1}", v) for ci, v in enumerate(row)))
-        for ri, row in enumerate(all_rows)
-    )
-    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
-    rns = 'xmlns="http://schemas.openxmlformats.org/package/2006/relationships"'
-    rid = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
-    sst = "".join(f"<si><t>{s}</t></si>" for s in strings)
-    with zipfile.ZipFile(path, "w") as z:
-        z.writestr("[Content_Types].xml", "<Types/>")
-        z.writestr(
-            "xl/workbook.xml",
-            f'<workbook {ns} {rid}><sheets><sheet name="{sheet}" sheetId="1" r:id="rId1"/></sheets></workbook>',
-        )
-        z.writestr(
-            "xl/_rels/workbook.xml.rels",
-            f'<Relationships {rns}><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>',
-        )
-        z.writestr("xl/sharedStrings.xml", f"<sst {ns}>{sst}</sst>")
-        z.writestr("xl/worksheets/sheet1.xml", f"<worksheet {ns}><sheetData>{body}</sheetData></worksheet>")
+from data_integration_and_processing_spark.sources.xlsx import (  # noqa: E402
+    write_minimal_xlsx as _write_minimal_xlsx,
+)
 
 
 def test_read_excel_stdlib_parser(spark, tmp_path):
