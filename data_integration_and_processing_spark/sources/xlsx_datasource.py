@@ -28,9 +28,17 @@ from __future__ import annotations
 import glob as _glob
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
 
-from data_integration_and_processing_spark.sources.xlsx import read_xlsx_rows
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+from data_integration_and_processing_spark.sources.xlsx import read_xlsx_rows, write_minimal_xlsx
 
 
 def _coerce(v, dtype: str):
@@ -94,3 +102,59 @@ class XlsxDataSource(DataSource):
 
     def reader(self, schema) -> XlsxReader:
         return XlsxReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool) -> "XlsxWriter":
+        return XlsxWriter(self.options, schema)
+
+
+@dataclass
+class _XlsxCommit(WriterCommitMessage):
+    tmp_path: str
+    final_path: str
+    n_rows: int
+
+
+class XlsxWriter(DataSourceWriter):
+    """One workbook per partition with a rename-on-commit protocol: tasks
+    land ``.tmp`` files under unique attempt names, the driver's commit()
+    renames exactly the attempts that reported success — a lost/duplicated
+    speculative attempt leaves only an orphaned tmp (swept here), never a
+    half-visible or doubled shard."""
+
+    def __init__(self, options: dict, schema) -> None:
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("xlsx sink requires .option('path', <directory>)")
+        self._header = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> _XlsxCommit:
+        import os as _os  # noqa: PLC0415
+        import uuid as _uuid  # noqa: PLC0415
+
+        from pyspark import TaskContext  # noqa: PLC0415
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        _os.makedirs(self._dir, exist_ok=True)
+        attempt = _uuid.uuid4().hex[:8]
+        tmp = f"{self._dir}/.part-{pid:05d}-{attempt}.xlsx.tmp"
+        rows = [[None if v is None else v for v in row] for row in iterator]
+        write_minimal_xlsx(tmp, header=self._header, rows=rows)
+        return _XlsxCommit(tmp, f"{self._dir}/part-{pid:05d}.xlsx", len(rows))
+
+    def commit(self, messages) -> None:
+        import glob as _g  # noqa: PLC0415
+        import os as _os  # noqa: PLC0415
+
+        for m in messages:
+            _os.replace(m.tmp_path, m.final_path)
+        for stray in _g.glob(f"{self._dir}/.part-*.xlsx.tmp"):
+            _os.remove(stray)
+
+    def abort(self, messages) -> None:
+        import os as _os  # noqa: PLC0415
+
+        for m in messages:
+            try:
+                _os.remove(m.tmp_path)
+            except OSError:
+                pass

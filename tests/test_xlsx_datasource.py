@@ -67,3 +67,39 @@ def test_missing_files_raise(spark, tmp_path):
     )
     with pytest.raises(Exception, match="no files match|FileNotFound"):
         df_reader.load().collect()
+
+
+def test_write_then_read_roundtrip(spark, tmp_path):
+    """Distributed xlsx WRITE (one workbook per partition, rename-on-commit)
+    then distributed read back."""
+    from pyspark.sql import functions as F
+
+    dest = str(tmp_path / "out")
+    df = spark.range(0, 40, 1, 4).select(
+        F.col("id").alias("k"), F.concat(F.lit("row-"), F.col("id")).alias("label")
+    )
+    (
+        _registered(spark)
+        .createDataFrame(df.collect(), df.schema)  # stable 4-partition input
+        .repartition(4)
+        .write.format("xlsx")
+        .mode("append")
+        .option("path", dest)
+        .save()
+    )
+    import glob
+    import os
+
+    files = sorted(glob.glob(f"{dest}/part-*.xlsx"))
+    assert len(files) == 4
+    assert not glob.glob(f"{dest}/.part-*.tmp")  # commit swept temporaries
+    back = (
+        spark.read.format("xlsx")
+        .schema("k bigint, label string")
+        .option("path", f"{dest}/part-*.xlsx")
+        .load()
+    )
+    got = sorted(map(tuple, back.collect()))
+    want = sorted(map(tuple, df.collect()))
+    assert got == want
+    assert os.path.getsize(files[0]) > 0
