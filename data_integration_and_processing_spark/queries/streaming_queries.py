@@ -566,3 +566,31 @@ def stream_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value", "ts")
     return run_streaming_quantile_digest(spark, e)
+
+
+@register(
+    "stream_python_source_replay",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(event_id) AS sum_ids,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description=(
+        "custom Python STREAMING data source (Spark 4 SimpleDataSourceStreamReader "
+        "over the events fixture, offsets = positions in the event_id total "
+        "order) driven through repeated cold stop/restart rounds sharing one "
+        "checkpoint — the final aggregate hash-matches the batch oracle, proving "
+        "exactly-once delivery across restarts from offset bookkeeping alone "
+        "(readBetweenOffsets replays retried batches bit-identically)"
+    ),
+    tags=("streaming", "source", "incremental", "scale"),
+)
+def stream_python_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.streaming.pipelines import (  # noqa: PLC0415
+        run_python_source_replay,
+    )
+
+    return run_python_source_replay(spark, f"{sf_dir}/events.parquet")

@@ -1396,3 +1396,68 @@ def run_streaming_quantile_digest(
         )
     )
     return audited.orderBy("event_type", "p")
+
+
+def run_python_source_replay(
+    spark: SparkSession,
+    events_path: str,
+    scratch_dir: str | None = None,
+    batch_rows: int = 3000,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Drive the custom Python STREAMING source (sources/events_stream_source)
+    through repeated stop/restart rounds sharing one checkpoint: each round
+    is a cold availableNow start that resumes from the committed offset, so
+    the final aggregate proves exactly-once delivery ACROSS RESTARTS — the
+    contract the file-staged pipelines can only exercise within one run.
+
+    Rounds end when a round makes no progress (offset exhausted). The
+    aggregate uses only order-independent exact measures (counts, integer
+    sums, min/max) so the result hash-matches the batch SQL oracle.
+    """
+    from data_integration_and_processing_spark.sources.events_stream_source import (  # noqa: PLC0415
+        EventsReplayDataSource,
+    )
+
+    try:
+        spark.dataSource.register(EventsReplayDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    scratch = scratch_dir or f"/tmp/diaps_pysrc_{uuid.uuid4().hex[:8]}"
+    ckpt = f"{scratch}/ckpt"
+    tag = uuid.uuid4().hex[:6]
+    # Cumulative totals strictly increase while the replay makes progress;
+    # an exhausted round runs NO batch, so its fresh memory-sink table is
+    # EMPTY — the answer is the last round that did make progress, never
+    # the terminating round's table.
+    prev_result = None
+    prev_total = -1
+    for rnd in range(max_rounds):
+        name = f"pysrc_{tag}_{rnd}"
+        q = (
+            spark.readStream.format("events_replay")
+            .option("path", events_path)
+            .option("batchrows", str(batch_rows))
+            .load()
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("event_id").alias("sum_ids"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        result = spark.table(name)
+        total = result.agg(F.sum("n_events")).collect()[0][0] or 0
+        if total <= prev_total:
+            break
+        prev_result, prev_total = result, total
+    assert prev_result is not None, "python-source replay produced no data"
+    return prev_result.orderBy("event_type")
