@@ -48,6 +48,17 @@ def main(argv: list[str] | None = None) -> int:
     tr.add_argument("--rename", default=None)
     tr.add_argument("--mode", default="overwrite", choices=["overwrite", "append"])
 
+    qr = sub.add_parser(
+        "query",
+        help="run SQL over parquet tables: every <name>.parquet under --tables "
+        "registers as a view named <name> (absent in the reference — its users "
+        "query the warehouse directly; here the engine IS the warehouse)",
+    )
+    qr.add_argument("--tables", required=True, help="directory of <name>.parquet tables")
+    qr.add_argument("--sql", required=True, help="ANSI SQL text; views are the table names")
+    qr.add_argument("--dest", default=None, help="optional parquet output path (default: print)")
+    qr.add_argument("--limit", type=int, default=20, help="rows to print when no --dest")
+
     args = ap.parse_args(argv)
 
     from data_integration_and_processing_spark.plans.pipelines import ingest_file, transfer
@@ -65,6 +76,20 @@ def main(argv: list[str] | None = None) -> int:
                 column_mapping=_parse_mapping(args.rename),
                 mode=args.mode,
             )
+        elif args.cmd == "query":
+            import glob as _glob
+            import os as _os
+
+            for t in sorted(_glob.glob(f"{args.tables}/*.parquet")):
+                name = _os.path.basename(t)[: -len(".parquet")]
+                spark.read.parquet(t).createOrReplaceTempView(name)
+            out = spark.sql(args.sql)
+            if args.dest:
+                out.write.mode("overwrite").parquet(args.dest)
+                print(f"query: wrote {spark.read.parquet(args.dest).count()} rows to {args.dest}")
+            else:
+                out.show(args.limit, truncate=False)
+            return 0
         else:
             out = transfer(
                 spark,

@@ -327,3 +327,29 @@ class TestBackfill:
         back = spark.read.parquet(dest)
         assert set(back.columns) == {"o_orderpriority", "n", "m"}
         assert back.select("m").distinct().count() == 3
+
+
+def test_cli_query_subcommand(tmp_path, sf_dir, capsys):
+    """CLI `query`: parquet dir -> views -> SQL text -> parquet out."""
+    from data_integration_and_processing_spark.__main__ import main
+
+    dest = str(tmp_path / "out")
+    rc = main(
+        [
+            "query",
+            "--tables",
+            sf_dir,
+            "--sql",
+            "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1",
+            "--dest",
+            dest,
+        ]
+    )
+    assert rc == 0
+    import duckdb
+
+    want = duckdb.connect().execute(
+        f"SELECT count(DISTINCT o_orderpriority) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    got = duckdb.connect().execute(f"SELECT count(*) FROM '{dest}/*.parquet'").fetchone()[0]
+    assert got == want
