@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Physical-plan audit across the catalog: per query, the plan features
+that decide 100 TB behavior — shuffle (Exchange) count, join strategies,
+scan column width + pushed filters, codegen coverage, Python-eval stages.
+
+Usage:
+    python scripts/plan_audit.py                  # driver window (first 50)
+    python scripts/plan_audit.py --all            # whole catalog
+    python scripts/plan_audit.py --only a,b --sf-dir /root/testdata/sf0.01
+
+One JSON line per query plus a final summary; --fail-on lets CI gate on
+regressions (e.g. --fail-on cartesian flags any CartesianProduct /
+BroadcastNestedLoopJoin outside the known-deliberate set).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Queries where a nested-loop/cartesian shape is the DELIBERATE plan,
+# audited one by one (full-catalog sweep, round 4). Categories:
+# (a) broadcast SCALAR cross — a one-row aggregate (total/threshold/count)
+#     joined onto a big side; constant-size build, zero scale risk;
+# (b) broadcast BOUNDED-table cross — bands/salt range/centroids/query
+#     batch, O(1)-to-O(k) rows by construction;
+# (c) inequality join against a broadcast bounded side (range band, BM25
+#     query terms).
+DELIBERATE_NESTED_LOOP = {
+    # (c) tiny band/condition tables
+    "join_range_band",
+    "join_cross",
+    "text_bm25_search",
+    # (a) scalar-aggregate crosses
+    "agg_equiwidth_histogram",
+    "prep_feature_scaling",
+    "subquery_scalar_avg",
+    "q11_important_stock",
+    "q16_partsupp_supplier_count",
+    "q20_excess_promo_suppliers",
+    "q20_excess_stock_suppliers",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",  # synth_partsupp's supplier-count scalar
+    "sample_mix_to_target",
+    "sample_temperature_mix",
+    "stream_gapfill_locf",  # grid bounds scalar
+    "events_funnel_conversion",
+    "events_funnel_time_bounded",
+    "etl_delete_propagation",  # per-table audit count scalars
+    "multimodal_chunk_dedup",  # byte-total scalars
+    "quality_fk_orphan_audit",
+    "agg_heavy_hitters",  # corpus-total scalar
+    "graph_pagerank",  # dangling-mass scalar per iteration
+    # (b) bounded broadcast sides
+    "skew_salted_join",  # salt-range replicate of the small side
+    "sim_knn_join",  # broadcast query batch (bounded by construction)
+    "sim_ann_join_ivf",  # n_cells centroid rows
+}
+
+
+def audit_plan(plan: str) -> dict:
+    return {
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sortmerge_joins": plan.count("SortMergeJoin"),
+        "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
+        "nested_loop": plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct"),
+        "codegen_spans": plan.count("WholeStageCodegen"),
+        "python_stages": plan.count("ArrowEvalPython")
+        + plan.count("FlatMapGroupsInPandas")
+        + plan.count("MapInPandas")
+        + plan.count("BatchEvalPython"),
+        "scans": plan.count("Scan parquet"),
+        "pushed_filter_scans": plan.count("PushedFilters: ["),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--fail-on", default=None, choices=[None, "cartesian"])
+    args = ap.parse_args()
+
+    from data_integration_and_processing_spark.queries import catalog
+    from data_integration_and_processing_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-audit")
+    specs = catalog.all_specs()
+    names = list(specs) if args.all else list(specs)[:50]
+    if args.only:
+        names = [n for n in args.only.split(",") if n in specs]
+
+    offenders = []
+    for name in names:
+        try:
+            df = specs[name].spark(spark, args.sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        except Exception as e:  # noqa: BLE001 — audit must not die on one query
+            print(json.dumps({"query": name, "error": str(e)[:200]}))
+            continue
+        rec = audit_plan(plan)
+        rec["query"] = name
+        print(json.dumps(rec))
+        if rec["nested_loop"] and name not in DELIBERATE_NESTED_LOOP:
+            offenders.append(name)
+
+    print(json.dumps({"plan_audit": {"checked": len(names), "undeclared_nested_loop": offenders}}))
+    spark.stop()
+    if args.fail_on == "cartesian" and offenders:
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
