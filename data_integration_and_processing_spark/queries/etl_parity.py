@@ -782,3 +782,53 @@ def etl_xlsx_distributed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"), F.sum("n_nationkey").cast("bigint").alias("sum_key"))
         .orderBy("shard")
     )
+
+
+@register(
+    "etl_manifest_skipping",
+    oracle="""
+        SELECT count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key
+        FROM orders WHERE o_totalprice >= 400000.0
+    """,
+    description=(
+        "manifest-stats data skipping on the versioned store: a range-partitioned "
+        "write records per-file [min,max] from parquet FOOTERS into the manifest "
+        "(metadata-plane only), and the pruned read drops every file whose range "
+        "proves no match BEFORE Spark plans the scan — file skipping one level "
+        "above row-group skipping. Pruning is conservative (the real filter still "
+        "applies), so the oracle is the plain filtered aggregate; the query "
+        "raise_errors if pruning skipped nothing"
+    ),
+    tags=("etl", "source", "versioned", "partitioning", "scale"),
+)
+def etl_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.sources.versioned import (  # noqa: PLC0415
+        read_version_pruned,
+        write_version_with_stats,
+    )
+
+    dest = f"{_SCRATCH}/orders_manifest_stats"
+    shutil.rmtree(dest, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    write_version_with_stats(
+        orders.repartitionByRange(8, "o_totalprice"), dest, mode="overwrite"
+    )
+    df, audit = read_version_pruned(spark, dest, [("o_totalprice", ">=", 400000.0)])
+    out = (
+        df.filter(F.col("o_totalprice") >= 400000.0)
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+        )
+    )
+    pruned_something = F.lit(audit["files_read"]) < F.lit(audit["total_files"])
+    return out.select(
+        F.when(pruned_something, F.col("n_orders"))
+        .otherwise(F.raise_error(F.lit("manifest stats pruned no files")))
+        .alias("n_orders"),
+        "revenue",
+        "min_key",
+    )

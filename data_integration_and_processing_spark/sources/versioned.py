@@ -164,3 +164,137 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
         "files_removed": len(orphans),
         "files_kept": len(referenced),
     }
+
+
+# ---------------------------------------------------------------------------
+# manifest file statistics + pruned reads (Delta/Iceberg-style data skipping)
+# ---------------------------------------------------------------------------
+
+def _file_stats(files: list[str], cols: list[str]) -> dict:
+    """Per-file [min, max] per column, read from parquet FOOTERS only —
+    metadata-plane cost, no data bytes. Timestamps render as ISO strings
+    (lexicographic order == time order), numerics stay numeric."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    def canon(v):
+        if v is None:
+            return None
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        return v
+
+    out: dict = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        fstats: dict = {}
+        for col in cols:
+            ci = names.get(col)
+            if ci is None:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None:
+                fstats[col] = [canon(lo), canon(hi)]
+        out[f] = fstats
+    return out
+
+
+def write_version_with_stats(
+    df: DataFrame, path: str, mode: str = "append", stat_cols: list[str] | None = None
+) -> int:
+    """write_version + per-file min/max column stats in the manifest.
+
+    ``stat_cols`` defaults to every top-level column. Stats make the
+    manifest the skipping index: a reader with a range predicate prunes
+    files from METADATA before Spark ever plans the scan — the
+    manifest-level analogue of parquet row-group skipping, one level up
+    (files never open at all). Combine with a range-partitioned or
+    Z-ordered write so files have tight ranges worth skipping.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
+    existing = list_versions(path)
+    parent = existing[-1] if existing else None
+    new_files = _write_data_files(df, path)
+    stats = _file_stats(new_files, stat_cols or [f.name for f in df.schema.fields])
+    files = new_files
+    parent_stats: dict = {}
+    if mode == "append" and parent is not None:
+        pm = _read_manifest(path, parent)
+        files = pm["files"] + new_files
+        parent_stats = pm.get("stats", {})
+    version = (parent or 0) + 1
+    vdir = _versions_dir(path)
+    os.makedirs(vdir, exist_ok=True)
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "op": mode,
+        "files": sorted(files),
+        "stats": {**parent_stats, **stats},
+    }
+    tmp = os.path.join(vdir, f".v{version}.{uuid.uuid4().hex}.tmp")
+    final = os.path.join(vdir, f"v{version}.json")
+    if os.path.exists(final):
+        raise FileExistsError(f"version {version} already committed at {path}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, final)
+    return version
+
+
+def read_version_pruned(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple[str, str, object]],
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Manifest-stats file skipping: drop every file whose [min, max] range
+    PROVES no row can satisfy all ``predicates`` (list of (col, op, value),
+    op in >=, >, <=, <, =). Pruning is conservative — a kept file may still
+    contain no matches (the caller applies the real filter; correctness
+    never depends on stats) and a file without stats is always kept.
+
+    Returns (DataFrame over surviving files, audit dict). At 100 TB this is
+    the difference between planning a scan over every file and opening
+    1/100th of them — decided from O(files) JSON on the driver.
+    """
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    if version is None:
+        version = versions[-1]
+    m = _read_manifest(path, version)
+    stats = m.get("stats", {})
+
+    def may_match(f: str) -> bool:
+        fs = stats.get(f, {})
+        for col, op, val in predicates:
+            rng = fs.get(col)
+            if rng is None:
+                continue  # no stats for this column: keep the file
+            lo, hi = rng
+            if op in (">=", ">") and (hi < val if op == ">=" else hi <= val):
+                return False
+            if op in ("<=", "<") and (lo > val if op == "<=" else lo >= val):
+                return False
+            if op == "=" and (val < lo or val > hi):
+                return False
+        return True
+
+    kept = [f for f in m["files"] if may_match(f)]
+    audit = {"version": version, "total_files": len(m["files"]), "files_read": len(kept)}
+    if not kept:
+        # all files pruned: an empty frame with the table's schema
+        return spark.read.parquet(*m["files"]).limit(0), audit
+    return spark.read.parquet(*kept), audit

@@ -133,3 +133,68 @@ class TestVacuum:
         assert second["versions_removed"] == 0 and second["files_removed"] == 0
         with _pytest.raises(ValueError):
             vacuum(path, keep_last=0)
+
+
+class TestManifestStatsPruning:
+    def test_pruned_read_skips_files_and_matches_full_filter(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from data_integration_and_processing_spark.sources.versioned import (
+            read_version_pruned,
+            write_version_with_stats,
+        )
+
+        dest = str(tmp_path / "orders_stats")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        # range-partition on the predicate column so files have tight ranges
+        write_version_with_stats(
+            orders.repartitionByRange(8, "o_totalprice"), dest, mode="overwrite"
+        )
+        df, audit = read_version_pruned(
+            spark, dest, [("o_totalprice", ">=", 400000.0)]
+        )
+        assert audit["files_read"] < audit["total_files"], audit
+        got = sorted(
+            r["o_orderkey"]
+            for r in df.filter(F.col("o_totalprice") >= 400000.0).select("o_orderkey").collect()
+        )
+        want = sorted(
+            r["o_orderkey"]
+            for r in orders.filter(F.col("o_totalprice") >= 400000.0).select("o_orderkey").collect()
+        )
+        assert got == want and got
+
+    def test_append_merges_parent_stats(self, spark, sf_dir, tmp_path):
+        from data_integration_and_processing_spark.sources.versioned import (
+            _read_manifest,
+            list_versions,
+            read_version_pruned,
+            write_version_with_stats,
+        )
+        from pyspark.sql import functions as F
+
+        dest = str(tmp_path / "orders_appended")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        lo = orders.filter(F.col("o_totalprice") < 200000.0)
+        hi = orders.filter(F.col("o_totalprice") >= 200000.0)
+        write_version_with_stats(lo.repartition(2), dest, mode="overwrite")
+        write_version_with_stats(hi.repartition(2), dest, mode="append")
+        v = list_versions(dest)[-1]
+        m = _read_manifest(dest, v)
+        assert set(m["stats"]) == set(m["files"])  # parent + new stats merged
+        _, audit = read_version_pruned(spark, dest, [("o_totalprice", "<", 100000.0)])
+        # the hi-half files must be pruned
+        assert audit["files_read"] <= audit["total_files"] - 2
+
+    def test_all_pruned_returns_empty_with_schema(self, spark, sf_dir, tmp_path):
+        from data_integration_and_processing_spark.sources.versioned import (
+            read_version_pruned,
+            write_version_with_stats,
+        )
+
+        dest = str(tmp_path / "orders_none")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        write_version_with_stats(orders.repartition(2), dest, mode="overwrite")
+        df, audit = read_version_pruned(spark, dest, [("o_totalprice", ">", 1e15)])
+        assert audit["files_read"] == 0
+        assert df.count() == 0 and "o_orderkey" in df.columns
