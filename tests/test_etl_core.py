@@ -329,23 +329,23 @@ class TestBackfill:
         assert back.select("m").distinct().count() == 3
 
 
-def test_cli_query_subcommand(tmp_path, sf_dir, capsys):
-    """CLI `query`: parquet dir -> views -> SQL text -> parquet out."""
-    from data_integration_and_processing_spark.__main__ import main
+def test_cli_query_subcommand(tmp_path, sf_dir):
+    """CLI `query`: parquet dir -> views -> SQL text -> parquet out. Runs in
+    a FRESH process like the other CLI tests — the CLI owns (and stops) its
+    own SparkSession, and get_spark's getOrCreate would otherwise hand it
+    the suite's shared session to kill."""
+    import subprocess
+    import sys
 
     dest = str(tmp_path / "out")
-    rc = main(
-        [
-            "query",
-            "--tables",
-            sf_dir,
-            "--sql",
-            "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1",
-            "--dest",
-            dest,
-        ]
+    r = subprocess.run(
+        [sys.executable, "-m", "data_integration_and_processing_spark", "query",
+         "--tables", sf_dir,
+         "--sql", "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1",
+         "--dest", dest],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
     )
-    assert rc == 0
+    assert r.returncode == 0, r.stderr[-2000:]
     import duckdb
 
     want = duckdb.connect().execute(
