@@ -61,9 +61,16 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from data_integration_and_processing_spark.plans.pipelines import ingest_file, transfer
     from data_integration_and_processing_spark.session import get_spark
 
+    # Only stop the session this invocation CREATED: get_spark's getOrCreate
+    # returns any live session, and stopping a borrowed one kills the
+    # embedding process's Spark (an in-process caller, a notebook, a test
+    # suite) on the way out.
+    borrowed = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name=f"cli-{args.cmd}")
     try:
         if args.cmd == "ingest":
@@ -101,7 +108,8 @@ def main(argv: list[str] | None = None) -> int:
         print(f"{args.cmd}: wrote {out.count()} rows to {args.dest} ({args.mode})")
         return 0
     finally:
-        spark.stop()
+        if not borrowed:
+            spark.stop()
 
 
 if __name__ == "__main__":
