@@ -298,3 +298,96 @@ def read_version_pruned(
         # all files pruned: an empty frame with the table's schema
         return spark.read.parquet(*m["files"]).limit(0), audit
     return spark.read.parquet(*kept), audit
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    prune: list[tuple[str, str, object]] | None = None,
+) -> dict:
+    """Row-level DELETE as copy-on-write, file-pruned: only files whose
+    manifest stats say they MAY contain matching rows are rewritten (minus
+    the matching rows); every other file carries into the new version
+    untouched — same path, same bytes, stats carried forward. Readers at
+    older versions still see the deleted rows (time travel is the audit
+    trail GDPR tooling pairs with a vacuum once retention lapses).
+
+    ``condition`` is a SQL boolean expression naming table columns;
+    ``prune`` is the stats-checkable form of (part of) it — conservative,
+    like read_version_pruned. At 100 TB the difference between rewriting
+    the table and rewriting the handful of files a predicate touches IS
+    the feature; Delta/Iceberg DELETE works exactly this way.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    m = _read_manifest(path, versions[-1])
+    stats = m.get("stats", {})
+
+    if prune:
+        pruned_df, _ = read_version_pruned(spark, path, prune, version=versions[-1])
+        # recompute the kept set with the same rule to split the file list
+        def may_match(f: str) -> bool:
+            fs = stats.get(f, {})
+            for col, op, val in prune:
+                rng = fs.get(col)
+                if rng is None:
+                    continue
+                lo, hi = rng
+                if op in (">=", ">") and (hi < val if op == ">=" else hi <= val):
+                    return False
+                if op in ("<=", "<") and (lo > val if op == "<=" else lo >= val):
+                    return False
+                if op == "=" and (val < lo or val > hi):
+                    return False
+            return True
+
+        candidates = [f for f in m["files"] if may_match(f)]
+    else:
+        candidates = list(m["files"])
+    untouched = [f for f in m["files"] if f not in set(candidates)]
+
+    audit = {
+        "files_total": len(m["files"]),
+        "files_rewritten": 0,
+        "files_untouched": len(untouched),
+        "rows_deleted": 0,
+    }
+    if not candidates:
+        return audit
+
+    src = spark.read.parquet(*candidates)
+    survivors = src.filter(~F.expr(condition))
+    n_before = src.count()
+    new_files = _write_data_files(survivors, path)
+    n_after = spark.read.parquet(*new_files).count() if new_files else 0
+    audit.update(
+        files_rewritten=len(candidates),
+        rows_deleted=n_before - n_after,
+    )
+
+    # keep the same stat-column set the table already tracks (fall back to
+    # every column for a stats-less legacy table)
+    stat_cols = list(next(iter(stats.values()), {})) or [f.name for f in src.schema.fields]
+    new_stats = _file_stats(new_files, stat_cols)
+    version = versions[-1] + 1
+    vdir = _versions_dir(path)
+    manifest = {
+        "version": version,
+        "parent": versions[-1],
+        "op": f"delete_where({condition})",
+        "files": sorted(untouched + new_files),
+        "stats": {**{f: stats[f] for f in untouched if f in stats}, **new_stats},
+    }
+    tmp = os.path.join(vdir, f".v{version}.{uuid.uuid4().hex}.tmp")
+    final = os.path.join(vdir, f"v{version}.json")
+    if os.path.exists(final):
+        raise FileExistsError(f"version {version} already committed at {path}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, final)
+    audit["version"] = version
+    return audit

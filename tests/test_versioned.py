@@ -198,3 +198,64 @@ class TestManifestStatsPruning:
         df, audit = read_version_pruned(spark, dest, [("o_totalprice", ">", 1e15)])
         assert audit["files_read"] == 0
         assert df.count() == 0 and "o_orderkey" in df.columns
+
+
+class TestDeleteWhere:
+    def test_copy_on_write_delete_prunes_untouched_files(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from data_integration_and_processing_spark.sources.versioned import (
+            _read_manifest,
+            delete_where,
+            list_versions,
+            read_version,
+            write_version_with_stats,
+        )
+
+        dest = str(tmp_path / "orders_del")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        write_version_with_stats(
+            orders.repartitionByRange(8, "o_totalprice"), dest, mode="overwrite"
+        )
+        v1_files = set(_read_manifest(dest, 1)["files"])
+        audit = delete_where(
+            spark,
+            dest,
+            "o_totalprice >= 450000.0",
+            prune=[("o_totalprice", ">=", 450000.0)],
+        )
+        assert audit["files_rewritten"] < audit["files_total"], audit
+        assert audit["files_untouched"] > 0
+        want_deleted = orders.filter(F.col("o_totalprice") >= 450000.0).count()
+        assert audit["rows_deleted"] == want_deleted > 0
+
+        # new version: no matching rows; row set equals the anti-filter
+        cur = read_version(spark, dest)
+        assert cur.filter(F.col("o_totalprice") >= 450000.0).count() == 0
+        assert cur.count() == orders.count() - want_deleted
+        # untouched files carry over by PATH (no rewrite)
+        v2 = _read_manifest(dest, list_versions(dest)[-1])
+        carried = v1_files & set(v2["files"])
+        assert len(carried) == audit["files_untouched"]
+        # stats carried/refreshed for every file in the new manifest
+        assert set(v2["stats"]) >= set(v2["files"])
+
+        # time travel: v1 still sees the deleted rows (audit trail)
+        v1_df = read_version(spark, dest, 1)
+        assert v1_df.filter(F.col("o_totalprice") >= 450000.0).count() == want_deleted
+
+    def test_no_candidates_is_a_no_op(self, spark, sf_dir, tmp_path):
+        from data_integration_and_processing_spark.sources.versioned import (
+            delete_where,
+            list_versions,
+            write_version_with_stats,
+        )
+
+        dest = str(tmp_path / "orders_noop")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        write_version_with_stats(orders.repartitionByRange(4, "o_totalprice"), dest, mode="overwrite")
+        audit = delete_where(
+            spark, dest, "o_totalprice > 1e15", prune=[("o_totalprice", ">", 1e15)]
+        )
+        assert audit["files_rewritten"] == 0 and audit["rows_deleted"] == 0
+        assert list_versions(dest) == [1]  # nothing published
