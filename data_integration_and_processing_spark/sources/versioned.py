@@ -391,3 +391,79 @@ def delete_where(
     os.rename(tmp, final)
     audit["version"] = version
     return audit
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    set_exprs: dict[str, str],
+    prune: list[tuple[str, str, object]] | None = None,
+) -> dict:
+    """Row-level UPDATE, same copy-on-write/stats-pruned shape as
+    :func:`delete_where`: candidate files are rewritten with
+    ``CASE WHEN condition THEN set_expr ELSE col END`` per updated column;
+    untouched files carry by path. Completes the lakehouse DML triad with
+    append/overwrite commits and delete_where (merge/upsert lives at the
+    DataFrame level in plans/pipelines.py::upsert)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    m = _read_manifest(path, versions[-1])
+    stats = m.get("stats", {})
+
+    def may_match(f: str) -> bool:
+        fs = stats.get(f, {})
+        for col, op, val in prune or []:
+            rng = fs.get(col)
+            if rng is None:
+                continue
+            lo, hi = rng
+            if op in (">=", ">") and (hi < val if op == ">=" else hi <= val):
+                return False
+            if op in ("<=", "<") and (lo > val if op == "<=" else lo >= val):
+                return False
+            if op == "=" and (val < lo or val > hi):
+                return False
+        return True
+
+    candidates = [f for f in m["files"] if may_match(f)] if prune else list(m["files"])
+    untouched = [f for f in m["files"] if f not in set(candidates)]
+    audit = {
+        "files_total": len(m["files"]),
+        "files_rewritten": 0,
+        "files_untouched": len(untouched),
+        "rows_updated": 0,
+    }
+    if not candidates:
+        return audit
+
+    src = spark.read.parquet(*candidates)
+    cond = F.expr(condition)
+    n_updated = src.filter(cond).count()
+    out = src
+    for col, expr in set_exprs.items():
+        out = out.withColumn(col, F.when(cond, F.expr(expr)).otherwise(F.col(col)))
+    new_files = _write_data_files(out, path)
+    stat_cols = list(next(iter(stats.values()), {})) or [f.name for f in src.schema.fields]
+    new_stats = _file_stats(new_files, stat_cols)
+    version = versions[-1] + 1
+    vdir = _versions_dir(path)
+    manifest = {
+        "version": version,
+        "parent": versions[-1],
+        "op": f"update_where({condition})",
+        "files": sorted(untouched + new_files),
+        "stats": {**{f: stats[f] for f in untouched if f in stats}, **new_stats},
+    }
+    tmp = os.path.join(vdir, f".v{version}.{uuid.uuid4().hex}.tmp")
+    final = os.path.join(vdir, f"v{version}.json")
+    if os.path.exists(final):
+        raise FileExistsError(f"version {version} already committed at {path}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, final)
+    audit.update(files_rewritten=len(candidates), rows_updated=n_updated, version=version)
+    return audit

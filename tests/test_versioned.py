@@ -259,3 +259,48 @@ class TestDeleteWhere:
         )
         assert audit["files_rewritten"] == 0 and audit["rows_deleted"] == 0
         assert list_versions(dest) == [1]  # nothing published
+
+
+class TestUpdateWhere:
+    def test_copy_on_write_update(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from data_integration_and_processing_spark.sources.versioned import (
+            _read_manifest,
+            list_versions,
+            read_version,
+            update_where,
+            write_version_with_stats,
+        )
+
+        dest = str(tmp_path / "orders_upd")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        write_version_with_stats(
+            orders.repartitionByRange(8, "o_totalprice"), dest, mode="overwrite"
+        )
+        v1_files = set(_read_manifest(dest, 1)["files"])
+        audit = update_where(
+            spark,
+            dest,
+            "o_totalprice >= 450000.0",
+            {"o_orderpriority": "'5-LOW'", "o_totalprice": "o_totalprice * 0.9"},
+            prune=[("o_totalprice", ">=", 450000.0)],
+        )
+        n_match = orders.filter(F.col("o_totalprice") >= 450000.0).count()
+        assert audit["rows_updated"] == n_match > 0
+        assert 0 < audit["files_rewritten"] < audit["files_total"]
+
+        cur = read_version(spark, dest)
+        assert cur.count() == orders.count()  # UPDATE never changes cardinality
+        # all previously-matching rows now discounted and re-prioritized
+        assert cur.filter(F.col("o_totalprice") >= 450000.0).count() == 0
+        assert (
+            cur.filter(F.col("o_orderpriority") == "5-LOW").count()
+            >= n_match
+        )
+        # untouched files carry by path; v1 unchanged
+        v2 = _read_manifest(dest, list_versions(dest)[-1])
+        assert v1_files & set(v2["files"])
+        assert read_version(spark, dest, 1).filter(
+            F.col("o_totalprice") >= 450000.0
+        ).count() == n_match
