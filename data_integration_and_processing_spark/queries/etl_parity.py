@@ -832,3 +832,53 @@ def etl_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         "min_key",
     )
+
+
+@register(
+    "etl_backfill_partitions",
+    oracle="""
+        SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+               o_orderpriority,
+               count(*) AS n
+        FROM orders WHERE month(o_orderdate) <= 3
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    description=(
+        "idempotent partitioned backfill (plans/pipelines.py::backfill): three "
+        "month-partitions computed and landed atomically (tmp-dir + rename), a "
+        "second pass skips all three as already-present — the raise_error guard "
+        "pins the skip — and the hive-partitioned result reads back for the "
+        "oracle compare. The re-runnable unit the reference's whole-table "
+        "re-copy (ETLManager.py:60-99) cannot express"
+    ),
+    tags=("etl", "sink", "partitioning", "incremental"),
+)
+def etl_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.plans.pipelines import backfill  # noqa: PLC0415
+
+    dest = f"{_SCRATCH}/orders_backfill"
+    shutil.rmtree(dest, ignore_errors=True)
+
+    def month_fn(s: SparkSession, p: str) -> DataFrame:
+        return (
+            load_table(s, sf_dir, "orders")
+            .filter(F.month("o_orderdate") == int(p))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+
+    first = backfill(spark, month_fn, dest, ["1", "2", "3"], partition_col="m")
+    second = backfill(spark, month_fn, dest, ["1", "2", "3"], partition_col="m")
+    ok = all(v == "written" for v in first.values()) and all(
+        v == "skipped" for v in second.values()
+    )
+    back = spark.read.parquet(dest).select(
+        F.col("m").cast("bigint").alias("m"), "o_orderpriority", "n"
+    )
+    return back.select(
+        F.when(F.lit(ok), F.col("m")).otherwise(
+            F.raise_error(F.lit("backfill idempotence violated"))
+        ).alias("m"),
+        "o_orderpriority",
+        "n",
+    ).orderBy("m", "o_orderpriority")
