@@ -467,3 +467,42 @@ def update_where(
     os.rename(tmp, final)
     audit.update(files_rewritten=len(candidates), rows_updated=n_updated, version=version)
     return audit
+
+
+def optimize(spark: SparkSession, path: str, target_files: int = 4) -> dict:
+    """OPTIMIZE (small-file compaction) as a versioned commit: read the
+    latest snapshot, rewrite it as ``target_files`` files, publish a new
+    manifest with fresh footer stats. Contents are bit-identical (the
+    oracle invariant any compaction must keep); history keeps the
+    fragmented version readable until vacuum retires it. The store-level
+    twin of sources/maintenance.py::compact_parquet, with the log's
+    snapshot isolation instead of a directory swap."""
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    m = _read_manifest(path, versions[-1])
+    before = len(m["files"])
+    if before <= target_files:
+        return {"files_before": before, "files_after": before, "version": versions[-1], "skipped": True}
+    df = spark.read.parquet(*m["files"]).coalesce(target_files)
+    new_files = _write_data_files(df, path)
+    stats = m.get("stats", {})
+    stat_cols = list(next(iter(stats.values()), {})) or [f.name for f in df.schema.fields]
+    new_stats = _file_stats(new_files, stat_cols)
+    version = versions[-1] + 1
+    vdir = _versions_dir(path)
+    manifest = {
+        "version": version,
+        "parent": versions[-1],
+        "op": f"optimize({target_files})",
+        "files": sorted(new_files),
+        "stats": new_stats,
+    }
+    tmp = os.path.join(vdir, f".v{version}.{uuid.uuid4().hex}.tmp")
+    final = os.path.join(vdir, f"v{version}.json")
+    if os.path.exists(final):
+        raise FileExistsError(f"version {version} already committed at {path}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, final)
+    return {"files_before": before, "files_after": len(new_files), "version": version, "skipped": False}

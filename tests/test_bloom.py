@@ -101,3 +101,23 @@ def test_partition_diff_locates_divergent_buckets(spark, sf_dir):
             drop_counts[k % _DIFF_BUCKETS] = drop_counts.get(k % _DIFF_BUCKETS, 0) + 1
     for b, r in by_bucket.items():
         assert r["base_rows"] - r["replica_rows"] == drop_counts.get(b, 0)
+
+
+def test_no_false_negatives_property(spark):
+    """Property: for randomized key sets and probe mixes, every true member
+    survives the prefilter (zero false negatives at any n_bits/n_hashes)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n_bits = rng.choice([1 << 12, 1 << 14, 1 << 16])
+        k = rng.choice([2, 3, 5])
+        members = [rng.randrange(-(2**40), 2**40) for _ in range(rng.randrange(1, 500))]
+        dim = spark.createDataFrame([(m,) for m in set(members)], "k long")
+        words = bloom_build(dim, "k", n_bits=n_bits, n_hashes=k)
+        kept = bloom_prefilter(
+            dim.withColumnRenamed("k", "fk"), "fk", words, n_bits=n_bits, n_hashes=k
+        )
+        assert kept.count() == dim.count(), (trial, n_bits, k)

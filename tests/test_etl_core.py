@@ -353,3 +353,36 @@ def test_cli_query_subcommand(tmp_path, sf_dir):
     ).fetchone()[0]
     got = duckdb.connect().execute(f"SELECT count(*) FROM '{dest}/*.parquet'").fetchone()[0]
     assert got == want
+
+
+def test_backfill_crash_leaves_completed_partitions_visible(spark, sf_dir, tmp_path):
+    """Crash mid-backfill: completed partitions stay readable, the failed one
+    is invisible (no tmp dir promoted), and a re-run repairs exactly it."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_integration_and_processing_spark.plans.pipelines import backfill
+
+    dest = str(tmp_path / "daily_crash")
+    calls = {"n": 0}
+
+    def flaky_fn(s, p):
+        calls["n"] += 1
+        if p == "2" and calls["n"] <= 2:
+            raise RuntimeError("simulated cluster loss")
+        return (
+            s.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.month("o_orderdate") == int(p))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+
+    with _pytest.raises(RuntimeError, match="simulated"):
+        backfill(spark, flaky_fn, dest, ["1", "2", "3"], partition_col="m")
+    # partition 1 completed and is readable; 2 and 3 never became visible
+    import os
+
+    assert os.path.isdir(f"{dest}/m=1")
+    assert not os.path.isdir(f"{dest}/m=2") and not os.path.isdir(f"{dest}/m=3")
+    repair = backfill(spark, flaky_fn, dest, ["1", "2", "3"], partition_col="m")
+    assert repair == {"1": "skipped", "2": "written", "3": "written"}

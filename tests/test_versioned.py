@@ -304,3 +304,28 @@ class TestUpdateWhere:
         assert read_version(spark, dest, 1).filter(
             F.col("o_totalprice") >= 450000.0
         ).count() == n_match
+
+
+class TestOptimize:
+    def test_compaction_preserves_contents_and_history(self, spark, sf_dir, tmp_path):
+        from data_integration_and_processing_spark.sources.versioned import (
+            optimize,
+            read_version,
+            write_version_with_stats,
+        )
+
+        dest = str(tmp_path / "orders_opt")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        write_version_with_stats(orders.repartition(16), dest, mode="overwrite")
+        audit = optimize(spark, dest, target_files=3)
+        assert audit["files_before"] == 16 and audit["files_after"] <= 3
+        cur = read_version(spark, dest)
+        assert sorted(r["o_orderkey"] for r in cur.select("o_orderkey").collect()) == sorted(
+            r["o_orderkey"] for r in orders.select("o_orderkey").collect()
+        )
+        # fragmented version still readable (history intact until vacuum)
+        v1 = read_version(spark, dest, 1)
+        assert v1.count() == orders.count()
+        # idempotent below target
+        again = optimize(spark, dest, target_files=3)
+        assert again["skipped"] is True
