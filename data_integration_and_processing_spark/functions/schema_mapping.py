@@ -120,3 +120,49 @@ def clickhouse_create_table_options(order_by: str = "tuple()", engine: str = "Me
     else:
         engine_clause = engine
     return f"ENGINE = {engine_clause} ORDER BY {order_by}"
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution compatibility (CDC feed governance)
+# ---------------------------------------------------------------------------
+
+# Safe widenings a reader can apply losslessly (Spark's own ANSI store
+# assignment rules, restricted to the always-safe subset).
+_WIDENINGS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+    ("float", "double"),
+    ("date", "timestamp"),
+}
+
+
+def check_schema_compatibility(old, new) -> tuple[bool, list[str]]:
+    """Can data written with ``old`` be read/merged under ``new``?
+
+    The contract an evolving CDC feed must keep: every old column still
+    exists with the same or a safely WIDENED type (int->bigint,
+    float->double, date->timestamp); brand-new columns must be nullable
+    (old rows have no value for them); a non-nullable old column may not
+    become... anything missing. Returns (compatible, human reasons) — the
+    gate a pipeline runs BEFORE cdc_apply/upsert so a producer's breaking
+    change fails loudly at the boundary instead of corrupting the merge.
+    """
+    old_fields = {f.name: f for f in old.fields}
+    new_fields = {f.name: f for f in new.fields}
+    reasons: list[str] = []
+    for name, f in old_fields.items():
+        nf = new_fields.get(name)
+        if nf is None:
+            reasons.append(f"column {name!r} dropped (old rows would lose data)")
+            continue
+        o_t, n_t = f.dataType.simpleString(), nf.dataType.simpleString()
+        if o_t != n_t and (o_t, n_t) not in _WIDENINGS:
+            reasons.append(f"column {name!r} narrowed or changed: {o_t} -> {n_t}")
+        if f.nullable and not nf.nullable:
+            reasons.append(f"column {name!r} tightened to non-nullable (old rows may hold NULL)")
+    for name, nf in new_fields.items():
+        if name not in old_fields and not nf.nullable:
+            reasons.append(f"new column {name!r} is non-nullable (old rows have no value)")
+    return (not reasons, reasons)

@@ -469,7 +469,9 @@ def update_where(
     return audit
 
 
-def optimize(spark: SparkSession, path: str, target_files: int = 4) -> dict:
+def optimize(
+    spark: SparkSession, path: str, target_files: int = 4, sort_cols: list[str] | None = None
+) -> dict:
     """OPTIMIZE (small-file compaction) as a versioned commit: read the
     latest snapshot, rewrite it as ``target_files`` files, publish a new
     manifest with fresh footer stats. Contents are bit-identical (the
@@ -484,7 +486,14 @@ def optimize(spark: SparkSession, path: str, target_files: int = 4) -> dict:
     before = len(m["files"])
     if before <= target_files:
         return {"files_before": before, "files_after": before, "version": versions[-1], "skipped": True}
-    df = spark.read.parquet(*m["files"]).coalesce(target_files)
+    df = spark.read.parquet(*m["files"])
+    if sort_cols:
+        # clustering-preserving compaction: range-partition + sort instead of
+        # coalesce, so file [min,max] ranges stay tight and the manifest
+        # stats keep their pruning power after the rewrite
+        df = df.repartitionByRange(target_files, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        df = df.coalesce(target_files)
     new_files = _write_data_files(df, path)
     stats = m.get("stats", {})
     stat_cols = list(next(iter(stats.values()), {})) or [f.name for f in df.schema.fields]

@@ -329,3 +329,23 @@ class TestOptimize:
         # idempotent below target
         again = optimize(spark, dest, target_files=3)
         assert again["skipped"] is True
+
+
+def test_optimize_with_sort_cols_keeps_stats_tight(spark, sf_dir, tmp_path):
+    from data_integration_and_processing_spark.sources.versioned import (
+        _read_manifest,
+        list_versions,
+        optimize,
+        read_version_pruned,
+        write_version_with_stats,
+    )
+
+    dest = str(tmp_path / "orders_opt_sorted")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_version_with_stats(orders.repartition(16), dest, mode="overwrite")
+    optimize(spark, dest, target_files=4, sort_cols=["o_totalprice"])
+    # clustering restored: a selective range predicate prunes files again
+    _, audit = read_version_pruned(spark, dest, [("o_totalprice", ">=", 450000.0)])
+    assert audit["files_read"] < audit["total_files"], audit
+    m = _read_manifest(dest, list_versions(dest)[-1])
+    assert set(m["stats"]) == set(m["files"])
