@@ -62,6 +62,7 @@ def upsert(
     target: DataFrame,
     updates: DataFrame,
     key_cols: list[str],
+    strict_schema: bool = False,
 ) -> DataFrame:
     """Merge/upsert semantics — the sink mode the reference lacks (it only
     drops-and-recreates, `/root/reference/PostgresDatabase.py:72-73`, or
@@ -72,7 +73,21 @@ def upsert(
     Expressed as target-anti-join-updates UNION updates: one shuffle per
     side keyed on the merge key. On a format with native MERGE (Delta/
     Iceberg) this becomes `MERGE INTO`; the plan here is the
-    format-agnostic equivalent with identical semantics."""
+    format-agnostic equivalent with identical semantics.
+
+    ``strict_schema=True`` runs the schema-evolution gate first
+    (functions/schema_mapping.py::check_schema_compatibility): the updates
+    feed may only widen — a producer's breaking change (dropped/narrowed/
+    nullable-tightened column) raises HERE, at the boundary, instead of
+    corrupting the merge or the sink downstream."""
+    if strict_schema:
+        from data_integration_and_processing_spark.functions.schema_mapping import (  # noqa: PLC0415
+            check_schema_compatibility,
+        )
+
+        ok, reasons = check_schema_compatibility(target.schema, updates.schema)
+        if not ok:
+            raise ValueError(f"incompatible updates schema for upsert: {reasons}")
     surviving = target.join(updates.select(*key_cols), key_cols, "left_anti")
     return surviving.unionByName(updates)
 

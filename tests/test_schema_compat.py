@@ -49,3 +49,18 @@ def test_drop_narrow_and_tighten_fail():
         old, _schema(("id", LongType(), False), ("v", DoubleType(), False))
     )
     assert not ok and "non-nullable" in why[0]
+
+
+def test_upsert_strict_schema_gate(spark, sf_dir):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_integration_and_processing_spark.plans.pipelines import upsert
+
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    good = base.limit(3).withColumn("n_name", F.upper("n_name"))
+    assert upsert(base, good, ["n_nationkey"], strict_schema=True).count() == base.count()
+    # breaking change: a column narrowed int->smallint... emulate by drop
+    bad = base.limit(3).drop("n_regionkey")
+    with pytest.raises(ValueError, match="dropped"):
+        upsert(base, bad, ["n_nationkey"], strict_schema=True)
