@@ -702,6 +702,44 @@ def pq_probe(
     )
 
 
+def _train_centroids(
+    sample: np.ndarray, k: int, seed: int, n_iter: int = 25, restarts: int = 3
+) -> np.ndarray:
+    """Driver-side Lloyd k-means on a bounded sample — the full-vector twin
+    of _train_pq_codebooks' per-subspace trainer, with ``restarts`` seeded
+    kmeans++ attempts keeping the lowest-inertia result (a single greedy
+    init loses ~5 recall points vs pyspark.ml's kmeans|| on clustered
+    data). Deterministic; O(restarts * sample * k * dim) numpy."""
+    n = len(sample)
+
+    def one(run_seed: int) -> tuple[float, np.ndarray]:
+        rs = np.random.RandomState(run_seed)
+        centers = [sample[rs.randint(n)]]
+        for _ in range(min(k, n) - 1):
+            d2 = np.min([((sample - c) ** 2).sum(axis=1) for c in centers], axis=0)
+            total = float(d2.sum())
+            centers.append(
+                sample[rs.randint(n)] if total <= 0 else sample[rs.choice(n, p=d2 / total)]
+            )
+        cb = np.array(centers, dtype=np.float64)
+        for _ in range(n_iter):
+            d2 = ((sample[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cb)):
+                members = sample[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        inertia = float(((sample - cb[np.argmin(
+            ((sample[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2), axis=1
+        )]) ** 2).sum())
+        if len(cb) < k:
+            cb = np.vstack([cb, np.repeat(cb[-1:], k - len(cb), axis=0)])
+        return inertia, cb
+
+    best = min((one(seed + 1000 * r) for r in range(restarts)), key=lambda t: t[0])
+    return best[1]
+
+
 def ann_join_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -738,22 +776,60 @@ def ann_join_ivf(
     scales with corpus size (sqrt(N) rule of thumb) — the centroid table
     stays broadcastable far past 10^9 vectors.
     """
-    from pyspark.ml.clustering import KMeans  # noqa: PLC0415
-    from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
     from pyspark.sql.window import Window  # noqa: PLC0415
 
-    feat = fan_out_scan(corpus).withColumn(
-        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    # Coarse quantizer trained driver-side on a bounded sample (the PQ
+    # trainer's shape — FAISS trains on samples too): for single-digit
+    # n_cells, numpy Lloyd on <=4096 vectors beats a pyspark.ml KMeans fit
+    # by seconds of JVM job overhead, and centroids are O(n_cells*dim)
+    # model state either way. Sample via the portable integer hash so the
+    # trainer sees a deterministic, shuffle-independent subset.
+    # training-set cap is the scale lever: 64k vectors bound the driver
+    # collect at ~32 MB for dim=64 while far exceeding what single-digit
+    # n_cells needs; a larger corpus contributes a hash-deterministic
+    # subset, a smaller one trains on everything (sub-sampling a small
+    # corpus costs measurable recall for zero savings)
+    sample_rows = (
+        fan_out_scan(corpus)
+        .select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_svec"))
+        .withColumn("_b", F.pmod(F.xxhash64("_sid", F.lit(seed)), F.lit(1024)))
+        .orderBy("_b", "_sid")
+        .limit(65536)
+        .collect()
     )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell").fit(feat)
-    corpus_cells = model.transform(feat).select(
+    sample = np.array([r["_svec"] for r in sample_rows], dtype=np.float64)
+    if len(sample) < n_cells:
+        sample = np.array(
+            [r[vec_col] for r in corpus.select(vec_col).limit(max(n_cells, 64)).collect()],
+            dtype=np.float64,
+        )
+    centers_np = _train_centroids(sample, n_cells, seed)
+
+    cent = queries.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers_np)],
+        "cell int, center array<double>",
+    )
+    # assignment: argmin over n_cells squared distances, all JVM expressions
+    d2_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centers_np
+    ]
+    assign = F.array_position(
+        F.array(*d2_cols), F.array_min(F.array(*d2_cols))
+    ) - 1
+    corpus_cells = fan_out_scan(corpus).select(
         F.col(id_col).alias("_nbr_id"),
         F.col(vec_col).alias("_nbr_vec"),
-        F.col("_cell").cast("int").alias("_cell"),
+        assign.cast("int").alias("_cell"),
     )
-
-    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    cent = queries.sparkSession.createDataFrame(centers, "cell int, center array<double>")
     # squared L2 distance query->centroid, JVM fold — no UDF
     d2 = F.aggregate(
         F.zip_with(
