@@ -555,3 +555,60 @@ def etl_mask_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_acctbal": "generalize:1000",
         },
     ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal", "c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# sequence-continuity audit (gaps / duplicates in an id column)
+# ---------------------------------------------------------------------------
+
+_SEQ_ORACLE = """
+WITH ordered AS (
+    SELECT o_orderkey AS k,
+           lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev
+    FROM orders
+),
+gaps AS (
+    SELECT prev + 1 AS gap_start, k - 1 AS gap_end, k - prev - 1 AS missing
+    FROM ordered WHERE prev IS NOT NULL AND k - prev > 1
+),
+dups AS (
+    SELECT count(*) - count(DISTINCT o_orderkey) AS n_dups FROM orders
+)
+SELECT (SELECT count(*) FROM gaps) AS n_gaps,
+       (SELECT coalesce(sum(missing), 0) AS m FROM gaps) AS missing_ids,
+       (SELECT n_dups FROM dups) AS duplicate_ids,
+       (SELECT min(k) FROM ordered) AS min_id,
+       (SELECT max(k) FROM ordered) AS max_id
+"""
+
+
+@register(
+    "quality_sequence_audit",
+    oracle=_SEQ_ORACLE,
+    description=(
+        "sequence-continuity audit for a supposedly-gapless id column: gap count "
+        "and total missing ids via one lag window over the sorted key, duplicate "
+        "count via count vs count-distinct — the ingestion check that catches a "
+        "dropped batch (gap) or a doubled one (dups) before reconciliation. One "
+        "sort-shuffle on the key; output is a single audit row"
+    ),
+    tags=("quality", "audit", "window", "ids"),
+)
+def quality_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    w = Window.orderBy("k")
+    ordered = o.withColumn("prev", F.lag("k").over(w))
+    gaps = ordered.filter(F.col("prev").isNotNull() & (F.col("k") - F.col("prev") > 1)).select(
+        (F.col("k") - F.col("prev") - 1).alias("missing")
+    )
+    gap_stats = gaps.agg(
+        F.count("*").alias("n_gaps"), F.coalesce(F.sum("missing"), F.lit(0)).alias("missing_ids")
+    )
+    dup_stats = o.agg(
+        (F.count("*") - F.count_distinct("k")).alias("duplicate_ids"),
+        F.min("k").alias("min_id"),
+        F.max("k").alias("max_id"),
+    )
+    return gap_stats.crossJoin(dup_stats).select(
+        "n_gaps", "missing_ids", "duplicate_ids", "min_id", "max_id"
+    )

@@ -1475,3 +1475,43 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.groupBy("user_id").agg(F.count("*").alias("n_overlaps")).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# keyset pagination (the OFFSET-free page fetch)
+# ---------------------------------------------------------------------------
+
+_PAGE_SIZE = 50
+_PAGE_CURSOR = (3, 100)  # (o_totalprice tier marker) — see query: cursor is a (price, key) pair
+
+
+@register(
+    "sort_keyset_pagination",
+    oracle=f"""
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE (o_totalprice, o_orderkey) > (300000.0, 100)
+        ORDER BY o_totalprice, o_orderkey
+        LIMIT {_PAGE_SIZE}
+    """,
+    description=(
+        "keyset (cursor) pagination: the next page is WHERE (sort_key, id) > "
+        "(last_seen) ORDER BY ... LIMIT n — a pushdown-able range predicate plus "
+        "a TakeOrdered, so page 10k costs the same as page 1. OFFSET pagination "
+        "re-sorts and discards everything before the page; at 100 TB a deep "
+        "OFFSET is a full-table sort per page, the keyset fetch is a pruned scan"
+    ),
+    tags=("sort", "filter", "scale"),
+)
+def sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cursor_price, cursor_key = 300000.0, 100
+    after_cursor = (F.col("o_totalprice") > cursor_price) | (
+        (F.col("o_totalprice") == cursor_price) & (F.col("o_orderkey") > cursor_key)
+    )
+    return (
+        o.filter(after_cursor)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(_PAGE_SIZE)
+    )
