@@ -594,3 +594,35 @@ def stream_python_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_python_source_replay(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "stream_neardup_incremental",
+    # no SQL oracle (MinHash-LSH banding has no DuckDB twin); the order-free
+    # cluster contract is pinned in tests/test_incremental_neardup.py
+    description=(
+        "streaming NEAR-dedup: each micro-batch near-dedups within itself, then "
+        "checks against the persistent banded-LSH index of everything accepted so "
+        "far and appends only its survivors' index rows — state is the corpus "
+        "index itself, grown by accepted docs only (every duplicate adds "
+        "nothing), and per-batch cost is O(batch + matched buckets) however much "
+        "history the stream has accumulated. The streaming twin of "
+        "dedup_incremental_neardup"
+    ),
+    tags=("streaming", "dedup", "incremental", "north-star"),
+)
+def stream_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.streaming.pipelines import (  # noqa: PLC0415
+        run_streaming_neardup,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(300)
+    words = F.split(F.col("text"), " ")
+    truncated = F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 5, F.lit(1))), " ")
+    copies = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), truncated.alias("text")
+    )
+    stream_input = d.select("doc_id", "text").unionByName(copies)
+    return run_streaming_neardup(spark, stream_input)

@@ -1461,3 +1461,100 @@ def run_python_source_replay(
         prev_result, prev_total = result, total
     assert prev_result is not None, "python-source replay produced no data"
     return prev_result.orderBy("event_type")
+
+
+def run_streaming_neardup(
+    spark: SparkSession,
+    docs: DataFrame,
+    scratch_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Streaming NEAR-dedup: every micro-batch checks against the
+    persistent banded-LSH index of everything accepted so far, drops
+    near-dups, and APPENDS the survivors' index rows — the streaming form
+    of neardup_against_snapshot with the state the batch operator's
+    docstring prescribes: the hashed-shingle table and the (band, bucket)
+    index are write-once artifacts that GROW by each batch's survivors and
+    are never recomputed. Per-batch cost is O(batch + matched buckets),
+    independent of how much history the stream has accumulated — the
+    exact-key streaming dedup (stream_dedup_watermark) bounds state by a
+    watermark; near-dup state is the corpus index itself, so it grows by
+    accepted documents only (every duplicate adds nothing).
+    """
+    from data_integration_and_processing_spark.operators.dedup import (  # noqa: PLC0415
+        lsh_bands,
+        minhash_lsh_dedup,
+        minhash_signature_from_hashes,
+        shingle_keys,
+    )
+
+    scratch = scratch_dir or f"/tmp/diaps_sneardup_{uuid.uuid4().hex[:8]}"
+    stream, sink = _staged_stream(spark, docs, scratch)
+    hs_state, band_state, out_state = f"{sink}_hs", f"{sink}_bands", f"{sink}_accepted"
+
+    def _index(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        hs = df.select(
+            F.col(id_col).alias("id"), shingle_keys(F.col(text_col), 3).alias("hs")
+        ).filter(F.size("hs") > 0)
+        sig = hs.select("id", minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig"))
+        banded = sig.select(
+            "id", F.posexplode(lsh_bands(F.col("sig"), bands, num_hashes // bands)).alias("band", "bucket")
+        )
+        return hs, banded
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.sparkSession
+        # within-batch near-dedup first (a batch can contain its own dups)
+        batch_unique = minhash_lsh_dedup(
+            batch_df, text_col=text_col, id_col=id_col, num_hashes=num_hashes, bands=bands,
+            jaccard_threshold=jaccard_threshold,
+        )
+        hs_b, banded_b = _index(batch_unique)
+        hs_b = hs_b.localCheckpoint(eager=True)
+        banded_b = banded_b.localCheckpoint(eager=True)
+        try:
+            hs_s = b.read.parquet(hs_state)
+            banded_s = b.read.parquet(band_state)
+            snap_buckets = (
+                banded_s.groupBy("band", "bucket")
+                .agg(F.array_sort(F.collect_set("id")).alias("snap_ids"))
+                .filter(F.size("snap_ids") <= max_bucket)
+            )
+            cand = (
+                banded_b.join(snap_buckets, ["band", "bucket"])
+                .select(F.col("id").alias("id_b"), F.explode("snap_ids").alias("id_s"))
+                .dropDuplicates(["id_b", "id_s"])
+            )
+            inter = F.size(F.array_intersect("hs_batch", "hs_snap"))
+            union = F.size("hs_batch") + F.size("hs_snap") - inter
+            dup_ids = (
+                cand.join(hs_b.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_batch")), "id_b")
+                .join(hs_s.select(F.col("id").alias("id_s"), F.col("hs").alias("hs_snap")), "id_s")
+                .filter((inter.cast("double") / union) >= jaccard_threshold)
+                .select(F.col("id_b").alias("id"))
+                .distinct()
+            )
+            survivors = hs_b.join(dup_ids, "id", "left_anti").select("id").localCheckpoint(eager=True)
+        except Exception:  # noqa: BLE001 — first batch: no state yet
+            survivors = hs_b.select("id").localCheckpoint(eager=True)
+        hs_b.join(survivors, "id").write.mode("append").parquet(hs_state)
+        banded_b.join(survivors, "id").write.mode("append").parquet(band_state)
+        batch_unique.join(
+            survivors.withColumnRenamed("id", id_col), id_col
+        ).write.mode("append").parquet(out_state)
+
+    (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .option("maxFilesPerTrigger", 8)
+        .foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(600)
+    )
+    return spark.read.parquet(out_state).select(id_col).orderBy(id_col)

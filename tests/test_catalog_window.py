@@ -80,3 +80,12 @@ def test_priority_does_not_shrink_catalog():
     specs = catalog.all_specs()
     assert len(specs) >= 125
     assert len(set(specs)) == len(specs)
+
+
+def test_catalog_md_is_fresh():
+    """CATALOG.md must match the registry — regenerate with
+    scripts/catalog_dump.py after adding queries."""
+    import scripts.catalog_dump as dump
+
+    with open("/root/repo/CATALOG.md") as f:
+        assert f.read() == dump.render(), "CATALOG.md stale — run scripts/catalog_dump.py"

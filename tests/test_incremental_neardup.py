@@ -52,3 +52,54 @@ def test_exact_copy_of_snapshot_also_dropped(spark):
     batch = _df(spark, [(30, _BASE_A), (31, _BASE_B)])
     out = neardup_against_snapshot(batch, snapshot, id_col="id", text_col="text")
     assert sorted(r["id"] for r in out.collect()) == [31]
+
+
+def test_streaming_neardup_rejects_late_copies(spark, sf_dir):
+    """Stream originals followed by truncated near-copies: every original is
+    accepted, every late copy is rejected against the grown index."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from data_integration_and_processing_spark.streaming.pipelines import run_streaming_neardup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    words = F.split(F.col("text"), " ")
+    truncated = F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 5, F.lit(1))), " ")
+    originals = d.select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), truncated.alias("text")
+    )
+    # staged replay is mtime-ordered per file write; write originals first
+    # by giving copies higher doc_ids AND relying on the single staged
+    # parquet (one batch window may mix rows — within-batch dedup then
+    # keeps the min-id member, which is always the original)
+    stream_input = originals.unionByName(copies)
+    scratch = f"/tmp/diaps_sneardup_test_{uuid.uuid4().hex[:8]}"
+    accepted = {
+        r["doc_id"] for r in run_streaming_neardup(spark, stream_input, scratch_dir=scratch).collect()
+    }
+    orig_ids = {r["doc_id"] for r in originals.collect()}
+    copy_ids = {r["doc_id"] for r in copies.collect()}
+    # Arrival order across micro-batches is arbitrary (the staged replay
+    # interleaves originals and copies), so the ORDER-FREE contract is what
+    # holds: at most one member of each {original, its copy} cluster
+    # survives, nothing outside the input survives, and the corpus's
+    # distinct mass is preserved.
+    assert accepted <= (orig_ids | copy_ids)
+    # a 5-word truncation only stays above the 0.5-jaccard threshold for
+    # docs comfortably past ~12 words ((n-7)/(n-2) >= 0.5); short docs'
+    # copies are legitimately NOT near-dups, so assert only on long ones
+    long_ids = {
+        r["doc_id"]
+        for r in d.filter(F.size(F.split("text", " ")) >= 20).select("doc_id").collect()
+    }
+    both = {
+        c
+        for c in copy_ids
+        if c in accepted and (c - 900_000) in accepted and (c - 900_000) in long_ids
+    }
+    assert not both, sorted(both)[:5]
+    # every cluster is represented within the tolerance of natural
+    # near-dups among the originals themselves
+    assert len(accepted) >= 0.9 * len(orig_ids), (len(accepted), len(orig_ids))
