@@ -818,3 +818,162 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 + vector ranks fused with RRF
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_QVEC_ID = 7  # query point: embedding of vec_id 7 (vec_id aligns doc_id)
+
+
+def _hybrid_oracle() -> str:
+    from data_integration_and_processing_spark.queries.similarity_queries import (  # noqa: PLC0415
+        _cos_sql,
+    )
+
+    t1, t2, t3 = _BM25_TERMS
+    per_term = ", ".join(
+        f"""max(CASE WHEN term = '{t}' THEN
+            ln(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+            * (tf * {_BM25_K1P1})
+            / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * (dl / avgdl)))
+        END) AS s_{t}"""
+        for t in _BM25_TERMS
+    )
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, string_split(text, ' ') AS words,
+                   len(string_split(text, ' ')) AS dl
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs
+        ),
+        tok AS (SELECT doc_id, unnest(words) AS term FROM docs),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM tok
+            WHERE term IN ('{t1}', '{t2}', '{t3}') GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+        scored AS (
+            SELECT tf.doc_id, {per_term}
+            FROM tf JOIN dfreq USING (term) JOIN docs USING (doc_id) CROSS JOIN stats
+            GROUP BY tf.doc_id
+        ),
+        bm AS (
+            SELECT doc_id,
+                   round(coalesce(s_{t1}, 0.0) + coalesce(s_{t2}, 0.0) + coalesce(s_{t3}, 0.0), 6) AS bm25
+            FROM scored
+        ),
+        bm_ranked AS (
+            SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_bm FROM bm
+        ),
+        qv AS (SELECT embedding FROM embeddings WHERE vec_id = {_RRF_QVEC_ID}),
+        vec AS (
+            SELECT e.vec_id AS doc_id,
+                   round({_cos_sql('e.embedding', 'qv.embedding')}, 6) AS cos_sim
+            FROM embeddings e, qv WHERE e.vec_id < 500
+        ),
+        vec_ranked AS (
+            SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS r_vec FROM vec
+        ),
+        fused AS (
+            SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+                   round(coalesce(1.0 / ({_RRF_K} + r_bm), 0.0)
+                         + coalesce(1.0 / ({_RRF_K} + r_vec), 0.0), 9) AS rrf
+            FROM bm_ranked b FULL OUTER JOIN vec_ranked v ON b.doc_id = v.doc_id
+        )
+        SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20
+    """
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=_hybrid_oracle(),
+    description=(
+        "hybrid retrieval: BM25 lexical ranks fused with embedding-cosine ranks "
+        "by reciprocal-rank fusion (1/(60+r) per list, missing rank contributes "
+        "0) — the standard RAG retrieval stack's merge step, score-scale-free by "
+        "construction. Both branches reuse this catalog's oracled machinery; "
+        "ranks are over rounded scores with id tiebreaks so both engines rank "
+        "identically. Rank lists are candidate-sized (the windows order "
+        "hundreds of scored rows, not the corpus); at 100 TB each branch is its "
+        "own top-k retrieval and RRF fuses k-sized lists"
+    ),
+    tags=("text", "similarity", "north-star", "search"),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.similarity import cosine  # noqa: PLC0415
+
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    docs = d.select("doc_id", words_of(F.col("text")).alias("words")).withColumn(
+        "dl", F.size("words")
+    )
+    stats = docs.agg(
+        F.count("*").alias("n_docs"), (F.sum("dl").cast("double") / F.count("*")).alias("avgdl")
+    )
+    tok = docs.select("doc_id", F.explode("words").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    part = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5)) / (F.col("doc_freq") + F.lit(0.5))
+        )
+        * (F.col("tf") * F.lit(_BM25_K1P1))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+    per_term = [F.max(F.when(F.col("term") == t, part)).alias(f"s_{t}") for t in _BM25_TERMS]
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(docs.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(*per_term)
+    )
+    total = None
+    for t in _BM25_TERMS:
+        c = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
+        total = c if total is None else total + c
+    bm = scored.select("doc_id", F.round(total, 6).alias("bm25"))
+    bm_ranked = bm.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))).alias("r_bm"),
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == _RRF_QVEC_ID).select(F.col("embedding").alias("qv"))
+    vec = (
+        e.filter(F.col("vec_id") < 500)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    vec_ranked = vec.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))).alias("r_vec"),
+    )
+
+    b = bm_ranked.withColumnRenamed("doc_id", "b_id")
+    v = vec_ranked.withColumnRenamed("doc_id", "v_id")
+    fused = b.join(v, b["b_id"] == v["v_id"], "full_outer").select(
+        F.coalesce(F.col("b_id"), F.col("v_id")).alias("doc_id"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_bm")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_vec")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
