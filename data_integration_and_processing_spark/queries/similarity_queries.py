@@ -401,3 +401,73 @@ def sim_ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.filter(F.col("vec_id") % 25 != 0)
     out = ann_join_ivf(q, c, k=10, n_cells=8, nprobe=2)
     return out.orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+_NEG_K = 5
+_NEG_NQ = 40  # queries: vec_id % 50 == 0 => 40 of 2000 at sf0.01
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding, label FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 50 <> 0),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS negative_id,
+                   round({{cos}}, 6) AS cos_sim
+            FROM c, q WHERE c.label <> q.label
+        ),
+        ranked AS (
+            SELECT query_id, negative_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, negative_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, negative_id, cos_sim, rank
+        FROM ranked WHERE rank <= {_NEG_K}
+        ORDER BY query_id, rank
+    """.format(cos=_cos_sql("c.embedding", "q.embedding")),
+    description=(
+        "hard-negative mining for contrastive training: per query vector, the "
+        "top-k most-similar corpus vectors with a DIFFERENT label — the negatives "
+        "that actually move an embedding model, vs easy random ones. Broadcast "
+        "query batch, JVM cosine, label inequality folded into the scoring "
+        "filter, per-query window top-k — the sim_knn_join plan with the "
+        "label-aware predicate pushed before ranking. At 100 TB: route the "
+        "candidate pass through the IVF/LSH indexes like any retrieval"
+    ),
+    tags=("similarity", "north-star", "topk", "sampling"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    c = e.filter(F.col("vec_id") % 50 != 0).select(
+        F.col("vec_id").alias("negative_id"), "embedding", "label"
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "negative_id",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _NEG_K)
+        .orderBy("query_id", "rank")
+    )
