@@ -863,3 +863,52 @@ def ann_join_ivf(
             "rank",
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    lam: float = 0.7,
+    k: int = 10,
+    id_col: str = "vec_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance rerank of a BOUNDED candidate list:
+    greedily pick argmax of ``lam*relevance - (1-lam)*max_sim_to_selected``.
+
+    The greedy loop is inherently sequential and candidate-sized, so it
+    runs on the driver over a collected list — the same single-node rerank
+    stage every production retrieval stack ends with (candidates are k*10
+    rows by construction; the DISTRIBUTED stages are the retrieval that
+    produced them). Deterministic: ties break on ascending id; similarity
+    is exact cosine in float64.
+    """
+    rows = candidates.select(id_col, score_col, vec_col).collect()
+    if not rows:
+        return candidates.select(
+            F.col(id_col), F.col(score_col), F.lit(0).alias("mmr_rank")
+        ).limit(0)
+    ids = [r[id_col] for r in rows]
+    rel = np.array([float(r[score_col]) for r in rows])
+    vecs = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms[:, None]
+    sims = unit @ unit.T
+
+    selected: list[int] = []
+    remaining = list(range(len(rows)))
+    while remaining and len(selected) < k:
+        best_i, best_key = None, None
+        for i in remaining:
+            penalty = max((float(sims[i, j]) for j in selected), default=0.0)
+            mmr = lam * rel[i] - (1.0 - lam) * penalty
+            key = (-mmr, ids[i])
+            if best_key is None or key < best_key:
+                best_i, best_key = i, key
+        selected.append(best_i)
+        remaining.remove(best_i)
+
+    spark = candidates.sparkSession
+    out = [(ids[i], float(rel[i]), rank + 1) for rank, i in enumerate(selected)]
+    return spark.createDataFrame(out, f"{id_col} long, {score_col} double, mmr_rank int")

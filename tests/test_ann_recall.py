@@ -197,3 +197,40 @@ def test_ann_join_ivf_recall_floor(spark, sf_dir):
     # cells over ~4800 vectors)
     n_q = q.count()
     assert approx.count() == 10 * n_q
+
+
+def test_mmr_rerank_diversifies(spark, sf_dir):
+    """MMR-selected sets are more diverse than plain top-k at the same k,
+    lambda=1 degenerates to pure relevance order, and ties/output are
+    deterministic."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_integration_and_processing_spark.operators.similarity import cosine, mmr_rerank
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = e.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    cand = (
+        e.crossJoin(F.broadcast(qv))
+        .select("vec_id", "embedding", F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(100)
+    )
+
+    def avg_pairwise(ids):
+        rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in e.filter(
+            F.col("vec_id").isin([int(i) for i in ids])).collect()}
+        vs = [rows[i] / np.linalg.norm(rows[i]) for i in ids]
+        n = len(vs)
+        return sum(float(vs[i] @ vs[j]) for i in range(n) for j in range(i + 1, n)) / (n * (n - 1) / 2)
+
+    topk = [r["vec_id"] for r in cand.limit(10).collect()]
+    mmr = [r["vec_id"] for r in mmr_rerank(cand, lam=0.5, k=10).orderBy("mmr_rank").collect()]
+    assert len(mmr) == 10 and len(set(mmr)) == 10
+    assert avg_pairwise(mmr) < avg_pairwise(topk)
+
+    pure = [r["vec_id"] for r in mmr_rerank(cand, lam=1.0, k=10).orderBy("mmr_rank").collect()]
+    assert pure == topk
+
+    again = [r["vec_id"] for r in mmr_rerank(cand, lam=0.5, k=10).orderBy("mmr_rank").collect()]
+    assert again == mmr
