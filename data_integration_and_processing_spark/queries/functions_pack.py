@@ -247,3 +247,71 @@ def func_permissive_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("event_type").try_cast("int"), F.lit(-1)).alias("bad_with_default"),
         F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
     )
+
+
+@register(
+    "func_bitwise_pack",
+    oracle="""
+        SELECT n_nationkey,
+               CAST(n_nationkey & 12 AS BIGINT) AS band,
+               CAST(n_nationkey | 1 AS BIGINT) AS bor,
+               CAST(xor(n_nationkey, 21) AS BIGINT) AS bxor,
+               CAST(n_nationkey << 3 AS BIGINT) AS shl,
+               CAST(n_nationkey >> 1 AS BIGINT) AS shr,
+               CAST(bit_count(CAST(n_nationkey AS BIGINT)) AS INT) AS popcount
+        FROM nation ORDER BY n_nationkey
+    """,
+    description=(
+        "bitwise scalar pack: and/or/xor, shifts, popcount — the flag-mask and "
+        "bitmap-bucket arithmetic the Bloom/bitmap operators build on, surfaced "
+        "as a checked function family. Pure codegen'd projection"
+    ),
+    tags=("functions", "projection"),
+)
+def func_bitwise_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("bigint")
+    return n.select(
+        "n_nationkey",
+        k.bitwiseAND(F.lit(12)).alias("band"),
+        k.bitwiseOR(F.lit(1)).alias("bor"),
+        k.bitwiseXOR(F.lit(21)).alias("bxor"),
+        F.call_function("shiftleft", k, F.lit(3)).cast("bigint").alias("shl"),
+        F.call_function("shiftright", k, F.lit(1)).cast("bigint").alias("shr"),
+        F.bit_count(k).alias("popcount"),
+    ).orderBy("n_nationkey")
+
+
+@register(
+    "func_decimal_pack",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_exact,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(5,2)) AS VARCHAR) AS discount_amt,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) - CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(5,2)) AS VARCHAR) AS net_price
+        FROM lineitem WHERE l_orderkey <= 200
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    description=(
+        "exact money math: DECIMAL casts, scale-tracked multiply (18,2 x 5,2), "
+        "subtraction at the full product scale (re-scaling first would invoke "
+        "rounding, where engines legitimately differ half-up vs half-even) — the "
+        "arithmetic a "
+        "billing pipeline must NOT do in binary floats (0.1+0.2 != 0.3). Values "
+        "surface as canonical strings so the check is exact digits, not a float "
+        "hash; both engines follow ANSI DECIMAL scale rules"
+    ),
+    tags=("functions", "projection", "etl"),
+)
+def func_decimal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(5,2)")
+    amt = (price * disc)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        price.cast("string").alias("price_exact"),
+        amt.cast("string").alias("discount_amt"),
+        (price - amt).cast("string").alias("net_price"),
+    ).orderBy("l_orderkey", "l_linenumber")

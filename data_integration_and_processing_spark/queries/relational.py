@@ -1515,3 +1515,56 @@ def sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
         .limit(_PAGE_SIZE)
     )
+
+
+# ---------------------------------------------------------------------------
+# null-safe join semantics (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+_NULLSAFE_ORACLE = """
+WITH a AS (
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS grp
+    FROM orders WHERE o_orderkey <= 2000
+),
+b AS (
+    SELECT CASE WHEN n % 7 = 0 THEN NULL ELSE '' || (1 + n % 5) || '-GROUP' END AS grp,
+           n AS tag
+    FROM (SELECT unnest(range(0, 14)) AS n)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN a.grp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_key_pairs
+FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+"""
+
+
+@register(
+    "join_null_safe",
+    oracle=_NULLSAFE_ORACLE,
+    description=(
+        "null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH each "
+        "other instead of silently dropping — the semantics a dimensional join on "
+        "an optional attribute actually needs, and a classic correctness trap "
+        "(plain = joins lose every NULL-keyed row with no error). Catalyst plans "
+        "<=> as an ordinary hash join on a null-safe key, so the scale shape is "
+        "unchanged; the audit column counts the pairs a naive join would have lost"
+    ),
+    tags=("join", "quality"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(F.col("o_orderpriority")).alias("grp"),
+    )
+    b_rows = spark.range(0, 14).select(
+        F.when(F.col("id") % 7 == 0, F.lit(None))
+        .otherwise(F.concat((F.lit(1) + F.col("id") % 5).cast("string"), F.lit("-GROUP")))
+        .alias("b_grp"),
+        F.col("id").alias("tag"),
+    )
+    joined = a.join(F.broadcast(b_rows), a["grp"].eqNullSafe(b_rows["b_grp"]))
+    return joined.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("grp").isNull(), 1).otherwise(0)).cast("bigint").alias("null_key_pairs"),
+    )
