@@ -1082,3 +1082,63 @@ def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_purchase") / F.col("n_view").cast("double"), 6).alias("conversion"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# day-of-week seasonality profile
+# ---------------------------------------------------------------------------
+
+_SEASON_ORACLE = """
+WITH base AS (
+    SELECT event_type, dayofweek(ts) + 1 AS dow, value FROM events
+),
+per_dow AS (
+    SELECT event_type, dow, count(*) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM base GROUP BY event_type, dow
+),
+overall AS (
+    SELECT event_type, CAST(count(*) AS DOUBLE) / 7.0 AS expected_per_dow
+    FROM base GROUP BY event_type
+)
+SELECT p.event_type, CAST(p.dow AS INT) AS dow, p.n_events, p.avg_value,
+       round(p.n_events / o.expected_per_dow, 6) AS seasonality_index
+FROM per_dow p JOIN overall o ON p.event_type = o.event_type
+ORDER BY p.event_type, dow
+"""
+
+
+@register(
+    "temporal_seasonality_profile",
+    oracle=_SEASON_ORACLE,
+    description=(
+        "day-of-week seasonality profile: per (event_type, weekday) volume and "
+        "mean value plus the seasonality index n / (total/7) — the load-shape "
+        "fingerprint capacity planning and anomaly baselines start from. One "
+        "partial-agg shuffle keyed by (type, dow); output is 7x|types| rows. "
+        "NOTE Spark dayofweek is 1=Sunday while DuckDB's is 0=Sunday — the classic "
+        "cross-engine calendar off-by-one, which this oracle (+1 on the DuckDB "
+        "side) had to fix in anger"
+    ),
+    tags=("analytics", "temporal", "events", "aggregation"),
+)
+def temporal_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_type", F.dayofweek("ts").alias("dow"), "value")
+    per_dow = base.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+    overall = base.groupBy("event_type").agg(
+        (F.count("*").cast("double") / 7.0).alias("expected_per_dow")
+    )
+    return (
+        per_dow.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            "n_events",
+            "avg_value",
+            F.round(F.col("n_events") / F.col("expected_per_dow"), 6).alias("seasonality_index"),
+        )
+        .orderBy("event_type", "dow")
+    )

@@ -977,3 +977,58 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# readability scoring (Flesch-shaped, syllables proxied by vowel groups)
+# ---------------------------------------------------------------------------
+
+_READ_ORACLE = """
+WITH base AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+           greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS n_syllables
+    FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch_score
+FROM base ORDER BY doc_id
+"""
+
+
+@register(
+    "text_readability_scores",
+    oracle=_READ_ORACLE,
+    description=(
+        "Flesch-shaped readability per document: words / sentence-terminator runs "
+        "/ vowel-group syllable proxy folded into the classic 206.835 formula — a "
+        "standard quality-filter feature next to the composite heuristic and the "
+        "unigram log-prob score. RE2-compatible regex counting, pure projection, "
+        "identical decimal literals both engines"
+    ),
+    tags=("text", "north-star", "quality"),
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    n_words = F.size(F.split(F.col("text"), " "))
+    n_sent = F.greatest(F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1))
+    n_syll = F.greatest(
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")), F.lit(1)
+    )
+    base = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words")),
+        6,
+    )
+    return base.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", flesch.alias("flesch_score")
+    ).orderBy("doc_id")
