@@ -374,3 +374,67 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_rep")
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty scoring (redundancy curve for data ordering)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                                   string_split(text, ' ')[i+1],
+                                   string_split(text, ' ')[i+2])))) AS s
+    FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+first_seen AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+per_doc AS (
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+    FROM sh JOIN first_seen f ON f.s = sh.s
+    GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, n_novel,
+       round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+FROM per_doc ORDER BY doc_id
+"""
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=_NOVELTY_ORACLE,
+    description=(
+        "per-document n-gram novelty: the fraction of a doc's distinct shingles "
+        "whose FIRST appearance (min doc_id over the corpus order) is this doc — "
+        "the redundancy curve that tells a curriculum/data-ordering pipeline when "
+        "additional documents stop contributing new content. Two shuffles: "
+        "first-seen per shingle (8-byte hash keys, map-side combinable min), then "
+        "the doc-keyed novel-count fold. The streaming complement is "
+        "stream_neardup_incremental's survivor rate"
+    ),
+    tags=("curation", "text", "north-star", "dedup"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.dedup import shingle_keys  # noqa: PLC0415
+    from data_integration_and_processing_spark.operators.parallelism import fan_out_scan  # noqa: PLC0415
+
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", F.explode(shingle_keys(F.col("text"), 3)).alias("s"))
+    first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first_seen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 6).alias("novelty"),
+    ).orderBy("doc_id")
