@@ -1142,3 +1142,71 @@ def temporal_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration (the 80/20 audit)
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH per_user AS (
+    SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+ranked AS (
+    SELECT user_id, n,
+           row_number() OVER (ORDER BY n DESC, user_id ASC) AS rnk,
+           sum(n) OVER (ORDER BY n DESC, user_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+           sum(n) OVER () AS total_n,
+           count(*) OVER () AS total_users
+    FROM per_user
+)
+SELECT CAST(min(CASE WHEN cum_n >= 0.8 * total_n THEN rnk END) AS BIGINT) AS users_for_80pct,
+       CAST(max(total_users) AS BIGINT) AS total_users,
+       round(CAST(min(CASE WHEN cum_n >= 0.8 * total_n THEN rnk END) AS DOUBLE)
+             / max(total_users), 6) AS user_share_for_80pct,
+       round(max(CASE WHEN rnk <= CAST(ceil(0.2 * total_users) AS BIGINT)
+                      THEN CAST(cum_n AS DOUBLE) / total_n END), 6) AS volume_share_of_top20pct
+FROM ranked
+"""
+
+
+@register(
+    "events_pareto_concentration",
+    oracle=_PARETO_ORACLE,
+    description=(
+        "Pareto/80-20 concentration audit: how few users produce 80% of events, "
+        "and what share the top 20% of users hold — the workload-concentration "
+        "number that predicts hot-key skew before a join does (see "
+        "profile_join_key_skew for the per-key view). One aggregate to "
+        "user-cardinality rows, then rank + running-sum windows over that small "
+        "set; output is a single audit row"
+    ),
+    tags=("analytics", "events", "window", "skew"),
+)
+def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    order = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    ranked = per_user.select(
+        "n",
+        F.row_number().over(order).alias("rnk"),
+        F.sum("n").over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum_n"),
+        F.sum("n").over(Window.partitionBy()).alias("total_n"),
+        F.count("*").over(Window.partitionBy()).alias("total_users"),
+    )
+    users_80 = F.min(F.when(F.col("cum_n") >= 0.8 * F.col("total_n"), F.col("rnk")))
+    top20_share = F.max(
+        F.when(
+            F.col("rnk") <= F.ceil(0.2 * F.col("total_users")).cast("bigint"),
+            F.col("cum_n").cast("double") / F.col("total_n"),
+        )
+    )
+    return ranked.agg(
+        users_80.cast("bigint").alias("users_for_80pct"),
+        F.max("total_users").cast("bigint").alias("total_users"),
+        F.round(users_80.cast("double") / F.max("total_users"), 6).alias("user_share_for_80pct"),
+        F.round(top20_share, 6).alias("volume_share_of_top20pct"),
+    )
