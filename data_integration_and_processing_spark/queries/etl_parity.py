@@ -882,3 +882,55 @@ def etl_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n",
     ).orderBy("m", "o_orderpriority")
+
+
+@register(
+    "etl_corrupt_row_quarantine",
+    oracle="""
+        SELECT (SELECT count(*) FROM nation) AS n_good,
+               3 AS n_quarantined,
+               (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation) AS sum_key
+    """,
+    description=(
+        "malformed-row quarantine on a CSV feed: three unparseable lines ride in "
+        "with the clean rows; the PERMISSIVE scan routes them to the "
+        "corrupt-record column instead of failing the job or silently nulling — "
+        "good rows aggregate exactly to the clean table, the quarantine count is "
+        "exact, and the bad ROWS survive for replay after the producer fix (the "
+        "reference's COPY would abort the whole load on line one)"
+    ),
+    tags=("etl", "source", "quality"),
+)
+def etl_corrupt_row_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os  # noqa: PLC0415
+
+    dest = f"{_SCRATCH}/nation_corrupt_csv"
+    shutil.rmtree(dest, ignore_errors=True)
+    _os.makedirs(dest, exist_ok=True)
+    rows = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).collect()
+    with open(f"{dest}/feed.csv", "w") as f:
+        f.write("n_nationkey,n_name,n_regionkey\n")
+        for r in rows:
+            f.write(f"{r['n_nationkey']},{r['n_name']},{r['n_regionkey']}\n")
+        # three malformed lines: non-numeric keys the schema cannot parse
+        f.write("oops,BROKEN1,x\n")
+        f.write("?,BROKEN2,?\n")
+        f.write("NaNish,BROKEN3,12abc\n")
+    df = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema("n_nationkey long, n_name string, n_regionkey long, _corrupt string")
+        .csv(dest)
+        .cache()  # one scan serves both branches; PERMISSIVE+corrupt-column
+        # requires the cache anyway (Spark refuses corrupt-only projections
+        # on an uncached permissive scan)
+    )
+    good = df.filter(F.col("_corrupt").isNull())
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    out = good.agg(
+        F.count("*").alias("n_good"), F.sum("n_nationkey").cast("bigint").alias("sum_key")
+    ).crossJoin(bad.agg(F.count("*").cast("int").alias("n_quarantined")))
+    return out.select("n_good", "n_quarantined", "sum_key")
