@@ -1210,3 +1210,56 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(users_80.cast("double") / F.max("total_users"), 6).alias("user_share_for_80pct"),
         F.round(top20_share, 6).alias("volume_share_of_top20pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# error-burst detection (ops anomaly on windowed counts)
+# ---------------------------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH buckets AS (
+    SELECT date_trunc('hour', ts) AS w, count(*) AS n_errors
+    FROM events WHERE event_type = 'error'
+    GROUP BY 1
+),
+stats AS (
+    SELECT avg(CAST(n_errors AS DOUBLE)) AS mu,
+           stddev_samp(CAST(n_errors AS DOUBLE)) AS sigma
+    FROM buckets
+)
+SELECT b.w AS window_start, b.n_errors,
+       round((b.n_errors - s.mu) / s.sigma, 6) AS z_score
+FROM buckets b CROSS JOIN stats s
+WHERE (b.n_errors - s.mu) / s.sigma > 2.0
+ORDER BY window_start
+"""
+
+
+@register(
+    "events_error_burst_detection",
+    oracle=_BURST_ORACLE,
+    description=(
+        "error-burst detection: hourly error counts z-scored against the feed's "
+        "own distribution, windows beyond 2 sigma flagged — the paging-alert "
+        "shape. One bucket aggregate (hour-cardinality rows), a broadcast scalar "
+        "stats cross, a filter; the streaming twin is a tumbling-window count "
+        "stream joined to the same broadcast baseline"
+    ),
+    tags=("analytics", "events", "temporal", "quality"),
+)
+def events_error_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    buckets = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start")).agg(
+        F.count("*").alias("n_errors")
+    )
+    stats = buckets.agg(
+        F.avg(F.col("n_errors").cast("double")).alias("mu"),
+        F.stddev_samp(F.col("n_errors").cast("double")).alias("sigma"),
+    )
+    z = (F.col("n_errors") - F.col("mu")) / F.col("sigma")
+    return (
+        buckets.crossJoin(F.broadcast(stats))
+        .filter(z > 2.0)
+        .select("window_start", "n_errors", F.round(z, 6).alias("z_score"))
+        .orderBy("window_start")
+    )

@@ -1032,3 +1032,37 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id", "n_words", "n_sentences", "n_syllables", flesch.alias("flesch_score")
     ).orderBy("doc_id")
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=f"""
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+               CAST(sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT) AS bpe_ish_tokens,
+               round(CAST(sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS DOUBLE)
+                     / sum(len(string_split(text, ' '))), 6) AS fertility
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    description=(
+        "tokenizer fertility per source: BPE-ish tokens per whitespace word — the "
+        "cost multiplier a tokenizer imposes on each source (high fertility = "
+        "more sequence positions per word = that source is EXPENSIVE to train "
+        "on). Companion to text_vocab_coverage's OOV rate; one partial-agg "
+        "shuffle keyed by source"
+    ),
+    tags=("text", "north-star", "tokenizer"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    ws = F.size(F.split(F.col("text"), " "))
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(ws).cast("bigint").alias("ws_tokens"),
+            F.sum(bpe).cast("bigint").alias("bpe_ish_tokens"),
+            F.round(F.sum(bpe).cast("double") / F.sum(ws), 6).alias("fertility"),
+        )
+        .orderBy("source")
+    )
