@@ -471,3 +471,98 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _NEG_K)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# nearest-centroid classification (ML eval as a query)
+# ---------------------------------------------------------------------------
+
+
+def _centroid_oracle() -> str:
+    cos = _cos_sql("e.embedding", "c.centroid")
+    return f"""
+        WITH dims AS (
+            SELECT vec_id, label, i AS d, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+        ),
+        cent AS (
+            SELECT label AS c_label, list(avg_x ORDER BY d) AS centroid
+            FROM (SELECT label, d, avg(x) AS avg_x FROM dims GROUP BY label, d) g
+            GROUP BY label
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label AS true_label, c.c_label,
+                   round({cos}, 6) AS sim
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        best AS (
+            SELECT vec_id, true_label, c_label AS pred_label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, c_label ASC) AS rn
+            FROM scored
+        )
+        SELECT true_label AS label,
+               count(*) AS n_vecs,
+               sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS n_correct,
+               round(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS accuracy
+        FROM best WHERE rn = 1
+        GROUP BY true_label ORDER BY true_label
+    """
+
+
+@register(
+    "sim_centroid_classification",
+    oracle=_centroid_oracle(),
+    description=(
+        "nearest-centroid classification as a query: per-label mean embeddings "
+        "(one dimension-keyed partial-agg shuffle — the transpose trick: explode "
+        "to (label, dim) cells so averaging is plain groupBy, never a UDAF), "
+        "broadcast the label-count-sized centroid table, argmax cosine per "
+        "vector, per-label accuracy out. The eval harness a labeling/distillation "
+        "pipeline runs after every batch; exact arithmetic end to end, so the "
+        "whole evaluation is oracle-checked"
+    ),
+    tags=("similarity", "north-star", "analytics", "aggregation"),
+)
+def sim_centroid_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x")
+    )
+    cent = (
+        dims.groupBy("label", "d")
+        .agg(F.avg("x").alias("avg_x"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "avg_x"))), lambda s: s["avg_x"]
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("c_label"), "centroid")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "c_label",
+        F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_label"))
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.when(F.col("c_label") == F.col("true_label"), 1).otherwise(0)).alias(
+                "n_correct"
+            ),
+            F.round(
+                F.sum(F.when(F.col("c_label") == F.col("true_label"), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
