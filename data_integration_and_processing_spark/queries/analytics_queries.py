@@ -1263,3 +1263,51 @@ def events_error_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_start", "n_errors", F.round(z, 6).alias("z_score"))
         .orderBy("window_start")
     )
+
+
+@register(
+    "agg_hll_intersection",
+    # no SQL oracle: HLL sketch binaries are engine-specific; the
+    # inclusion-exclusion estimate is audited in-plan against exact overlap
+    # with a raise_error tolerance gate (the HLL-rollup discipline).
+    description=(
+        "sketch set-algebra: estimated distinct-user OVERLAP between event-type "
+        "pairs via inclusion-exclusion over HLL sketches (|A n B| = |A|+|B|-|A u B|, "
+        "union = register max) — audience-overlap arithmetic from O(types) sketch "
+        "state, no pairwise exact distinct over raw rows. Exact audit columns + "
+        "a 10% tolerance raise_error exist for the harness; production drops "
+        "them. Inclusion-exclusion compounds two estimates' error, hence the "
+        "wider gate than the rollup's 5%"
+    ),
+    tags=("analytics", "aggregation", "sketch", "events"),
+)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pairs = [("click", "purchase"), ("view", "click"), ("signup", "error")]
+    sk = e.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    out = None
+    for a, b in pairs:
+        two = sk.filter(F.col("event_type").isin(a, b))
+        est = two.agg(
+            F.lit(f"{a}&{b}").alias("pair"),
+            F.sum(F.hll_sketch_estimate("sk")).alias("sum_each"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+        ).select(
+            "pair", (F.col("sum_each") - F.col("est_union")).alias("est_overlap")
+        )
+        exact = (
+            e.filter(F.col("event_type") == a)
+            .select("user_id")
+            .intersect(e.filter(F.col("event_type") == b).select("user_id"))
+            .agg(F.count("*").alias("exact_overlap"))
+            .select(F.lit(f"{a}&{b}").alias("pair"), "exact_overlap")
+        )
+        row = est.join(exact, "pair")
+        out = row if out is None else out.unionByName(row)
+    rel_err = F.abs(F.col("est_overlap") - F.col("exact_overlap")) / F.col("exact_overlap")
+    checked = F.when(rel_err <= 0.10, F.round("est_overlap", 2)).otherwise(
+        F.raise_error(F.lit("HLL intersection estimate beyond 10% of exact overlap"))
+    )
+    return out.select(
+        "pair", checked.alias("est_overlap"), "exact_overlap", F.round(rel_err, 6).alias("rel_err")
+    ).orderBy("pair")

@@ -934,3 +934,39 @@ def etl_corrupt_row_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_good"), F.sum("n_nationkey").cast("bigint").alias("sum_key")
     ).crossJoin(bad.agg(F.count("*").cast("int").alias("n_quarantined")))
     return out.select("n_good", "n_quarantined", "sum_key")
+
+
+@register(
+    "ids_deterministic_uuid",
+    oracle="""
+        SELECT o_orderkey,
+               substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4)
+               || '-' || substr(h, 17, 4) || '-' || substr(h, 21, 12) AS surrogate_uuid
+        FROM (
+            SELECT o_orderkey, md5('orders|' || CAST(o_orderkey AS VARCHAR)) AS h
+            FROM orders WHERE o_orderkey <= 1000
+        ) t
+        ORDER BY o_orderkey
+    """,
+    description=(
+        "deterministic surrogate UUIDs (UUIDv5-shaped): md5 of a namespaced "
+        "natural key formatted 8-4-4-4-12 — the same input yields the same id on "
+        "every engine, every run, every retry, which is what lets two "
+        "independently-loaded warehouses join on surrogate keys (rand-based "
+        "uuid() can never reconcile). Pure projection; the namespace prefix "
+        "prevents cross-table id collisions on shared natural keys"
+    ),
+    tags=("etl", "ids", "projection"),
+)
+def ids_deterministic_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    h = F.md5(F.concat(F.lit("orders|"), F.col("o_orderkey").cast("string")))
+    uuid_fmt = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return o.select("o_orderkey", uuid_fmt.alias("surrogate_uuid")).orderBy("o_orderkey")
