@@ -626,3 +626,65 @@ def stream_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream_input = d.select("doc_id", "text").unionByName(copies)
     return run_streaming_neardup(spark, stream_input)
+
+
+@register(
+    "stream_backfill_then_tail",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(event_id) AS sum_ids
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description=(
+        "batch-backfill + streaming-tail handoff (the kappa/lambda seam): history "
+        "up to the cutover timestamp aggregates as a BATCH job, the tail replays "
+        "through a real checkpointed stream, and the union must equal the plain "
+        "batch aggregate over everything — which only holds when the boundary "
+        "condition is exactly complementary (<= cutover vs > cutover; an off-by-"
+        "one here double-counts or drops the cutover instant, the classic "
+        "migration bug this oracle pins). Integer-only measures so the check is "
+        "exact"
+    ),
+    tags=("streaming", "etl", "incremental", "aggregation"),
+)
+def stream_backfill_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.streaming.pipelines import (  # noqa: PLC0415
+        _staged_stream,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    cutover = e.agg(F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.7)")).collect()[0][0]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    batch_part = (
+        e.filter(us <= F.lit(int(cutover)))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("event_id").alias("s"))
+    )
+
+    scratch = f"/tmp/diaps_handoff_{_uuid.uuid4().hex[:8]}"
+    tail_src = e.filter(us > F.lit(int(cutover)))
+    stream, sink = _staged_stream(spark, tail_src, scratch)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("s")
+    )
+    (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("handoff_tail")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    tail_part = spark.table("handoff_tail")
+
+    return (
+        batch_part.unionByName(tail_part)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("s").alias("sum_ids"))
+        .orderBy("event_type")
+    )
