@@ -1311,3 +1311,43 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "pair", checked.alias("est_overlap"), "exact_overlap", F.round(rel_err, 6).alias("rel_err")
     ).orderBy("pair")
+
+
+@register(
+    "temporal_week_over_week",
+    oracle="""
+        WITH weekly AS (
+            SELECT event_type, date_trunc('week', ts) AS week, count(*) AS n
+            FROM events GROUP BY event_type, date_trunc('week', ts)
+        )
+        SELECT event_type, week, n,
+               lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
+               round(CAST(n AS DOUBLE)
+                     / lag(n) OVER (PARTITION BY event_type ORDER BY week) - 1.0, 6) AS wow_change
+        FROM weekly ORDER BY event_type, week
+    """,
+    description=(
+        "week-over-week change per event type: weekly buckets (one partial-agg "
+        "shuffle) then a lag window over week-cardinality rows — the reporting "
+        "staple, with the window over the AGGREGATED grain so the sort touches "
+        "dozens of rows per type, never events. NULL change on each type's first "
+        "week (no synthetic zero — a fabricated baseline is the classic WoW lie)"
+    ),
+    tags=("analytics", "temporal", "events", "window"),
+)
+def temporal_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "n",
+        prev.alias("prev_n"),
+        F.round(F.col("n").cast("double") / prev - 1.0, 6).alias("wow_change"),
+    ).orderBy("event_type", "week")
