@@ -315,3 +315,55 @@ def func_decimal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         amt.cast("string").alias("discount_amt"),
         (price - amt).cast("string").alias("net_price"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+_URL_SQL = (
+    "'https://' || source || CAST(doc_id % 7 AS VARCHAR) || '.example.' || "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END || "
+    "'/p/' || CAST(doc_id AS VARCHAR) || '?ref=' || lang"
+)
+
+
+@register(
+    "func_url_pack",
+    oracle=f"""
+        WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+        SELECT doc_id, url,
+               regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+               regexp_extract(url, '\\.([a-z]+)/', 1) AS tld,
+               regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+               regexp_extract(url, 'ref=([a-z]+)', 1) AS ref_param
+        FROM u ORDER BY doc_id
+    """,
+    description=(
+        "URL parsing pack for web-corpus curation: host / TLD / path / query "
+        "param via regexp_extract with patterns identical in both engines "
+        "(parse_url exists in Spark but has no DuckDB twin — the portable "
+        "spelling is the checkable one). Per-domain grouping on the extracted "
+        "host is how crawl pipelines rate-limit, blocklist and attribute "
+        "provenance; pure codegen'd projection"
+    ),
+    tags=("functions", "text", "projection"),
+)
+def func_url_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example."),
+        F.when(F.col("doc_id") % 3 == 0, "com").when(F.col("doc_id") % 3 == 1, "org").otherwise("net"),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", r"\.([a-z]+)/", 1).alias("tld"),
+        F.regexp_extract("url", r"^https?://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract("url", r"ref=([a-z]+)", 1).alias("ref_param"),
+    ).orderBy("doc_id")
