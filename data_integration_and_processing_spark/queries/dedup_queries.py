@@ -540,3 +540,153 @@ def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     for cached in handle:
         cached.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# dedup method comparison (what each normalization actually catches)
+# ---------------------------------------------------------------------------
+
+_CMP_CORPUS_SQL = """
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 30000,
+           array_to_string(string_split(text, ' ')[1:greatest(1, len(string_split(text, ' ')) - 8)], ' ')
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 60000,
+           array_to_string(string_split(text, ' ')[1:greatest(3,
+               CAST(floor(len(string_split(text, ' ')) * 0.4) AS INT))], ' ')
+    FROM documents WHERE doc_id % 11 = 0
+"""
+
+_CMP_ORACLE = f"""
+WITH u AS ({_CMP_CORPUS_SQL}),
+sh AS (
+    SELECT id, unnest(list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                                   string_split(text, ' ')[i+1],
+                                   string_split(text, ' ')[i+2])))) AS s
+    FROM u WHERE len(string_split(text, ' ')) >= 3
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+pair_inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+    GROUP BY a.id, b.id
+),
+metrics AS (
+    SELECT id_a, id_b, inter,
+           CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jac,
+           CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS cont
+    FROM pair_inter
+    JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+),
+exact_pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b FROM u a JOIN u b ON a.text = b.text AND a.id < b.id
+)
+SELECT 'exact' AS method,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT id_a) + count(DISTINCT id_b) AS BIGINT) AS docs_touched
+FROM exact_pairs
+UNION ALL
+SELECT 'jaccard_0.5', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT id_a) + count(DISTINCT id_b) AS BIGINT)
+FROM metrics WHERE jac >= 0.5
+UNION ALL
+SELECT 'containment_0.9', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT id_a) + count(DISTINCT id_b) AS BIGINT)
+FROM metrics WHERE cont >= 0.9
+ORDER BY method
+"""
+
+
+@register(
+    "dedup_method_comparison",
+    oracle=_CMP_ORACLE,
+    description=(
+        "what each dedup normalization actually catches, on one corpus seeded "
+        "with exact copies, 8-word truncations, and 40% prefixes: exact equality "
+        "finds only the byte copies, jaccard>=0.5 adds the truncations, "
+        "containment>=0.9 adds the prefix inclusions jaccard misses — the "
+        "method-selection evidence a curation pipeline wants BEFORE choosing its "
+        "thresholds. One shingle pass feeds both similarity metrics; the exact "
+        "branch is a self-join on the raw text"
+    ),
+    tags=("dedup", "north-star", "audit"),
+)
+def dedup_method_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.dedup import shingle_keys  # noqa: PLC0415
+    from data_integration_and_processing_spark.operators.parallelism import fan_out_scan  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    trunc = F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 8, F.lit(1))), " ")
+    k40 = F.greatest(F.lit(3), F.floor(F.size(words) * 0.4).cast("int"))
+    prefix = F.array_join(F.slice(words, F.lit(1), k40), " ")
+    u = (
+        d.select(F.col("doc_id").alias("id"), "text")
+        .unionByName(d.filter(F.col("doc_id") % 5 == 0).select((F.col("doc_id") + 10000).alias("id"), "text"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 0).select((F.col("doc_id") + 30000).alias("id"), trunc.alias("text"))
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select((F.col("doc_id") + 60000).alias("id"), prefix.alias("text"))
+        )
+    )
+    sh = (
+        fan_out_scan(u)
+        .select("id", shingle_keys(F.col("text"), 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("s"))
+    postings = inv.groupBy("s").agg(F.array_sort(F.collect_list("id")).alias("ids")).filter(F.size("ids") > 1)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    pair_inter = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    metrics = (
+        pair_inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jac"),
+            (F.col("inter").cast("double") / F.least("n_a", "n_b")).alias("cont"),
+        )
+        .persist()
+    )
+    ua = u.select(F.col("id").alias("id_a"), F.col("text").alias("t_a"))
+    ub = u.select(F.col("id").alias("id_b"), F.col("text").alias("t_b"))
+    exact_pairs = ua.join(ub, (F.col("t_a") == F.col("t_b")) & (F.col("id_a") < F.col("id_b")))
+
+    def summarize(df: DataFrame, method: str) -> DataFrame:
+        return df.agg(
+            F.lit(method).alias("method"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+            (F.count_distinct("id_a") + F.count_distinct("id_b")).cast("bigint").alias("docs_touched"),
+        )
+
+    out = (
+        summarize(metrics.filter(F.col("cont") >= 0.9), "containment_0.9")
+        .unionByName(summarize(exact_pairs, "exact"))
+        .unionByName(summarize(metrics.filter(F.col("jac") >= 0.5), "jaccard_0.5"))
+        .orderBy("method")
+    )
+    return out
