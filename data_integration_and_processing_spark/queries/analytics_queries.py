@@ -1411,3 +1411,109 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("concurrent").cast("bigint").alias("min_concurrent"),
         F.count("*").cast("bigint").alias("n_distinct_instants"),
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+        WITH bounds AS (
+            SELECT event_type,
+                   percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+                   percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n,
+               round(avg(CASE WHEN e.value < b.lo THEN b.lo
+                              WHEN e.value > b.hi THEN b.hi
+                              ELSE e.value END), 6) AS winsorized_mean,
+               round(avg(e.value), 6) AS raw_mean
+        FROM events e JOIN bounds b ON e.event_type = b.event_type
+        GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    description=(
+        "winsorized mean per group: values clamped to the [p5, p95] band before "
+        "averaging — the robust location estimate that survives the heavy tails "
+        "a raw mean chases (MAD flags outliers; winsorizing neutralizes them "
+        "without dropping rows). Two passes: exact per-group bounds (group-"
+        "cardinality output, broadcast back), then one clamped aggregate"
+    ),
+    tags=("analytics", "aggregation", "quality", "percentile"),
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clamped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(clamped), 6).alias("winsorized_mean"),
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+        WITH user_days AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+        ),
+        days AS (SELECT DISTINCT d FROM user_days),
+        wau AS (
+            SELECT days.d, count(DISTINCT ud.user_id) AS wau
+            FROM days JOIN user_days ud
+              ON ud.d > days.d - INTERVAL 7 DAY AND ud.d <= days.d
+            GROUP BY days.d
+        ),
+        dau AS (SELECT d, count(*) AS dau FROM user_days GROUP BY d)
+        SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, wau.wau,
+               round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+        FROM dau JOIN wau ON dau.d = wau.d
+        ORDER BY day
+    """,
+    description=(
+        "DAU / trailing-7-day WAU / stickiness per day: the engagement staple, "
+        "computed scale-correctly — events first collapse to (user, day) rows "
+        "(ONE dedup shuffle; the fact table never joins anything), and the "
+        "trailing-window distinct runs over that user-day grain against the "
+        "day grid (a 7-day band join of day-cardinality x user-day rows). The "
+        "naive form — distinct users over a sliding event window — re-scans raw "
+        "events once per day of history"
+    ),
+    tags=("analytics", "events", "temporal", "join", "scale"),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    days = user_days.select("d").distinct()
+    ud = user_days.select(F.col("user_id"), F.col("d").alias("ud_d"))
+    wau = (
+        days.join(
+            ud,
+            (F.col("ud_d") > F.date_sub(F.col("d"), 7)) & (F.col("ud_d") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    dau = user_days.groupBy("d").agg(F.count("*").alias("dau"))
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
