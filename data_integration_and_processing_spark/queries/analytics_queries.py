@@ -1517,3 +1517,65 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_attribution_first_touch",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+        ),
+        tagged AS (
+            SELECT user_id, event_id, event_type, us,
+                   first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+                   first_value(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_event_id
+            FROM s
+        )
+        SELECT user_id, event_id AS purchase_event_id, touch_type, touch_event_id
+        FROM tagged
+        WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+        ORDER BY user_id, purchase_event_id
+    """,
+    description=(
+        "first-touch attribution: each purchase credited to the user's EARLIEST "
+        "preceding non-purchase event — first_value(IGNORE NULLS) over the same "
+        "trailing frame last-touch uses, so the attribution pair shares one "
+        "window pass shape and a marketing team can diff the two models row for "
+        "row"
+    ),
+    tags=("analytics", "events", "window", "attribution"),
+)
+def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    tagged = s.withColumn(
+        "touch_type", F.first(F.when(not_purchase, F.col("event_type")), ignorenulls=True).over(w)
+    ).withColumn(
+        "touch_event_id",
+        F.first(F.when(not_purchase, F.col("event_id")), ignorenulls=True).over(w),
+    )
+    return (
+        tagged.filter((F.col("event_type") == "purchase") & F.col("touch_type").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            "touch_type",
+            "touch_event_id",
+        )
+        .orderBy("user_id", "purchase_event_id")
+    )

@@ -1066,3 +1066,33 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_lexical_diversity",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(lower(text), ' ')) AS n_tokens,
+               len(list_distinct(string_split(lower(text), ' '))) AS n_types,
+               round(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+                     / len(string_split(lower(text), ' ')), 6) AS ttr
+        FROM documents ORDER BY doc_id
+    """,
+    description=(
+        "lexical diversity (type-token ratio) per document: distinct lowercased "
+        "tokens over total — low TTR flags boilerplate/keyword-stuffed text the "
+        "length and stopword heuristics miss; sits beside quality, readability "
+        "and repetition in the filter stack. Pure per-row array expression, no "
+        "shuffle at all"
+    ),
+    tags=("text", "north-star", "quality"),
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.col("text")), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias("ttr"),
+    ).orderBy("doc_id")
