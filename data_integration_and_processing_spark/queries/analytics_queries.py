@@ -1579,3 +1579,60 @@ def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id", "purchase_event_id")
     )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(epoch_us(ts)) AS t_v FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t_p
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t_v
+            GROUP BY e.user_id
+        ),
+        lat AS (
+            SELECT p.user_id, (p.t_p - v.t_v) / 1000000.0 AS sec
+            FROM p JOIN v ON v.user_id = p.user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_converted,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY sec), 6) AS p50_sec,
+               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY sec), 6) AS p90_sec,
+               round(min(sec), 6) AS min_sec,
+               round(max(sec), 6) AS max_sec
+        FROM lat
+    """,
+    description=(
+        "time-to-convert distribution: first view to first subsequent purchase "
+        "per user, summarized as exact latency percentiles — the funnel's "
+        "COMPANION number (the funnel says how many convert; this says how "
+        "long they take, which sets attribution windows and retargeting "
+        "timing). Two conditional-min aggregates keyed by user, percentiles "
+        "over user-cardinality rows; integer-microsecond subtraction before "
+        "the one float division"
+    ),
+    tags=("analytics", "events", "temporal", "percentile"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min(us).alias("t_v"))
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("t"))
+        .join(v, "user_id")
+        .filter(F.col("t") > F.col("t_v"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_p"))
+    )
+    lat = p.join(v, "user_id").select(((F.col("t_p") - F.col("t_v")) / 1000000.0).alias("sec"))
+    return lat.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(sec, 0.5)"), 6).alias("p50_sec"),
+        F.round(F.expr("percentile(sec, 0.9)"), 6).alias("p90_sec"),
+        F.round(F.min("sec"), 6).alias("min_sec"),
+        F.round(F.max("sec"), 6).alias("max_sec"),
+    )
