@@ -566,3 +566,51 @@ def sim_centroid_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "sim_embedding_norm_audit",
+    oracle="""
+        WITH norms AS (
+            SELECT vec_id, label,
+                   sqrt(list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
+                   len(embedding) AS dim
+            FROM embeddings
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS bad_dim,
+               CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_vectors,
+               CAST(sum(CASE WHEN isnan(nrm) OR NOT isfinite(nrm) THEN 1 ELSE 0 END) AS BIGINT) AS non_finite,
+               round(min(nrm), 6) AS min_norm,
+               round(max(nrm), 6) AS max_norm,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY nrm), 6) AS p50_norm
+        FROM norms
+    """,
+    description=(
+        "embedding hygiene audit: dimension consistency, zero vectors (cosine is "
+        "undefined on them — they poison every similarity downstream), NaN/Inf "
+        "components, and the norm distribution (a bimodal norm histogram usually "
+        "means two encoder versions got mixed). The guard an embedding ingest "
+        "runs BEFORE any index build; one scan, one summary row, JVM-side "
+        "norm fold"
+    ),
+    tags=("similarity", "quality", "north-star", "audit"),
+)
+def sim_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.similarity import norm  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = norm(F.col("embedding"))
+    base = e.select(nrm.alias("nrm"), F.size("embedding").alias("dim"))
+    return base.agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.sum(F.when(F.col("dim") != 64, 1).otherwise(0)).cast("bigint").alias("bad_dim"),
+        F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0)).cast("bigint").alias("zero_vectors"),
+        F.sum(F.when(F.isnan("nrm") | ~F.col("nrm").between(float("-inf"), float("inf")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("non_finite"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(F.expr("percentile(nrm, 0.5)"), 6).alias("p50_norm"),
+    )
