@@ -1096,3 +1096,49 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_types"),
         F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias("ttr"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+        WITH pred AS ({_LANG_ORACLE.strip()})
+        SELECT labeled_lang, detected_lang,
+               CAST(count(*) AS BIGINT) AS n,
+               round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY labeled_lang) AS DOUBLE), 6)
+                   AS share_of_label
+        FROM pred
+        GROUP BY labeled_lang, detected_lang
+        ORDER BY labeled_lang, detected_lang
+    """,
+    description=(
+        "language-ID confusion matrix: the stopword-heuristic's predictions "
+        "cross-tabulated against the labeled lang column, with each cell's share "
+        "of its true label — the per-class eval that says WHICH languages the "
+        "pre-filter confuses (aggregate accuracy hides de->und asymmetries). "
+        "Classifier + eval in one plan: a map stage into a cell-cardinality "
+        "aggregate"
+    ),
+    tags=("text", "north-star", "quality", "analytics"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.text_analysis import (  # noqa: PLC0415
+        language_id,
+    )
+
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    pred = d.select(
+        F.col("lang").alias("labeled_lang"),
+        language_id(words_of(F.col("text"))).alias("detected_lang"),
+    )
+    cells = pred.groupBy("labeled_lang", "detected_lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "detected_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6).alias("share_of_label"),
+    ).orderBy("labeled_lang", "detected_lang")
