@@ -1636,3 +1636,41 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("sec"), 6).alias("min_sec"),
         F.round(F.max("sec"), 6).alias("max_sec"),
     )
+
+
+@register(
+    "agg_order_size_distribution",
+    oracle="""
+        WITH per_order AS (
+            SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT CAST(n_items AS INT) AS n_items,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+        FROM per_order
+        GROUP BY n_items ORDER BY n_items
+    """,
+    description=(
+        "order-size distribution: lineitems-per-order histogram with shares — "
+        "the two-level aggregate shape (fact rows fold to order grain, the "
+        "histogram folds order-cardinality rows) where the naive GROUP BY + "
+        "COUNT(DISTINCT ...) formulations shuffle the fact table twice. The "
+        "basket-size staple every retail mart reports"
+    ),
+    tags=("analytics", "aggregation", "tpch"),
+)
+def agg_order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
+    hist = per_order.groupBy(F.col("n_items").cast("int").alias("n_items")).agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    return hist.select(
+        "n_items",
+        "n_orders",
+        F.round(F.col("n_orders") / F.sum("n_orders").over(Window.partitionBy()).cast("double"), 6).alias(
+            "share"
+        ),
+    ).orderBy("n_items")
