@@ -169,8 +169,10 @@ def temperature_mix(
 
     Deterministic and engine-portable BY CONSTRUCTION: the weight uses
     floor(sqrt(n)) — IEEE sqrt is correctly rounded (general pow is not,
-    which is why alpha is fixed at 1/2), and every downstream step is
-    integer arithmetic, so the SQL twin computes bit-identical thresholds.
+    which is why alpha is fixed at 1/2), and every downstream step is the
+    same left-to-right IEEE double chain in both engines, so the SQL twin
+    computes bit-identical thresholds (doubles, not longs, so the product
+    can't hit ANSI ARITHMETIC_OVERFLOW at 1e12+ row corpora).
     Same two-pass shape as mix_to_target: a group-count aggregate, a
     broadcast join of the per-group thresholds, one hash-filter map over
     the big table — which is never shuffled.
@@ -182,11 +184,16 @@ def temperature_mix(
         F.sum("_n").alias("_total"), F.sum(isqrt).alias("_z")
     )
     budget_rows = F.floor(F.lit(budget_frac) * F.col("_total")).cast("long")
+    # Multiply in DOUBLE, not LONG: under the session's ANSI default a long
+    # product budget_rows * isqrt * n_buckets overflows 2^63 around 1e12-row
+    # corpora. Both engines evaluate the identical left-to-right IEEE double
+    # chain, so the floor()'d threshold (<= n_buckets) stays bit-identical
+    # with the SQL twin.
     thresh = F.least(
         F.lit(n_buckets).cast("long"),
         F.floor(
-            (budget_rows * isqrt * F.lit(n_buckets)).cast("double")
-            / (F.col("_z") * F.col("_n")).cast("double")
+            (budget_rows.cast("double") * isqrt.cast("double") * F.lit(float(n_buckets)))
+            / (F.col("_z").cast("double") * F.col("_n").cast("double"))
         ).cast("long"),
     )
     fracs = counts.crossJoin(tot).select("_g", thresh.alias("_thresh"))

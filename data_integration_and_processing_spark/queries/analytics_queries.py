@@ -520,9 +520,9 @@ new_per_day AS (
 )
 SELECT a.day_num, a.n_active_users,
        coalesce(n.n_new_users, 0) AS n_new_users,
-       sum(coalesce(n.n_new_users, 0))
-           OVER (ORDER BY a.day_num ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cum_distinct_users
+       CAST(sum(coalesce(n.n_new_users, 0))
+            OVER (ORDER BY a.day_num ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_distinct_users
 FROM active a LEFT JOIN new_per_day n USING (day_num)
 ORDER BY a.day_num
 """
@@ -855,7 +855,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         agg AS (
             SELECT CAST(count(*) AS BIGINT) AS n_vertices,
-                   CAST(sum(deg * (deg - 1)) AS BIGINT) / 2 AS n_wedges
+                   CAST(CAST(sum(deg * (deg - 1)) AS BIGINT) / 2 AS BIGINT) AS n_wedges
             FROM deg
         ),
         tri AS (

@@ -393,7 +393,7 @@ first_seen AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
 per_doc AS (
     SELECT sh.doc_id,
            count(*) AS n_shingles,
-           sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
     FROM sh JOIN first_seen f ON f.s = sh.s
     GROUP BY sh.doc_id
 )

@@ -689,4 +689,10 @@ def dedup_method_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(summarize(metrics.filter(F.col("jac") >= 0.5), "jaccard_0.5"))
         .orderBy("method")
     )
-    return out
+    # Materialize the 3-row summary, then release both cached inputs — the
+    # sibling operators thread a cache_handle for the same reason; leaving
+    # these persisted leaks executor storage for the rest of the session.
+    rows = out.collect()
+    sh.unpersist()
+    metrics.unpersist()
+    return spark.createDataFrame(rows, out.schema)

@@ -98,13 +98,13 @@ def func_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_orderkey, l_linenumber,
                abs(l_extendedprice - 50000)            AS abs_delta,
-               ceil(l_extendedprice / 1000)            AS price_ceil_k,
-               floor(l_extendedprice / 1000)           AS price_floor_k,
+               CAST(ceil(l_extendedprice / 1000) AS BIGINT)  AS price_ceil_k,
+               CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_floor_k,
                round(sqrt(l_extendedprice), 6)         AS price_sqrt,
                round(ln(l_extendedprice + 1), 6)       AS price_ln,
                round(log10(l_extendedprice + 1), 6)    AS price_log10,
                CAST(l_quantity AS BIGINT) % 7          AS qty_mod7,
-               sign(l_extendedprice - 30000)           AS above_30k,
+               CAST(sign(l_extendedprice - 30000) AS BIGINT) AS above_30k,
                round(power(l_discount, 2), 10)         AS disc_sq
         FROM lineitem
     """,
@@ -125,7 +125,7 @@ def func_math_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(price + 1), 6).alias("price_ln"),
         F.round(F.log10(price + 1), 6).alias("price_log10"),
         (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
-        F.signum(price - 30000).alias("above_30k"),
+        F.signum(price - 30000).cast("bigint").alias("above_30k"),
         F.round(F.pow("l_discount", F.lit(2)), 10).alias("disc_sq"),
     )
 

@@ -575,7 +575,7 @@ dups AS (
     SELECT count(*) - count(DISTINCT o_orderkey) AS n_dups FROM orders
 )
 SELECT (SELECT count(*) FROM gaps) AS n_gaps,
-       (SELECT coalesce(sum(missing), 0) AS m FROM gaps) AS missing_ids,
+       CAST((SELECT coalesce(sum(missing), 0) AS m FROM gaps) AS BIGINT) AS missing_ids,
        (SELECT n_dups FROM dups) AS duplicate_ids,
        (SELECT min(k) FROM ordered) AS min_id,
        (SELECT max(k) FROM ordered) AS max_id

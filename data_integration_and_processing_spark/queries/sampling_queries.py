@@ -96,7 +96,7 @@ _DOC_BUCKET = hash_bucket_sql(["doc_id"], 100)
                     WHEN {_DOC_BUCKET} < 90 THEN 'valid'
                     ELSE 'test' END AS split,
                count(*) AS n_docs,
-               sum(n_chars) AS sum_chars,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                min(doc_id) AS min_doc,
                max(doc_id) AS max_doc
         FROM documents
@@ -367,9 +367,9 @@ WITH s AS (
 ),
 c AS (
     SELECT l_returnflag, l_orderkey, l_linenumber, w_cents,
-           sum(w_cents) OVER (PARTITION BY l_returnflag
-                              ORDER BY l_orderkey, l_linenumber, w_cents
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+           CAST(sum(w_cents) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_orderkey, l_linenumber, w_cents
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
            sum(w_cents) OVER (PARTITION BY l_returnflag) AS total
     FROM s
 )
@@ -487,10 +487,10 @@ _TEMP_BUCKET = hash_bucket_sql(["doc_id"], 1000)
         th AS (
             SELECT source,
                    least(1000, CAST(floor(
-                       CAST(CAST(floor(0.6 * total) AS BIGINT)
-                            * CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)
-                            * 1000 AS DOUBLE)
-                       / CAST(z * n AS DOUBLE)) AS BIGINT)) AS thresh
+                       (CAST(CAST(floor(0.6 * total) AS BIGINT) AS DOUBLE)
+                            * CAST(CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS DOUBLE)
+                            * 1000.0)
+                       / (CAST(z AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)) AS thresh
             FROM counts, tot
         )
         SELECT d.doc_id, d.source, CAST({_TEMP_BUCKET.replace('doc_id', 'd.doc_id')} AS BIGINT) AS bucket

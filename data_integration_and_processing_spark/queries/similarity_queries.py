@@ -503,7 +503,7 @@ def _centroid_oracle() -> str:
         )
         SELECT true_label AS label,
                count(*) AS n_vecs,
-               sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS n_correct,
+               CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
                round(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
                      / CAST(count(*) AS DOUBLE), 6) AS accuracy
         FROM best WHERE rn = 1

@@ -320,8 +320,9 @@ def stream_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
         SELECT user_id, event_id, ts,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_seq
         FROM flagged
     """,
     description=(
@@ -573,7 +574,7 @@ def stream_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                count(*) AS n_events,
-               sum(event_id) AS sum_ids,
+               CAST(sum(event_id) AS BIGINT) AS sum_ids,
                min(value) AS min_value,
                max(value) AS max_value
         FROM events GROUP BY event_type ORDER BY event_type
@@ -633,7 +634,7 @@ def stream_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                count(*) AS n_events,
-               sum(event_id) AS sum_ids
+               CAST(sum(event_id) AS BIGINT) AS sum_ids
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     description=(

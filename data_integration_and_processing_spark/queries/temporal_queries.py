@@ -150,9 +150,9 @@ islands AS (
     -- event_id tiebreak keeps the running sum deterministic when rows tie
     -- on (s_us, e_us) — same user, same timestamp, constant hold
     SELECT user_id, s_us, e_us,
-           sum(new_island) OVER (PARTITION BY user_id ORDER BY s_us, e_us, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS island_id
+           CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY s_us, e_us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS island_id
     FROM flagged
 )
 SELECT user_id, island_id,
@@ -462,8 +462,8 @@ SELECT d.event_type,
        count(*) AS n_rows,
        round(max(m.mad_v), 6) AS mad,
        round(max(d.med_v), 6) AS median_value,
-       sum(CASE WHEN d.adev > {_MAD_THRESHOLD} * {_MAD_K} * m.mad_v THEN 1 ELSE 0 END)
-           AS n_outliers
+       CAST(sum(CASE WHEN d.adev > {_MAD_THRESHOLD} * {_MAD_K} * m.mad_v THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type
 ORDER BY d.event_type
@@ -818,7 +818,7 @@ c AS (
 )
 SELECT event_type, n_obs,
        round(max(cusum), 6) AS max_cusum,
-       sum(CASE WHEN cusum > 4.0 * sigma THEN 1 ELSE 0 END) AS n_alarms
+       CAST(sum(CASE WHEN cusum > 4.0 * sigma THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
 FROM c GROUP BY event_type, n_obs ORDER BY event_type
 """
 

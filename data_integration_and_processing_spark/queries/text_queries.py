@@ -287,7 +287,7 @@ sampled AS (
     SELECT * FROM kept
     WHERE {_DOC_BUCKET_1000} < 500
 )
-SELECT source, count(*) AS n_docs, sum(n_words) AS total_ws_tokens,
+SELECT source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_ws_tokens,
        min(q) AS min_quality, max(q) AS max_quality
 FROM sampled GROUP BY source
 """
@@ -768,7 +768,7 @@ vocab AS (
 )
 SELECT source,
        count(*) AS n_tokens,
-       sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END) AS in_vocab,
+       CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END) AS BIGINT) AS in_vocab,
        round(1.0 - sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END)
                    / CAST(count(*) AS DOUBLE), 6) AS oov_rate
 FROM tok

@@ -32,6 +32,17 @@ _R_ATTR = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}
 _CELL_REF = re.compile(r"([A-Z]+)(\d+)")
 
 
+def xml_escape(s: str, attr: bool = False) -> str:
+    """Escape text for interpolation into the hand-rolled XML templates.
+
+    Without this, a cell value containing & < > (or a sheet name with a
+    quote) writes malformed XML that ElementTree then rejects on read-back.
+    """
+    from xml.sax.saxutils import escape
+
+    return escape(s, {'"': "&quot;"} if attr else {})
+
+
 def _col_index(ref: str) -> int:
     """A1-style column letters -> 0-based index (A=0, Z=25, AA=26...)."""
     m = _CELL_REF.match(ref)
@@ -159,12 +170,13 @@ def write_minimal_xlsx(path: str, header: list, rows: list, sheet: str = "Sheet1
     ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
     rns = 'xmlns="http://schemas.openxmlformats.org/package/2006/relationships"'
     rid = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
-    sst = "".join(f"<si><t>{s}</t></si>" for s in strings)
+    sst = "".join(f"<si><t>{xml_escape(s)}</t></si>" for s in strings)
     with zipfile.ZipFile(path, "w") as z:
         z.writestr("[Content_Types].xml", "<Types/>")
         z.writestr(
             "xl/workbook.xml",
-            f'<workbook {ns} {rid}><sheets><sheet name="{sheet}" sheetId="1" r:id="rId1"/></sheets></workbook>',
+            f'<workbook {ns} {rid}><sheets><sheet name="{xml_escape(sheet, attr=True)}" '
+            f'sheetId="1" r:id="rId1"/></sheets></workbook>',
         )
         z.writestr(
             "xl/_rels/workbook.xml.rels",

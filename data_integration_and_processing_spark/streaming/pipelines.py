@@ -43,6 +43,92 @@ def _watermarkable(df: DataFrame) -> DataFrame:
     return out
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for `path` via the Hadoop FS API — works for any
+    scheme (file://, hdfs://, s3a://), unlike os.path probes."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _committed_versions(spark: SparkSession, base: str, upto: int | None = None) -> list:
+    """Sorted committed state versions (v{N} dirs with a _SUCCESS marker)
+    under `base`, optionally restricted to N < upto."""
+    fs, jbase = _hadoop_fs(spark, base)
+    if not fs.exists(jbase):
+        return []
+    jvm = spark._jvm
+    out = []
+    for st in fs.listStatus(jbase):
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            n = int(name[1:])
+            if (upto is None or n < upto) and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{base}/{name}/_SUCCESS")
+            ):
+                out.append(n)
+    return sorted(out)
+
+
+def read_state_version(spark: SparkSession, base: str, upto: int | None = None) -> DataFrame | None:
+    """Latest committed state version (< upto) under `base`, or None.
+
+    foreachBatch state lives in per-batch version directories base/v{N}
+    instead of one mutable directory. Crash-replaying micro-batch N rebuilds
+    v{N} from v{N-1} plus the checkpoint-replayed (identical) batch data —
+    an idempotent overwrite, not a double-merge of non-idempotent counters
+    (ADVICE r4). Passing upto=batch_id also hides a half-written v{N} from
+    the replay itself. Existence is probed through the Hadoop FileSystem
+    API, so a transient read failure propagates and Structured Streaming
+    retries the batch, rather than being mistaken for "first batch" and
+    resetting accumulated state.
+    """
+    versions = _committed_versions(spark, base, upto)
+    return spark.read.parquet(f"{base}/v{versions[-1]}") if versions else None
+
+
+def write_state_version(df: DataFrame, base: str, batch_id: int, keep: int = 2) -> None:
+    """Commit state version base/v{batch_id}; prune versions <= batch_id-keep.
+
+    keep=2 retains the version a replayed batch would re-read. The write
+    never overwrites the directory it read from, so no stage+swap dance is
+    needed."""
+    spark = df.sparkSession
+    df.write.mode("overwrite").parquet(f"{base}/v{batch_id}")
+    fs, jbase = _hadoop_fs(spark, base)
+    for st in fs.listStatus(jbase):
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= batch_id - keep:
+            fs.delete(st.getPath(), True)
+
+
+def write_state_append(df: DataFrame, base: str, batch_id: int) -> None:
+    """Append-style state, idempotently: each micro-batch owns base/b{N},
+    written with overwrite so a crash-replay rewrites the same directory
+    instead of appending duplicate rows into a shared one."""
+    df.write.mode("overwrite").parquet(f"{base}/b{batch_id}")
+
+
+def read_state_appends(spark: SparkSession, base: str, upto: int | None = None) -> DataFrame | None:
+    """Union of committed per-batch append dirs (b{N}, N < upto), or None.
+
+    upto=batch_id excludes the replaying batch's own half-written b{N}."""
+    fs, jbase = _hadoop_fs(spark, base)
+    if not fs.exists(jbase):
+        return None
+    jvm = spark._jvm
+    dirs = []
+    for st in fs.listStatus(jbase):
+        name = st.getPath().getName()
+        if name.startswith("b") and name[1:].isdigit():
+            n = int(name[1:])
+            if (upto is None or n < upto) and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{base}/{name}/_SUCCESS")
+            ):
+                dirs.append(f"{base}/{name}")
+    return spark.read.parquet(*sorted(dirs)) if dirs else None
+
+
 def tumbling_window_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
     """Per-event-type counts/sums over tumbling windows."""
     return (
@@ -230,11 +316,14 @@ def run_streaming_upsert_sink(
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.sparkSession
-        try:
-            target = b.read.parquet(sink)
-        except Exception:  # noqa: BLE001 — first batch: sink doesn't exist yet
+        # existence probe, not a blanket except: a transient read failure
+        # must fail the batch (and be retried), not masquerade as first-batch
+        # and overwrite accumulated state. Replay is key-idempotent (upsert).
+        fs, jsink = _hadoop_fs(b, sink)
+        if not fs.exists(jsink):
             batch_df.write.mode("overwrite").parquet(sink)
             return
+        target = b.read.parquet(sink)
         merged = upsert(target, batch_df, key_cols=["user_id"])
         # parquet has no transactional MERGE: stage the merged table, then
         # swap. Delta/Iceberg replace this dance with one MERGE INTO.
@@ -518,10 +607,11 @@ def run_streaming_cdc_apply(
     def land(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.sparkSession
         latest = collapse(batch_df)
-        try:
+        # existence probe (see upsert land above); replay is key-idempotent
+        # because max_by(seq) of the union re-picks the same winners
+        fs, jsink = _hadoop_fs(b, sink)
+        if fs.exists(jsink):
             latest = collapse(b.read.parquet(sink).unionByName(latest))
-        except Exception:  # noqa: BLE001 — first batch: sink doesn't exist yet
-            pass
         latest.write.mode("overwrite").parquet(f"{sink}_stage")
         b.read.parquet(f"{sink}_stage").write.mode("overwrite").parquet(sink)
 
@@ -565,18 +655,19 @@ def run_streaming_hll_distinct(
     def land(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.sparkSession
         batch_sk = batch_df.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
-        try:
-            state = b.read.parquet(sink)
-        except Exception:  # noqa: BLE001 — first batch: no state yet
-            batch_sk.write.mode("overwrite").parquet(sink)
-            return
-        merged = (
-            state.unionByName(batch_sk)
-            .groupBy("event_type")
-            .agg(F.hll_union_agg("sk").alias("sk"))
-        )
-        merged.write.mode("overwrite").parquet(f"{sink}_stage")
-        b.read.parquet(f"{sink}_stage").write.mode("overwrite").parquet(sink)
+        # versioned state for uniformity with the CMS/digest pipelines; HLL
+        # union is set-idempotent so replay was already safe, but the blanket
+        # except could reset state on a transient read error
+        state = read_state_version(b, sink, upto=batch_id)
+        if state is None:
+            merged = batch_sk
+        else:
+            merged = (
+                state.unionByName(batch_sk)
+                .groupBy("event_type")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        write_state_version(merged, sink, batch_id)
 
     (
         stream.writeStream.outputMode("append")
@@ -588,7 +679,7 @@ def run_streaming_hll_distinct(
         .awaitTermination(300)
     )
     return (
-        spark.read.parquet(sink)
+        read_state_version(spark, sink)
         .select(
             "event_type",
             F.hll_sketch_estimate("sk").alias("est_distinct_users"),
@@ -1129,22 +1220,22 @@ def run_streaming_countmin_heavy_hitters(
             .limit(k)
             .select("item")
         )
-        try:
-            state = b.read.parquet(cms_state)
+        # versioned state: counter addition is NOT idempotent, so a crash-
+        # replayed batch must rebuild v{N} from v{N-1}, never re-add into a
+        # shared directory (read_state_version docstring has the full story)
+        state = read_state_version(b, cms_state, upto=batch_id)
+        if state is None:
+            merged = batch_sk
+            cand = batch_top
+        else:
             merged = (
                 state.unionByName(batch_sk)
                 .groupBy("row_idx", "bucket")
                 .agg(F.sum("counter").alias("counter"))
             )
-            cand = b.read.parquet(cand_state).unionByName(batch_top).distinct()
-        except Exception:  # noqa: BLE001 — first batch: no state yet
-            batch_sk.write.mode("overwrite").parquet(cms_state)
-            batch_top.write.mode("overwrite").parquet(cand_state)
-            return
-        merged.write.mode("overwrite").parquet(f"{cms_state}_stage")
-        b.read.parquet(f"{cms_state}_stage").write.mode("overwrite").parquet(cms_state)
-        cand.write.mode("overwrite").parquet(f"{cand_state}_stage")
-        b.read.parquet(f"{cand_state}_stage").write.mode("overwrite").parquet(cand_state)
+            cand = read_state_version(b, cand_state, upto=batch_id).unionByName(batch_top).distinct()
+        write_state_version(merged, cms_state, batch_id)
+        write_state_version(cand, cand_state, batch_id)
 
     (
         stream.writeStream.outputMode("append")
@@ -1155,8 +1246,8 @@ def run_streaming_countmin_heavy_hitters(
         .start()
         .awaitTermination(300)
     )
-    sketch = spark.read.parquet(cms_state)
-    cand = spark.read.parquet(cand_state)
+    sketch = read_state_version(spark, cms_state)
+    cand = read_state_version(spark, cand_state)
     est = countmin_estimate(sketch, cand, depth=depth, width=width)
     return (
         est.select(F.col("item").cast("long").alias("user_id"), "est_count")
@@ -1349,14 +1440,11 @@ def run_streaming_quantile_digest(
     def land(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.sparkSession
         batch_sum = _summarize(batch_df)
-        try:
-            state = b.read.parquet(state_path)
-        except Exception:  # noqa: BLE001 — first batch
-            batch_sum.write.mode("overwrite").parquet(state_path)
-            return
-        merged = _requantize(state.unionByName(batch_sum))
-        merged.write.mode("overwrite").parquet(f"{state_path}_stage")
-        b.read.parquet(f"{state_path}_stage").write.mode("overwrite").parquet(state_path)
+        # versioned state: digest merge is not idempotent, so a crash-replay
+        # rebuilds v{N} from v{N-1} instead of re-merging into shared state
+        state = read_state_version(b, state_path, upto=batch_id)
+        merged = batch_sum if state is None else _requantize(state.unionByName(batch_sum))
+        write_state_version(merged, state_path, batch_id)
 
     (
         stream.writeStream.outputMode("append")
@@ -1368,7 +1456,7 @@ def run_streaming_quantile_digest(
         .awaitTermination(300)
     )
 
-    state = spark.read.parquet(state_path)
+    state = read_state_version(spark, state_path)
     est = None
     for t in (0.5, 0.9, 0.99):
         idx = min(int(t * n_buckets), n_buckets - 1)
@@ -1517,9 +1605,13 @@ def run_streaming_neardup(
         hs_b, banded_b = _index(batch_unique)
         hs_b = hs_b.localCheckpoint(eager=True)
         banded_b = banded_b.localCheckpoint(eager=True)
-        try:
-            hs_s = b.read.parquet(hs_state)
-            banded_s = b.read.parquet(band_state)
+        # per-batch append dirs (b{N}) read with upto=batch_id: a crash-
+        # replayed batch sees exactly the pre-crash snapshot (its own
+        # half-written b{N} excluded) and overwrites b{N} idempotently
+        # instead of appending duplicate index rows
+        hs_s = read_state_appends(b, hs_state, upto=batch_id)
+        banded_s = read_state_appends(b, band_state, upto=batch_id)
+        if hs_s is not None:
             snap_buckets = (
                 banded_s.groupBy("band", "bucket")
                 .agg(F.array_sort(F.collect_set("id")).alias("snap_ids"))
@@ -1540,13 +1632,15 @@ def run_streaming_neardup(
                 .distinct()
             )
             survivors = hs_b.join(dup_ids, "id", "left_anti").select("id").localCheckpoint(eager=True)
-        except Exception:  # noqa: BLE001 — first batch: no state yet
+        else:  # first batch: no committed snapshot yet
             survivors = hs_b.select("id").localCheckpoint(eager=True)
-        hs_b.join(survivors, "id").write.mode("append").parquet(hs_state)
-        banded_b.join(survivors, "id").write.mode("append").parquet(band_state)
-        batch_unique.join(
-            survivors.withColumnRenamed("id", id_col), id_col
-        ).write.mode("append").parquet(out_state)
+        write_state_append(hs_b.join(survivors, "id"), hs_state, batch_id)
+        write_state_append(banded_b.join(survivors, "id"), band_state, batch_id)
+        write_state_append(
+            batch_unique.join(survivors.withColumnRenamed("id", id_col), id_col),
+            out_state,
+            batch_id,
+        )
 
     (
         stream.writeStream.outputMode("append")
@@ -1557,4 +1651,4 @@ def run_streaming_neardup(
         .start()
         .awaitTermination(600)
     )
-    return spark.read.parquet(out_state).select(id_col).orderBy(id_col)
+    return read_state_appends(spark, out_state).select(id_col).orderBy(id_col)

@@ -51,6 +51,36 @@ def value_hash(pdf) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 
+def dtype_parity_violations(spdf, opdf) -> list:
+    """Columns where one side is floating and the other integral.
+
+    The driver canonicalizes values per-cell WITHOUT the replica's %.9g float
+    collapse, so DuckDB HUGEINT sums materialized by fetchdf as float64 render
+    "5.0" against Spark's int64 "5" and hash-mismatch even when every value is
+    numerically identical (cost rounds 3 and 4 — see VERDICT.md r4 §What's
+    wrong). Flag the class at authoring time instead.
+    """
+    import pandas.api.types as pt
+
+    def kind(s):
+        if pt.is_bool_dtype(s):
+            return "bool"
+        if pt.is_integer_dtype(s):
+            return "int"
+        if pt.is_float_dtype(s):
+            return "float"
+        return "other"
+
+    sp = {c.lower(): kind(spdf[c]) for c in spdf.columns}
+    op = {c.lower(): kind(opdf[c]) for c in opdf.columns}
+    bad = []
+    for c in sorted(set(sp) & set(op)):
+        a, b = sp[c], op[c]
+        if {a, b} == {"int", "float"} or {a, b} == {"bool", "int"}:
+            bad.append(f"{c}: spark={a} oracle={b}")
+    return bad
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -98,12 +128,15 @@ def main() -> int:
             continue
         ok_rows = len(spdf) == len(opdf)
         ok_cols = sorted(c.lower() for c in spdf.columns) == sorted(c.lower() for c in opdf.columns)
+        dtype_bad = dtype_parity_violations(spdf, opdf) if ok_cols else []
         ok_hash = ok_rows and ok_cols and value_hash(spdf) == value_hash(opdf)
-        status = "MATCH" if (ok_rows and ok_cols and ok_hash) else "MISMATCH"
+        status = "MATCH" if (ok_rows and ok_cols and ok_hash and not dtype_bad) else "MISMATCH"
         rec = {"query": name, "status": status, "rows": len(spdf), "sec": round(time.time() - t0, 2)}
         if status == "MISMATCH":
             rec.update({"ok_rows": ok_rows, "ok_cols": ok_cols, "oracle_rows": len(opdf),
                         "spark_cols": sorted(spdf.columns), "oracle_cols": sorted(opdf.columns)})
+            if dtype_bad:
+                rec["dtype_parity"] = dtype_bad
             n_fail += 1
         else:
             n_pass += 1

@@ -148,6 +148,7 @@ class TestStreamingCountMin:
 
         from data_integration_and_processing_spark.operators.text_analysis import countmin_sketch
         from data_integration_and_processing_spark.streaming.pipelines import (
+            read_state_version as _read_state_version,
             run_streaming_countmin_heavy_hitters,
         )
 
@@ -166,7 +167,7 @@ class TestStreamingCountMin:
         }
         merged_sk = {
             (r["row_idx"], r["bucket"]): r["counter"]
-            for r in spark.read.parquet(f"{scratch}/sink_cms").collect()
+            for r in _read_state_version(spark, f"{scratch}/sink_cms").collect()
         }
         assert merged_sk == batch_sk
 

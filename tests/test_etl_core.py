@@ -181,6 +181,22 @@ def test_read_excel_sheet_selection_errors(spark, tmp_path):
         read_xlsx_rows(str(path), 3)
 
 
+def test_xlsx_writer_escapes_xml_specials(tmp_path):
+    """& < > " in cell text or the sheet name must survive a write/read
+    round-trip — the hand-rolled XML templates escape on write and
+    ElementTree unescapes on read (ADVICE r4: unescaped values wrote
+    malformed sharedStrings.xml)."""
+    from data_integration_and_processing_spark.sources.xlsx import read_xlsx_rows
+
+    path = tmp_path / "specials.xlsx"
+    tricky = 'a & b <tag> "quoted" \'single\''
+    _write_minimal_xlsx(
+        path, header=["txt", "n"], rows=[[tricky, 1], ["<>&", 2]], sheet='S "&" <1>'
+    )
+    rows = read_xlsx_rows(str(path), 'S "&" <1>')
+    assert rows == [["txt", "n"], [tricky, 1], ["<>&", 2]]
+
+
 def test_scd2_reapply_is_noop(spark, sf_dir):
     """Re-delivering the same delta after it has been applied must produce
     no new versions (idempotent ingestion)."""
