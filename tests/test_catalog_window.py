@@ -56,10 +56,23 @@ REQUIRED_FAMILY_TAGS = (
 )
 
 
-def test_first_50_follow_priority_list():
+def test_first_50_follow_derived_window():
     names = list(catalog.all_specs())
-    assert len(catalog._PRIORITY) == 50
-    assert names[:50] == list(catalog._PRIORITY)
+    window = catalog.driver_window()
+    assert len(window) == 50
+    assert names[:50] == list(window)
+    # pins lead the window: flagship + this round's must-reverify entries
+    assert names[: 1 + len(catalog._PINNED)] == list(catalog._ALWAYS + catalog._PINNED)
+
+
+def test_window_rotates_toward_stale_entries():
+    """The derived window must spend most of its slots on entries without a
+    recent driver-green round — the rotation policy VERDICT r4 item 6 asked
+    to make mechanical."""
+    green = catalog._load_green()
+    window = catalog.driver_window()
+    first_timers = [n for n in window if n not in green]
+    assert len(first_timers) >= 8
 
 
 def test_first_50_are_all_oracle_checked():
