@@ -52,9 +52,20 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", mime: str = "ap
 
 
 def decode_payload(payload: bytes, mime_type: str) -> object:
-    """Real media decode — NOT IMPLEMENTED in this container (no PIL/ffmpeg/
-    librosa). At deployment, dispatch on mime_type to the codec and return
-    the decoded tensor; everything around this call is production-shaped."""
+    """Real media decode, env-gated: image/* dispatches to pillow when the
+    deployment installs it (this container does not ship codec libs); audio/
+    video remain deployment hooks. Everything around this call is
+    production-shaped — tests/test_multimodal_phash.py pins the gate, and
+    exercises the pillow branch wherever PIL exists."""
+    if mime_type.startswith("image/"):
+        try:
+            import io  # noqa: PLC0415
+            from PIL import Image  # noqa: PLC0415
+        except ImportError as e:
+            raise NotImplementedError(
+                f"no decoder available for {mime_type}; install pillow at deployment"
+            ) from e
+        return Image.open(io.BytesIO(payload))
     raise NotImplementedError(f"no decoder available for {mime_type}; install codec libs at deployment")
 
 

@@ -56,3 +56,31 @@ def test_truncation_twins_mostly_recalled(spark, docs):
     got = phash_neardup_pairs(corpus, max_hamming=6)
     twin_pairs = got.filter(F.col("id_b") - F.col("id_a") == 100000).count()
     assert twin_pairs >= 0.8 * docs.count()  # 435/500 measured; pin headroom
+
+
+def test_decode_payload_gate():
+    """The codec gate: image/* dispatches to pillow when installed, raises
+    NotImplementedError otherwise; audio/video are always deployment hooks
+    in this container."""
+    import importlib.util
+
+    import pytest
+
+    from data_integration_and_processing_spark.operators.multimodal import decode_payload
+
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x00\x01", "audio/wav")
+
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(NotImplementedError, match="pillow"):
+            decode_payload(b"\x89PNG", "image/png")
+    else:
+        # 1x1 transparent PNG, the smallest valid payload
+        import base64
+
+        png = base64.b64decode(
+            "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGNgYGBgAAAABQAB"
+            "h6FO1AAAAABJRU5ErkJggg=="
+        )
+        img = decode_payload(png, "image/png")
+        assert img.size == (1, 1)
