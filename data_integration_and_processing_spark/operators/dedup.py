@@ -929,3 +929,75 @@ def ngram_jaccard_pairs_prefix(
         .select("id_a", "id_b", "inter", "jaccard")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# cross-document line dedup (C4 / RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_words: int = 8,
+) -> DataFrame:
+    """C4-style bulk line deduplication: any line occurring in more than one
+    place across the corpus is kept ONLY at its first occurrence (min
+    (doc_id, line_no)) and removed everywhere else — the web-corpus cleanup
+    that strips boilerplate (nav bars, cookie banners, license headers)
+    repeated across millions of pages.
+
+    The fixtures carry no newlines, so a "line" is a non-overlapping
+    ``line_words``-word segment; a real corpus passes its own splitter by
+    pre-exploding on \\n and the rest of the plan is identical.
+
+    Returns one row per document: ``doc_id, n_lines, n_removed,
+    cleaned_text`` (kept lines re-joined in order).
+
+    Scale shape: the keeper table is ONE aggregation keyed by line using a
+    map-side-combinable min(struct(doc_id, line_no)) — deliberately NOT a
+    row_number window, whose single-reducer sort on a mega-hot boilerplate
+    line is exactly the skew this operator exists to survive. The join back
+    is line-keyed (AQE skew-split handles the hot lines); reassembly is one
+    doc-keyed shuffle. No driver materialization anywhere.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_lines = F.greatest(
+        F.ceil(F.size(words) / F.lit(line_words)).cast("int"), F.lit(1)
+    )
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * line_words + 1, line_words), " "
+                ),
+            )
+        ).alias("line_no", "line"),
+    )
+    keepers = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("keep"),
+        F.count("*").alias("occ"),
+    )
+    marked = lines.join(keepers, "line").withColumn(
+        "kept",
+        (F.col("occ") == 1)
+        | (
+            (F.col("doc_id") == F.col("keep.doc_id"))
+            & (F.col("line_no") == F.col("keep.line_no"))
+        ),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum((~F.col("kept")).cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("kept"), F.struct("line_no", "line")))
+                ),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )

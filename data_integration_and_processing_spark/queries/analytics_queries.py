@@ -9,7 +9,7 @@ Scale notes per query; every count/ratio follows the float conventions
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_integration_and_processing_spark.queries.catalog import register
@@ -1674,3 +1674,114 @@ def agg_order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     ).orderBy("n_items")
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+        WITH t AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events
+        )
+        SELECT from_type, to_type, count(*) AS n,
+               round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY from_type)
+                                     AS DOUBLE), 6) AS p
+        FROM t WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+        ORDER BY from_type, to_type
+    """,
+    description=(
+        "first-order Markov transition matrix over per-user event sequences: "
+        "P(next event type | current), the behavioral model behind next-action "
+        "prediction and funnel-shape drift monitoring. One shuffle keyed by "
+        "user_id for the lead() ordering, one tiny k^2 aggregate (k = distinct "
+        "event types); the per-row normalization window runs on the k^2 table, "
+        "never the event stream"
+    ),
+    tags=("analytics", "events", "window", "aggregation"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = trans.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot).cast("double"), 6).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+        WITH f AS (
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        contrib AS (
+            SELECT f.cohort_week,
+                   CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_week AS week_offset,
+                   e.value
+            FROM events e JOIN f USING (user_id)
+        ),
+        sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY cohort_week),
+        per_offset AS (
+            SELECT cohort_week, week_offset,
+                   round(sum(value), 4) AS week_value
+            FROM contrib GROUP BY cohort_week, week_offset
+        )
+        SELECT p.cohort_week, p.week_offset, s.cohort_size,
+               round(CAST(sum(p.week_value) OVER (PARTITION BY p.cohort_week
+                                                  ORDER BY p.week_offset) AS DOUBLE)
+                     / s.cohort_size, 6) AS cum_value_per_user
+        FROM per_offset p JOIN sizes s USING (cohort_week)
+        ORDER BY p.cohort_week, p.week_offset
+    """,
+    description=(
+        "cohort lifetime-value curves: cumulative event value per user by "
+        "cohort age (weeks since the cohort's first-seen week) — the LTV "
+        "payback readout that pairs with events_cohort_retention's activity "
+        "matrix. Per-week sums are rounded BEFORE the running total so the "
+        "float fold order cannot differ between engines; the cumulative "
+        "window runs on the O(weeks^2) curve table, never the event stream"
+    ),
+    tags=("analytics", "events", "window", "aggregation"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wk = F.floor(F.unix_timestamp("ts") / _WEEK).cast("bigint")
+    firstseen = e.groupBy("user_id").agg(
+        F.floor(F.unix_timestamp(F.min("ts")) / _WEEK).cast("bigint").alias("cohort_week")
+    )
+    sizes = firstseen.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    per_offset = (
+        e.join(firstseen, "user_id")
+        .withColumn("week_offset", wk - F.col("cohort_week"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.round(F.sum("value"), 4).alias("week_value"))
+    )
+    cum = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return (
+        per_offset.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_size",
+            F.round(
+                F.sum("week_value").over(cum).cast("double") / F.col("cohort_size"), 6
+            ).alias("cum_value_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

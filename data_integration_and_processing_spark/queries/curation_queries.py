@@ -438,3 +438,45 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_novel",
         F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 6).alias("novelty"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_line_dedup",
+    oracle="""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        lines AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+                   array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' ') AS line
+            FROM w, unnest(generate_series(0,
+                     greatest(CAST(ceil(len(ws) / 8.0) AS BIGINT), 1) - 1)) AS t(i)
+        ),
+        marked AS (
+            SELECT doc_id, line_no, line,
+                   (count(*) OVER (PARTITION BY line) = 1
+                    OR row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, line_no) = 1) AS kept
+            FROM lines
+        )
+        SELECT doc_id,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+               coalesce(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY line_no), '')
+                   AS cleaned_text
+        FROM marked GROUP BY doc_id
+    """,
+    description=(
+        "C4/RefinedWeb-style cross-document line dedup: every 8-word line kept "
+        "only at its first occurrence (min doc_id, line_no) corpus-wide — the "
+        "boilerplate stripper (nav bars, cookie banners, license headers) every "
+        "web-scale training pipeline runs before near-dedup. Keeper selection is "
+        "a map-side-combinable min(struct) aggregation keyed by line, NOT a "
+        "row_number window, so a mega-hot boilerplate line cannot pin one "
+        "reducer; reassembly is one doc-keyed shuffle"
+    ),
+    tags=("curation", "dedup", "text", "north-star", "scale"),
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.dedup import line_dedup  # noqa: PLC0415
+
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    return line_dedup(d, text_col="text", id_col="doc_id", line_words=8)

@@ -614,3 +614,41 @@ def sim_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("nrm"), 6).alias("max_norm"),
         F.round(F.expr("percentile(nrm, 0.5)"), 6).alias("p50_norm"),
     )
+
+
+@register(
+    "sim_dedup_semantic",
+    oracle=f"""
+        WITH dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
+        )
+        SELECT e.vec_id, e.label,
+               e.vec_id IN (SELECT vec_id FROM dropped) AS dropped
+        FROM embeddings e
+        ORDER BY e.vec_id
+    """,
+    description=(
+        "SemDeDup-style semantic dedup verdict per vector: drop v when any "
+        "LOWER-id vector sits within cosine >= 0.4 (min-id survivor policy, "
+        "the pairwise form of the greedy semantic prune). The Spark side "
+        "reuses embedding_neardup_pairs — size-routed broadcast-matmul here, "
+        "banded sign-LSH at corpus scale — then one anti-join-shaped "
+        "left-semi flag; the oracle is the exact all-pairs self-join"
+    ),
+    tags=("similarity", "dedup", "north-star", "scale"),
+)
+def sim_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        embedding_neardup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(e, threshold=0.4)
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        e.join(dropped.withColumn("_d", F.lit(True)), "vec_id", "left")
+        .select("vec_id", "label", F.coalesce("_d", F.lit(False)).alias("dropped"))
+        .orderBy("vec_id")
+    )

@@ -1142,3 +1142,109 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6).alias("share_of_label"),
     ).orderBy("labeled_lang", "detected_lang")
+
+
+@register(
+    "text_bigram_lm",
+    oracle="""
+        WITH w AS (
+            SELECT string_split(text, ' ') AS ws FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        b AS (
+            SELECT ws[i] AS w1, ws[i+1] AS w2
+            FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        ),
+        c AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY w1, w2)
+        SELECT w1, w2, n,
+               round(n / CAST(sum(n) OVER (PARTITION BY w1) AS DOUBLE), 6) AS p
+        FROM c
+        ORDER BY n DESC, w1, w2
+        LIMIT 100
+    """,
+    description=(
+        "bigram language-model table: P(w2 | w1) over the corpus, top-100 "
+        "transitions — the cheapest fluency prior (the backbone of perplexity "
+        "filters when no neural LM is affordable at corpus scale). Bigrams "
+        "come from zipping two shifted slices of the word array in-task (zero "
+        "shuffle until the count aggregate); the conditional normalization "
+        "window runs on the O(vocab^2-observed) count table, not the corpus"
+    ),
+    tags=("text", "north-star", "aggregation"),
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    words = F.split("text", " ")
+    n = F.size(words)
+    pairs = d.filter(n >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(words, 1, n - 1),
+                F.slice(words, 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    )
+    counts = pairs.groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")).agg(
+        F.count("*").alias("n")
+    )
+    tot = Window.partitionBy("w1")
+    return (
+        counts.select(
+            "w1", "w2", "n",
+            F.round(F.col("n") / F.sum("n").over(tot).cast("double"), 6).alias("p"),
+        )
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(100)
+    )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+        WITH tf AS (
+            SELECT w, count(*) AS f
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w
+        ),
+        ranked AS (
+            SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM tf
+        ),
+        pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+                FROM ranked WHERE r <= 1000)
+        SELECT count(*) AS n_terms,
+               round(covar_pop(y, x) / var_pop(x), 6) AS zipf_slope,
+               round(corr(y, x) * corr(y, x), 6) AS r2
+        FROM pts
+    """,
+    description=(
+        "Zipf's-law fit over the corpus vocabulary: OLS slope of log-frequency "
+        "vs log-rank for the top-1000 terms (natural text sits near -1; a flat "
+        "or broken slope flags synthetic/spammy corpora before training). Term "
+        "frequencies are one map-side-combinable aggregate; rank + regression "
+        "run on the O(vocab) table. Slope computed as covar_pop/var_pop in "
+        "both engines — the closed form of regr_slope"
+    ),
+    tags=("text", "north-star", "aggregation", "profiling"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    tf = d.select(F.explode(F.split("text", " ")).alias("w")).groupBy("w").agg(
+        F.count("*").alias("f")
+    )
+    ranked = tf.select(
+        "f", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("w"))).alias("r")
+    ).filter(F.col("r") <= 1000)
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    return pts.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.covar_pop("y", "x") / F.var_pop("x"), 6).alias("zipf_slope"),
+        F.round(F.corr("y", "x") * F.corr("y", "x"), 6).alias("r2"),
+    )
