@@ -1785,3 +1785,115 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey * 2 AS cust_v, l.l_partkey * 2 + 1 AS part_v
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        deg AS (
+            SELECT v, count(*) AS degree FROM (
+                SELECT cust_v AS v FROM pairs UNION ALL SELECT part_v AS v FROM pairs
+            ) GROUP BY v
+        )
+        SELECT degree, count(*) AS n_vertices,
+               round(ln(CAST(count(*) AS DOUBLE)), 6) AS log_count
+        FROM deg GROUP BY degree
+        ORDER BY degree
+    """,
+    description=(
+        "degree distribution of the customer<->part co-purchase graph (the "
+        "power-law readout that sizes LSH caps, skew salting and hub "
+        "mitigation before running pagerank/components at 100 TB): distinct "
+        "bipartite edges -> per-vertex degree -> degree histogram. Two "
+        "map-side-combinable aggregates; nothing wider than (vertex, count) "
+        "ever shuffles"
+    ),
+    tags=("analytics", "graph", "aggregation", "profiling", "scale"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_v"),
+            (F.col("l_partkey") * 2 + 1).alias("part_v"),
+        )
+        .distinct()
+    )
+    verts = pairs.select(F.col("cust_v").alias("v")).unionByName(
+        pairs.select(F.col("part_v").alias("v"))
+    )
+    deg = verts.groupBy("v").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_vertices"))
+        .select(
+            "degree",
+            "n_vertices",
+            F.round(F.log(F.col("n_vertices").cast("double")), 6).alias("log_count"),
+        )
+        .orderBy("degree")
+    )
+
+
+@register(
+    "quality_order_total_reconcile",
+    oracle="""
+        WITH calc AS (
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                       AS calc_total
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        j AS (
+            SELECT o.o_orderkey, o.o_totalprice, c.calc_total,
+                   abs(o.o_totalprice - c.calc_total) AS delta
+            FROM orders o LEFT JOIN calc c ON o.o_orderkey = c.l_orderkey
+        )
+        SELECT count(*) AS n_orders,
+               CAST(sum(CASE WHEN calc_total IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_orphan_orders,
+               CAST(sum(CASE WHEN delta < 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_consistent,
+               round(avg(delta), 4) AS avg_abs_delta,
+               round(quantile_cont(delta, 0.5), 4) AS p50_abs_delta,
+               round(max(delta), 4) AS max_abs_delta
+        FROM j
+    """,
+    description=(
+        "cross-table financial reconciliation: o_totalprice vs the lineitem-"
+        "derived sum(extprice*(1-disc)*(1+tax)) — the header-vs-detail "
+        "consistency audit every warehouse DQ suite runs (the fixtures fail "
+        "it wholesale, which is exactly what the audit reports: 0 consistent, "
+        "257 orders with no lineitems). Per-order sums rounded to cents "
+        "before comparing so float fold order cannot flip a verdict; one "
+        "orderkey-keyed aggregate + one join"
+    ),
+    tags=("quality", "aggregation", "join", "profiling"),
+)
+def quality_order_total_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    calc = lineitem.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+        ).alias("calc_total")
+    )
+    j = orders.join(calc, orders.o_orderkey == calc.l_orderkey, "left").select(
+        "o_totalprice",
+        "calc_total",
+        F.abs(F.col("o_totalprice") - F.col("calc_total")).alias("delta"),
+    )
+    return j.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("calc_total").isNull(), 1).otherwise(0)).alias("n_orphan_orders"),
+        F.sum(F.when(F.col("delta") < 0.01, 1).otherwise(0)).alias("n_consistent"),
+        F.round(F.avg("delta"), 4).alias("avg_abs_delta"),
+        F.round(F.expr("percentile(delta, 0.5)"), 4).alias("p50_abs_delta"),
+        F.round(F.max("delta"), 4).alias("max_abs_delta"),
+    )

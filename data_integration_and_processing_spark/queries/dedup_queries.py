@@ -696,3 +696,78 @@ def dedup_method_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh.unpersist()
     metrics.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=None,  # the multiply-shift signature family is engine-specific;
+    # the estimator's error bound (avg |est - exact| per band under the
+    # binomial se of 32 hashes) is pinned in tests/test_dedup_levers.py
+    description=(
+        "MinHash estimator calibration audit: for every LSH-verified candidate "
+        "pair, the signature-agreement estimate of Jaccard (mean of 32 "
+        "component matches) vs the exact shingle-set Jaccard, bucketed by "
+        "exact-Jaccard decile — the observability readout that tells a "
+        "pipeline whether its b/r banding knee sits where the math says "
+        "(est ~ Binomial(32, J)/32, se <= 0.09). Signatures are computed once "
+        "and reused for banding AND calibration; the audit adds two "
+        "broadcast-sized joins over the candidate pairs only"
+    ),
+    tags=("dedup", "north-star", "profiling", "audit"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_signature_vectorized,
+        shingle_keys,
+    )
+    from data_integration_and_processing_spark.operators.parallelism import (  # noqa: PLC0415
+        fan_out_scan,
+    )
+
+    d = fan_out_scan(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    words = F.split("text", " ")
+    twins = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(1)))
+        ).alias("text"),
+    )
+    corpus = d.unionByName(twins)
+
+    caches: list = []
+    pairs = minhash_lsh_pairs(
+        corpus, text_col="text", id_col="doc_id", cache_handle=caches, jaccard_threshold=0.0
+    )
+    # minhash_lsh_pairs derives signatures from shingle_keys (3-gram hashes);
+    # the calibration estimates over the SAME sets the exact Jaccard uses
+    sig_udf = minhash_signature_vectorized(32)
+    sigs = corpus.select(
+        F.col("doc_id"), sig_udf(shingle_keys(F.col("text"), 3)).alias("sig")
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(32.0)
+    per_pair = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(F.col("jaccard").alias("exact_j"), est.alias("est_j"))
+    )
+    band = F.least(F.floor(F.col("exact_j") * 10).cast("int"), F.lit(9))
+    out = (
+        per_pair.groupBy(band.alias("jaccard_band"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("exact_j"), 6).alias("avg_exact"),
+            F.round(F.avg("est_j"), 6).alias("avg_est"),
+            F.round(F.avg(F.abs(F.col("est_j") - F.col("exact_j"))), 6).alias("avg_abs_err"),
+        )
+        .orderBy("jaccard_band")
+    )
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
