@@ -1568,3 +1568,43 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.sum(F.when(F.col("grp").isNull(), 1).otherwise(0)).cast("bigint").alias("null_key_pairs"),
     )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+        SELECT event_id, event_type,
+               round(quantile_cont(value, 0.5) OVER w, 6) AS rolling_median,
+               round(quantile_cont(value, 0.9) OVER w, 6) AS rolling_p90
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+        ORDER BY event_type, ts, event_id
+        LIMIT 5000
+    """,
+    description=(
+        "exact rolling median/p90 over a 25-row trailing frame per event type "
+        "— the robust-baseline window that percentile-based anomaly detectors "
+        "sit on (interpolated exact percentiles as WINDOW aggregates, "
+        "engine-identical on doubles after 6dp rounding). One shuffle keyed "
+        "by event_type; the frame re-sort is per-partition. At 100 TB the "
+        "partition key would include a time bucket so no single event_type "
+        "pins a reducer"
+    ),
+    tags=("window", "percentile", "temporal"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_rm_events")
+    return spark.sql(
+        """
+        SELECT event_id, event_type,
+               round(percentile(value, 0.5) OVER w, 6) AS rolling_median,
+               round(percentile(value, 0.9) OVER w, 6) AS rolling_p90
+        FROM _rm_events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+        ORDER BY event_type, ts, event_id
+        LIMIT 5000
+        """
+    )

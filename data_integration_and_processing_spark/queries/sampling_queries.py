@@ -516,3 +516,52 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     kept = temperature_mix(d, "source", ["doc_id"], budget_frac=0.6)
     return kept.select("doc_id", "source", hash_bucket(["doc_id"], 1000).alias("bucket"))
+
+
+_AB_BUCKET = hash_bucket_sql(["user_id"], 2, seed=7)
+
+
+@register(
+    "sample_ab_srm_audit",
+    oracle=f"""
+        WITH assign AS (
+            SELECT DISTINCT user_id, {_AB_BUCKET} AS arm
+            FROM events
+        ),
+        counts AS (SELECT arm, count(*) AS n FROM assign GROUP BY arm),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+        SELECT c.arm, c.n, round(t.total / 2.0, 1) AS expected,
+               round(power(c.n - t.total / 2.0, 2) / (t.total / 2.0), 6)
+                   AS chisq_term
+        FROM counts c, tot t
+        ORDER BY c.arm
+    """,
+    description=(
+        "A/B experiment assignment + sample-ratio-mismatch audit: users "
+        "hash-bucketed into two arms with the portable integer hash (same "
+        "assignment in any engine or language — the property an experiment "
+        "platform actually needs), then per-arm chi-square terms vs the 50/50 "
+        "expectation (sum them and compare to 3.84 for the SRM alarm at "
+        "p=0.05). One distinct + one 2-row aggregate; nothing wide shuffles"
+    ),
+    tags=("sampling", "quality", "analytics", "north-star"),
+)
+def sample_ab_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    assign = e.select(
+        "user_id", hash_bucket(["user_id"], 2, seed=7).alias("arm")
+    ).distinct()
+    counts = assign.groupBy("arm").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "arm",
+            "n",
+            F.round(F.col("total") / 2.0, 1).alias("expected"),
+            F.round(
+                F.pow(F.col("n") - F.col("total") / 2.0, 2) / (F.col("total") / 2.0), 6
+            ).alias("chisq_term"),
+        )
+        .orderBy("arm")
+    )
