@@ -367,3 +367,36 @@ def func_url_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("url", r"^https?://[^/]+(/[^?]*)", 1).alias("path"),
         F.regexp_extract("url", r"ref=([a-z]+)", 1).alias("ref_param"),
     ).orderBy("doc_id")
+
+
+@register(
+    "func_variant_pack",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled,
+               CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_str,
+               'OBJECT<k: BIGINT>' AS variant_schema
+        FROM events
+    """,
+    description=(
+        "Spark 4 VARIANT surface: parse_json -> binary variant, typed "
+        "variant_get extraction (no re-parse per field, unlike "
+        "get_json_object), try_variant_get null-on-missing, and "
+        "schema_of_variant introspection — the semi-structured column type "
+        "the lakehouse stores instead of JSON strings. The oracle reads the "
+        "same fields with DuckDB's JSON extractors; the uniform fixture "
+        "schema makes schema_of_variant a checkable constant"
+    ),
+    tags=("functions", "json", "variant"),
+)
+def func_variant_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        (F.variant_get(v, "$.k", "int") * 2).alias("k_doubled"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_str"),
+        F.schema_of_variant(v).alias("variant_schema"),
+    )
