@@ -1608,3 +1608,111 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 5000
         """
     )
+
+
+@register(
+    "sql_recursive_date_spine",
+    oracle="""
+        WITH RECURSIVE bounds AS (
+            SELECT CAST(floor(epoch(min(ts)) / 86400) AS BIGINT) AS lo,
+                   CAST(floor(epoch(max(ts)) / 86400) AS BIGINT) AS hi
+            FROM events
+        ),
+        spine(d) AS (
+            SELECT lo FROM bounds
+            UNION ALL
+            SELECT d + 1 FROM spine, bounds WHERE d < bounds.hi
+        ),
+        daily AS (
+            SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT spine.d AS day_num,
+               CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events,
+               daily.n IS NULL AS is_gap
+        FROM spine LEFT JOIN daily USING (d)
+        ORDER BY day_num
+    """,
+    description=(
+        "calendar-spine gap fill via RECURSIVE CTE (new in Spark 4): "
+        "generate every day between the stream's min and max, left-join the "
+        "daily counts, and surface zero-event days explicitly — the reporting "
+        "spine that makes 'no data' distinguishable from 'no rows'. The "
+        "recursion is O(days) driver-light rows; the event table aggregates "
+        "once and joins broadcast"
+    ),
+    tags=("relational", "sql", "temporal", "join"),
+)
+def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_spine_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+            SELECT CAST(floor(unix_timestamp(min(ts)) / 86400) AS BIGINT) AS lo,
+                   CAST(floor(unix_timestamp(max(ts)) / 86400) AS BIGINT) AS hi
+            FROM _spine_events
+        ),
+        spine AS (
+            SELECT lo AS d FROM bounds
+            UNION ALL
+            SELECT d + 1 FROM spine, bounds WHERE d < bounds.hi
+        ),
+        daily AS (
+            SELECT CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) AS d,
+                   count(*) AS n
+            FROM _spine_events GROUP BY 1
+        )
+        SELECT spine.d AS day_num,
+               CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events,
+               daily.n IS NULL AS is_gap
+        FROM spine LEFT JOIN daily USING (d)
+        ORDER BY day_num
+        """
+    )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+        SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal,
+               t.rank_in_nation
+        FROM nation n, LATERAL (
+            SELECT c_custkey, c_acctbal,
+                   row_number() OVER (ORDER BY c_acctbal DESC, c_custkey)
+                       AS rank_in_nation
+            FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 3
+        ) t
+        ORDER BY n.n_name, t.rank_in_nation
+    """,
+    description=(
+        "top-3 customers per nation via correlated LATERAL subquery — the "
+        "SQL-standard top-N-per-group form (the window-function twin is "
+        "window_topk_per_group; both plans decorrelate to the same "
+        "partitioned-rank shape, which this query's oracle MATCH pins). "
+        "Deterministic ties: (acctbal DESC, custkey)"
+    ),
+    tags=("relational", "join", "sql", "topk"),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal,
+               t.rank_in_nation
+        FROM _lat_nation n, LATERAL (
+            SELECT c_custkey, c_acctbal,
+                   row_number() OVER (ORDER BY c_acctbal DESC, c_custkey)
+                       AS rank_in_nation
+            FROM _lat_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 3
+        ) t
+        ORDER BY n.n_name, t.rank_in_nation
+        """
+    )
