@@ -257,3 +257,64 @@ def backfill(
         _os.replace(tmp_dir, part_dir)
         outcome[p] = "written"
     return outcome
+
+
+def incremental_agg_merge(
+    snapshot_agg: DataFrame,
+    inserts: DataFrame,
+    deletes: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Materialized-view delta maintenance for distributive aggregates:
+    merge a maintained aggregate table with the aggregates of an
+    insert-delta and a delete-delta, never rescanning the base table.
+
+    ``snapshot_agg`` has columns ``keys + n_rows + sum_<c> for c in
+    sum_cols`` (the same shape this function returns, so maintenance
+    composes across loads). Counts and sums are distributive: merged =
+    snapshot (+) agg(inserts) (-) agg(deletes); groups whose count reaches
+    zero vanish, new groups appear from the insert side. AVG and friends
+    derive from (sum, count) downstream.
+
+    At 100 TB the base table is never touched — the cost is
+    O(|delta| + |groups|): one aggregate per delta (map-side combinable)
+    and a full-outer join keyed by the group key against the O(groups)
+    snapshot. The correctness claim is equational — maintained result ==
+    full recompute over (base \\ deletes) U inserts — and the catalog
+    query's oracle IS that full recompute.
+    """
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.count("*").alias("n_rows"),
+            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        )
+
+    ins, dels = agg_of(inserts), agg_of(deletes)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *keys,
+            F.col("n_rows").alias(f"n_{tag}"),
+            *[F.col(f"sum_{c}").alias(f"s_{tag}_{c}") for c in sum_cols],
+        )
+
+    merged = (
+        side(snapshot_agg, "snap")
+        .join(side(ins, "ins"), list(keys), "full_outer")
+        .join(side(dels, "del"), list(keys), "full_outer")
+    )
+    z = F.lit(0)
+    n = (
+        F.coalesce("n_snap", z) + F.coalesce("n_ins", z) - F.coalesce("n_del", z)
+    ).alias("n_rows")
+    sums = [
+        (
+            F.coalesce(f"s_snap_{c}", F.lit(0.0))
+            + F.coalesce(f"s_ins_{c}", F.lit(0.0))
+            - F.coalesce(f"s_del_{c}", F.lit(0.0))
+        ).alias(f"sum_{c}")
+        for c in sum_cols
+    ]
+    return merged.select(*keys, n, *sums).filter(F.col("n_rows") > 0)

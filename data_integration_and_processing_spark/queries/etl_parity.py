@@ -970,3 +970,54 @@ def ids_deterministic_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(h, 21, 12),
     )
     return o.select("o_orderkey", uuid_fmt.alias("surrogate_uuid")).orderBy("o_orderkey")
+
+
+@register(
+    "etl_incremental_agg_maintenance",
+    oracle="""
+        WITH eff AS (
+            SELECT * FROM lineitem
+            WHERE (l_orderkey % 5 <> 0 AND l_orderkey % 7 <> 3)
+               OR l_orderkey % 5 = 0
+        )
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_l_quantity,
+               round(sum(l_extendedprice), 2) AS sum_l_extendedprice
+        FROM eff GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    description=(
+        "materialized-view delta maintenance: a maintained aggregate "
+        "(count + distributive sums per group) merged with an insert-delta "
+        "and a delete-delta WITHOUT rescanning the base table — cost "
+        "O(|delta| + |groups|), one map-side-combinable aggregate per delta "
+        "plus a full-outer join on the O(groups) snapshot. The oracle is the "
+        "FULL RECOMPUTE over (base minus deletes) union inserts, so the "
+        "MATCH is the equational proof that incremental == recompute "
+        "(sums rounded to cents: double fold order differs by construction)"
+    ),
+    tags=("etl", "aggregation", "incremental", "cdc", "scale"),
+)
+def etl_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.plans.pipelines import (  # noqa: PLC0415
+        incremental_agg_merge,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 5 != 0)
+    deletes = base.filter(F.col("l_orderkey") % 7 == 3)
+    inserts = li.filter(F.col("l_orderkey") % 5 == 0)
+    keys = ["l_returnflag", "l_linestatus"]
+    sums = ["l_quantity", "l_extendedprice"]
+    snapshot = base.groupBy(*keys).agg(
+        F.count("*").alias("n_rows"),
+        *[F.sum(c).alias(f"sum_{c}") for c in sums],
+    )
+    merged = incremental_agg_merge(snapshot, inserts, deletes, keys, sums)
+    return merged.select(
+        *keys,
+        "n_rows",
+        F.round("sum_l_quantity", 2).alias("sum_l_quantity"),
+        F.round("sum_l_extendedprice", 2).alias("sum_l_extendedprice"),
+    ).orderBy(*keys)

@@ -402,3 +402,43 @@ def test_backfill_crash_leaves_completed_partitions_visible(spark, sf_dir, tmp_p
     assert not os.path.isdir(f"{dest}/m=2") and not os.path.isdir(f"{dest}/m=3")
     repair = backfill(spark, flaky_fn, dest, ["1", "2", "3"], partition_col="m")
     assert repair == {"1": "skipped", "2": "written", "3": "written"}
+
+
+def test_incremental_agg_merge_composes_across_loads(spark, sf_dir):
+    """Applying two successive delta loads through incremental_agg_merge
+    must equal one full recompute over the final effective table — the
+    materialized-view maintenance invariant, including group death
+    (count->0) and group birth (insert-only keys)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_and_processing_spark.plans.pipelines import incremental_agg_merge
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys, sums = ["l_returnflag", "l_linestatus"], ["l_quantity"]
+
+    def agg(df):
+        return df.groupBy(*keys).agg(
+            F.count("*").alias("n_rows"),
+            *[F.sum(c).alias(f"sum_{c}") for c in sums],
+        )
+
+    base = li.filter(F.col("l_orderkey") % 3 == 0)
+    ins1 = li.filter(F.col("l_orderkey") % 3 == 1)
+    del1 = base.filter(F.col("l_orderkey") % 5 == 0)
+    snap1 = incremental_agg_merge(agg(base), ins1, del1, keys, sums)
+
+    eff1 = base.filter(F.col("l_orderkey") % 5 != 0).unionByName(ins1)
+    ins2 = li.filter(F.col("l_orderkey") % 3 == 2)
+    del2 = eff1.filter(F.col("l_orderkey") % 7 == 1)
+    snap2 = incremental_agg_merge(snap1, ins2, del2, keys, sums)
+
+    eff2 = eff1.filter(F.col("l_orderkey") % 7 != 1).unionByName(ins2)
+    expect = {
+        tuple(r[k] for k in keys): (r["n_rows"], round(r["sum_l_quantity"], 2))
+        for r in agg(eff2).collect()
+    }
+    got = {
+        tuple(r[k] for k in keys): (r["n_rows"], round(r["sum_l_quantity"], 2))
+        for r in snap2.collect()
+    }
+    assert got == expect
