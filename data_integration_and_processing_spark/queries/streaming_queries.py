@@ -689,3 +689,30 @@ def stream_backfill_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_events"), F.sum("s").alias("sum_ids"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_incremental_mv",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_rows,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description=(
+        "streaming materialized-view maintenance: every micro-batch merged "
+        "into the running (count, sum) aggregate via incremental_agg_merge "
+        "inside foreachBatch — warehouse MV refresh without rescanning "
+        "history, state in crash-replay-idempotent versioned directories. "
+        "The oracle is the one-shot batch aggregate over the whole stream: "
+        "the MATCH proves batch-boundary invariance"
+    ),
+    tags=("streaming", "etl", "aggregation", "incremental", "stateful"),
+)
+def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.streaming.pipelines import (  # noqa: PLC0415
+        run_streaming_incremental_mv,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value", "ts", "event_id")
+    return run_streaming_incremental_mv(spark, e)

@@ -1655,3 +1655,57 @@ def run_streaming_neardup(
         .awaitTermination(600)
     )
     return read_state_appends(spark, out_state).select(id_col).orderBy(id_col)
+
+
+def run_streaming_incremental_mv(
+    spark: SparkSession,
+    events: DataFrame,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Streaming materialized-view maintenance: each micro-batch is an
+    insert-delta merged into the maintained (count, sum) aggregate with
+    ``plans.pipelines.incremental_agg_merge`` — the foreachBatch form of
+    warehouse MV refresh, never rescanning history. State rides the
+    versioned per-batch directories (read_state_version), so a crash-
+    replayed batch rebuilds its version instead of double-adding counts.
+
+    Counts are exact integers; the value sum is rounded only at the final
+    read, so the merged result equals the one-shot batch aggregate up to
+    double fold order — the catalog query's oracle pins exactly that."""
+    from data_integration_and_processing_spark.plans.pipelines import (  # noqa: PLC0415
+        incremental_agg_merge,
+    )
+
+    scratch = scratch_dir or f"/tmp/diaps_incmv_{uuid.uuid4().hex[:8]}"
+    stream, sink = _staged_stream(spark, events, scratch)
+    keys, sums = ["event_type"], ["value"]
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.sparkSession
+        snap = read_state_version(b, sink, upto=batch_id)
+        if snap is None:
+            snap = b.createDataFrame(
+                [], "event_type string, n_rows long, sum_value double"
+            )
+        empty_delta = b.createDataFrame([], batch_df.schema)
+        merged = incremental_agg_merge(snap, batch_df, empty_delta, keys, sums)
+        write_state_version(merged, sink, batch_id)
+
+    (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .option("maxFilesPerTrigger", 4)
+        .foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return (
+        read_state_version(spark, sink)
+        .select(
+            "event_type",
+            "n_rows",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
