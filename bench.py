@@ -74,6 +74,10 @@ HEADLINE = [
     "dedup_ngram_containment",
     "sim_ann_join_ivf",
     "dedup_ngram_jaccard_prefix",
+    # r5 additions (no prior baseline; the regression gate skips unknown keys)
+    "text_line_dedup",
+    "sim_dedup_semantic",
+    "etl_incremental_agg_maintenance",
 ]
 
 
