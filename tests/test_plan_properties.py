@@ -176,3 +176,29 @@ def test_vocab_coverage_membership_is_broadcast(spark, sf_dir):
     the token stream is never shuffled for the membership flag."""
     plan = _plan(all_specs()["text_vocab_coverage"].spark(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_line_dedup_keeper_is_partial_min_not_window(spark, sf_dir):
+    """line_dedup's keeper selection must be a map-side-combinable
+    min(struct) aggregation — a row_number window would pin one reducer on
+    a mega-hot boilerplate line (the exact skew the operator exists to
+    survive)."""
+    plan = _plan(all_specs()["text_line_dedup"].spark(spark, sf_dir))
+    assert "partial_min(struct(doc_id" in plan
+    assert "row_number" not in plan.lower()
+
+
+def test_dau_wau_range_join_broadcasts_days(spark, sf_dir):
+    """events_dau_wau's trailing-window distinct is a range join of the
+    (day, user) pair table against the O(days) day list — the DAY side must
+    broadcast so the pair table is never reshuffled for the range join."""
+    plan = _plan(all_specs()["events_dau_wau"].spark(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_incremental_mv_never_rescans_base(spark, sf_dir):
+    """etl_incremental_agg_maintenance merges snapshot + delta aggregates;
+    each input must appear as its own aggregated branch (three partial
+    aggregates), not a re-union of raw rows into one giant aggregate."""
+    plan = _plan(all_specs()["etl_incremental_agg_maintenance"].spark(spark, sf_dir))
+    assert plan.count("partial_count") >= 3  # snapshot + insert-delta + delete-delta
