@@ -1021,3 +1021,73 @@ def etl_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         F.round("sum_l_quantity", 2).alias("sum_l_quantity"),
         F.round("sum_l_extendedprice", 2).alias("sum_l_extendedprice"),
     ).orderBy(*keys)
+
+
+@register(
+    "etl_merge_into_mixed",
+    oracle="""
+        WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        merged AS (
+            SELECT c_custkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+            FROM base WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT c_custkey, c_acctbal, c_mktsegment
+            FROM base WHERE c_custkey % 3 = 2
+            UNION ALL
+            SELECT c_custkey + 1000000, c_acctbal, 'NEW'
+            FROM base WHERE c_custkey % 5 = 2
+        )
+        SELECT c_mktsegment, count(*) AS n_rows,
+               round(sum(c_acctbal), 2) AS sum_bal
+        FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    description=(
+        "MERGE INTO with mixed clauses on the versioned table (the Delta/"
+        "Iceberg flagship DML): one commit applies WHEN MATCHED AND del "
+        "THEN DELETE (keys %3=1), WHEN MATCHED THEN UPDATE (keys %3=0, "
+        "balance +100), WHEN NOT MATCHED THEN INSERT (new keys from %5=2) — "
+        "ONE full-outer join keyed by c_custkey, every clause a projection "
+        "over it, duplicate source keys rejected in-plan via raise_error. "
+        "The oracle reconstructs the merged table set-algebraically"
+    ),
+    tags=("etl", "sink", "versioned", "cdc"),
+)
+def etl_merge_into_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.sources.versioned import (  # noqa: PLC0415
+        merge_into,
+        read_version,
+        write_version,
+    )
+
+    dest = f"{_SCRATCH}/customer_merge_versioned"
+    shutil.rmtree(dest, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    write_version(cust, dest, mode="overwrite")
+    k = F.col("c_custkey")
+    source = (
+        cust.filter(k % 3 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal"),
+                "c_mktsegment", F.lit(0).alias("_del"))
+        .unionByName(
+            cust.filter(k % 3 == 1).select(
+                "c_custkey", "c_acctbal", "c_mktsegment", F.lit(1).alias("_del")
+            )
+        )
+        .unionByName(
+            cust.filter(k % 5 == 2).select(
+                (k + 1000000).alias("c_custkey"), "c_acctbal",
+                F.lit("NEW").alias("c_mktsegment"), F.lit(0).alias("_del"),
+            )
+        )
+    )
+    merge_into(
+        spark, dest, source, on=["c_custkey"], delete_condition="s._del = 1"
+    )
+    return (
+        read_version(spark, dest)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_rows"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+        .orderBy("c_mktsegment")
+    )

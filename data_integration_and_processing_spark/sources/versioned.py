@@ -515,3 +515,80 @@ def optimize(
         json.dump(manifest, f)
     os.rename(tmp, final)
     return {"files_before": before, "files_after": len(new_files), "version": version, "skipped": False}
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    update_cols: list[str] | None = None,
+    delete_condition: str | None = None,
+    insert_not_matched: bool = True,
+) -> int:
+    """``MERGE INTO`` with mixed clauses on a versioned table — the Delta/
+    Iceberg flagship DML, as one copy-on-write commit:
+
+    - WHEN MATCHED AND <delete_condition> THEN DELETE
+    - WHEN MATCHED THEN UPDATE SET <update_cols from source>
+    - WHEN NOT MATCHED THEN INSERT (when ``insert_not_matched``)
+
+    Plan shape: ONE full-outer join of the current snapshot with the
+    source, keyed by ``on`` (the single shuffle); every clause is a
+    projection over that join — no per-clause passes, no driver
+    materialization. ``delete_condition`` is a SQL boolean over the join
+    (reference target columns as ``t.col``, source as ``s.col``). Source
+    rows must be unique per key (the ambiguity every MERGE dialect
+    rejects) — enforced in-plan with raise_error, no extra action.
+
+    The committed version rewrites the table; the file-pruned variant
+    (rewrite only files whose stats may contain matched keys, as
+    :func:`delete_where` does) is the documented scale lever once key
+    ranges correlate with file layout.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    target = read_version(spark, path)
+    # in-plan ambiguity guard: the `_in_s` presence marker — which every
+    # output expression references, so column pruning cannot elide it —
+    # raises when the row's key is duplicated in the source. (A dropped
+    # poison column would be optimized away before it ever evaluated.)
+    dups = (
+        source.groupBy(*on)
+        .agg(F.count("*").alias("_dupn"))
+        .filter(F.col("_dupn") > 1)
+    )
+    src = source.join(F.broadcast(dups), on, "left")
+
+    t = target.withColumn("_in_t", F.lit(1)).alias("t")
+    s = (
+        src.withColumn(
+            "_in_s",
+            F.when(
+                F.col("_dupn").isNotNull(),
+                F.raise_error(F.lit("merge_into: duplicate source keys")).cast("int"),
+            ).otherwise(F.lit(1)),
+        )
+        .drop("_dupn")
+        .alias("s")
+    )
+    j = t.join(s, on, "full_outer")
+    matched = F.col("_in_t").isNotNull() & F.col("_in_s").isNotNull()
+    deleted = matched & (F.expr(delete_condition) if delete_condition else F.lit(False))
+    payload = [c for c in target.columns if c not in on]
+    upd = set(update_cols if update_cols is not None else payload)
+
+    out_cols = [F.col(c) for c in on]
+    for c in payload:
+        src_has = c in source.columns
+        updated_val = F.col(f"s.{c}") if (c in upd and src_has) else F.col(f"t.{c}")
+        inserted_val = F.col(f"s.{c}") if src_has else F.lit(None)
+        out_cols.append(
+            F.when(matched, updated_val)
+            .when(F.col("_in_s").isNotNull(), inserted_val)
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+        )
+    keep = ~deleted & (F.col("_in_t").isNotNull() | F.lit(insert_not_matched))
+    merged = j.filter(keep).select(*out_cols)
+    return write_version(merged, path, mode="overwrite")

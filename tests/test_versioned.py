@@ -349,3 +349,65 @@ def test_optimize_with_sort_cols_keeps_stats_tight(spark, sf_dir, tmp_path):
     assert audit["files_read"] < audit["total_files"], audit
     m = _read_manifest(dest, list_versions(dest)[-1])
     assert set(m["stats"]) == set(m["files"])
+
+
+class TestMergeInto:
+    def _fresh(self, spark, tmp_path):
+        from data_integration_and_processing_spark.sources.versioned import write_version
+
+        path = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")], "k long, v double, tag string"
+        )
+        write_version(base, path, mode="overwrite")
+        return path
+
+    def test_mixed_clauses_one_commit(self, spark, tmp_path):
+        from data_integration_and_processing_spark.sources.versioned import (
+            merge_into,
+            read_version,
+        )
+
+        path = self._fresh(spark, tmp_path)
+        source = spark.createDataFrame(
+            [
+                (1, 11.0, "a2", 0),   # matched -> update
+                (2, 0.0, "x", 1),     # matched + _del -> delete
+                (9, 90.0, "new", 0),  # not matched -> insert
+            ],
+            "k long, v double, tag string, _del int",
+        )
+        v = merge_into(spark, path, source, on=["k"], delete_condition="s._del = 1")
+        got = sorted(tuple(r) for r in read_version(spark, path, v).collect())
+        assert got == [(1, 11.0, "a2"), (3, 30.0, "c"), (9, 90.0, "new")]
+
+    def test_no_insert_mode_and_partial_update_cols(self, spark, tmp_path):
+        from data_integration_and_processing_spark.sources.versioned import (
+            merge_into,
+            read_version,
+        )
+
+        path = self._fresh(spark, tmp_path)
+        source = spark.createDataFrame(
+            [(1, 99.0, "IGNORED"), (9, 90.0, "new")], "k long, v double, tag string"
+        )
+        v = merge_into(
+            spark, path, source, on=["k"], update_cols=["v"], insert_not_matched=False
+        )
+        got = sorted(tuple(r) for r in read_version(spark, path, v).collect())
+        # tag untouched (not in update_cols); key 9 NOT inserted
+        assert got == [(1, 99.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")]
+
+    def test_duplicate_source_keys_rejected(self, spark, tmp_path):
+        import pytest
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+        from data_integration_and_processing_spark.sources.versioned import merge_into
+
+        path = self._fresh(spark, tmp_path)
+        source = spark.createDataFrame(
+            [(1, 1.0, "x"), (1, 2.0, "y")], "k long, v double, tag string"
+        )
+        with pytest.raises((SparkRuntimeException, Py4JJavaError, Exception), match="duplicate source keys"):
+            merge_into(spark, path, source, on=["k"])
