@@ -1897,3 +1897,110 @@ def quality_order_total_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.expr("percentile(delta, 0.5)"), 4).alias("p50_abs_delta"),
         F.round(F.max("delta"), 4).alias("max_abs_delta"),
     )
+
+
+@register(
+    "events_power_user_gini",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT n, row_number() OVER (ORDER BY n, user_id) AS i FROM per_user
+        ),
+        agg AS (
+            SELECT count(*) AS nu,
+                   CAST(sum(n) AS BIGINT) AS total,
+                   CAST(sum(i * n) AS BIGINT) AS weighted
+            FROM ranked
+        )
+        SELECT nu AS n_users, total AS n_events,
+               round(2.0 * weighted / (nu * CAST(total AS DOUBLE))
+                     - (nu + 1.0) / nu, 6) AS gini
+        FROM agg
+    """,
+    description=(
+        "Gini coefficient of per-user event volume — the concentration "
+        "audit behind 'do 1% of users generate 90% of traffic' (and the "
+        "skew forecast for any user_id-keyed shuffle). Exact closed form "
+        "over the sorted counts: 2*sum(rank*n)/(N*total) - (N+1)/N with a "
+        "deterministic (n, user_id) tiebreak; everything after the per-user "
+        "count runs on the O(users) table"
+    ),
+    tags=("analytics", "events", "aggregation", "profiling", "scale"),
+)
+def events_power_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    ranked = per_user.select(
+        "n", F.row_number().over(Window.orderBy("n", "user_id")).alias("i")
+    )
+    return ranked.agg(
+        F.count("*").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("n")).cast("bigint")
+            / (F.count("*") * F.sum("n").cast("double"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "events_session_length_histogram",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+            FROM flagged
+        ),
+        lens AS (SELECT user_id, sid, count(*) AS len FROM sess GROUP BY user_id, sid)
+        SELECT len AS session_length, count(*) AS n_sessions,
+               round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+        FROM lens GROUP BY len ORDER BY len
+    """,
+    description=(
+        "session-length distribution (30-min gap sessionization -> events "
+        "per session -> histogram with shares): the engagement-shape "
+        "readout product teams watch weekly. One user-keyed shuffle shared "
+        "by both window passes; the histogram aggregates the O(sessions) "
+        "table"
+    ),
+    tags=("analytics", "events", "window", "sessionization", "aggregation"),
+)
+def events_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    sess = flagged.select(
+        "user_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint").alias("sid"),
+    )
+    lens = sess.groupBy("user_id", "sid").agg(F.count("*").alias("len"))
+    hist = lens.groupBy(F.col("len").alias("session_length")).agg(
+        F.count("*").alias("n_sessions")
+    )
+    return hist.select(
+        "session_length",
+        "n_sessions",
+        F.round(
+            F.col("n_sessions") / F.sum("n_sessions").over(Window.partitionBy()).cast("double"), 6
+        ).alias("share"),
+    ).orderBy("session_length")
