@@ -652,3 +652,75 @@ def sim_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.coalesce("_d", F.lit(False)).alias("dropped"))
         .orderBy("vec_id")
     )
+
+
+@register(
+    "sim_ann_recall_audit",
+    oracle=None,  # the IVF side is engine-specific (KMeans cells); the audit
+    # IS the check — its recall floor is additionally pinned in
+    # tests/test_ann_recall.py
+    description=(
+        "self-auditing ANN quality readout: exact k-NN join (ground truth) "
+        "and IVF k-NN join run over the SAME query batch in one plan, "
+        "joined per (query, neighbor) to report per-query recall@10 plus "
+        "the corpus-level mean/min — the recall dashboard every production "
+        "ANN deployment watches when retuning n_cells/nprobe. Both sides "
+        "reuse the operators' scale shapes (broadcast queries / cell "
+        "routing); the audit join runs on O(|Q| * k) rows"
+    ),
+    tags=("similarity", "ann", "audit", "profiling"),
+)
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        ann_join_ivf,
+        cosine,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.filter(F.col("vec_id") % 25 != 0)
+
+    scored = c.select(F.col("vec_id").alias("neighbor_id"), "embedding").join(
+        F.broadcast(q.select("query_id", F.col("embedding").alias("q_emb")))
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    exact = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+    out = None
+    for nprobe in (2, 4, 8):  # 8 = exhaustive: recall must hit 1.0 (in-plan sanity)
+        approx = ann_join_ivf(q, c, k=10, n_cells=8, nprobe=nprobe).select(
+            "query_id", F.col("neighbor_id").alias("a_neighbor")
+        )
+        hits = exact.join(
+            approx,
+            (exact.query_id == approx.query_id) & (exact.neighbor_id == approx.a_neighbor),
+            "left_semi",
+        )
+        per_q = (
+            exact.select("query_id").groupBy("query_id").agg(F.count("*").alias("n_true"))
+            .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")), "query_id", "left")
+            .select(
+                "query_id",
+                F.round(
+                    F.coalesce("n_hit", F.lit(0)) / F.col("n_true").cast("double"), 6
+                ).alias("recall_at_10"),
+            )
+        )
+        row = per_q.agg(
+            F.lit(nprobe).alias("nprobe"),
+            F.count("*").alias("n_queries"),
+            F.round(F.avg("recall_at_10"), 6).alias("mean_recall"),
+            F.round(F.min("recall_at_10"), 6).alias("min_recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")

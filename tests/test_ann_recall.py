@@ -234,3 +234,23 @@ def test_mmr_rerank_diversifies(spark, sf_dir):
 
     again = [r["vec_id"] for r in mmr_rerank(cand, lam=0.5, k=10).orderBy("mmr_rank").collect()]
     assert again == mmr
+
+
+def test_recall_audit_monotone_and_exhaustive_exact(spark, sf_dir):
+    """sim_ann_recall_audit's nprobe sweep must be monotone non-decreasing
+    in recall, and nprobe = n_cells (exhaustive probing) must recover the
+    exact top-k bit-for-bit (recall 1.0) — the in-plan proof that IVF loses
+    ONLY what cell pruning skips."""
+    from data_integration_and_processing_spark.queries import catalog
+
+    rows = (
+        catalog.all_specs()["sim_ann_recall_audit"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    by_nprobe = {r["nprobe"]: r for r in rows}
+    assert list(by_nprobe) == [2, 4, 8]
+    means = [by_nprobe[n]["mean_recall"] for n in (2, 4, 8)]
+    assert means == sorted(means)
+    assert by_nprobe[8]["mean_recall"] == 1.0
+    assert by_nprobe[8]["min_recall"] == 1.0
