@@ -208,3 +208,62 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "n_chunks", "n_unique_chunks", "logical_bytes", "deduped_bytes", checked.alias("savings_ratio")
     )
+
+
+@register(
+    "multimodal_modality_routing",
+    oracle="""
+        WITH routed AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 < 6 THEN 'image/jpeg'
+                        WHEN doc_id % 10 < 9 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS mime_type,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+        )
+        SELECT CASE WHEN mime_type LIKE 'image/%' THEN 'image'
+                    WHEN mime_type LIKE 'audio/%' THEN 'audio'
+                    ELSE 'video' END AS modality,
+               count(*) AS n_items,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+               CAST(max(n_bytes) AS BIGINT) AS max_bytes
+        FROM routed
+        GROUP BY 1 ORDER BY 1
+    """,
+    description=(
+        "modality routing over a mixed-media table: payloads fan out to "
+        "per-modality pipelines by mime prefix (the dispatch layer in front "
+        "of decode/resize/frame-sample), with per-modality volume stats — "
+        "the capacity-planning readout that sizes each modality's worker "
+        "pool. Pure map + one aggregate; payload bytes never shuffle "
+        "(the stats ride the metadata struct)"
+    ),
+    tags=("multimodal", "north-star", "aggregation"),
+)
+def multimodal_modality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    mime = (
+        F.when(F.col("doc_id") % 10 < 6, F.lit("image/jpeg"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    m = attach_binary_payload(d).withColumn(
+        "media_meta",
+        F.struct(
+            mime.alias("mime_type"),
+            F.col("media_meta.n_bytes").alias("n_bytes"),
+            F.col("media_meta.content_md5").alias("content_md5"),
+        ),
+    )
+    modality = F.split(F.col("media_meta.mime_type"), "/")[0]
+    return (
+        m.groupBy(modality.alias("modality"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("media_meta.n_bytes").cast("bigint").alias("total_bytes"),
+            F.min("media_meta.n_bytes").cast("bigint").alias("min_bytes"),
+            F.max("media_meta.n_bytes").cast("bigint").alias("max_bytes"),
+        )
+        .orderBy("modality")
+    )

@@ -612,3 +612,44 @@ def quality_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_stats.crossJoin(dup_stats).select(
         "n_gaps", "missing_ids", "duplicate_ids", "min_id", "max_id"
     )
+
+
+@register(
+    "quality_freshness_lag_audit",
+    oracle="""
+        WITH g AS (SELECT max(ts) AS global_max FROM events)
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(floor(epoch(max(ts))) AS BIGINT) AS last_seen_epoch,
+               CAST(floor(epoch((SELECT global_max FROM g)))
+                    - floor(epoch(max(ts))) AS BIGINT) AS lag_seconds
+        FROM events
+        GROUP BY event_type ORDER BY event_type
+    """,
+    description=(
+        "data-freshness SLA audit: per event type, seconds between its "
+        "newest record and the stream's global high-watermark — the lag "
+        "table a late-feed alert fires on. One aggregate; the global "
+        "watermark is a broadcast scalar subquery"
+    ),
+    tags=("quality", "events", "aggregation", "temporal"),
+)
+def quality_freshness_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    g = e.agg(F.max("ts").alias("global_max"))
+    per = e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_events",
+            F.floor(F.unix_timestamp("last_ts")).cast("bigint").alias("last_seen_epoch"),
+            (
+                F.floor(F.unix_timestamp("global_max")) - F.floor(F.unix_timestamp("last_ts"))
+            ).cast("bigint").alias("lag_seconds"),
+        )
+        .orderBy("event_type")
+    )
