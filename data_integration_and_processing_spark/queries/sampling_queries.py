@@ -565,3 +565,44 @@ def sample_ab_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+_KFOLD_BUCKET = hash_bucket_sql(["user_id"], 5, seed=11)
+
+
+@register(
+    "sample_kfold_assignment",
+    oracle=f"""
+        WITH assign AS (
+            SELECT DISTINCT user_id, CAST({_KFOLD_BUCKET} AS BIGINT) AS fold
+            FROM events
+        ),
+        ev AS (
+            SELECT e.user_id, a.fold FROM events e JOIN assign a USING (user_id)
+        )
+        SELECT fold,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM ev GROUP BY fold ORDER BY fold
+    """,
+    description=(
+        "5-fold cross-validation assignment keyed by USER (the grouping "
+        "unit), not by event — every event of a user lands in one fold, so "
+        "no entity leaks across train/eval folds on re-runs or engine "
+        "changes (the portable integer hash guarantees identical folds "
+        "anywhere). Output is the per-fold balance readout; the assignment "
+        "join broadcasts the O(users) fold table"
+    ),
+    tags=("sampling", "north-star", "quality"),
+)
+def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    assign = e.select(
+        "user_id", hash_bucket(["user_id"], 5, seed=11).cast("bigint").alias("fold")
+    ).distinct()
+    ev = e.select("user_id").join(F.broadcast(assign), "user_id")
+    return (
+        ev.groupBy("fold")
+        .agg(F.count("*").alias("n_events"), F.count_distinct("user_id").alias("n_users"))
+        .orderBy("fold")
+    )

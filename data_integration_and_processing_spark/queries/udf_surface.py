@@ -13,6 +13,8 @@ in both engines, so no tolerance is needed at the value-hash gate.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -367,4 +369,44 @@ def udf_arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.filter(F.col("l_linenumber") == 2).mapInArrow(
         _arrow_charge_batches,
         schema="l_orderkey long, l_linenumber int, charge double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# iterator-form scalar pandas UDF (per-worker state amortization)
+# ---------------------------------------------------------------------------
+
+@pandas_udf(DoubleType())
+def _scored_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """SCALAR_ITER pandas UDF: the expensive setup (model load, tokenizer
+    init, connection pool) runs ONCE per worker before the batch loop —
+    the form every model-inference UDF should take. The 'model' here is a
+    deterministic affine score so the DuckDB oracle can mirror it."""
+    weight, bias = 0.07, 3.0  # stand-in for a loaded model's parameters
+    for v in batches:
+        yield (v * weight + bias).astype("float64")
+
+
+@register(
+    "udf_pandas_scalar_iter",
+    oracle="""
+        SELECT event_id,
+               round(value * 0.07 + 3.0, 6) AS model_score
+        FROM events
+    """,
+    description=(
+        "iterator-form scalar pandas UDF (SCALAR_ITER): per-worker setup "
+        "(model load / tokenizer / connection pool) runs once before the "
+        "Arrow batch loop instead of per batch — the shape every "
+        "model-inference UDF should take at 100 TB, where setup per batch "
+        "would dominate. The stand-in model is affine so the oracle mirrors "
+        "it exactly"
+    ),
+    tags=("udf", "pandas-udf"),
+)
+def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.round(_scored_iter(F.col("value")), 6).alias("model_score"),
     )
