@@ -340,3 +340,40 @@ def test_minhash_calibration_within_binomial_bound(spark, sf_dir):
     assert rows, "calibration produced no populated bands"
     for r in rows:
         assert r["avg_abs_err"] <= 0.10, dict(r.asDict())
+
+
+def test_line_dedup_invariants(spark):
+    """Constructed-corpus invariants for C4-style line dedup: every distinct
+    line survives exactly once corpus-wide, the survivor is the first
+    (doc_id, line_no) occurrence, per-doc counts reconcile, and cleaned
+    text preserves each doc's own line order."""
+    from pyspark.sql import functions as F
+
+    from data_integration_and_processing_spark.operators.dedup import line_dedup
+
+    L = {  # 4-word pseudo-lines
+        "A": "alpha beta gamma delta",
+        "B": "bravo charlie delta echo",
+        "C": "common boiler plate line",
+        "D": "delta epsilon zeta eta",
+    }
+    docs = [
+        (1, " ".join([L["A"], L["C"], L["B"]])),   # first occurrence of A, C, B
+        (2, " ".join([L["C"], L["D"]])),           # C repeated -> removed here
+        (3, " ".join([L["B"], L["C"], L["A"]])),   # all three repeated -> all removed
+        (4, L["C"]),                                # everything removed -> empty text
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, line_words=4).collect()}
+
+    assert {d: (out[d]["n_lines"], out[d]["n_removed"]) for d in out} == {
+        1: (3, 0), 2: (2, 1), 3: (3, 3), 4: (1, 1),
+    }
+    assert out[1]["cleaned_text"] == " ".join([L["A"], L["C"], L["B"]])  # order kept
+    assert out[2]["cleaned_text"] == L["D"]
+    assert out[3]["cleaned_text"] == ""
+    assert out[4]["cleaned_text"] == ""
+    # global uniqueness: every distinct line appears exactly once among kept
+    all_kept = " || ".join(out[d]["cleaned_text"] for d in sorted(out) if out[d]["cleaned_text"])
+    for line in L.values():
+        assert all_kept.count(line) == 1
