@@ -587,20 +587,35 @@ SELECT (SELECT count(*) FROM gaps) AS n_gaps,
     oracle=_SEQ_ORACLE,
     description=(
         "sequence-continuity audit for a supposedly-gapless id column: gap count "
-        "and total missing ids via one lag window over the sorted key, duplicate "
-        "count via count vs count-distinct — the ingestion check that catches a "
-        "dropped batch (gap) or a doubled one (dups) before reconciliation. One "
-        "sort-shuffle on the key; output is a single audit row"
+        "and total missing ids, duplicate count via count vs count-distinct — the "
+        "ingestion check that catches a dropped batch (gap) or a doubled one "
+        "(dups) before reconciliation. r5: the naive global lag window (every "
+        "row through ONE reducer — flagged by scripts/plan_lint.py) is replaced "
+        "by the assign_contiguous_ids pattern: range-repartition, per-partition "
+        "lag in parallel, then cross-partition boundary gaps from the "
+        "O(partitions) min/max table. Output is a single audit row"
     ),
-    tags=("quality", "audit", "window", "ids"),
+    tags=("quality", "audit", "window", "ids", "scale"),
 )
 def quality_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
-    w = Window.orderBy("k")
-    ordered = o.withColumn("prev", F.lag("k").over(w))
-    gaps = ordered.filter(F.col("prev").isNotNull() & (F.col("k") - F.col("prev") > 1)).select(
-        (F.col("k") - F.col("prev") - 1).alias("missing")
+    # parallel within-partition gaps: range shuffle puts neighboring keys in
+    # the same partition, so lag only needs a per-partition window
+    ranged = o.repartitionByRange("k").withColumn("_pid", F.spark_partition_id())
+    wp = Window.partitionBy("_pid").orderBy("k")
+    inner = ranged.withColumn("prev", F.lag("k").over(wp))
+    inner_gaps = inner.filter(
+        F.col("prev").isNotNull() & (F.col("k") - F.col("prev") > 1)
+    ).select((F.col("k") - F.col("prev") - 1).alias("missing"))
+    # cross-partition boundary gaps: one row per partition, lag over O(parts)
+    bounds = ranged.groupBy("_pid").agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+    wb = Window.orderBy("_pid")
+    boundary_gaps = (
+        bounds.withColumn("prev_mx", F.lag("mx").over(wb))
+        .filter(F.col("prev_mx").isNotNull() & (F.col("mn") - F.col("prev_mx") > 1))
+        .select((F.col("mn") - F.col("prev_mx") - 1).alias("missing"))
     )
+    gaps = inner_gaps.unionByName(boundary_gaps)
     gap_stats = gaps.agg(
         F.count("*").alias("n_gaps"), F.coalesce(F.sum("missing"), F.lit(0)).alias("missing_ids")
     )

@@ -51,6 +51,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs evaluate via Arrow batches (ArrowEvalPythonUDTF)
+        # instead of the pickled row-at-a-time BatchEvalPython path —
+        # caught by scripts/plan_lint.py's PY_ROW_UDF rule
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # ANSI on (the Spark 4 default, and what any stock deployment runs):
         # every operator must be ANSI-clean — permissive per-row degradation

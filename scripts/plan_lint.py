@@ -28,13 +28,50 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # name -> rules deliberately allowed, with the reason the plan is still
-# scale-sane (kept next to the whitelist so it can't rot silently).
+# scale-sane (kept next to the whitelist so it can't rot silently). Every
+# GLOBAL_WINDOW entry runs on a BOUNDED intermediate (named below), never on
+# a row-count-sized input — the rule exists to catch the latter.
 WHITELIST: dict[str, dict[str, str]] = {
-    # 5x5 region pairs: a deliberate constant-size cross join
     "join_cross": {"CARTESIAN": "deliberate 5x5 region cartesian (constant)"},
-    # global windows over O(groups)/O(vocab)/O(candidates) intermediates,
-    # never over row-count-sized inputs:
-    "window_topk_per_group": {},
+    "agg_equidepth_histogram": {
+        "GLOBAL_WINDOW": "exact ntile demo; scale swap to approx_percentile cutpoints documented"
+    },
+    "agg_order_size_distribution": {
+        "GLOBAL_WINDOW": "share normalization over the O(distinct order sizes) histogram"
+    },
+    "analytics_pareto_frontier": {
+        "GLOBAL_WINDOW": "prefix-max over per-PRICE maxima (O(distinct prices)), not parts"
+    },
+    "events_cumulative_distinct_users": {
+        "GLOBAL_WINDOW": "running sum over the O(days) daily table"
+    },
+    "events_pareto_concentration": {
+        "GLOBAL_WINDOW": "cumulative share over the O(users) per-user aggregate"
+    },
+    "events_peak_concurrency": {
+        "GLOBAL_WINDOW": "sweep over O(distinct instants) after per-instant delta pre-agg; time-bucket coarsening is the lever"
+    },
+    "events_power_user_gini": {
+        "GLOBAL_WINDOW": "exact Gini rank over the O(users) per-user aggregate"
+    },
+    "events_session_length_histogram": {
+        "GLOBAL_WINDOW": "share normalization over the O(session lengths) histogram"
+    },
+    "ids_contiguous_assign": {
+        "GLOBAL_WINDOW": "cumulative offsets over the O(partitions) count table (the scale-safe pattern itself)"
+    },
+    "quality_sequence_audit": {
+        "GLOBAL_WINDOW": "boundary-gap lag over the O(partitions) min/max table (row-sized lag is per-partition)"
+    },
+    "search_hybrid_rrf": {
+        "GLOBAL_WINDOW": "rank fusion over bounded top-k candidate lists"
+    },
+    "text_zipf_fit": {
+        "GLOBAL_WINDOW": "log-log rank over the O(vocab) term-frequency table"
+    },
+    "window_ntile_distribution": {
+        "GLOBAL_WINDOW": "SQL window-surface demo over customers; approx swap documented"
+    },
 }
 
 
@@ -44,11 +81,23 @@ def find_violations(plan: str) -> list[str]:
         out.append("CARTESIAN")
     if "BatchEvalPython" in plan:
         out.append("PY_ROW_UDF")
-    # Spark renders a partitioned window as `Window [exprs], [partition],
-    # [order]` (two `], [` separators) and a GLOBAL window as
-    # `Window [exprs], [order]` (one separator).
+    # Spark renders windows as `Window [exprs], [partition], [order]`;
+    # missing clauses drop their bracket group. A window is GLOBAL (single
+    # reducer) when no partition group is present:
+    #   [exprs], [order]   -> 1 separator, 2nd group carries ASC/DESC
+    #   [exprs]            -> 0 separators (over ())
+    # while the benign partitioned-unordered form is
+    #   [exprs], [partition] -> 1 separator, 2nd group has no sort markers.
     for m in re.finditer(r"^[\s:+\-|]*Window (\[.+)$", plan, re.MULTILINE):
-        if m.group(1).count("], [") == 1:
+        args = m.group(1)
+        groups = args.count("], [")
+        if groups >= 2:
+            continue  # exprs + partition + order: partitioned
+        if groups == 0:
+            out.append("GLOBAL_WINDOW")
+            break
+        tail = args.rsplit("], [", 1)[1]
+        if " ASC" in tail or " DESC" in tail:
             out.append("GLOBAL_WINDOW")
             break
     return out
