@@ -606,3 +606,72 @@ def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.count_distinct("user_id").alias("n_users"))
         .orderBy("fold")
     )
+
+
+@register(
+    "sample_mix_greedy_budget",
+    oracle="""
+        WITH per_source AS (
+            SELECT source,
+                   count(*) AS n_avail,
+                   round(avg(least(CAST(n_chars AS DOUBLE) / 400.0, 1.0)), 6) AS quality
+            FROM documents GROUP BY source
+        ),
+        ranked AS (
+            SELECT source, n_avail, quality,
+                   row_number() OVER (ORDER BY quality DESC, source) AS rnk,
+                   least(n_avail, 150) AS want
+            FROM per_source
+        ),
+        cum AS (
+            SELECT *,
+                   CAST(coalesce(sum(want) OVER (ORDER BY rnk
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS cum_before
+            FROM ranked
+        )
+        SELECT source, rnk, n_avail, quality,
+               CAST(greatest(least(want, 400 - cum_before), 0) AS BIGINT) AS alloc
+        FROM cum ORDER BY rnk
+    """,
+    description=(
+        "training-mix planning: greedy budget allocation across sources by "
+        "quality rank — each source contributes up to a per-source cap "
+        "(diversity ceiling, 150 docs) in descending-quality order until the "
+        "corpus budget (400) is spent. The sequential greedy linearizes to a "
+        "prefix sum over capped wants (alloc_i = clamp(budget - cum_before, "
+        "0, want_i)), so the whole plan is one per-source aggregate plus a "
+        "window over the O(sources) table — no iteration, no driver loop"
+    ),
+    tags=("sampling", "north-star", "curation", "aggregation"),
+)
+def sample_mix_greedy_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_avail"),
+        F.round(F.avg(F.least(F.col("n_chars").cast("double") / 400.0, F.lit(1.0))), 6).alias(
+            "quality"
+        ),
+    )
+    ranked = per_source.select(
+        "source",
+        "n_avail",
+        "quality",
+        F.row_number().over(Window.orderBy(F.desc("quality"), F.asc("source"))).alias("rnk"),
+        F.least("n_avail", F.lit(150)).alias("want"),
+    )
+    w = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, -1)
+    cum = ranked.withColumn(
+        "cum_before", F.coalesce(F.sum("want").over(w), F.lit(0)).cast("bigint")
+    )
+    return cum.select(
+        "source",
+        "rnk",
+        "n_avail",
+        "quality",
+        F.greatest(F.least(F.col("want"), 400 - F.col("cum_before")), F.lit(0))
+        .cast("bigint")
+        .alias("alloc"),
+    ).orderBy("rnk")

@@ -63,6 +63,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "quality_sequence_audit": {
         "GLOBAL_WINDOW": "boundary-gap lag over the O(partitions) min/max table (row-sized lag is per-partition)"
     },
+    "sample_mix_greedy_budget": {
+        "GLOBAL_WINDOW": "greedy prefix sum over the O(sources) allocation table"
+    },
     "search_hybrid_rrf": {
         "GLOBAL_WINDOW": "rank fusion over bounded top-k candidate lists"
     },
