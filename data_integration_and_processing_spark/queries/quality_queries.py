@@ -668,3 +668,45 @@ def quality_freshness_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "quality_l_diversity_audit",
+    oracle="""
+        WITH groups AS (
+            SELECT c_nationkey,
+                   CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+                   count(*) AS group_size,
+                   count(DISTINCT c_mktsegment) AS l_distinct
+            FROM customer
+            GROUP BY c_nationkey, floor(c_acctbal / 2000)
+        )
+        SELECT c_nationkey, bal_bucket, group_size, l_distinct,
+               l_distinct < 3 AS violates_l3
+        FROM groups
+        ORDER BY c_nationkey, bal_bucket
+    """,
+    description=(
+        "l-diversity audit, the k-anonymity companion: within each quasi-"
+        "identifier group (nation x coarse balance bucket) count DISTINCT "
+        "sensitive values (market segment) — a group can be large enough for "
+        "k-anonymity yet leak the sensitive attribute when every member "
+        "shares one value. Same single partial-agg shuffle shape as "
+        "quality_k_anonymity; output is group-sized"
+    ),
+    tags=("quality", "audit", "privacy", "aggregation"),
+)
+def quality_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_bucket"),
+        )
+        .agg(
+            F.count("*").alias("group_size"),
+            F.count_distinct("c_mktsegment").alias("l_distinct"),
+        )
+        .withColumn("violates_l3", F.col("l_distinct") < 3)
+        .orderBy("c_nationkey", "bal_bucket")
+    )
