@@ -480,3 +480,70 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     return line_dedup(d, text_col="text", id_col="doc_id", line_words=8)
+
+
+@register(
+    "text_decontaminate_fuzzy",
+    oracle="""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(words) - 2),
+                       i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) AS s
+            FROM w WHERE len(words) >= 3
+        ),
+        bench AS (SELECT doc_id, s FROM sh WHERE doc_id % 41 = 7),
+        train AS (SELECT doc_id, s FROM sh WHERE doc_id % 41 <> 7),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT t.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS shared
+            FROM train t JOIN bench b ON t.s = b.s
+            GROUP BY t.doc_id, b.doc_id
+        )
+        SELECT i.train_id, i.bench_id, i.shared,
+               round(CAST(i.shared AS DOUBLE)
+                     / (st.n_sh + sb.n_sh - i.shared), 6) AS jaccard
+        FROM inter i
+        JOIN sizes st ON st.doc_id = i.train_id
+        JOIN sizes sb ON sb.doc_id = i.bench_id
+        WHERE CAST(i.shared AS DOUBLE) / (st.n_sh + sb.n_sh - i.shared) >= 0.2
+        ORDER BY i.train_id, i.bench_id
+    """,
+    description=(
+        "NEAR-DUP benchmark decontamination: training docs whose 3-gram "
+        "Jaccard vs any held-out benchmark doc (doc_id % 41 = 7) reaches "
+        "0.2 — catches paraphrased/truncated contamination the exact "
+        "shared-4-gram check (text_decontaminate) misses. Inverted-index "
+        "join on hashed shingles so only 8-byte keys shuffle; the benchmark "
+        "side is tiny, so posting lists stay bounded"
+    ),
+    tags=("curation", "text", "dedup", "north-star"),
+)
+def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.dedup import shingles  # noqa: PLC0415
+
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    bench = sh.filter(F.col("doc_id") % 41 == 7).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    train = sh.filter(F.col("doc_id") % 41 != 7).select(
+        F.col("doc_id").alias("train_id"), "s"
+    )
+    inter = (
+        train.join(bench, "s")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    st = sizes.select(F.col("doc_id").alias("train_id"), F.col("n_sh").alias("n_t"))
+    sb = sizes.select(F.col("doc_id").alias("bench_id"), F.col("n_sh").alias("n_b"))
+    jac = F.col("shared").cast("double") / (F.col("n_t") + F.col("n_b") - F.col("shared"))
+    return (
+        inter.join(st, "train_id")
+        .join(sb, "bench_id")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= 0.2)
+        .select("train_id", "bench_id", "shared", "jaccard")
+        .orderBy("train_id", "bench_id")
+    )

@@ -901,3 +901,78 @@ def stream_ohlc_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return run_streaming_ohlc(spark, e).orderBy("event_type", "bucket_id")
+
+
+@register(
+    "temporal_stl_lite",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+                   round(sum(value), 4) AS y
+            FROM events GROUP BY event_type, floor(epoch(ts) / 3600)
+        ),
+        trended AS (
+            SELECT event_type, hr, y,
+                   round(avg(y) OVER (PARTITION BY event_type ORDER BY hr
+                                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING), 6)
+                       AS trend
+            FROM hourly
+        ),
+        seasonal AS (
+            SELECT event_type, hr % 24 AS hour_of_day,
+                   round(avg(y - trend), 6) AS seasonal
+            FROM trended GROUP BY event_type, hr % 24
+        )
+        SELECT t.event_type, t.hr, t.y, t.trend, s.seasonal,
+               round(t.y - t.trend - s.seasonal, 6) AS residual
+        FROM trended t JOIN seasonal s
+          ON t.event_type = s.event_type AND t.hr % 24 = s.hour_of_day
+        ORDER BY t.event_type, t.hr
+    """,
+    description=(
+        "STL-lite decomposition of the hourly value series per event type: "
+        "trend = 25-hour centered moving average, seasonal = per-hour-of-day "
+        "mean of the detrended series, residual = the anomaly signal left "
+        "over — the decomposition every seasonal anomaly detector runs "
+        "before thresholding residuals. Hourly sums rounded before the MA "
+        "so float fold order is engine-identical; everything after the "
+        "hourly pre-aggregation runs on the O(hours) table"
+    ),
+    tags=("temporal", "window", "analytics", "aggregation"),
+)
+def temporal_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr"),
+    ).agg(F.round(F.sum("value"), 4).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-12, 12)
+    trended = hourly.withColumn("trend", F.round(F.avg("y").over(w), 6))
+    seasonal = trended.groupBy(
+        "event_type", (F.col("hr") % 24).alias("hour_of_day")
+    ).agg(F.round(F.avg(F.col("y") - F.col("trend")), 6).alias("seasonal"))
+    t = trended.alias("t")
+    s = seasonal.select(
+        F.col("event_type").alias("s_event_type"),
+        "hour_of_day",
+        "seasonal",
+    )
+    return (
+        t.join(
+            s,
+            (F.col("t.event_type") == F.col("s_event_type"))
+            & (F.col("t.hr") % 24 == F.col("hour_of_day")),
+        )
+        .select(
+            F.col("t.event_type").alias("event_type"),
+            "hr",
+            "y",
+            "trend",
+            "seasonal",
+            F.round(F.col("y") - F.col("trend") - F.col("seasonal"), 6).alias("residual"),
+        )
+        .orderBy("event_type", "hr")
+    )
