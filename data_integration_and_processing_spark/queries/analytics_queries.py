@@ -2004,3 +2004,96 @@ def events_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("n_sessions") / F.sum("n_sessions").over(Window.partitionBy()).cast("double"), 6
         ).alias("share"),
     ).orderBy("session_length")
+
+
+_WF_WINDOW_US = 86_400_000_000  # 1 day between the anchoring view and each later step
+_WF_STEP = "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 END"
+
+
+@register(
+    "events_window_funnel",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   list_sort(list(ARRAY[epoch_us(ts), {_WF_STEP}]
+                                  ORDER BY epoch_us(ts))) AS evs
+            FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+            GROUP BY user_id
+        ),
+        folded AS (
+            SELECT user_id,
+                   list_reduce(
+                       list_prepend(ARRAY[-1, -1, -1]::BIGINT[], evs),
+                       (acc, x) -> ARRAY[
+                           CASE WHEN x[2] = 1 AND acc[1] < 0 THEN x[1] ELSE acc[1] END,
+                           CASE WHEN x[2] = 2 AND acc[2] < 0 AND acc[1] >= 0
+                                     AND x[1] - acc[1] <= {_WF_WINDOW_US} THEN x[1] ELSE acc[2] END,
+                           CASE WHEN x[2] = 3 AND acc[3] < 0 AND acc[2] >= 0
+                                     AND x[1] - acc[1] <= {_WF_WINDOW_US} THEN x[1] ELSE acc[3] END
+                       ]) AS st
+            FROM u
+        ),
+        depths AS (
+            SELECT CASE WHEN st[3] >= 0 THEN 3 WHEN st[2] >= 0 THEN 2
+                        WHEN st[1] >= 0 THEN 1 ELSE 0 END AS depth
+            FROM folded
+        )
+        SELECT depth, count(*) AS n_users,
+               round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+        FROM depths GROUP BY depth ORDER BY depth
+    """,
+    description=(
+        "ClickHouse windowFunnel parity: deepest view -> click -> purchase "
+        "chain each user completes with every step inside ONE day of the "
+        "anchoring first view — the horizon constraint events_funnel_"
+        "conversion (unbounded) cannot express. Per-user fold over the "
+        "time-sorted (ts, step) array: identical greedy left-fold in both "
+        "engines (F.aggregate vs list_reduce), integer microseconds, zero "
+        "shuffle beyond the per-user collect; depth histogram is O(4) rows"
+    ),
+    tags=("analytics", "events", "temporal", "north-star"),
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    step = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    evs = (
+        e.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", F.array(us, step.cast("bigint")).alias("ev"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("ev")).alias("evs"))
+    )
+    init = F.expr("array(-1L, -1L, -1L)")
+    t, idx = lambda x: F.element_at(x, 1), lambda x: F.element_at(x, 2)
+
+    def fold(acc, x):
+        a1, a2, a3 = F.element_at(acc, 1), F.element_at(acc, 2), F.element_at(acc, 3)
+        w = F.lit(_WF_WINDOW_US)
+        return F.array(
+            F.when((idx(x) == 1) & (a1 < 0), t(x)).otherwise(a1),
+            F.when((idx(x) == 2) & (a2 < 0) & (a1 >= 0) & (t(x) - a1 <= w), t(x)).otherwise(a2),
+            F.when((idx(x) == 3) & (a3 < 0) & (a2 >= 0) & (t(x) - a1 <= w), t(x)).otherwise(a3),
+        )
+
+    folded = evs.select(F.aggregate("evs", init, fold).alias("st"))
+    depth = (
+        F.when(F.element_at("st", 3) >= 0, 3)
+        .when(F.element_at("st", 2) >= 0, 2)
+        .when(F.element_at("st", 1) >= 0, 1)
+        .otherwise(0)
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    hist = folded.groupBy(depth.alias("depth")).agg(F.count("*").alias("n_users"))
+    return hist.select(
+        "depth",
+        "n_users",
+        F.round(
+            F.col("n_users") / F.sum("n_users").over(Window.partitionBy()).cast("double"), 6
+        ).alias("share"),
+    ).orderBy("depth")

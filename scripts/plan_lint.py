@@ -51,6 +51,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "events_peak_concurrency": {
         "GLOBAL_WINDOW": "sweep over O(distinct instants) after per-instant delta pre-agg; time-bucket coarsening is the lever"
     },
+    "events_window_funnel": {
+        "GLOBAL_WINDOW": "share normalization over the O(4) depth histogram"
+    },
     "events_power_user_gini": {
         "GLOBAL_WINDOW": "exact Gini rank over the O(users) per-user aggregate"
     },
