@@ -1716,3 +1716,42 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, t.rank_in_nation
         """
     )
+
+
+@register(
+    "join_semi_range",
+    oracle="""
+        SELECT o.o_orderkey, o.o_orderpriority
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate >= o.o_orderdate
+              AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+        )
+        ORDER BY o.o_orderkey
+        LIMIT 2000
+    """,
+    description=(
+        "range-conditioned EXISTS (semi join with a band predicate): orders "
+        "with any lineitem shipped within 30 days of order placement — the "
+        "TPC-H Q4 shape isolated as a reusable join variant. The equi key "
+        "(orderkey) drives the hash semi join; the band predicate evaluates "
+        "as a residual filter inside it, so no range-join explosion"
+    ),
+    tags=("relational", "join", "subquery"),
+)
+def join_semi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate < F.date_add(o.o_orderdate.cast("date"), 30).cast("timestamp"))
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .limit(2000)
+    )

@@ -1248,3 +1248,65 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_pop("y", "x") / F.var_pop("x"), 6).alias("zipf_slope"),
         F.round(F.corr("y", "x") * F.corr("y", "x"), 6).alias("r2"),
     )
+
+
+@register(
+    "text_vocab_coverage_curve",
+    oracle="""
+        WITH tf AS (
+            SELECT w, count(*) AS f
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w
+        ),
+        ranked AS (
+            SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM tf
+        ),
+        tot AS (SELECT CAST(sum(f) AS BIGINT) AS total FROM tf),
+        curve AS (
+            SELECT r, CAST(sum(f) OVER (ORDER BY r) AS BIGINT) AS cum_f FROM ranked
+        )
+        SELECT k AS vocab_size,
+               round(max(CASE WHEN r <= k THEN cum_f END) / CAST(t.total AS DOUBLE), 6)
+                   AS token_coverage
+        FROM curve, tot t, unnest([10, 20, 50, 100, 1000]) AS u(k)
+        GROUP BY k, t.total
+        ORDER BY k
+    """,
+    description=(
+        "vocabulary coverage curve: share of all corpus tokens covered by the "
+        "top-k most frequent terms, at k = 10/20/50/100/1000 — the readout "
+        "that sizes a tokenizer's vocab (where the curve flattens, bigger "
+        "vocab buys nothing). One term-frequency aggregate; rank + cumulative "
+        "sum run on the O(vocab) table"
+    ),
+    tags=("text", "north-star", "profiling", "aggregation"),
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    tf = d.select(F.explode(F.split("text", " ")).alias("w")).groupBy("w").agg(
+        F.count("*").alias("f")
+    )
+    ranked = tf.select(
+        "f", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("w"))).alias("r")
+    )
+    curve = ranked.select(
+        "r",
+        F.sum("f").over(Window.orderBy("r")).cast("bigint").alias("cum_f"),
+        F.sum("f").over(Window.partitionBy()).cast("bigint").alias("total"),
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in (10, 20, 50, 100, 1000)])).alias("vocab_size")
+    return (
+        curve.select("r", "cum_f", "total")
+        .crossJoin(F.broadcast(curve.sparkSession.range(1).select(ks).select("vocab_size")))
+        .groupBy("vocab_size")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("r") <= F.col("vocab_size"), F.col("cum_f")))
+                / F.max("total").cast("double"),
+                6,
+            ).alias("token_coverage")
+        )
+        .orderBy("vocab_size")
+    )

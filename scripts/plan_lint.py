@@ -72,6 +72,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "search_hybrid_rrf": {
         "GLOBAL_WINDOW": "rank fusion over bounded top-k candidate lists"
     },
+    "text_vocab_coverage_curve": {
+        "GLOBAL_WINDOW": "rank + cumulative sum over the O(vocab) term-frequency table"
+    },
     "text_zipf_fit": {
         "GLOBAL_WINDOW": "log-log rank over the O(vocab) term-frequency table"
     },
