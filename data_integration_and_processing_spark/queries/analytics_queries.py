@@ -2097,3 +2097,44 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users") / F.sum("n_users").over(Window.partitionBy()).cast("double"), 6
         ).alias("share"),
     ).orderBy("depth")
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT concat_ws(' > ', e1, e2, e3) AS path, count(*) AS n
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY 1
+        ORDER BY n DESC, path
+        LIMIT 20
+    """,
+    description=(
+        "top order-3 behavior paths (the Sankey/flow readout, one order up "
+        "from events_markov_transitions' order-1 matrix): consecutive event "
+        "triples per user via two leads over ONE user-keyed window "
+        "partitioning, then a k^3-bounded count. Deterministic top-20 via "
+        "(count DESC, path) total order"
+    ),
+    tags=("analytics", "events", "window", "topk"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy(F.concat_ws(" > ", "e1", "e2", "e3").alias("path"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )

@@ -771,3 +771,47 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in caches:
         c.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "dedup_exact_best_quality",
+    oracle="""
+        WITH u AS (SELECT doc_id AS id, text FROM documents
+                   UNION ALL
+                   SELECT doc_id + 10000 AS id, text FROM documents),
+        scored AS (
+            SELECT id, md5(text) AS fp,
+                   least(len(string_split(text, ' ')) / 100.0, 1.0) * 1000000
+                       + (99999 - id % 100000) AS pref
+            FROM u
+        )
+        SELECT fp,
+               CAST(max_by(id, pref) AS BIGINT) AS survivor_id,
+               count(*) AS n_copies
+        FROM scored GROUP BY fp
+        ORDER BY fp
+    """,
+    description=(
+        "survivorship POLICY dedup: within each exact-duplicate group keep "
+        "the highest-QUALITY copy (length-score, id tiebreak) instead of "
+        "min-id — the curation decision real pipelines make when duplicates "
+        "differ in provenance. One max_by aggregate keyed by digest; the "
+        "preference is a single sortable scalar so the policy swaps without "
+        "replanning"
+    ),
+    tags=("dedup", "north-star", "curation"),
+)
+def dedup_exact_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = _with_exact_copies(d)
+    quality = F.least(F.size(F.split("text", " ")) / 100.0, F.lit(1.0))
+    pref = quality * 1000000 + (99999 - F.col("id") % 100000)
+    scored = u.select("id", F.md5(F.col("text").cast("binary")).alias("fp"), pref.alias("pref"))
+    return (
+        scored.groupBy("fp")
+        .agg(
+            F.max_by("id", "pref").cast("bigint").alias("survivor_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("fp")
+    )

@@ -1091,3 +1091,41 @@ def etl_merge_into_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "etl_file_lineage",
+    # The oracle must name the parquet path directly (the pre-registered
+    # `lineitem` view hides the filename pseudo-column), so it pins the
+    # driver's fixed sf0.01 compare scale — the one documented exception to
+    # view-based oracles.
+    oracle="""
+        SELECT regexp_extract(filename, '[^/]+$') AS source_file,
+               count(*) AS n_rows,
+               min(l_orderkey) AS min_key,
+               max(l_orderkey) AS max_key
+        FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet', filename=true)
+        GROUP BY 1 ORDER BY 1
+    """,
+    description=(
+        "row-level file lineage via the hidden _metadata.file_path column "
+        "(Spark) / filename=true (DuckDB): per-source-file row counts and "
+        "key ranges — the provenance readout incident response starts from "
+        "('which file produced these rows'). Zero-cost: the lineage column "
+        "is scan metadata, no extra I/O"
+    ),
+    tags=("etl", "audit", "profiling"),
+)
+def etl_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    return (
+        l.select(fname.alias("source_file"), "l_orderkey")
+        .groupBy("source_file")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+        .orderBy("source_file")
+    )
