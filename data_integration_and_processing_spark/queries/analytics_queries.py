@@ -2138,3 +2138,249 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(20)
     )
+
+
+_RFM_ORACLE = """
+WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+cust AS (
+    SELECT o_custkey,
+           date_diff('day', max(CAST(o_orderdate AS DATE)), anchor.d0) AS recency_days,
+           count(*) AS frequency,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+    FROM orders CROSS JOIN anchor
+    GROUP BY o_custkey, anchor.d0
+),
+b AS (
+    SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY recency_days) AS r25,
+           percentile_cont(0.50) WITHIN GROUP (ORDER BY recency_days) AS r50,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY recency_days) AS r75,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY frequency)    AS f25,
+           percentile_cont(0.50) WITHIN GROUP (ORDER BY frequency)    AS f50,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY frequency)    AS f75,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY monetary)     AS m25,
+           percentile_cont(0.50) WITHIN GROUP (ORDER BY monetary)     AS m50,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY monetary)     AS m75
+    FROM cust
+),
+scored AS (
+    SELECT 1 + CAST(recency_days < r75 AS INT) + CAST(recency_days < r50 AS INT)
+             + CAST(recency_days < r25 AS INT) AS r_score,
+           1 + CAST(frequency > f25 AS INT) + CAST(frequency > f50 AS INT)
+             + CAST(frequency > f75 AS INT) AS f_score,
+           1 + CAST(monetary > m25 AS INT) + CAST(monetary > m50 AS INT)
+             + CAST(monetary > m75 AS INT) AS m_score,
+           recency_days, monetary
+    FROM cust CROSS JOIN b
+)
+SELECT r_score, f_score, m_score,
+       count(*) AS n_customers,
+       round(avg(CAST(recency_days AS DOUBLE)), 6) AS avg_recency_days,
+       round(CAST(sum(monetary) AS DOUBLE) / count(*), 6) AS avg_monetary
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+@register(
+    "analytics_rfm_segmentation",
+    oracle=_RFM_ORACLE,
+    description=(
+        "RFM customer segmentation: per-customer recency (days since last "
+        "order vs corpus max date, integer-exact), frequency (order count), "
+        "monetary (DECIMAL-exact spend sum — order-independent, so quartile "
+        "boundary comparisons are engine-deterministic); each metric scored "
+        "1-4 by strict comparison against the three exact-percentile "
+        "boundaries (NOT ntile, whose tie-splitting depends on a global sort "
+        "order), then one 64-cell segment rollup. Scale: orders collapse to "
+        "customer grain in ONE map-side-combinable shuffle; boundaries are 9 "
+        "scalars broadcast back (at 100 TB swap the exact percentile for "
+        "approx_percentile — same comparison contract)"
+    ),
+    tags=("analytics", "aggregation", "percentile", "scale"),
+)
+def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("d0"))
+    cust = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey", "d0")
+        .agg(
+            F.datediff(F.first("d0"), F.max(F.col("o_orderdate").cast("date"))).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+    )
+    b = cust.agg(
+        F.expr("percentile(recency_days, array(0.25, 0.50, 0.75))").alias("rq"),
+        F.expr("percentile(frequency, array(0.25, 0.50, 0.75))").alias("fq"),
+        F.expr("percentile(monetary, array(0.25, 0.50, 0.75))").alias("mq"),
+    )
+    s = cust.crossJoin(F.broadcast(b))
+    asint = lambda c: c.cast("int")  # noqa: E731
+    scored = s.select(
+        (
+            F.lit(1)
+            + asint(F.col("recency_days") < F.col("rq")[2])
+            + asint(F.col("recency_days") < F.col("rq")[1])
+            + asint(F.col("recency_days") < F.col("rq")[0])
+        ).alias("r_score"),
+        (
+            F.lit(1)
+            + asint(F.col("frequency") > F.col("fq")[0])
+            + asint(F.col("frequency") > F.col("fq")[1])
+            + asint(F.col("frequency") > F.col("fq")[2])
+        ).alias("f_score"),
+        (
+            F.lit(1)
+            + asint(F.col("monetary") > F.col("mq")[0])
+            + asint(F.col("monetary") > F.col("mq")[1])
+            + asint(F.col("monetary") > F.col("mq")[2])
+        ).alias("m_score"),
+        "recency_days",
+        "monetary",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg(F.col("recency_days").cast("double")), 6).alias("avg_recency_days"),
+            F.round(F.sum("monetary").cast("double") / F.count("*"), 6).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+_BASKET_ORACLE = """
+WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+cnt AS (SELECT pk, count(*) AS c FROM items GROUP BY pk),
+n AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+pairs AS (
+    SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS pair_cnt
+    FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+    GROUP BY a.pk, b.pk
+)
+SELECT part_a, part_b,
+       CAST(pair_cnt AS BIGINT) AS pair_cnt,
+       round(CAST(pair_cnt AS DOUBLE) / n.n_orders, 9) AS support,
+       round(CAST(pair_cnt AS DOUBLE) / ca.c, 9) AS confidence,
+       round(CAST(pair_cnt AS DOUBLE) * n.n_orders / (CAST(ca.c AS DOUBLE) * cb.c), 9) AS lift
+FROM pairs
+CROSS JOIN n
+JOIN cnt ca ON part_a = ca.pk
+JOIN cnt cb ON part_b = cb.pk
+WHERE pair_cnt >= 2
+ORDER BY lift DESC, part_a, part_b
+LIMIT 50
+"""
+
+
+@register(
+    "agg_market_basket_lift",
+    oracle=_BASKET_ORACLE,
+    description=(
+        "market-basket association mining: co-occurring part pairs within an "
+        "order, scored by support / confidence / lift, min-support filtered, "
+        "top-50 by lift. Pair expansion is the self-join of per-order DISTINCT "
+        "item lists on the order key — output per order is C(k,2) where k is "
+        "the order's item count (TPC-H k<=7), so the blowup is bounded by the "
+        "basket size, never |parts|^2; the join shuffles both sides on the "
+        "high-cardinality order key. Per-item supports are a part-cardinality "
+        "table joined back (broadcast-scale). The a<b canonicalization halves "
+        "the pair space and makes the pair key deterministic"
+    ),
+    tags=("analytics", "aggregation", "join", "scale"),
+)
+def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    cnt = items.groupBy("pk").agg(F.count("*").alias("c"))
+    n = items.agg(F.countDistinct("ok").alias("n_orders"))
+    a = items.select("ok", F.col("pk").alias("part_a"))
+    b = items.select(F.col("ok").alias("ok_b"), F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    ca = cnt.select(F.col("pk").alias("part_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("pk").alias("part_b"), F.col("c").alias("cb"))
+    scored = (
+        pairs.crossJoin(F.broadcast(n))
+        .join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("pair_cnt").cast("bigint").alias("pair_cnt"),
+            F.round(F.col("pair_cnt").cast("double") / F.col("n_orders"), 9).alias("support"),
+            F.round(F.col("pair_cnt").cast("double") / F.col("ca"), 9).alias("confidence"),
+            F.round(
+                F.col("pair_cnt").cast("double")
+                * F.col("n_orders")
+                / (F.col("ca").cast("double") * F.col("cb")),
+                9,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "part_a", "part_b").limit(50)
+
+
+_ENTROPY_ORACLE = """
+WITH b AS (
+    SELECT event_type, hour(ts) AS h, count(*) AS c
+    FROM events GROUP BY event_type, hour(ts)
+),
+t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY event_type)
+SELECT b.event_type,
+       t.n AS n_events,
+       CAST(count(*) AS BIGINT) AS n_hours_active,
+       round(-sum((CAST(b.c AS DOUBLE) / t.n) * ln(CAST(b.c AS DOUBLE) / t.n)), 6)
+           AS entropy_nats,
+       round(exp(-sum((CAST(b.c AS DOUBLE) / t.n) * ln(CAST(b.c AS DOUBLE) / t.n))), 6)
+           AS perplexity
+FROM b JOIN t ON b.event_type = t.event_type
+GROUP BY b.event_type, t.n
+ORDER BY b.event_type
+"""
+
+
+@register(
+    "agg_shannon_entropy",
+    oracle=_ENTROPY_ORACLE,
+    description=(
+        "Shannon entropy (and perplexity) of each event type's hour-of-day "
+        "distribution — the temporal-concentration diagnostic (a bot burst has "
+        "near-zero entropy; organic traffic approaches ln 24). Two "
+        "map-side-combinable aggregations: events -> (type, hour) counts "
+        "(<=24G rows), then the entropy fold over those counts; the raw table "
+        "is scanned once and every probability is an exact-integer ratio, so "
+        "the only float steps are the fixed p*ln(p) chain, rounded once"
+    ),
+    tags=("analytics", "aggregation", "statistics", "quality"),
+)
+def agg_shannon_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy("event_type", F.hour("ts").alias("h")).agg(F.count("*").alias("c"))
+    t = b.groupBy("event_type").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    joined = b.join(F.broadcast(t), "event_type")
+    return (
+        joined.groupBy("event_type", "n")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours_active"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            F.round(F.exp(-F.sum(p * F.log(p))), 6).alias("perplexity"),
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            "n_hours_active",
+            "entropy_nats",
+            "perplexity",
+        )
+        .orderBy("event_type")
+    )

@@ -6,6 +6,7 @@ semantics (same heuristic, same arithmetic), not just row counts.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1309,4 +1310,65 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_coverage")
         )
         .orderBy("vocab_size")
+    )
+
+
+@register(
+    "text_compression_ratio",
+    oracle=None,  # zlib has no DuckDB twin; determinism + bounds are pinned
+    # in-plan (raise_error on ratio outside (0, 1.2]) and behaviorally in
+    # tests/test_analytics.py (repetitive text compresses far below
+    # random text; byte-identical across two runs).
+    description=(
+        "zlib compression ratio as a text-quality signal (the Gopher-rules "
+        "repetition proxy: boilerplate/template text compresses to a small "
+        "fraction of its size; high-entropy prose stays near 1.0 after "
+        "deflate overhead). Computed by an Arrow-vectorized pandas UDF "
+        "(zlib level 6 — deterministic output length for a given input), "
+        "then a per-source rollup with a 0.35 flag threshold. Scale: the "
+        "UDF is embarrassingly parallel per batch, no shuffle before the "
+        "final source-cardinality aggregate; compression cost is linear in "
+        "corpus bytes — the same single full-scan any quality scorer pays"
+    ),
+    tags=("text", "quality", "pandas-udf", "llm-pipeline"),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+    from pyspark.sql.types import DoubleType  # noqa: PLC0415
+
+    @pandas_udf(DoubleType())
+    def _zratio(text: pd.Series) -> pd.Series:
+        import zlib  # noqa: PLC0415
+
+        def ratio(s: str) -> float:
+            raw = s.encode("utf-8", "replace") if isinstance(s, str) else b""
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return text.map(ratio)
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        F.round(_zratio(F.col("text")), 9).alias("zratio"),
+    ).withColumn(
+        "zratio",
+        F.when(
+            (F.col("zratio") > F.lit(0.0)) & (F.col("zratio") <= F.lit(1.2)),
+            F.col("zratio"),
+        ).otherwise(F.raise_error(F.format_string("zratio out of bounds: %s", "zratio"))),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("zratio"), 6).alias("avg_ratio"),
+            F.round(F.min("zratio"), 6).alias("min_ratio"),
+            F.round(F.max("zratio"), 6).alias("max_ratio"),
+            F.sum(F.when(F.col("zratio") < 0.35, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged_repetitive"),
+        )
+        .orderBy("source")
     )

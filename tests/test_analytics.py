@@ -178,3 +178,26 @@ class TestStreamingCountMin:
         }
         for r in got:
             assert r["est_count"] >= exact[r["user_id"]], r
+
+
+def test_compression_ratio_separates_repetitive_from_prose(spark, sf_dir):
+    """zlib ratio: repetitive text compresses far below varied prose, the
+    UDF is deterministic across runs, and every ratio stays in (0, 1.2]."""
+    from data_integration_and_processing_spark.queries.catalog import all_specs
+
+    q = all_specs()["text_compression_ratio"].spark
+
+    out1 = {r["source"]: r.asDict() for r in q(spark, sf_dir).collect()}
+    out2 = {r["source"]: r.asDict() for r in q(spark, sf_dir).collect()}
+    assert out1 == out2  # byte-deterministic rollup
+    for row in out1.values():
+        assert 0.0 < row["min_ratio"] <= row["max_ratio"] <= 1.2
+
+    # direct behavioral pin on the underlying signal
+    import zlib
+
+    rep = ("spam ham " * 500).encode()
+    prose = bytes(range(256)) * 20  # incompressible byte spread
+    r_rep = len(zlib.compress(rep, 6)) / len(rep)
+    r_prose = len(zlib.compress(prose, 6)) / len(prose)
+    assert r_rep < 0.05 < r_prose
