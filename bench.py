@@ -148,12 +148,16 @@ def _dedup_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:
 
 
 def _jaccard_prefix_probe(spark, sf_dir: str) -> dict[str, float | int]:
-    """Standing 50k-doc plain-vs-prefix Jaccard probe (VERDICT r4 item 3):
-    the PPJoin prefix filter pays ~2 extra shuffles of fixed overhead, so at
-    the 5k-doc headline scale it loses on stage count; this probe measures
-    the scale where the candidate expansion dominates instead. r5 measured
-    crossover: prefix 20.7s vs plain 25.0s at 50k docs, identical pair
-    counts (the filter is lossless)."""
+    """Standing 50k-doc plain-vs-prefix Jaccard probe (VERDICT r4 item 3),
+    on a BOILERPLATE-HEAVY corpus: 4% of docs share an appended navbar/
+    cookie-banner sentence, the shape the prefix filter exists for — its
+    ~10 hot shingles (df=2000) cost the plain plan a C(2000,2)-per-shingle
+    (~20M-row) pair expansion, while rarest-first prefixes exclude max-df
+    shingles entirely. r5 measured: prefix 19.8s vs plain 25.3s, identical
+    245,540 pairs (lossless). On a uniform corpus (no hot shingles) the two
+    are a statistical tie at this scale (19.7-20.6s, either direction run
+    to run) because the filter's ~2 extra shuffles offset its 2.8x
+    candidate cut — SCALE.md 'prefix-Jaccard crossover'."""
     import functools as _ft  # noqa: PLC0415
 
     from pyspark.sql import DataFrame  # noqa: PLC0415
@@ -174,6 +178,17 @@ def _jaccard_prefix_probe(spark, sf_dir: str) -> dict[str, float | int]:
         for i in range(10)
     ]
     corpus = _ft.reduce(DataFrame.unionByName, reps)
+    boiler = (
+        "this site uses cookies accept our terms privacy policy "
+        "all rights reserved contact us about careers"
+    )
+    corpus = corpus.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.pmod("doc_id", F.lit(1_000_000)), F.lit(25)) == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(boiler)),
+        ).otherwise(F.col("text")),
+    )
     out: dict[str, float | int] = {}
     for fn, key in ((ngram_jaccard_pairs, "plain"), (ngram_jaccard_pairs_prefix, "prefix")):
         best = float("inf")
