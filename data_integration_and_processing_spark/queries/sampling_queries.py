@@ -675,3 +675,53 @@ def sample_mix_greedy_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc"),
     ).orderBy("rnk")
+
+
+_RES_N = 500
+_RES_M = 2_147_483_647  # HASH_MOD
+
+
+def _reservoir_key_sql() -> str:
+    u = f"(CAST({hash_bucket_sql(['doc_id'], _RES_M, seed=7)} AS DOUBLE) + 1.0) / {float(_RES_M + 1)}"
+    return f"round(pow({u}, 1.0 / CAST(n_chars AS DOUBLE)), 6)"
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   {_reservoir_key_sql()} AS res_key
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars, res_key
+        FROM keyed
+        ORDER BY res_key DESC, doc_id
+        LIMIT {_RES_N}
+    """,
+    description=(
+        "weighted reservoir sample without replacement (Efraimidis-Spirakis "
+        "A-ES): each row draws key u^(1/w) with u from the portable integer "
+        "hash (NOT rand(), which Spark re-evaluates on task retry) and the "
+        "top-N keys ARE the weighted sample — here w = n_chars, so selection "
+        "probability tracks document length. The key is rounded to 6 digits "
+        "in BOTH engines before ranking (libm pow may drift a final ulp "
+        "between JVM and C; rounding makes the order engine-stable, with "
+        "doc_id breaking the induced ties identically). Scale: pure map "
+        "stage + one top-N (partial per partition, final N-row merge) — no "
+        "shuffle of the corpus, no driver state, retry-deterministic"
+    ),
+    tags=("sampling", "llm-pipeline", "scale"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = (hash_bucket(["doc_id"], _RES_M, seed=7).cast("double") + F.lit(1.0)) / F.lit(
+        float(_RES_M + 1)
+    )
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 6).alias("res_key"),
+    )
+    return keyed.orderBy(F.desc("res_key"), F.asc("doc_id")).limit(_RES_N)

@@ -976,3 +976,93 @@ def temporal_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hr")
     )
+
+
+@register(
+    "temporal_sessionize_capped",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, event_id, ts,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS gap_sess
+            FROM flagged
+        ),
+        capped AS (
+            SELECT user_id, gap_sess, ts,
+                   CAST((epoch_us(ts)
+                         - min(epoch_us(ts)) OVER (PARTITION BY user_id, gap_sess))
+                        // 3600000000 AS BIGINT) AS sub_seq
+            FROM sess
+        )
+        SELECT user_id, gap_sess, sub_seq,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+               round(CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE) / 1000000.0, 6)
+                   AS duration_sec
+        FROM capped
+        GROUP BY user_id, gap_sess, sub_seq
+        ORDER BY user_id, gap_sess, sub_seq
+    """,
+    description=(
+        "gap + max-duration sessionization: 30-min-inactivity sessions are "
+        "additionally split into 1-hour sub-sessions measured from each "
+        "session's start — the bucketed form of the 'cap session length' "
+        "rule (true restart-anchored capping is inherently iterative; the "
+        "bucket split is the closed-form window composition real pipelines "
+        "deploy). All three window passes and the final rollup share the "
+        "ONE user_id-keyed exchange (same partition prefix => Spark plans a "
+        "single shuffle), exact epoch-microsecond arithmetic throughout"
+    ),
+    tags=("temporal", "window", "sessionization", "scale"),
+)
+def temporal_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        us.alias("us"),
+        F.when(
+            prev.isNull()
+            | (us - F.unix_micros(prev.cast("timestamp")) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "gap_sess",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    ws = Window.partitionBy("user_id", "gap_sess")
+    capped = sess.withColumn(
+        "sub_seq",
+        F.floor((F.col("us") - F.min("us").over(ws)) / F.lit(3_600_000_000)).cast("bigint"),
+    )
+    return (
+        capped.groupBy("user_id", "gap_sess", "sub_seq")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("us").cast("bigint").alias("start_us"),
+            F.round((F.max("us") - F.min("us")).cast("double") / 1_000_000.0, 6).alias(
+                "duration_sec"
+            ),
+        )
+        .orderBy("user_id", "gap_sess", "sub_seq")
+    )
