@@ -2384,3 +2384,81 @@ def agg_shannon_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_CC_ORACLE = """
+WITH RECURSIVE
+items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS (
+    SELECT a.pk AS part_a, b.pk AS part_b
+    FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+    GROUP BY a.pk, b.pk
+    HAVING count(*) >= 2
+),
+edges AS (
+    SELECT part_a AS u, part_b AS v FROM pairs
+    UNION ALL
+    SELECT part_b AS u, part_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u
+),
+lbl AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT CAST(node AS BIGINT) AS id,
+       CAST(component AS BIGINT) AS component,
+       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
+FROM lbl
+ORDER BY id
+"""
+
+
+@register(
+    "graph_connected_components",
+    oracle=_CC_ORACLE,
+    description=(
+        "connected components of the co-purchase graph (parts co-occurring "
+        "in >= 2 orders), labels = min reachable id — the clustering step "
+        "every dedup/linkage pipeline runs after pair detection, here "
+        "exposed as a first-class graph query. Spark side is the size-routed "
+        "operator (operators/dedup.py::connected_components): driver "
+        "union-find below the 2M-edge cap, else iterative min-label "
+        "propagation (one join + one vertex-keyed aggregate per round, "
+        "localCheckpoint truncating lineage, O(diameter) rounds). The "
+        "oracle computes the SAME labels by recursive-CTE transitive "
+        "closure — exact fixpoint semantics, feasible at oracle scale only, "
+        "which is exactly why the distributed path exists"
+    ),
+    tags=("analytics", "graph", "iterative", "scale"),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.dedup import (  # noqa: PLC0415
+        connected_components,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    a = items.select("ok", F.col("pk").alias("part_a"))
+    b = items.select(F.col("ok").alias("ok_b"), F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("part_a", "part_b")
+    )
+    cc = connected_components(
+        pairs.select(F.col("part_a").alias("id_a"), F.col("part_b").alias("id_b"))
+    )
+    sizes = cc.groupBy("component").agg(F.count("*").alias("component_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            F.col("component").cast("bigint").alias("component"),
+            F.col("component_size").cast("bigint").alias("component_size"),
+        )
+        .orderBy("id")
+    )
