@@ -2462,3 +2462,66 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+_FUNNEL_ANY_ORACLE = """
+WITH u AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(t_view) AS BIGINT) AS n_view,
+       CAST(count(t_click) AS BIGINT) AS n_click,
+       CAST(count(t_purchase) AS BIGINT) AS n_purchase,
+       CAST(count(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                        AND t_purchase IS NOT NULL THEN 1 END) AS BIGINT) AS n_all3,
+       CAST(count(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                        AND t_purchase IS NOT NULL
+                        AND epoch_us(greatest(t_view, t_click, t_purchase))
+                          - epoch_us(least(t_view, t_click, t_purchase))
+                          <= 604800000000 THEN 1 END) AS BIGINT) AS n_all3_7d,
+       round(CAST(count(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                              AND t_purchase IS NOT NULL THEN 1 END) AS DOUBLE)
+             / count(*), 6) AS rate_all3
+FROM u
+"""
+
+
+@register(
+    "events_funnel_any_order",
+    oracle=_FUNNEL_ANY_ORACLE,
+    description=(
+        "unordered funnel: users who performed ALL THREE of view/click/"
+        "purchase in ANY order, plus the subset whose first occurrences span "
+        "<= 7 days — the 'engaged across behaviors' complement to the "
+        "strictly-sequenced funnel (events_funnel_conversion requires "
+        "view -> click -> purchase in order; this counts breadth). One "
+        "user-keyed conditional aggregation (first occurrence per type via "
+        "min(CASE)), then a single global rollup row — no joins, no windows"
+    ),
+    tags=("analytics", "events", "aggregation"),
+)
+def events_funnel_any_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    t = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    u = e.groupBy("user_id").agg(
+        t("view").alias("t_view"), t("click").alias("t_click"), t("purchase").alias("t_purchase")
+    )
+    all3 = F.col("t_view").isNotNull() & F.col("t_click").isNotNull() & F.col(
+        "t_purchase"
+    ).isNotNull()
+    span_us = F.unix_micros(
+        F.greatest("t_view", "t_click", "t_purchase").cast("timestamp")
+    ) - F.unix_micros(F.least("t_view", "t_click", "t_purchase").cast("timestamp"))
+    return u.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.count("t_view").cast("bigint").alias("n_view"),
+        F.count("t_click").cast("bigint").alias("n_click"),
+        F.count("t_purchase").cast("bigint").alias("n_purchase"),
+        F.count(F.when(all3, 1)).cast("bigint").alias("n_all3"),
+        F.count(F.when(all3 & (span_us <= 604_800_000_000), 1)).cast("bigint").alias("n_all3_7d"),
+        F.round(F.count(F.when(all3, 1)).cast("double") / F.count("*"), 6).alias("rate_all3"),
+    )

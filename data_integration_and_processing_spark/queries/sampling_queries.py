@@ -725,3 +725,85 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 6).alias("res_key"),
     )
     return keyed.orderBy(F.desc("res_key"), F.asc("doc_id")).limit(_RES_N)
+
+
+_BOOT_B = 100
+_BOOT_M = 2_147_483_647
+# Poisson(1) CDF thresholds, truncated at k=5 (P(X>5) ~ 6e-4): identical
+# 10-digit literals on both sides make the inverse-CDF draw engine-exact.
+_POIS_CDF = (0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431, 0.9963401532)
+
+
+def _pois_k_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {cases} ELSE 5 END)"
+
+
+@register(
+    "sample_poisson_bootstrap_ci",
+    oracle=f"""
+        WITH reps AS (
+            SELECT e.event_type, g.b,
+                   {_pois_k_sql(f"(CAST({hash_bucket_sql(['event_id', 'b'], _BOOT_M, seed=11)} AS DOUBLE) + 0.5) / {float(_BOOT_M)}")} AS k,
+                   e.value
+            FROM events e CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) g
+        ),
+        means AS (
+            SELECT event_type, b,
+                   sum(k * value) / sum(k) AS mean_b
+            FROM reps GROUP BY event_type, b
+        ),
+        raw AS (
+            SELECT event_type, round(avg(value), 6) AS mean_value FROM events GROUP BY event_type
+        )
+        SELECT m.event_type,
+               raw.mean_value,
+               round(percentile_cont(0.025) WITHIN GROUP (ORDER BY mean_b), 6) AS ci_lo,
+               round(percentile_cont(0.975) WITHIN GROUP (ORDER BY mean_b), 6) AS ci_hi
+        FROM means m JOIN raw ON m.event_type = raw.event_type
+        GROUP BY m.event_type, raw.mean_value
+        ORDER BY m.event_type
+    """,
+    description=(
+        f"Poisson bootstrap 95% CI of mean(value) per event type, B={_BOOT_B} "
+        "replicates: each (row, replicate) draws a Poisson(1) resample weight "
+        "by inverse-CDF over a portable-hash uniform — the MapReduce-native "
+        "bootstrap (no per-replicate resampling pass, no driver RNG state, "
+        "retry-deterministic because the weight is a pure function of "
+        "(event_id, b)). One explode x one map-side-combinable aggregate: "
+        "B per-group sufficient statistics in a single scan, then the "
+        "percentile runs over B-row groups. At 100 TB the explode is the "
+        "documented cost lever (B x scan bytes); weighted sufficient-stats "
+        "accumulation per replicate IN one pass (no explode) is the "
+        "grouped-map variant when B x rows exceeds shuffle budget"
+    ),
+    tags=("sampling", "statistics", "scale"),
+)
+def sample_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    rep = e.select(
+        "event_type", "event_id", "value", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    )
+    u = (hash_bucket(["event_id", "b"], _BOOT_M, seed=11).cast("double") + F.lit(0.5)) / F.lit(
+        float(_BOOT_M)
+    )
+    k = F.lit(5)
+    for kk, c in reversed(list(enumerate(_POIS_CDF))):
+        k = F.when(u < F.lit(c), F.lit(kk)).otherwise(k)
+    means = (
+        rep.withColumn("k", k)
+        .groupBy("event_type", "b")
+        .agg((F.sum(F.col("k") * F.col("value")) / F.sum("k")).alias("mean_b"))
+    )
+    raw = e.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("mean_value"))
+    return (
+        means.join(F.broadcast(raw), "event_type")
+        .groupBy("event_type", "mean_value")
+        .agg(
+            F.round(F.expr("percentile(mean_b, 0.025)"), 6).alias("ci_lo"),
+            F.round(F.expr("percentile(mean_b, 0.975)"), 6).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
