@@ -2525,3 +2525,106 @@ def events_funnel_any_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(all3 & (span_us <= 604_800_000_000), 1)).cast("bigint").alias("n_all3_7d"),
         F.round(F.count(F.when(all3, 1)).cast("double") / F.count("*"), 6).alias("rate_all3"),
     )
+
+
+_LIFECYCLE_ORACLE = """
+WITH uw AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+),
+seq AS (
+    SELECT user_id, wk,
+           lag(wk)  OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+           lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+    FROM uw
+),
+states AS (
+    SELECT wk,
+           CASE WHEN prev_wk IS NULL THEN 'new'
+                WHEN prev_wk = wk - INTERVAL 7 DAY THEN 'retained'
+                ELSE 'resurrected' END AS state
+    FROM seq
+),
+churn AS (
+    SELECT CAST(wk + INTERVAL 7 DAY AS DATE) AS wk, count(*) AS n_churned
+    FROM seq
+    WHERE (next_wk IS NULL OR next_wk > wk + INTERVAL 7 DAY)
+      AND CAST(wk + INTERVAL 7 DAY AS DATE) <= (SELECT max(wk) FROM uw)
+    GROUP BY CAST(wk + INTERVAL 7 DAY AS DATE)
+),
+active AS (
+    SELECT wk,
+           CAST(count(CASE WHEN state = 'new' THEN 1 END) AS BIGINT) AS n_new,
+           CAST(count(CASE WHEN state = 'retained' THEN 1 END) AS BIGINT) AS n_retained,
+           CAST(count(CASE WHEN state = 'resurrected' THEN 1 END) AS BIGINT) AS n_resurrected
+    FROM states GROUP BY wk
+)
+SELECT CAST(active.wk AS VARCHAR) AS week,
+       n_new, n_retained, n_resurrected,
+       CAST(coalesce(churn.n_churned, 0) AS BIGINT) AS n_churned
+FROM active LEFT JOIN churn ON active.wk = churn.wk
+ORDER BY week
+"""
+
+
+@register(
+    "events_growth_accounting",
+    oracle=_LIFECYCLE_ORACLE,
+    description=(
+        "weekly growth accounting: every active (user, week) classified as "
+        "new / retained / resurrected from the user's lag(week), and churn "
+        "attributed to the week AFTER a user's last consecutive week via "
+        "lead(week) — the standard DAU-decomposition ledger (growth = new + "
+        "resurrected - churned). Events collapse to user-week grain in one "
+        "dedup shuffle; both window passes share the user-keyed exchange; "
+        "the final rollup is week-cardinality. No self-joins of the fact "
+        "table — the naive churn anti-join per week re-scans events O(weeks) "
+        "times"
+    ),
+    tags=("analytics", "events", "window", "temporal", "scale"),
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    seq = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    states = seq.select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(F.col("prev_wk") == F.date_sub("wk", 7), "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    active = states.groupBy("wk").agg(
+        F.count(F.when(F.col("state") == "new", 1)).cast("bigint").alias("n_new"),
+        F.count(F.when(F.col("state") == "retained", 1)).cast("bigint").alias("n_retained"),
+        F.count(F.when(F.col("state") == "resurrected", 1)).cast("bigint").alias("n_resurrected"),
+    )
+    max_wk = uw.agg(F.max("wk").alias("max_wk"))
+    churn = (
+        seq.filter(F.col("next_wk").isNull() | (F.col("next_wk") > F.date_add("wk", 7)))
+        .select(F.date_add("wk", 7).alias("wk"))
+        .crossJoin(F.broadcast(max_wk))
+        .filter(F.col("wk") <= F.col("max_wk"))
+        .groupBy("wk")
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        active.join(churn, "wk", "left")
+        .select(
+            F.col("wk").cast("string").alias("week"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("bigint").alias("n_churned"),
+        )
+        .orderBy("week")
+    )

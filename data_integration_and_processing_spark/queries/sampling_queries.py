@@ -807,3 +807,88 @@ def sample_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_DELTA_ARM = hash_bucket_sql(["user_id"], 2, seed=7)
+
+_DELTA_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id, {_DELTA_ARM} AS arm,
+           CAST(sum(CAST(value AS DECIMAL(18,9))) AS DECIMAL(18,6)) AS x,
+           CAST(count(*) AS BIGINT) AS y
+    FROM events GROUP BY user_id
+),
+stats AS (
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(x) AS DOUBLE) AS sx,
+           CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+                          AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,0))
+                          AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+           CAST(sum(y * y) AS DOUBLE) AS syy
+    FROM per_user GROUP BY arm
+)
+SELECT arm, n_users,
+       round((sx / n_users) / (sy / n_users), 6) AS ratio,
+       round(sqrt((
+                 (sxx / n_users - (sx / n_users) * (sx / n_users))
+               - 2.0 * ((sx / n_users) / (sy / n_users))
+                     * (sxy / n_users - (sx / n_users) * (sy / n_users))
+               + ((sx / n_users) / (sy / n_users)) * ((sx / n_users) / (sy / n_users))
+                     * (syy / n_users - (sy / n_users) * (sy / n_users))
+             ) / n_users) / (sy / n_users), 6) AS se_delta
+FROM stats
+ORDER BY arm
+"""
+
+
+@register(
+    "sample_ab_delta_method",
+    oracle=_DELTA_ORACLE,
+    description=(
+        "delta-method standard error for a RATIO metric (value per event, "
+        "analyzed at the user grain) per experiment arm: ratio metrics "
+        "violate the iid assumption event-level t-tests make — the unit of "
+        "randomization is the user, so se(X̄/Ȳ) comes from the delta "
+        "expansion (var_x - 2R cov + R^2 var_y) / (n Ȳ^2). Per-user "
+        "numerators are DECIMAL-exact (order-independent sums), cross "
+        "moments multiply at width 19 (int128 territory in both engines) and "
+        "recast per-term to DECIMAL(38,6) — a deterministic truncation whose "
+        "~1e-13 relative effect is invisible at the rounded output — so "
+        "both engines finish from matching sufficient statistics with "
+        "one spelled-out IEEE chain. Two map-side-combinable aggregations "
+        "(user grain, then 2-row arm grain); nothing wide shuffles"
+    ),
+    tags=("sampling", "statistics", "analytics", "scale"),
+)
+def sample_ab_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,9)")).cast("decimal(18,6)").alias("x"),
+        F.count("*").cast("bigint").alias("y"),
+    )
+    per_user = per_user.select(
+        hash_bucket(["user_id"], 2, seed=7).alias("arm"), "x", "y"
+    )
+    stats = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y").cast("decimal(19,0)")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    mx = F.col("sx") / F.col("n_users")
+    my = F.col("sy") / F.col("n_users")
+    r = mx / my
+    var_x = F.col("sxx") / F.col("n_users") - mx * mx
+    cov = F.col("sxy") / F.col("n_users") - mx * my
+    var_y = F.col("syy") / F.col("n_users") - my * my
+    se = F.sqrt((var_x - F.lit(2.0) * r * cov + r * r * var_y) / F.col("n_users")) / my
+    return stats.select(
+        "arm", "n_users", F.round(r, 6).alias("ratio"), F.round(se, 6).alias("se_delta")
+    ).orderBy("arm")
