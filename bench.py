@@ -78,6 +78,10 @@ HEADLINE = [
     "text_line_dedup",
     "sim_dedup_semantic",
     "etl_incremental_agg_maintenance",
+    "sample_poisson_bootstrap_ci",
+    "events_growth_accounting",
+    "analytics_rfm_segmentation",
+    "graph_connected_components",
 ]
 
 

@@ -724,3 +724,99 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("nprobe")
+
+
+_UNC_N = 200
+
+_UNC_ORACLE = f"""
+WITH comp AS (
+    SELECT e.label, i.i,
+           sum(CAST(CAST(e.embedding[i.i] AS DOUBLE) AS DECIMAL(18,9))) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM embeddings e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+    GROUP BY e.label, i.i
+),
+cent AS (
+    SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY i) AS c FROM comp GROUP BY label
+),
+scored AS (
+    SELECT e.vec_id, cent.label,
+           round({_cos_sql('e.embedding', 'cent.c')}, 6) AS sim
+    FROM embeddings e CROSS JOIN cent
+),
+ranked AS (
+    SELECT vec_id, label, sim,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, label) AS rk
+    FROM scored
+)
+SELECT a.vec_id,
+       a.label AS best_label,
+       a.sim AS best_sim,
+       round(a.sim - b.sim, 6) AS margin
+FROM ranked a JOIN ranked b ON a.vec_id = b.vec_id AND a.rk = 1 AND b.rk = 2
+ORDER BY margin, a.vec_id
+LIMIT {_UNC_N}
+"""
+
+
+@register(
+    "sim_uncertainty_sampling",
+    oracle=_UNC_ORACLE,
+    description=(
+        f"active-learning margin sampling: score every vector against every "
+        "label centroid, take the top-1/top-2 cosine margin, and surface the "
+        f"{_UNC_N} most ambiguous vectors — the labeling-budget allocator "
+        "(small margin = the classifier can't tell the two nearest classes "
+        "apart = the example worth a human label). Centroids are DECIMAL-"
+        "exact per-dimension row sums (order-independent, so both engines "
+        "derive bit-identical centroids) finished with one IEEE division; "
+        "scoring is a broadcast of the O(labels) centroid table against the "
+        "corpus — one scan, no vector shuffle; the margin needs exactly the "
+        "top-2, a per-vector window over the labels-cardinality score list"
+    ),
+    tags=("similarity", "llm-pipeline", "statistics", "scale"),
+)
+def sim_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("val").cast("double").cast("decimal(18,9)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select("label", "pos", (F.col("s").cast("double") / F.col("n")).alias("cv"))
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda x: x["cv"]
+        ).alias("c")
+    )
+    scored = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent.select(F.col("label"), F.col("c"))))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("c")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("label"))
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    a = ranked.filter(F.col("rk") == 1).select(
+        "vec_id", F.col("label").alias("best_label"), F.col("sim").alias("best_sim")
+    )
+    b = ranked.filter(F.col("rk") == 2).select("vec_id", F.col("sim").alias("sim2"))
+    return (
+        a.join(b, "vec_id")
+        .select(
+            "vec_id",
+            "best_label",
+            "best_sim",
+            F.round(F.col("best_sim") - F.col("sim2"), 6).alias("margin"),
+        )
+        .orderBy("margin", "vec_id")
+        .limit(_UNC_N)
+    )

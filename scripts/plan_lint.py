@@ -112,10 +112,26 @@ def find_violations(plan: str) -> list[str]:
     return out
 
 
+def census(plan: str) -> dict[str, int]:
+    """Operator census of one physical plan: the numbers that decide 100 TB
+    behavior. `shuffles` counts repartitioning exchanges (hash + range),
+    `single_partition` the one-reducer exchanges (scale-safe only on bounded
+    intermediates), `broadcasts` the build sides kept off the shuffle,
+    `sorts` the per-partition sort operators."""
+    return {
+        "shuffles": len(re.findall(r"Exchange (?:hash|range)partitioning", plan)),
+        "single_partition": len(re.findall(r"Exchange SinglePartition", plan)),
+        "broadcasts": len(re.findall(r"BroadcastExchange", plan)),
+        "sorts": len(re.findall(r"^[\s:+\-|]*\*?\(?\d*\)?\s*Sort ", plan, re.MULTILINE)),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--census", action="store_true",
+                    help="print a per-query shuffle/broadcast census instead of lint JSON")
     args = ap.parse_args()
 
     from data_integration_and_processing_spark.queries import catalog
@@ -127,6 +143,8 @@ def main() -> int:
     only = set(args.only.split(",")) if args.only else None
 
     n_checked = n_viol = n_skipped = 0
+    totals: dict[str, int] = {}
+    peak: dict[str, tuple[int, str]] = {}
     for name, spec in sorted(specs.items()):
         if only and name not in only:
             continue
@@ -138,6 +156,14 @@ def main() -> int:
             print(json.dumps({"query": name, "status": "SKIP", "why": str(e)[:120]}))
             continue
         n_checked += 1
+        if args.census:
+            c = census(plan)
+            for k, v in c.items():
+                totals[k] = totals.get(k, 0) + v
+                if v > peak.get(k, (-1, ""))[0]:
+                    peak[k] = (v, name)
+            print(json.dumps({"query": name, **c}))
+            continue
         hits = find_violations(plan)
         allowed = WHITELIST.get(name, {})
         real = [h for h in hits if h not in allowed]
@@ -148,8 +174,14 @@ def main() -> int:
         if real:
             n_viol += 1
             print(json.dumps({"query": name, "rules": real, "status": "VIOLATION"}))
-    print(json.dumps({"plan_lint": {"checked": n_checked, "violations": n_viol,
-                                    "skipped": n_skipped}}))
+    if args.census:
+        print(json.dumps({"census": {"checked": n_checked, "skipped": n_skipped,
+                                     "totals": totals,
+                                     "peak": {k: {"n": v[0], "query": v[1]}
+                                              for k, v in peak.items()}}}))
+    else:
+        print(json.dumps({"plan_lint": {"checked": n_checked, "violations": n_viol,
+                                        "skipped": n_skipped}}))
     spark.stop()
     return 1 if n_viol else 0
 
