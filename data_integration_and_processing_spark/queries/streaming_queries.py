@@ -716,3 +716,76 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events").select("event_type", "value", "ts", "event_id")
     return run_streaming_incremental_mv(spark, e)
+
+
+_DYN_GAP_SQL = """CASE event_type WHEN 'view' THEN 600000000
+                                  WHEN 'click' THEN 1800000000
+                                  WHEN 'purchase' THEN 3600000000
+                                  ELSE 1200000000 END"""
+
+
+@register(
+    "stream_session_window_dynamic",
+    oracle=f"""
+        WITH g AS (
+            SELECT user_id, event_id, epoch_us(ts) AS tus,
+                   {_DYN_GAP_SQL} AS gap_us
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, event_id, tus, gap_us,
+                   max(tus + gap_us) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_max_end
+            FROM g
+        ),
+        f AS (
+            SELECT user_id, event_id, tus, gap_us,
+                   CASE WHEN prev_max_end IS NULL OR tus >= prev_max_end THEN 1 ELSE 0 END
+                       AS new_sess
+            FROM m
+        ),
+        i AS (
+            SELECT user_id, tus, gap_us,
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS sess
+            FROM f
+        )
+        SELECT user_id,
+               CAST(min(tus) AS BIGINT) AS session_start_us,
+               CAST(max(tus + gap_us) AS BIGINT) AS session_end_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM i GROUP BY user_id, sess
+        ORDER BY user_id, session_start_us
+    """,
+    description=(
+        "DYNAMIC-gap session windows (Spark's session_window with a per-event "
+        "gap expression: views idle out in 10 min, clicks 30, purchases 60): "
+        "the engine's native merging-session-state operator, pinned against "
+        "an independent gaps-and-islands derivation — with per-event gaps the "
+        "lag-based island flag is WRONG (a long-gap event can bridge over a "
+        "short-gap successor), so the oracle uses the running max of ts+gap "
+        "(exclusive end: an event AT the boundary opens a new session). "
+        "Batch mode here; the identical expression drops into readStream + "
+        "watermark for the streaming deployment. One user-keyed exchange"
+    ),
+    tags=("streaming", "window", "session", "sessionization"),
+)
+def stream_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "view", "10 minutes")
+        .when(F.col("event_type") == "click", "30 minutes")
+        .when(F.col("event_type") == "purchase", "1 hour")
+        .otherwise("20 minutes")
+    )
+    sw = e.groupBy(F.session_window(F.col("ts"), gap), F.col("user_id")).agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    return sw.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start").cast("timestamp")).alias("session_start_us"),
+        F.unix_micros(F.col("session_window.end").cast("timestamp")).alias("session_end_us"),
+        "n_events",
+    ).orderBy("user_id", "session_start_us")
