@@ -1066,3 +1066,77 @@ def temporal_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "gap_sess", "sub_seq")
     )
+
+
+@register(
+    "temporal_pit_feature_backfill",
+    oracle="""
+        WITH p AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id,
+               CAST(count(e.event_id) AS BIGINT) AS n_prior_30m
+        FROM p LEFT JOIN events e
+          ON e.user_id = p.user_id
+         AND e.ts >= p.ts - INTERVAL 30 MINUTE
+         AND e.ts < p.ts
+        GROUP BY p.event_id, p.user_id
+        ORDER BY p.event_id
+    """,
+    description=(
+        "point-in-time feature backfill: for every purchase, the user's "
+        "event count in the strictly-preceding 30 minutes — the feature-"
+        "store backfill primitive (train-time features must see exactly "
+        "what was known at decision time; a plain join leaks the future). "
+        "The oracle states the semantics as the naive range join "
+        "(|probes| x |window| pair blowup); the Spark plan is the merge-"
+        "scan form — probe rows at t and t-30m union into the event "
+        "stream, ONE user-keyed running count gives the strict prefix "
+        "count at every probe, and feature = cnt(t) - cnt(t-30m). One "
+        "exchange + one sort, zero pair expansion, any number of horizon "
+        "probes rides the same scan (add t-7d, t-1h rows, not joins)"
+    ),
+    tags=("temporal", "window", "join", "llm-pipeline", "scale"),
+)
+def temporal_pit_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = e.select(
+        "user_id",
+        us.alias("tus"),
+        F.lit(1).alias("is_base"),
+        F.lit(None).cast("long").alias("probe_id"),
+        F.lit(0).alias("sign"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("t"), F.col("event_id")
+    )
+    probe_hi = purchases.select(
+        "user_id",
+        F.col("t").alias("tus"),
+        F.lit(0).alias("is_base"),
+        F.col("event_id").alias("probe_id"),
+        F.lit(1).alias("sign"),
+    )
+    probe_lo = purchases.select(
+        "user_id",
+        (F.col("t") - F.lit(1_800_000_000)).alias("tus"),
+        F.lit(0).alias("is_base"),
+        F.col("event_id").alias("probe_id"),
+        F.lit(-1).alias("sign"),
+    )
+    merged = base.unionByName(probe_hi).unionByName(probe_lo)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "is_base", "probe_id", "sign")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    counted = merged.withColumn("prefix", F.sum("is_base").over(w))
+    return (
+        counted.filter(F.col("is_base") == 0)
+        .groupBy(F.col("probe_id").alias("event_id"), "user_id")
+        .agg(F.sum(F.col("sign") * F.col("prefix")).cast("bigint").alias("n_prior_30m"))
+        .orderBy("event_id")
+    )
