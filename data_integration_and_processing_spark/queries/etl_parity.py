@@ -1129,3 +1129,40 @@ def etl_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_file")
     )
+
+
+@register(
+    "etl_fixed_width_roundtrip",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    description=(
+        "fixed-width text round trip (the pandas.read_fwf surface the "
+        "reference's ETL-bridge users expect for mainframe/legacy extracts): "
+        "nation formatted into 6/20/6-char fields with format_string+rpad "
+        "(distributed text sink), read back by sources/readers.py::"
+        "read_fixed_width — a spark.read.text scan (splittable) with JVM "
+        "substring/trim/cast projections per field, codegen end to end"
+    ),
+    tags=("etl", "source", "sink"),
+)
+def etl_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.sources.readers import read_fixed_width
+
+    dest = f"{_SCRATCH}/nation_fwf"
+    n = load_table(spark, sf_dir, "nation")
+    line = F.concat(
+        F.lpad(F.col("n_nationkey").cast("string"), 6, " "),
+        F.rpad(F.col("n_name"), 20, " "),
+        F.lpad(F.col("n_regionkey").cast("string"), 6, " "),
+    )
+    n.select(line.alias("value")).write.mode("overwrite").text(dest)
+    return read_fixed_width(
+        spark,
+        dest,
+        [
+            ("n_nationkey", 1, 6, "long"),
+            ("n_name", 7, 20, "string"),
+            ("n_regionkey", 27, 6, "long"),
+        ],
+    )

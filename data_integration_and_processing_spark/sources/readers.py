@@ -102,3 +102,30 @@ def read_jdbc(
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    spec: list[tuple[str, int, int, str]],
+) -> DataFrame:
+    """Fixed-width text scan (the ``pandas.read_fwf`` surface, distributed).
+
+    ``spec``: (column_name, start_1based, width, spark_type) per field.
+    Mainframe/legacy extracts still arrive this way; the scan is
+    ``spark.read.text`` (splittable, distributed) and every field is a JVM
+    substring/trim/cast projection — whole-stage codegen, no Python. With
+    ANSI enabled a malformed numeric field fails loudly; pass type
+    ``"string"`` and ``try_cast`` downstream for permissive loads.
+    """
+    raw = spark.read.text(path)
+    cols = []
+    for name, start, width, dtype in spec:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        field = F.substring("value", start, width)
+        if dtype == "string":
+            cols.append(F.rtrim(field).alias(name))
+        else:
+            cols.append(F.trim(field).cast(dtype).alias(name))
+    return raw.select(*cols)
