@@ -892,3 +892,189 @@ def sample_ab_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "arm", "n_users", F.round(r, 6).alias("ratio"), F.round(se, 6).alias("se_delta")
     ).orderBy("arm")
+
+
+_WELCH_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id, {hash_bucket_sql(["user_id"], 2, seed=7)} AS arm,
+           CAST(sum(CAST(value AS DECIMAL(18,9))) AS DECIMAL(19,6)) AS x
+    FROM events GROUP BY user_id
+),
+stats AS (
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS DOUBLE) AS sx,
+           CAST(sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+    FROM per_user GROUP BY arm
+),
+w AS (
+    SELECT
+        max(CASE WHEN arm = 0 THEN sx / n END) AS m0,
+        max(CASE WHEN arm = 1 THEN sx / n END) AS m1,
+        max(CASE WHEN arm = 0 THEN (sxx - sx * sx / n) / (n - 1) / n END) AS v0,
+        max(CASE WHEN arm = 1 THEN (sxx - sx * sx / n) / (n - 1) / n END) AS v1,
+        max(CASE WHEN arm = 0 THEN n END) AS n0,
+        max(CASE WHEN arm = 1 THEN n END) AS n1
+    FROM stats
+)
+SELECT n0, n1,
+       round(m0, 6) AS mean_arm0,
+       round(m1, 6) AS mean_arm1,
+       round((m0 - m1) / sqrt(v0 + v1), 6) AS t_stat,
+       round((v0 + v1) * (v0 + v1)
+             / (v0 * v0 / (n0 - 1) + v1 * v1 / (n1 - 1)), 6) AS df_welch
+FROM w
+"""
+
+
+@register(
+    "sample_ab_welch_ttest",
+    oracle=_WELCH_ORACLE,
+    description=(
+        "Welch's t-test between experiment arms on the user-grain metric "
+        "(per-user value sum — the correct randomization unit): t statistic "
+        "and Welch-Satterthwaite degrees of freedom from DECIMAL-exact "
+        "sufficient statistics (order-independent sums; width-19 squares "
+        "recast to DECIMAL(38,6) as in sample_ab_delta_method), finished by "
+        "one spelled-out IEEE chain in both engines. v0/v1 here are the "
+        "squared standard errors s^2/n. Two map-side-combinable "
+        "aggregations, then a 2-row pivot to one decision row"
+    ),
+    tags=("sampling", "statistics", "analytics"),
+)
+def sample_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,9)")).cast("decimal(19,6)").alias("x"))
+        .select(hash_bucket(["user_id"], 2, seed=7).alias("arm"), "x")
+    )
+    stats = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum((F.col("x").cast("decimal(19,6)") * F.col("x").cast("decimal(19,6)")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    pick = lambda arm, col: F.max(F.when(F.col("arm") == arm, col))  # noqa: E731
+    se2 = lambda: (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (  # noqa: E731
+        F.col("n") - 1
+    ) / F.col("n")
+    w = stats.agg(
+        pick(0, F.col("sx") / F.col("n")).alias("m0"),
+        pick(1, F.col("sx") / F.col("n")).alias("m1"),
+        pick(0, se2()).alias("v0"),
+        pick(1, se2()).alias("v1"),
+        pick(0, F.col("n")).alias("n0"),
+        pick(1, F.col("n")).alias("n1"),
+    )
+    return w.select(
+        "n0",
+        "n1",
+        F.round("m0", 6).alias("mean_arm0"),
+        F.round("m1", 6).alias("mean_arm1"),
+        F.round((F.col("m0") - F.col("m1")) / F.sqrt(F.col("v0") + F.col("v1")), 6).alias("t_stat"),
+        F.round(
+            (F.col("v0") + F.col("v1"))
+            * (F.col("v0") + F.col("v1"))
+            / (
+                F.col("v0") * F.col("v0") / (F.col("n0") - 1)
+                + F.col("v1") * F.col("v1") / (F.col("n1") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+    )
+
+
+_KS_B = 1000
+
+_KS_ORACLE = f"""
+WITH assign AS (
+    SELECT {hash_bucket_sql(["user_id"], 2, seed=7)} AS arm, value FROM events
+),
+bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM assign),
+binned AS (
+    SELECT arm,
+           least(CAST(floor((value - lo) / ((hi - lo) / {_KS_B}.0)) AS INT), {_KS_B - 1}) AS bin
+    FROM assign CROSS JOIN bounds
+),
+grid AS (
+    SELECT bin,
+           CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS c0,
+           CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS c1
+    FROM binned GROUP BY bin
+),
+cum AS (
+    SELECT bin,
+           sum(c0) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k0,
+           sum(c1) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k1
+    FROM grid
+),
+tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1 FROM grid)
+SELECT n0, n1,
+       CAST(bin AS INT) AS ks_bin,
+       round(CAST(abs(k0 * n1 - k1 * n0) AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1), 9) AS ks_d
+FROM cum CROSS JOIN tot
+ORDER BY abs(k0 * n1 - k1 * n0) DESC, bin
+LIMIT 1
+"""
+
+
+@register(
+    "quality_ks_drift_bucketed",
+    oracle=_KS_ORACLE,
+    description=(
+        f"two-sample Kolmogorov-Smirnov drift statistic between experiment "
+        f"arms, computed on a {_KS_B}-bin equi-width grid: D = max |ECDF0 - "
+        "ECDF1| evaluated at bin edges — the supremum is found by INTEGER "
+        "cross-multiplication (|k0*n1 - k1*n0|, exact in int64), so the "
+        "argmax is engine-deterministic and only the final reported D is a "
+        "float. Bucketing bounds the understatement of exact KS by 1/bins "
+        "and is what makes the statistic 100 TB-safe: the exact form needs "
+        "a global sort of every observation, the bucketed form needs one "
+        "map-side-combinable histogram + a cumulative pass over O(bins) "
+        "rows. The nonparametric complement to quality_psi_drift"
+    ),
+    tags=("sampling", "quality", "statistics", "scale"),
+)
+def quality_ks_drift_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    assign = e.select(hash_bucket(["user_id"], 2, seed=7).alias("arm"), "value")
+    bounds = assign.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(_KS_B))
+    binned = assign.crossJoin(F.broadcast(bounds)).select(
+        "arm",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("int"), F.lit(_KS_B - 1)
+        ).alias("bin"),
+    )
+    grid = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("arm") == 0, 1)).cast("bigint").alias("c0"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("c1"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grid.select(
+        "bin", F.sum("c0").over(w).alias("k0"), F.sum("c1").over(w).alias("k1")
+    )
+    tot = grid.agg(
+        F.sum("c0").cast("bigint").alias("n0"), F.sum("c1").cast("bigint").alias("n1")
+    )
+    num = F.abs(F.col("k0") * F.col("n1") - F.col("k1") * F.col("n0"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "n0",
+            "n1",
+            F.col("bin").cast("int").alias("ks_bin"),
+            F.round(num.cast("double") / (F.col("n0").cast("double") * F.col("n1")), 9).alias(
+                "ks_d"
+            ),
+            num.alias("_num"),
+        )
+        .orderBy(F.desc("_num"), "bin")
+        .limit(1)
+        .drop("_num")
+    )

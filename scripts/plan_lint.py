@@ -81,6 +81,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "window_ntile_distribution": {
         "GLOBAL_WINDOW": "SQL window-surface demo over customers; approx swap documented"
     },
+    "quality_ks_drift_bucketed": {
+        "GLOBAL_WINDOW": "cumulative ECDF counts over the O(bins) histogram (1000 rows)"
+    },
 }
 
 
