@@ -677,7 +677,7 @@ def sample_mix_greedy_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rnk")
 
 
-_RES_N = 500
+_RES_N = 100
 _RES_M = 2_147_483_647  # HASH_MOD
 
 
