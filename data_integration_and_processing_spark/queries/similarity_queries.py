@@ -820,3 +820,114 @@ def sim_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("margin", "vec_id")
         .limit(_UNC_N)
     )
+
+
+_MRL_DIMS = (8, 16, 32, 64)
+_MRL_K = 10
+
+
+def _cos_sql_d(a: str, b: str, d: int) -> str:
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {d}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    na = (
+        f"sqrt(list_sum(list_transform(generate_series(1, {d}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+    nb = (
+        f"sqrt(list_sum(list_transform(generate_series(1, {d}), "
+        f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    )
+    return f"{dot} / ({na} * {nb})"
+
+
+def _mrl_oracle() -> str:
+    per_d = []
+    for d in _MRL_DIMS:
+        per_d.append(f"""
+    SELECT {d} AS dim, q.vec_id AS qid, c.vec_id AS cid,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({_cos_sql_d('c.embedding', 'q.embedding', d)}, 6) DESC, c.vec_id
+           ) AS rk
+    FROM embeddings c JOIN qs q ON c.vec_id <> q.vec_id""")
+    union = "\n    UNION ALL\n".join(per_d)
+    return f"""
+WITH qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+ranked AS ({union}),
+topk AS (SELECT dim, qid, cid FROM ranked WHERE rk <= {_MRL_K}),
+base AS (SELECT qid, cid FROM topk WHERE dim = 64)
+SELECT t.dim,
+       CAST(count(DISTINCT t.qid) AS BIGINT) AS n_queries,
+       round(CAST(count(b.cid) AS DOUBLE)
+             / (count(DISTINCT t.qid) * {_MRL_K}), 6) AS recall_at_{_MRL_K}
+FROM topk t LEFT JOIN base b ON t.qid = b.qid AND t.cid = b.cid
+GROUP BY t.dim
+ORDER BY t.dim
+"""
+
+
+@register(
+    "sim_matryoshka_prefix_recall",
+    oracle=_mrl_oracle(),
+    description=(
+        "Matryoshka-style prefix-dimension recall curve: exact cosine "
+        "top-10 using only the first 8/16/32 dimensions of each embedding, "
+        "scored against the full-64-dim baseline — the measurement that "
+        "decides how far MRL-truncated vectors can cut index memory/compute "
+        "before recall pays (prefix-truncation is a 4-8x ANN cost lever "
+        "when embeddings are matryoshka-trained). One broadcast of the "
+        "hash-sampled query set against the corpus computes all four "
+        "prefix cosines in a single scan (sliced JVM folds, no UDF); "
+        "ranking is per-(dim, query) over candidate rows; similarities are "
+        "rounded before ranking with id tiebreak so the engine-side order "
+        "is deterministic"
+    ),
+    tags=("similarity", "llm-pipeline", "quantization", "scale"),
+)
+def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pairs = e.select(F.col("vec_id").alias("cid"), "embedding").crossJoin(
+        F.broadcast(qs)
+    ).filter(F.col("cid") != F.col("qid"))
+    per_d = None
+    for d in _MRL_DIMS:
+        sim = F.round(
+            cosine(F.slice("embedding", 1, d), F.slice("qvec", 1, d)), 6
+        )
+        part = pairs.select(
+            F.lit(d).alias("dim"), "qid", "cid", sim.alias("sim")
+        )
+        per_d = part if per_d is None else per_d.unionByName(part)
+    w = Window.partitionBy("dim", "qid").orderBy(F.desc("sim"), F.asc("cid"))
+    topk = (
+        per_d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MRL_K)
+        .select("dim", "qid", "cid")
+    )
+    base = topk.filter(F.col("dim") == 64).select(
+        F.col("qid").alias("b_qid"), F.col("cid").alias("b_cid")
+    )
+    joined = topk.join(
+        base,
+        (F.col("qid") == F.col("b_qid")) & (F.col("cid") == F.col("b_cid")),
+        "left",
+    )
+    return (
+        joined.groupBy("dim")
+        .agg(
+            F.countDistinct("qid").cast("bigint").alias("n_queries"),
+            F.round(
+                F.count("b_cid").cast("double")
+                / (F.countDistinct("qid") * F.lit(_MRL_K)),
+                6,
+            ).alias(f"recall_at_{_MRL_K}"),
+        )
+        .orderBy("dim")
+    )
