@@ -931,3 +931,58 @@ def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+_DIV_ORACLE = f"""
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 23 = 0),
+pairs AS (
+    SELECT round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS sim
+    FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_sampled,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(sim), 6) AS mean_cos,
+       round(min(sim), 6) AS min_cos,
+       round(max(sim), 6) AS max_cos,
+       round(CAST(count(CASE WHEN sim >= 0.3 THEN 1 END) AS DOUBLE) / count(*), 6)
+           AS frac_similar
+FROM pairs
+"""
+
+
+@register(
+    "sim_sample_diversity",
+    oracle=_DIV_ORACLE,
+    description=(
+        "embedding-sample diversity audit: mean / extreme pairwise cosine "
+        "and the >=0.3-similarity fraction over a deterministic hash sample "
+        "of the corpus — the training-batch health metric (a collapsing "
+        "embedding space or an over-deduped batch shows up as mean_cos "
+        "drifting up). The all-pairs stage is BOUNDED BY THE SAMPLE "
+        "(C(sample,2), broadcast self-join), never the corpus — the sample "
+        "rate is the documented lever, and the mean over hash-sampled "
+        "pairs is an unbiased estimate of the corpus mean pairwise cosine. "
+        "avg() over the rounded sims is n-bounded float addition; the "
+        "oracle-vs-engine agreement at 6 digits is pinned by the driver"
+    ),
+    tags=("similarity", "quality", "llm-pipeline", "statistics"),
+)
+def sim_sample_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    s = e.filter(F.col("vec_id") % 23 == 0).select("vec_id", "embedding")
+    a = s.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"))
+    b = s.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("ida") < F.col("idb")).select(
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
+    )
+    n_sampled = s.count()
+    return pairs.agg(
+        F.lit(n_sampled).cast("bigint").alias("n_sampled"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.avg("sim"), 6).alias("mean_cos"),
+        F.round(F.min("sim"), 6).alias("min_cos"),
+        F.round(F.max("sim"), 6).alias("max_cos"),
+        F.round(
+            F.count(F.when(F.col("sim") >= 0.3, 1)).cast("double") / F.count("*"), 6
+        ).alias("frac_similar"),
+    )
