@@ -1140,3 +1140,58 @@ def temporal_pit_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum(F.col("sign") * F.col("prefix")).cast("bigint").alias("n_prior_30m"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "temporal_backtest_seasonal_naive",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS h,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+        )
+        SELECT a.event_type,
+               CAST(count(*) AS BIGINT) AS n_evaluated,
+               round(avg(abs(CAST(a.n - p.n AS DOUBLE)) / a.n), 6) AS mape,
+               round(avg(2.0 * abs(CAST(a.n - p.n AS DOUBLE)) / (a.n + p.n)), 6) AS smape,
+               round(avg(abs(CAST(a.n - p.n AS DOUBLE))), 6) AS mae
+        FROM hourly a JOIN hourly p
+          ON a.event_type = p.event_type AND p.h = a.h - 86400
+        GROUP BY a.event_type
+        ORDER BY a.event_type
+    """,
+    description=(
+        "forecast backtest: seasonal-naive prediction (this hour = same "
+        "hour yesterday) scored with MAPE / sMAPE / MAE per event type — "
+        "the baseline every real forecaster must beat, and the shape of "
+        "every backtest harness (align predictions to actuals by a lagged "
+        "key, aggregate the error). Events collapse to the hourly grid "
+        "first (map-side combinable, O(types x hours) rows), so the "
+        "self-join aligns grid rows, never raw events; errors are exact-"
+        "integer differences with one rounded division per metric"
+    ),
+    tags=("temporal", "statistics", "aggregation", "scale"),
+)
+def temporal_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint").alias("h"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    a = hourly.select("event_type", "h", F.col("n").alias("actual"))
+    p = hourly.select(
+        F.col("event_type").alias("p_type"), (F.col("h") + 86400).alias("p_h"), F.col("n").alias("pred")
+    )
+    j = a.join(p, (F.col("event_type") == F.col("p_type")) & (F.col("h") == F.col("p_h")))
+    err = F.abs((F.col("actual") - F.col("pred")).cast("double"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_evaluated"),
+            F.round(F.avg(err / F.col("actual")), 6).alias("mape"),
+            F.round(F.avg(F.lit(2.0) * err / (F.col("actual") + F.col("pred"))), 6).alias("smape"),
+            F.round(F.avg(err), 6).alias("mae"),
+        )
+        .orderBy("event_type")
+    )
