@@ -2288,7 +2288,10 @@ LIMIT 50
         "the order's item count (TPC-H k<=7), so the blowup is bounded by the "
         "basket size, never |parts|^2; the join shuffles both sides on the "
         "high-cardinality order key. Per-item supports are a part-cardinality "
-        "table joined back (broadcast-scale). The a<b canonicalization halves "
+        "table joined back UNHINTED — AQE broadcasts it under the threshold "
+        "and falls back to a shuffle join when the part dimension outgrows "
+        "it (forcing the broadcast would be the scale bug). "
+        "The a<b canonicalization halves "
         "the pair space and makes the pair key deterministic"
     ),
     tags=("analytics", "aggregation", "join", "scale"),
@@ -2310,8 +2313,8 @@ def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = cnt.select(F.col("pk").alias("part_b"), F.col("c").alias("cb"))
     scored = (
         pairs.crossJoin(F.broadcast(n))
-        .join(F.broadcast(ca), "part_a")
-        .join(F.broadcast(cb), "part_b")
+        .join(ca, "part_a")
+        .join(cb, "part_b")
         .select(
             "part_a",
             "part_b",
