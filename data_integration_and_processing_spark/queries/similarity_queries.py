@@ -896,15 +896,20 @@ def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = e.select(F.col("vec_id").alias("cid"), "embedding").crossJoin(
         F.broadcast(qs)
     ).filter(F.col("cid") != F.col("qid"))
-    per_d = None
-    for d in _MRL_DIMS:
-        sim = F.round(
-            cosine(F.slice("embedding", 1, d), F.slice("qvec", 1, d)), 6
-        )
-        part = pairs.select(
-            F.lit(d).alias("dim"), "qid", "cid", sim.alias("sim")
-        )
-        per_d = part if per_d is None else per_d.unionByName(part)
+    sims = pairs.select(
+        "qid",
+        "cid",
+        *[
+            F.round(cosine(F.slice("embedding", 1, d), F.slice("qvec", 1, d)), 6).alias(
+                f"s{d}"
+            )
+            for d in _MRL_DIMS
+        ],
+    )
+    stack_args = ", ".join(f"{d}, s{d}" for d in _MRL_DIMS)
+    per_d = sims.select(
+        "qid", "cid", F.expr(f"stack({len(_MRL_DIMS)}, {stack_args}) AS (dim, sim)")
+    )
     w = Window.partitionBy("dim", "qid").orderBy(F.desc("sim"), F.asc("cid"))
     topk = (
         per_d.withColumn("rk", F.row_number().over(w))
