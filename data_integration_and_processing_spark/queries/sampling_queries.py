@@ -1078,3 +1078,73 @@ def quality_ks_drift_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .drop("_num")
     )
+
+
+_NEYMAN_BUDGET = 1000
+
+_NEYMAN_ORACLE = f"""
+WITH strata AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_avail,
+           CAST(sum(n_chars) AS BIGINT) AS sx,
+           CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+    FROM documents GROUP BY source
+),
+scored AS (
+    SELECT source, n_avail,
+           sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_avail)
+                / (n_avail - 1)) AS sd
+    FROM strata
+),
+tot AS (SELECT sum(n_avail * sd) AS z FROM scored)
+SELECT source, n_avail,
+       round(sd, 6) AS sd,
+       round({_NEYMAN_BUDGET} * n_avail * sd / tot.z, 6) AS alloc_neyman,
+       CAST(floor({_NEYMAN_BUDGET} * n_avail * sd / tot.z) AS BIGINT) AS alloc_floor
+FROM scored CROSS JOIN tot
+ORDER BY source
+"""
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=_NEYMAN_ORACLE,
+    description=(
+        f"Neyman (optimal) stratified allocation of a {_NEYMAN_BUDGET}-row "
+        "sample budget: stratum h gets budget * N_h*S_h / sum(N_h*S_h) — "
+        "minimum-variance estimation concentrates samples where strata are "
+        "BIG and VARIABLE, vs proportional allocation's size-only rule "
+        "(sample_stratified). Per-stratum sufficient statistics are "
+        "INTEGER-exact bigint sums (the metric is integral), so the SDs "
+        "are bit-identical across engines; one G-row aggregate, one scalar "
+        "normalizer broadcast back. The alloc_floor column is the integer "
+        "allocation; largest-remainder top-up is a deterministic O(strata) "
+        "post-step"
+    ),
+    tags=("sampling", "statistics", "scale"),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    strata = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_avail"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sxx"),
+    )
+    sd = F.sqrt(
+        (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n_avail"))
+        / (F.col("n_avail") - 1)
+    )
+    scored = strata.select("source", "n_avail", sd.alias("sd"))
+    tot = scored.agg(F.sum(F.col("n_avail") * F.col("sd")).alias("z"))
+    alloc = F.lit(_NEYMAN_BUDGET) * F.col("n_avail") * F.col("sd") / F.col("z")
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_avail",
+            F.round("sd", 6).alias("sd"),
+            F.round(alloc, 6).alias("alloc_neyman"),
+            F.floor(alloc).cast("bigint").alias("alloc_floor"),
+        )
+        .orderBy("source")
+    )
