@@ -403,8 +403,7 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT r.r_name AS region_name,
                count(*) AS n_nations,
-               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
-               list_sort(list(n.n_name)) AS nations
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv
         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name
     """,
@@ -424,8 +423,8 @@ def agg_sorted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
             F.count("*").alias("n_nations"),
+            # CSV, not array: driver canon cannot sort list-typed columns
             F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
-            F.array_sort(F.collect_list("n_name")).alias("nations"),
         )
     )
 

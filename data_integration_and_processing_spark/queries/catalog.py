@@ -64,28 +64,14 @@ _WINDOW_SIZE = 50
 _ALWAYS: tuple[str, ...] = ("q1_pricing_summary",)
 
 # Round-specific pins: entries that MUST re-verify under the driver this
-# round. r5: the 17 oracle dtype repairs — the 3 rows the driver flagged red
-# in r4 plus the 14 latent same-class defects the replica's new dtype-parity
-# sweep surfaced (all uncast DuckDB HUGEINT aggregates; engine values were
-# already correct).
+# round. r6: the three array-output canon repairs (the two r5 driver-red rows
+# plus the latent agg_sorted_collect the judge's sweep surfaced) — engine
+# values were judge-verified identical at sf0.01; the output columns are now
+# string-serialized on both sides and need a real driver-green row.
 _PINNED: tuple[str, ...] = (
-    "temporal_interval_merge",
-    "stream_sessionize_by_gap",
-    "pipeline_training_corpus",
-    "events_cumulative_distinct_users",
-    "func_math_pack",
-    "graph_triangle_census",
-    "q12_priority_by_discount_band",
-    "quality_outlier_mad",
-    "quality_sequence_audit",
-    "sample_train_test_split",
-    "sample_weighted_systematic",
-    "sim_centroid_classification",
-    "stream_backfill_then_tail",
-    "stream_python_source_replay",
-    "temporal_cusum_changepoint",
-    "text_ngram_novelty",
-    "text_vocab_coverage",
+    "pipeline_entity_resolution",
+    "sim_quantize_int8",
+    "agg_sorted_collect",
 )
 
 # Every family that must keep an oracle-checked row inside the window
@@ -124,6 +110,15 @@ def driver_window() -> tuple[str, ...]:
     _load()
     green = _load_green()
     cands = [s for s in _REGISTRY.values() if s.oracle is not None]
+    # Window-eligibility pre-flight (VERDICT r5 item 2): a query whose oracle
+    # outputs a list/struct/map column would crash the driver's canonicalizer
+    # (pandas sort_values on list cells) — keep it out of the window. The
+    # pytest gate (tests/test_oracle_schema.py) makes such queries a hard
+    # failure at authoring time; this filter is the runtime fail-safe.
+    from data_integration_and_processing_spark.queries.oracle_lint import cached_sweep  # noqa: PLC0415
+
+    complex_out = cached_sweep({s.name: s.oracle for s in cands})
+    cands = [s for s in cands if s.name not in complex_out]
     mod_idx: dict[str, int] = {}
     idx_in_mod: dict[str, int] = {}
     counts: dict[str, int] = {}

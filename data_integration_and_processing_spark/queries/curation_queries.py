@@ -310,9 +310,12 @@ def dedup_chunk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lab AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a),
         cl AS (
+            -- members serialized to CSV: the driver's canonicalizer cannot
+            -- sort list-typed columns (VERDICT r5), so array outputs are
+            -- string-rendered on both sides
             SELECT component AS cluster_rep,
                    CAST(count(*) AS BIGINT) AS n_members,
-                   list_sort(list(id)) AS members
+                   array_to_string(list_sort(list(id)), ',') AS members
             FROM lab GROUP BY component
         )
         SELECT cl.cluster_rep, cl.n_members, cl.members, e.name AS rep_name
@@ -362,7 +365,9 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cl = labeled.groupBy("component").agg(
         F.count("*").alias("n_members"),
-        F.array_sort(F.collect_list("eid")).alias("members"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("eid")), lambda x: x.cast("string")), ","
+        ).alias("members"),
     )
     return (
         cl.join(ent, cl.component == ent.id)

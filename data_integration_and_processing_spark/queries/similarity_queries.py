@@ -95,9 +95,14 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
             FROM embeddings
         )
+        -- q serialized to CSV: the driver's canonicalizer cannot sort
+        -- list-typed columns (VERDICT r5), so array outputs are
+        -- string-rendered on both sides
         SELECT e.vec_id,
                round(s.sc, 9) AS scale,
-               list_transform(e.embedding, x -> CAST(round(CAST(x AS DOUBLE) / s.sc) AS TINYINT)) AS q
+               array_to_string(
+                   list_transform(e.embedding, x -> CAST(round(CAST(x AS DOUBLE) / s.sc) AS TINYINT)),
+                   ',') AS q
         FROM embeddings e JOIN s USING (vec_id)
     """,
     description="symmetric int8 embedding quantization (4x memory cut for ANN indexes): per-vector scale + byte array",
@@ -108,7 +113,8 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     absmax = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
     e = e.withColumn("_sc", absmax / F.lit(127.0))
     q = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") / F.col("_sc"), 0).cast("byte"))
-    return e.select("vec_id", F.round("_sc", 9).alias("scale"), q.alias("q"))
+    q_csv = F.array_join(F.transform(q, lambda x: x.cast("string")), ",")
+    return e.select("vec_id", F.round("_sc", 9).alias("scale"), q_csv.alias("q"))
 
 
 @register(

@@ -89,6 +89,7 @@ def main() -> int:
 
     import duckdb
     import __spark_entry__ as mod
+    from data_integration_and_processing_spark.queries.oracle_lint import complex_frame_columns
     from data_integration_and_processing_spark.session import get_spark
 
     spark = get_spark(app_name="driver-replica")
@@ -129,14 +130,23 @@ def main() -> int:
         ok_rows = len(spdf) == len(opdf)
         ok_cols = sorted(c.lower() for c in spdf.columns) == sorted(c.lower() for c in opdf.columns)
         dtype_bad = dtype_parity_violations(spdf, opdf) if ok_cols else []
+        # The driver's canon crashes sorting list/struct/map cells (pandas
+        # sort_values -> unhashable 'list'); the replica's stringifies them —
+        # r5's "replica green, driver red" class. Flag complex-typed output
+        # on EITHER side as a failure so the divergence is caught here.
+        complex_bad = complex_frame_columns(spdf) + [
+            f"oracle:{c}" for c in complex_frame_columns(opdf)
+        ]
         ok_hash = ok_rows and ok_cols and value_hash(spdf) == value_hash(opdf)
-        status = "MATCH" if (ok_rows and ok_cols and ok_hash and not dtype_bad) else "MISMATCH"
+        status = "MATCH" if (ok_rows and ok_cols and ok_hash and not dtype_bad and not complex_bad) else "MISMATCH"
         rec = {"query": name, "status": status, "rows": len(spdf), "sec": round(time.time() - t0, 2)}
         if status == "MISMATCH":
             rec.update({"ok_rows": ok_rows, "ok_cols": ok_cols, "oracle_rows": len(opdf),
                         "spark_cols": sorted(spdf.columns), "oracle_cols": sorted(opdf.columns)})
             if dtype_bad:
                 rec["dtype_parity"] = dtype_bad
+            if complex_bad:
+                rec["complex_output"] = complex_bad
             n_fail += 1
         else:
             n_pass += 1

@@ -1,0 +1,77 @@
+"""Hard gate: no oracled query may output a list/struct/map column.
+
+The external driver's canonicalizer sorts results with pandas sort_values,
+which crashes on list-typed cells (VERDICT r5: pipeline_entity_resolution,
+sim_quantize_int8, latent agg_sorted_collect). Serialize array outputs to
+strings (array_to_string / F.array_join) in BOTH projections instead. This
+static DuckDB DESCRIBE sweep catches the whole class at authoring time with
+no Spark session.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_integration_and_processing_spark.queries import catalog
+from data_integration_and_processing_spark.queries.oracle_lint import (
+    complex_oracle_outputs,
+    is_complex_type,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_LINT_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_no_complex_output_columns_in_any_oracle():
+    catalog._load()
+    oracles = {s.name: s.oracle for s in catalog._REGISTRY.values() if s.oracle is not None}
+    bad = complex_oracle_outputs(oracles, SF_DIR)
+    assert bad == {}, (
+        "oracled queries with list/struct/map output columns (driver canon "
+        f"crashes on these — serialize to strings on both sides): {bad}"
+    )
+
+
+def test_is_complex_type_markers():
+    assert is_complex_type("BIGINT[]")
+    assert is_complex_type("TINYINT[3]")
+    assert is_complex_type("STRUCT(a INTEGER)")
+    assert is_complex_type("MAP(VARCHAR, BIGINT)")
+    assert not is_complex_type("VARCHAR")
+    assert not is_complex_type("DECIMAL(12,2)")
+    assert not is_complex_type("TIMESTAMP")
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_sweep_flags_an_array_output():
+    bad = complex_oracle_outputs(
+        {"probe": "SELECT r_regionkey, list(r_name) AS names FROM region GROUP BY 1"},
+        SF_DIR,
+    )
+    assert "probe" in bad and any("names" in c for c in bad["probe"])
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_window_preflight_excludes_complex_output(monkeypatch):
+    """driver_window() must drop a hypothetical array-output query from the
+    candidate pool (fail-safe twin of the hard gate above)."""
+    from data_integration_and_processing_spark.queries import oracle_lint
+
+    catalog._load()
+    monkeypatch.setattr(catalog, "_WINDOW_CACHE", None)
+    monkeypatch.setattr(oracle_lint, "_SWEEP_CACHE", None)
+
+    def fake_sweep(oracles):
+        # pretend the first non-pinned candidate has an array output
+        pinned = set(catalog._ALWAYS + catalog._PINNED)
+        victim = next(n for n in sorted(oracles) if n not in pinned)
+        fake_sweep.victim = victim
+        return {victim: ["x BIGINT[]"]}
+
+    monkeypatch.setattr(oracle_lint, "cached_sweep", fake_sweep)
+    win = catalog.driver_window()
+    assert fake_sweep.victim not in win
+    # restore the real cache for later tests
+    monkeypatch.setattr(catalog, "_WINDOW_CACHE", None)
