@@ -92,8 +92,9 @@ REGRESSION_RATIO = 1.3
 REGRESSION_FLOOR_SEC = 0.3
 
 
-def _baseline_queries() -> tuple[str, dict[str, float]]:
-    """Per-query timings from the newest PARSEABLE BENCH_r{N}.json, if any.
+def _baseline_queries() -> tuple[str, dict[str, float], dict[str, float]]:
+    """(name, per-query timings, canary) from the newest PARSEABLE
+    BENCH_r{N}.json, if any.
 
     A failed round leaves an artifact with ``"parsed": null``; fall back past
     it to the newest round that actually recorded timings so the regression
@@ -109,10 +110,53 @@ def _baseline_queries() -> tuple[str, dict[str, float]]:
         try:
             with open(path) as f:
                 doc = json.load(f)
-            return os.path.basename(path), dict(doc["parsed"]["queries"])
+            parsed = doc["parsed"]
+            return os.path.basename(path), dict(parsed["queries"]), dict(parsed.get("canary") or {})
         except Exception:  # noqa: BLE001 — a malformed artifact must not kill the bench
             continue
-    return "", {}
+    return "", {}, {}
+
+
+def _run_canaries(spark, specs, sf_dir: str) -> dict[str, float]:
+    """Host-drift canary pair (VERDICT r5 item 5): a fixed JVM-only query and
+    a fixed Arrow-UDF micro-bench, timed best-of-3 BEFORE the headline loop.
+
+    Rounds 4 and 5 each burned an investigation cycle on "regressions" that
+    were host-state drift (uniform +10-20% across all headliners at round
+    close; judge re-measures landed back on baseline). The canaries measure
+    that drift directly: both workloads are code-frozen, so canary movement
+    vs the previous round's recorded canary IS the environment, and the
+    regression gate widens its threshold by exactly that factor. jvm_sec
+    tracks scan/shuffle/codegen state; arrow_sec tracks the Python-worker /
+    Arrow-transfer path, which drifts on a different schedule (worker pool
+    state, fork cost) — hence a pair, gated on the max.
+    """
+    import numpy as np  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+    from pyspark.sql.types import DoubleType  # noqa: PLC0415
+
+    jvm_best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        specs["q1_pricing_summary"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        jvm_best = min(jvm_best, time.time() - t0)
+
+    @pandas_udf(DoubleType())
+    def _canary(v: pd.Series) -> pd.Series:
+        return np.sqrt(v) + np.log1p(v)
+
+    n = spark.sparkContext.defaultParallelism
+    arrow_best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(2_000_000, numPartitions=n)
+            .select(_canary(F.col("id").cast("double")).alias("x"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        arrow_best = min(arrow_best, time.time() - t0)
+    return {"jvm_sec": round(jvm_best, 3), "arrow_sec": round(arrow_best, 3)}
 
 
 def _dedup_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:
@@ -283,6 +327,9 @@ def main() -> int:
     # lands on whichever query runs first and reads as a regression
     spark.range(1).write.format("noop").mode("overwrite").save()
 
+    canary = _run_canaries(spark, specs, sf_dir)
+    print(f"# canary: {canary}", file=sys.stderr)
+
     # best-of-3 per query: in-session drift (GC pauses, executor-thread
     # scheduling, Python-worker pool warm-up, page-cache state) adds
     # ~±20-35% to single runs — pandas-UDF queries drift hardest while the
@@ -307,13 +354,26 @@ def main() -> int:
     ann_probe = _ann_scale_probe(spark, sf_dir)
     print(f"# ann_scale_probe_20k: {ann_probe}", file=sys.stderr)
 
-    baseline_name, baseline = _baseline_queries()
+    baseline_name, baseline, base_canary = _baseline_queries()
+    # Host drift this round = how much the code-frozen canary pair moved vs
+    # the previous round's recording; the regression threshold widens (or
+    # tightens, floor 1.0 so a fast host never masks a real regression) by
+    # the larger of the two. First canary round: drift = 1.
+    drift = 1.0
+    drift_detail = {}
+    for k in ("jvm_sec", "arrow_sec"):
+        if base_canary.get(k):
+            r = canary[k] / base_canary[k]
+            drift_detail[k] = round(r, 3)
+            drift = max(drift, r)
     regressions = {}
     for name, sec in timings.items():
         base = baseline.get(name)
-        if base and sec > base * REGRESSION_RATIO and sec - base > REGRESSION_FLOOR_SEC:
-            regressions[name] = {"baseline": base, "now": sec, "ratio": round(sec / base, 2)}
-            print(f"# REGRESSION {name}: {base}s -> {sec}s ({sec / base:.2f}x)", file=sys.stderr)
+        if base and sec > base * REGRESSION_RATIO * drift and sec - base * drift > REGRESSION_FLOOR_SEC:
+            regressions[name] = {"baseline": base, "now": sec, "ratio": round(sec / base, 2),
+                                 "ratio_drift_adjusted": round(sec / (base * drift), 2)}
+            print(f"# REGRESSION {name}: {base}s -> {sec}s ({sec / base:.2f}x, "
+                  f"{sec / (base * drift):.2f}x drift-adjusted)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -321,6 +381,12 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # timings in units of the same-session JVM canary: comparable across
+        # rounds even when the host itself speeds up or slows down
+        "queries_normalized": {n: round(s / canary["jvm_sec"], 2) for n, s in timings.items()},
+        "canary": canary,
+        "canary_drift": drift_detail or None,
+        "drift_factor": round(drift, 3),
         "sf": sf,
         "dedup_scale_probe_50k": probe,
         "jaccard_prefix_probe_50k": jaccard_probe,
