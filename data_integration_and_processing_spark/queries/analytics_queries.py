@@ -175,11 +175,19 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_mergeable_rollup",
-    # no SQL oracle: HLL sketch binaries are engine-specific (Spark uses the
-    # Apache DataSketches HllSketch format). The accuracy bound is enforced
-    # in-plan below (raise_error beyond 5% of the exact distinct count), so
-    # the rows-only check exercises it; merge-consistency is pinned in
-    # tests/test_analytics.py.
+    # HLL sketch binaries are engine-specific (Spark uses the Apache
+    # DataSketches HllSketch format), so the driver-checked output is the
+    # EXACT side plus the 5% accuracy bound as a boolean — a sketch
+    # regression flips within_5pct and fails the value hash (VERDICT r5
+    # item 6); merge-consistency stays pinned in tests/test_analytics.py.
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+               true AS within_5pct
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     description=(
         "mergeable-sketch rollup: per-(event_type, day) HLL sketches of user_id, "
         "unioned upward to per-event_type distinct-user estimates WITHOUT re-scanning "
@@ -208,18 +216,14 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_err = F.abs(F.col("raw_est") - F.col("exact_distinct_users")) / F.col(
         "exact_distinct_users"
     )
-    checked = F.when(rel_err <= 0.05, F.col("raw_est")).otherwise(
-        F.raise_error(F.lit("merged HLL estimate beyond 5% of exact distinct count"))
-    )
     return (
         rolled.join(F.broadcast(exact), "event_type")
         .select(
             "event_type",
-            checked.alias("est_distinct_users"),
             "exact_distinct_users",
-            F.round(rel_err, 6).alias("rel_err"),
             "n_events",
             "n_days",
+            (rel_err <= 0.05).alias("within_5pct"),
         )
         .orderBy("event_type")
     )
@@ -1266,9 +1270,25 @@ def events_error_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_intersection",
-    # no SQL oracle: HLL sketch binaries are engine-specific; the
-    # inclusion-exclusion estimate is audited in-plan against exact overlap
-    # with a raise_error tolerance gate (the HLL-rollup discipline).
+    # HLL sketch binaries are engine-specific; the driver-checked output is
+    # the EXACT overlap plus the inclusion-exclusion estimate's 10% bound as
+    # a boolean (VERDICT r5 item 6) — a sketch regression flips within_10pct
+    # and fails the value hash.
+    oracle="""
+        WITH p(pair, a, b) AS (
+            VALUES ('click&purchase', 'click', 'purchase'),
+                   ('view&click', 'view', 'click'),
+                   ('signup&error', 'signup', 'error')
+        ),
+        u AS (SELECT DISTINCT event_type, user_id FROM events)
+        SELECT p.pair,
+               CAST(count(ub.user_id) AS BIGINT) AS exact_overlap,
+               true AS within_10pct
+        FROM p
+        LEFT JOIN u ua ON ua.event_type = p.a
+        LEFT JOIN u ub ON ub.event_type = p.b AND ub.user_id = ua.user_id
+        GROUP BY p.pair ORDER BY p.pair
+    """,
     description=(
         "sketch set-algebra: estimated distinct-user OVERLAP between event-type "
         "pairs via inclusion-exclusion over HLL sketches (|A n B| = |A|+|B|-|A u B|, "
@@ -1304,11 +1324,8 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = est.join(exact, "pair")
         out = row if out is None else out.unionByName(row)
     rel_err = F.abs(F.col("est_overlap") - F.col("exact_overlap")) / F.col("exact_overlap")
-    checked = F.when(rel_err <= 0.10, F.round("est_overlap", 2)).otherwise(
-        F.raise_error(F.lit("HLL intersection estimate beyond 10% of exact overlap"))
-    )
     return out.select(
-        "pair", checked.alias("est_overlap"), "exact_overlap", F.round(rel_err, 6).alias("rel_err")
+        "pair", "exact_overlap", (rel_err <= 0.10).alias("within_10pct")
     ).orderBy("pair")
 
 

@@ -72,6 +72,9 @@ _PINNED: tuple[str, ...] = (
     "pipeline_entity_resolution",
     "sim_quantize_int8",
     "agg_sorted_collect",
+    # judge-named r5 additions that the newly-oracled sketch entries would
+    # otherwise displace from the derived window
+    "text_line_dedup",
 )
 
 # Every family that must keep an oracle-checked row inside the window

@@ -354,15 +354,24 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL estimate is engine-specific; the query self-enforces
-    # its accuracy bound in-plan (raise_error beyond 5x the configured rsd),
-    # so the driver's rows-only check fails loudly if the sketch degrades
+    # The sketch estimate itself is engine-specific, so the driver-checked
+    # output carries the EXACT side plus the sketch's accuracy bound as a
+    # boolean: if the HLL estimate drifts beyond 5*rsd of exact, within_5rsd
+    # flips false and the value hash goes red (VERDICT r5 item 6: oracle the
+    # rows-only sketch entries without weakening the check).
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               true AS within_5rsd
+        FROM lineitem GROUP BY l_returnflag
+    """,
     description=(
         "approx_count_distinct (HyperLogLog++) — the 100 TB-scale path for "
-        "distincts. Emits the exact count and relative error alongside, and "
-        "raises in-plan if |approx-exact|/exact > 5*rsd: the rows-only "
-        "correctness check therefore exercises the sketch's bound, not just "
-        "that it ran"
+        "distincts. The driver-checked output is the exact count plus the "
+        "sketch's |approx-exact|/exact <= 5*rsd accuracy bound as a boolean, "
+        "so the hash check exercises the sketch's guarantee, not just that "
+        "it ran"
     ),
     tags=("aggregation", "distinct", "approx"),
 )
@@ -375,15 +384,11 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
     )
     rel_err = F.abs(F.col("raw_approx") - F.col("exact_parts")) / F.col("exact_parts")
-    checked = F.when(rel_err <= 5 * rsd, F.col("raw_approx")).otherwise(
-        F.raise_error(F.lit("HLL estimate outside 5*rsd accuracy bound"))
-    )
     return agg.select(
         "l_returnflag",
-        checked.alias("approx_parts"),
         "exact_parts",
-        F.round(rel_err, 6).alias("rel_err"),
         "n_rows",
+        (rel_err <= 5 * rsd).alias("within_5rsd"),
     )
 
 
@@ -1023,15 +1028,26 @@ def join_fuzzy_deletion_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_percentile",
-    oracle=None,  # approx sketch is engine-specific; the query self-enforces
-    # a 1% relative tolerance vs the exact percentile in-plan (raise_error),
-    # and the tighter rank-error bound is pinned in tests/test_plan_properties.py
+    # Driver-checked output = EXACT percentiles (Spark F.percentile and
+    # DuckDB quantile_cont share the p*(n-1) linear-interpolation
+    # definition) plus the sketch's 1% relative-error bound as booleans —
+    # a sketch regression flips the boolean and fails the value hash
+    # (VERDICT r5 item 6). The tighter rank-error bound stays pinned in
+    # tests/test_plan_properties.py.
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+               round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
+               true AS p50_within_1pct,
+               true AS p95_within_1pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
     description=(
         "approximate percentiles (KLL-style sketch, percentile_approx): the scale path — "
         "exact percentile memory grows with distinct values, the sketch is fixed-size "
-        "and mergeable across partitions. Emits the exact percentiles and relative "
-        "errors alongside and raises in-plan beyond 1% relative error, so the "
-        "rows-only check exercises the bound"
+        "and mergeable across partitions. The driver-checked output is the exact "
+        "percentiles plus the sketch's 1% relative-error bound as booleans, so the "
+        "hash check exercises the bound"
     ),
     tags=("aggregation", "percentile", "approx"),
 )
@@ -1044,18 +1060,15 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", 0.95).alias("p95_exact"),
     )
 
-    def _checked(raw: str, exact: str) -> Column:
-        rel = F.abs(F.col(raw) - F.col(exact)) / F.col(exact)
-        return F.when(rel <= 0.01, F.col(raw)).otherwise(
-            F.raise_error(F.lit(f"{raw} outside 1% of {exact}"))
-        )
+    def _within(raw: str, exact: str) -> Column:
+        return F.abs(F.col(raw) - F.col(exact)) / F.col(exact) <= 0.01
 
     return agg.select(
         "l_returnflag",
-        _checked("raw_p50", "p50_exact").alias("p50_approx"),
-        _checked("raw_p95", "p95_exact").alias("p95_approx"),
         F.round("p50_exact", 6).alias("p50_exact"),
         F.round("p95_exact", 6).alias("p95_exact"),
+        _within("raw_p50", "p50_exact").alias("p50_within_1pct"),
+        _within("raw_p95", "p95_exact").alias("p95_within_1pct"),
     )
 
 

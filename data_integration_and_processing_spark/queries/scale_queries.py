@@ -240,12 +240,26 @@ _QD_RANK_TOL = 1.0 / _QD_B + 0.01
 
 @register(
     "agg_quantile_digest_rollup",
-    # no SQL oracle: the day summaries are engine-specific sketches
-    # (percentile_approx's deterministic GK summary). The rank-accuracy bound
-    # is enforced in-plan below (raise_error when the merged estimate's true
-    # CDF position drifts more than 1/B + slack from the target), so the
-    # rows-only check still exercises a guarantee; merge-consistency and
-    # tolerance are pinned in tests/test_quantile_digest.py.
+    # The day summaries are engine-specific sketches (percentile_approx's
+    # deterministic GK summary), so the driver-checked output is the EXACT
+    # per-type percentiles (Spark F.percentile and DuckDB quantile_cont
+    # share the p*(n-1) interpolation) plus the merged estimate's 1/B
+    # rank-error bound as a boolean (VERDICT r5 item 6); merge-consistency
+    # and tolerance stay pinned in tests/test_quantile_digest.py.
+    oracle="""
+        SELECT event_type, CAST(0.5 AS DOUBLE) AS p,
+               round(quantile_cont(value, 0.5), 6) AS exact_value, true AS rank_ok
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT event_type, CAST(0.9 AS DOUBLE) AS p,
+               round(quantile_cont(value, 0.9), 6) AS exact_value, true AS rank_ok
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT event_type, CAST(0.99 AS DOUBLE) AS p,
+               round(quantile_cont(value, 0.99), 6) AS exact_value, true AS rank_ok
+        FROM events GROUP BY event_type
+        ORDER BY event_type, p
+    """,
     description=(
         "mergeable quantile rollup: per-(event_type, day) equi-depth summaries "
         f"({_QD_B} cutpoints + a count) merged upward to per-event_type p50/p90/p99 "
@@ -259,6 +273,33 @@ _QD_RANK_TOL = 1.0 / _QD_B + 0.01
     tags=("analytics", "aggregation", "sketch", "scale"),
 )
 def agg_quantile_digest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    curve = quantile_digest_curve(spark, sf_dir)
+    # exact percentiles for the driver-checked output (audit-only scan; a
+    # production rollup reports the digest estimates and drops this)
+    targets = F.array(*[F.lit(t) for t in _QD_TARGETS])
+    exact = (
+        e.groupBy("event_type")
+        .agg(F.percentile("value", targets).alias("ex"))
+        .select("event_type", F.posexplode("ex").alias("pos", "exact_value"))
+        .select(
+            "event_type",
+            F.element_at(targets, F.col("pos").cast("int") + 1).alias("p"),
+            "exact_value",
+        )
+    )
+    return (
+        curve.select("event_type", "p", (F.col("rank_err") <= _QD_RANK_TOL).alias("rank_ok"))
+        .join(exact, ["event_type", "p"])
+        .select("event_type", "p", F.round("exact_value", 6).alias("exact_value"), "rank_ok")
+        .orderBy("event_type", "p")
+    )
+
+
+def quantile_digest_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full digest readout (event_type, p, est_value, rank_err) — tests pin
+    the rank-error budget and determinism on this; the registered rollup
+    query projects the driver-checkable exact values + rank_ok boolean."""
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     e = load_table(spark, sf_dir, "events")
@@ -310,13 +351,10 @@ def agg_quantile_digest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rank_err = F.abs(F.col("frac_le") - F.col("p"))
-    checked = F.when(rank_err <= _QD_RANK_TOL, F.round("est_value", 6)).otherwise(
-        F.raise_error(F.lit("merged quantile estimate beyond the 1/B rank-error bound"))
-    )
     return audited.select(
         "event_type",
         "p",
-        checked.alias("est_value"),
+        F.round("est_value", 6).alias("est_value"),
         F.round(rank_err, 6).alias("rank_err"),
     ).orderBy("event_type", "p")
 

@@ -662,9 +662,26 @@ def sim_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ann_recall_audit",
-    oracle=None,  # the IVF side is engine-specific (KMeans cells); the audit
-    # IS the check — its recall floor is additionally pinned in
-    # tests/test_ann_recall.py
+    # The IVF side is engine-specific (KMeans cells), so the driver-checked
+    # output is the audit's VERDICT: per-nprobe recall floors as booleans
+    # (VERDICT r5 item 6). Floors sit well under the measured sf0.001/sf0.01
+    # values (mean ~0.49/0.74, min 0.1/0.3 for nprobe 2/4) except nprobe=8,
+    # which probes every cell and must be exhaustive-exact (>= 0.999 = 1.0
+    # up to float round). A routing or recall regression flips a boolean and
+    # fails the value hash; the tighter floor stays in tests/test_ann_recall.py.
+    oracle="""
+        WITH np(nprobe, mean_floor, min_floor) AS (
+            VALUES (2, 0.35, 0.0), (4, 0.60, 0.20), (8, 0.999, 0.999)
+        )
+        SELECT np.nprobe,
+               (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+                WHERE vec_id % 25 = 0) AS n_queries,
+               CAST(np.mean_floor AS DOUBLE) AS mean_floor,
+               true AS mean_ok,
+               CAST(np.min_floor AS DOUBLE) AS min_floor,
+               true AS min_ok
+        FROM np ORDER BY np.nprobe
+    """,
     description=(
         "self-auditing ANN quality readout: exact k-NN join (ground truth) "
         "and IVF k-NN join run over the SAME query batch in one plan, "
@@ -677,6 +694,30 @@ def sim_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "audit", "profiling"),
 )
 def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    curve = ann_recall_curve(spark, sf_dir)
+    # floors per nprobe, mirrored in the oracle's VALUES table; 8 of 8
+    # cells probed = exhaustive, recall exactly 1.0
+    mean_floor = (
+        F.when(F.col("nprobe") == 2, 0.35).when(F.col("nprobe") == 4, 0.60).otherwise(0.999)
+    )
+    min_floor = (
+        F.when(F.col("nprobe") == 2, 0.0).when(F.col("nprobe") == 4, 0.20).otherwise(0.999)
+    )
+    return curve.select(
+        "nprobe",
+        "n_queries",
+        mean_floor.alias("mean_floor"),
+        (F.col("mean_recall") >= mean_floor).alias("mean_ok"),
+        min_floor.alias("min_floor"),
+        (F.col("min_recall") >= min_floor).alias("min_ok"),
+    ).orderBy("nprobe")
+
+
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full recall readout (nprobe, n_queries, mean_recall, min_recall) —
+    the dashboard view; tests pin monotonicity and the exhaustive-exact
+    property on this, while the registered audit query projects the
+    driver-checkable floor booleans."""
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415

@@ -539,10 +539,20 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_countmin_heavy_hitters",
-    oracle=None,  # xxhash64 has no DuckDB twin; the CMS guarantees (never
-    # underestimates, bounded overestimate) are ALSO enforced in-plan below
-    # (raise_error on violation), so the rows-only check exercises them;
-    # the same bounds are pinned in tests/test_analytics.py
+    # xxhash64 bucket coordinates have no DuckDB twin, so the driver-checked
+    # output is the exact top-20 (token, true_count) plus the CMS guarantee
+    # band — never underestimates, overestimate <= eps*N — as a boolean
+    # (VERDICT r5 item 6); the same bounds stay pinned in
+    # tests/test_analytics.py.
+    oracle="""
+        WITH c AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS true_count
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+            GROUP BY token
+        )
+        SELECT token, true_count, true AS cms_in_band
+        FROM c ORDER BY true_count DESC, token ASC LIMIT 20
+    """,
     description=(
         "Count-Min sketch frequency estimates for the exact top-20 tokens: the "
         "second mergeable-sketch family (HLL counts distincts, CMS counts "
@@ -570,17 +580,16 @@ def text_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = countmin_sketch(tokens, "token")
     est = countmin_estimate(sketch, exact_top.select(F.col("token").alias("item")))
     n_tokens = tokens.count()
-    # CMS contract, enforced in-plan: est >= true always; overestimate
-    # bounded by eps*N with eps = e/width (width=1024 -> ~0.27% of N)
+    # CMS contract, driver-checked as a boolean: est >= true always;
+    # overestimate bounded by eps*N with eps = e/width (width=1024 ->
+    # ~0.27% of N)
     eps_n = (2.718281828 / 1024.0) * n_tokens
-    checked = F.when(
-        (F.col("est_count") >= F.col("true_count"))
-        & (F.col("est_count") <= F.col("true_count") + F.lit(eps_n)),
-        F.col("est_count"),
-    ).otherwise(F.raise_error(F.lit("CMS estimate outside its guarantee band")))
+    in_band = (F.col("est_count") >= F.col("true_count")) & (
+        F.col("est_count") <= F.col("true_count") + F.lit(eps_n)
+    )
     return (
         exact_top.join(est, exact_top.token == est.item)
-        .select("token", "true_count", checked.alias("est_count"))
+        .select("token", "true_count", in_band.alias("cms_in_band"))
         .orderBy(F.col("true_count").desc(), F.col("token").asc())
     )
 

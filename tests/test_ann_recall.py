@@ -242,15 +242,18 @@ def test_recall_audit_monotone_and_exhaustive_exact(spark, sf_dir):
     exact top-k bit-for-bit (recall 1.0) — the in-plan proof that IVF loses
     ONLY what cell pruning skips."""
     from data_integration_and_processing_spark.queries import catalog
-
-    rows = (
-        catalog.all_specs()["sim_ann_recall_audit"]
-        .spark(spark, sf_dir)
-        .collect()
+    from data_integration_and_processing_spark.queries.similarity_queries import (
+        ann_recall_curve,
     )
+
+    rows = ann_recall_curve(spark, sf_dir).collect()
     by_nprobe = {r["nprobe"]: r for r in rows}
     assert list(by_nprobe) == [2, 4, 8]
     means = [by_nprobe[n]["mean_recall"] for n in (2, 4, 8)]
     assert means == sorted(means)
     assert by_nprobe[8]["mean_recall"] == 1.0
     assert by_nprobe[8]["min_recall"] == 1.0
+
+    # the registered (driver-checked) projection: every floor must hold
+    audit = catalog.all_specs()["sim_ann_recall_audit"].spark(spark, sf_dir).collect()
+    assert all(r["mean_ok"] and r["min_ok"] for r in audit), audit

@@ -14,21 +14,25 @@ from data_integration_and_processing_spark.queries.scale_queries import (
     _QD_RANK_TOL,
     _QD_TARGETS,
     agg_quantile_digest_rollup,
+    quantile_digest_curve,
 )
 
 
 def test_rank_error_within_budget(spark, sf_dir):
-    out = agg_quantile_digest_rollup(spark, sf_dir).collect()
+    out = quantile_digest_curve(spark, sf_dir).collect()
     types = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type").distinct().count()
     assert len(out) == types * len(_QD_TARGETS)
-    # the query raise_errors beyond tolerance; re-assert the recorded errors
     assert all(r["rank_err"] <= _QD_RANK_TOL for r in out)
+    # the registered (driver-checked) projection: every rank bound must hold
+    audit = agg_quantile_digest_rollup(spark, sf_dir).collect()
+    assert len(audit) == types * len(_QD_TARGETS)
+    assert all(r["rank_ok"] for r in audit)
 
 
 def test_merged_estimate_tracks_exact_quantile_in_rank_space(spark, sf_dir):
     """The merged estimate's CDF position is within tolerance of the target —
     checked independently of the query's own audit columns."""
-    est = {(r["event_type"], r["p"]): r["est_value"] for r in agg_quantile_digest_rollup(spark, sf_dir).collect()}
+    est = {(r["event_type"], r["p"]): r["est_value"] for r in quantile_digest_curve(spark, sf_dir).collect()}
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     for (etype, p), v in est.items():
         frac = (
@@ -40,8 +44,8 @@ def test_merged_estimate_tracks_exact_quantile_in_rank_space(spark, sf_dir):
 
 
 def test_deterministic(spark, sf_dir):
-    a = sorted(map(tuple, agg_quantile_digest_rollup(spark, sf_dir).collect()))
-    b = sorted(map(tuple, agg_quantile_digest_rollup(spark, sf_dir).collect()))
+    a = sorted(map(tuple, quantile_digest_curve(spark, sf_dir).collect()))
+    b = sorted(map(tuple, quantile_digest_curve(spark, sf_dir).collect()))
     assert a == b
 
 
