@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def value_hash(pdf) -> str:
+def rendered_rows(pdf) -> list[str]:
+    """Sorted, string-rendered rows (columns sorted by name) — the list-safe
+    canon the r5 judge used for value comparison; --values diffs these."""
     import numpy as np
     cols = sorted(pdf.columns)
 
@@ -47,8 +49,29 @@ def value_hash(pdf) -> str:
             return s[:-6] if s.endswith("+00:00") else s
         return str(v)
 
-    rows = sorted("|".join(norm(v) for v in row) for row in pdf[cols].itertuples(index=False))
-    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+    return sorted("|".join(norm(v) for v in row) for row in pdf[cols].itertuples(index=False))
+
+
+def value_hash(pdf) -> str:
+    return hashlib.sha256("\n".join(rendered_rows(pdf)).encode()).hexdigest()[:16]
+
+
+def row_diff(spdf, opdf, limit: int = 5) -> dict:
+    """Rows present on only one side (by rendered string), up to ``limit``
+    each — localizes a hash mismatch to concrete rows in seconds instead of
+    a cross-engine debugging session (VERDICT r5 item 8)."""
+    from collections import Counter
+
+    sp, op = Counter(rendered_rows(spdf)), Counter(rendered_rows(opdf))
+    only_spark = list((sp - op).elements())
+    only_oracle = list((op - sp).elements())
+    return {
+        "n_only_spark": len(only_spark),
+        "n_only_oracle": len(only_oracle),
+        "cols_sorted": sorted(c.lower() for c in spdf.columns),
+        "only_spark": only_spark[:limit],
+        "only_oracle": only_oracle[:limit],
+    }
 
 
 def dtype_parity_violations(spdf, opdf) -> list:
@@ -85,6 +108,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument(
+        "--values",
+        action="store_true",
+        help="on hash mismatch, print the first differing rows per side (list-safe canon)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -147,6 +175,8 @@ def main() -> int:
                 rec["dtype_parity"] = dtype_bad
             if complex_bad:
                 rec["complex_output"] = complex_bad
+            if args.values and ok_cols and not ok_hash:
+                rec["row_diff"] = row_diff(spdf, opdf)
             n_fail += 1
         else:
             n_pass += 1
