@@ -1381,3 +1381,84 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated n-gram spans (substring-level dedup signal)
+# ---------------------------------------------------------------------------
+
+_DUP_NGRAM_N = 8
+
+_DUP_SPANS_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+g AS (
+    SELECT DISTINCT doc_id, array_to_string(ws[i:i+{_DUP_NGRAM_N - 1}], ' ') AS gram
+    FROM w, UNNEST(generate_series(1, len(ws) - {_DUP_NGRAM_N - 1})) AS t(i)
+    WHERE len(ws) >= {_DUP_NGRAM_N}
+),
+df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+per AS (
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+    FROM g JOIN df USING (gram) GROUP BY g.doc_id
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_distinct_grams,
+       CAST(n_dup AS BIGINT) AS n_dup_grams,
+       round(n_dup / CAST(n_grams AS DOUBLE), 6) AS dup_frac
+FROM per ORDER BY doc_id
+"""
+
+
+@register(
+    "text_duplicate_ngram_spans",
+    oracle=_DUP_SPANS_ORACLE,
+    description=(
+        "substring-level duplication signal (the Lee et al. 2021 "
+        "'Deduplicating Training Data' diagnostic, at n-gram granularity): "
+        "for each document, the fraction of its distinct 8-grams that occur "
+        "in at least one OTHER document — the pre-filter readout that "
+        "decides whether a corpus needs span-level dedup on top of "
+        "document-level MinHash. Plan: in-task n-gram expansion (transform "
+        "over index sequence, no shuffle), distinct per (doc, gram), one "
+        "map-side-combinable document-frequency aggregate on gram, "
+        "join-back keyed on the same high-cardinality gram — AQE splits the "
+        "boilerplate-gram skew. Documents shorter than 8 words carry no "
+        "8-gram evidence and are excluded by both sides"
+    ),
+    tags=("text", "dedup", "north-star", "curation"),
+)
+def text_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _DUP_NGRAM_N
+    d = fan_out_scan(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    words = F.split(F.lower("text"), " ")
+    d = d.select("doc_id", words.alias("ws")).filter(F.size("ws") >= n)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("ws", i, n)),
+            )
+        ).alias("gram"),
+    ).distinct()
+    df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    per = (
+        grams.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup_grams"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_distinct_grams",
+        "n_dup_grams",
+        F.round(F.col("n_dup_grams") / F.col("n_distinct_grams").cast("double"), 6).alias(
+            "dup_frac"
+        ),
+    ).orderBy("doc_id")
