@@ -1148,3 +1148,93 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center coreset (diverse subset selection over embeddings)
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy k-center in SQL: step i's candidate distances join the
+    cumulative selected set of step i-1; argmax by (rounded min-distance
+    DESC, vec_id ASC). Feasible only at oracle scale (all-pairs distances) —
+    which is the point of the incremental Spark plan."""
+    parts = [
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+dist AS MATERIALIZED (
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+sel1 AS (SELECT min(vec_id) AS v FROM e),
+cum1 AS (SELECT v FROM sel1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""m{i} AS MATERIALIZED (
+    SELECT d.a AS vec_id, round(min(d.d2), 6) AS md
+    FROM dist d JOIN cum{i - 1} c ON d.b = c.v
+    WHERE d.a NOT IN (SELECT v FROM cum{i - 1})
+    GROUP BY d.a
+),
+pick{i} AS MATERIALIZED (SELECT vec_id AS v, md FROM m{i} ORDER BY md DESC, vec_id ASC LIMIT 1),
+cum{i} AS MATERIALIZED (SELECT v FROM cum{i - 1} UNION ALL SELECT v FROM pick{i})"""
+        )
+    finals = ["SELECT 1 AS rank, v AS vec_id, CAST(NULL AS DOUBLE) AS dist2 FROM sel1"]
+    finals += [f"SELECT {i} AS rank, v, md FROM pick{i}" for i in range(2, k + 1)]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals) + "\nORDER BY rank"
+
+
+@register(
+    "sample_coreset_kcenter",
+    oracle=_kcenter_oracle(_KC_K),
+    description=(
+        "greedy k-center coreset: the diverse-subset selection used to seed "
+        "annotation batches and balance training mixes — start from the min-id "
+        "vector, then k-1 times add the point FARTHEST from the current set "
+        "(squared-L2, rounded to 6dp with vec_id tie-break so cross-engine "
+        "float summation order cannot flip an argmax). The Spark plan is the "
+        "scale shape: per-vector min-distance state kept as a COLUMN and "
+        "updated incrementally against only the newest center (broadcast as "
+        "64 literals), so each of the k rounds is one narrow map + one "
+        "TakeOrdered(1) — k passes total, never all-pairs, driver holds k "
+        "rows. The oracle unrolls the same greedy over an all-pairs distance "
+        "CTE, feasible only at oracle scale"
+    ),
+    tags=("sampling", "similarity", "north-star", "curation"),
+)
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def d2_to(vec) -> F.Column:
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"), arr, lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    first = e.orderBy("vec_id").limit(1).collect()[0]  # bounded: 1 row
+    picked = [(1, int(first["vec_id"]), None)]
+    mind = e.filter(F.col("vec_id") != first["vec_id"]).select(
+        "vec_id", "embedding", d2_to(first["embedding"]).alias("md")
+    )
+    for rank in range(2, _KC_K + 1):
+        top = (
+            mind.select("vec_id", "embedding", F.round("md", 6).alias("md_r"))
+            .orderBy(F.col("md_r").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]  # bounded: 1 row per round, k rounds total
+        )
+        picked.append((rank, int(top["vec_id"]), float(top["md_r"])))
+        mind = mind.filter(F.col("vec_id") != top["vec_id"]).select(
+            "vec_id", "embedding", F.least("md", d2_to(top["embedding"])).alias("md")
+        )
+    return spark.createDataFrame(picked, "rank int, vec_id bigint, dist2 double")
