@@ -82,6 +82,10 @@ HEADLINE = [
     "events_growth_accounting",
     "analytics_rfm_segmentation",
     "graph_connected_components",
+    # r6 additions (no prior baseline; the regression gate skips unknown keys)
+    "text_duplicate_ngram_spans",
+    "join_interval_overlap",
+    "sample_coreset_kcenter",
 ]
 
 

@@ -1,0 +1,177 @@
+"""Property tests for the round-6 operators: grid-bucketed interval overlap
+join, duplicated-ngram-span diagnostic, greedy k-center coreset."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_integration_and_processing_spark.queries import catalog
+
+
+def _q(name):
+    return catalog.all_specs()[name].spark
+
+
+# ---------------------------------------------------------------------------
+# join_interval_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_matches_naive_range_join(spark, sf_dir):
+    """The grid-bucketed plan must produce EXACTLY the naive range-predicate
+    join's pairs — cell bucketing plus the later-start-cell claim is a pure
+    execution strategy, not an approximation."""
+    from data_integration_and_processing_spark.queries.relational import (
+        join_interval_overlap,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): r["overlap_days"]
+        for r in join_interval_overlap(spark, sf_dir).collect()
+    }
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ship = F.col("l_shipdate").cast("date")
+    a = l.filter(F.col("l_orderkey") % 401 == 1).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id_a"),
+        ship.alias("start_a"),
+        F.date_add(ship, (F.lit(1) + F.col("l_orderkey") % 13).cast("int")).alias("end_a"),
+    )
+    b = o.filter(F.col("o_orderkey") % 499 == 1).select(
+        F.col("o_orderkey").alias("id_b"),
+        F.col("o_orderdate").cast("date").alias("start_b"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("end_b"),
+    )
+    naive = (
+        a.crossJoin(b)
+        .filter((F.col("start_a") <= F.col("end_b")) & (F.col("start_b") <= F.col("end_a")))
+        .select(
+            "id_a",
+            "id_b",
+            (F.datediff(F.least("end_a", "end_b"), F.greatest("start_a", "start_b")) + 1)
+            .cast("bigint")
+            .alias("overlap_days"),
+        )
+    )
+    want = {(r["id_a"], r["id_b"]): r["overlap_days"] for r in naive.collect()}
+    assert got == want
+
+
+def test_interval_overlap_no_duplicate_pairs(spark, sf_dir):
+    """The later-start-cell claim must emit each overlapping pair exactly
+    once even though both intervals explode to multiple cells."""
+    from data_integration_and_processing_spark.queries.relational import (
+        join_interval_overlap,
+    )
+
+    out = join_interval_overlap(spark, sf_dir)
+    assert out.count() == out.select("id_a", "id_b").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# text_duplicate_ngram_spans
+# ---------------------------------------------------------------------------
+
+
+def test_dup_ngram_bounds_and_short_doc_exclusion(spark, sf_dir):
+    rows = _q("text_duplicate_ngram_spans")(spark, sf_dir).collect()
+    assert rows, "expected some documents with >= 8 words"
+    for r in rows:
+        assert 0 <= r["n_dup_grams"] <= r["n_distinct_grams"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
+    # every included doc really has >= 8 words
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_long = d.filter(F.size(F.split(F.lower("text"), " ")) >= 8).count()
+    assert len(rows) == n_long
+
+
+def test_dup_ngram_detects_injected_duplicate(spark, sf_dir):
+    """Two synthetic docs sharing an 8-word span must both report dup_frac
+    > 0; a doc of unique words reports 0."""
+    from data_integration_and_processing_spark.queries.text_queries import (
+        text_duplicate_ngram_spans,
+    )
+    import os
+    import shutil
+    import uuid
+
+    scratch = f"/tmp/diaps_test_ngram_{uuid.uuid4().hex[:8]}"
+    os.makedirs(scratch, exist_ok=True)
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} one two three", "en", "s", 1),
+            (2, f"prefix words here {shared}", "en", "s", 1),
+            (3, "only unique tokens appear in this third document row", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{scratch}/documents.parquet")
+    try:
+        out = {r["doc_id"]: r for r in text_duplicate_ngram_spans(spark, scratch).collect()}
+        assert out[1]["n_dup_grams"] >= 1 and out[2]["n_dup_grams"] >= 1
+        assert out[3]["n_dup_grams"] == 0 and out[3]["dup_frac"] == 0.0
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# sample_coreset_kcenter
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_shape_and_determinism(spark, sf_dir):
+    from data_integration_and_processing_spark.queries.sampling_queries import (
+        _KC_K,
+        sample_coreset_kcenter,
+    )
+
+    a = sample_coreset_kcenter(spark, sf_dir).collect()
+    b = sample_coreset_kcenter(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == _KC_K
+    assert [r["rank"] for r in a] == list(range(1, _KC_K + 1))
+    assert len({r["vec_id"] for r in a}) == _KC_K
+    # greedy max-min distances are non-increasing by construction
+    dists = [r["dist2"] for r in a[1:]]
+    assert all(x is not None and x >= 0 for x in dists)
+    assert all(dists[i] >= dists[i + 1] for i in range(len(dists) - 1))
+
+
+def test_kcenter_covers_better_than_prefix_of_ids(spark, sf_dir):
+    """The k-center set's covering radius (max over points of distance to
+    nearest center) must beat the naive first-k-ids baseline — the point of
+    diverse selection."""
+    from data_integration_and_processing_spark.queries.sampling_queries import (
+        _KC_K,
+        sample_coreset_kcenter,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+
+    def radius(center_ids: list[int]) -> float:
+        centers = e.filter(F.col("vec_id").isin(center_ids)).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+        )
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("cemb").cast("array<double>"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            e.crossJoin(F.broadcast(centers))
+            .select("vec_id", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("md"))
+            .agg(F.max("md"))
+            .collect()[0][0]
+        )
+
+    picked = [r["vec_id"] for r in sample_coreset_kcenter(spark, sf_dir).collect()]
+    first_ids = [r["vec_id"] for r in e.orderBy("vec_id").limit(_KC_K).collect()]
+    assert radius(picked) < radius(first_ids)
