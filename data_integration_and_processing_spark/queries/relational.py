@@ -1811,12 +1811,13 @@ ORDER BY id_a, id_b
         "instead: each interval is exploded to the ~1-2 fixed-width day cells "
         "it covers (in-task, no shuffle), the join runs on the cell key, and "
         "each overlapping pair is kept exactly once by claiming it in the "
-        "LATER of the two start cells — a deterministic tie-break that needs "
-        "no post-join distinct. Shuffle volume is O(intervals * cells "
-        "covered), join fan-in per cell is bounded by cell width, and cell "
-        "width is the documented lever (match it to the p99 interval span). "
-        "The oracle is the direct range-predicate join — feasible only at "
-        "oracle scale, which is the point"
+        "LATER of the two start cells — the distinct-FREE dedup that "
+        "join_interval_binned's `.distinct()` variant pays a second shuffle "
+        "for (same candidate generation, cheaper uniqueness). Shuffle volume "
+        "is O(intervals * cells covered), join fan-in per cell is bounded by "
+        "cell width, and cell width is the documented lever (match it to the "
+        "p99 interval span). The oracle is the direct range-predicate join — "
+        "feasible only at oracle scale, which is the point"
     ),
     tags=("join", "temporal", "scale"),
 )
