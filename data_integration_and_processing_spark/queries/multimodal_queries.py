@@ -267,3 +267,59 @@ def multimodal_modality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+@register(
+    "multimodal_dedup_exact_bytes",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            -- every 5th payload re-ingested byte-identical (the re-crawl /
+            -- re-upload case), mirrored in the Spark plan
+            SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+        )
+        SELECT md5(text) AS content_md5,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               min(doc_id) AS keeper_doc_id,
+               CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+               CAST((count(*) - 1) * min(octet_length(encode(text))) AS BIGINT)
+                   AS bytes_saved
+        FROM corpus
+        GROUP BY md5(text)
+        HAVING count(*) >= 2
+        ORDER BY content_md5
+    """,
+    description=(
+        "exact-bytes media dedup ledger (the content-addressed-store "
+        "readout): group binary payloads by content digest, keep the min-id "
+        "copy, report per-group copy count and bytes reclaimed. One "
+        "map-side-combinable groupBy on the 16-byte digest — payload bytes "
+        "never shuffle, the digest does; the dedup decision at 100 TB costs "
+        "O(objects), not O(bytes)"
+    ),
+    tags=("multimodal", "dedup", "north-star"),
+)
+def multimodal_dedup_exact_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    m = attach_binary_payload(d.unionByName(dup))
+    return (
+        m.select(
+            "doc_id",
+            F.col("media_meta.content_md5").alias("content_md5"),
+            F.col("media_meta.n_bytes").alias("n_bytes"),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.min("n_bytes").cast("bigint").alias("n_bytes"),
+            ((F.count("*") - 1) * F.min("n_bytes")).cast("bigint").alias("bytes_saved"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .select("content_md5", "n_copies", "keeper_doc_id", "n_bytes", "bytes_saved")
+        .orderBy("content_md5")
+    )

@@ -1867,3 +1867,110 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL pipe syntax (|>) — same logical plan as classic SQL
+# ---------------------------------------------------------------------------
+
+_PIPE_CLASSIC_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+_PIPE_TEXT = """
+FROM lineitem
+|> WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+|> AGGREGATE count(*) AS n_items,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+   GROUP BY l_returnflag
+|> ORDER BY l_returnflag
+"""
+
+
+@register(
+    "sql_pipe_syntax_parity",
+    oracle=_PIPE_CLASSIC_ORACLE,
+    description=(
+        "Spark 4 SQL pipe syntax (|> operators): the linear FROM -> WHERE -> "
+        "AGGREGATE -> ORDER BY form runs through spark.sql() and is value-"
+        "checked against the classic-SQL oracle — pipe stages lower to the "
+        "SAME logical plan (filter pushdown into the scan, partial "
+        "aggregation), so the surface is free at 100 TB. Money math in "
+        "DECIMAL inside the sum (order-independent), emitted as DOUBLE — "
+        "the flagship's float-safety discipline"
+    ),
+    tags=("aggregation", "sql", "filter"),
+)
+def sql_pipe_syntax_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PIPE_TEXT)
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 collation surface (UTF8_LCASE) — case-insensitive semantics
+# without lower() rewrites
+# ---------------------------------------------------------------------------
+
+_COLLATION_ORACLE = """
+WITH v AS (
+    SELECT s_suppkey, upper(s_name) AS name FROM supplier
+    UNION ALL
+    SELECT s_suppkey + 1000000, lower(s_name) AS name FROM supplier
+)
+SELECT lower(name) AS name_ci,
+       count(*) AS n_rows,
+       count(DISTINCT name) AS n_exact_variants,
+       min(s_suppkey) AS min_key
+FROM v GROUP BY lower(name) ORDER BY name_ci
+"""
+
+
+@register(
+    "func_collation_pack",
+    oracle=_COLLATION_ORACLE,
+    description=(
+        "Spark 4 collation surface: grouping on a UTF8_LCASE-collated column "
+        "merges case variants natively (the upper+lower twin of every "
+        "supplier name collapses to one group, n_rows=2, n_exact_variants=2) "
+        "— the engine-level alternative to lower() rewrites, which lose the "
+        "original strings and defeat dictionary encodings. The oracle IS the "
+        "lower() rewrite, proving semantic equivalence; output projects "
+        "lower() so the representative-row choice inside each collated group "
+        "cannot leak into the hash"
+    ),
+    tags=("functions", "aggregation"),
+)
+def func_collation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    v = s.select("s_suppkey", F.upper("s_name").alias("name")).unionByName(
+        s.select(
+            (F.col("s_suppkey") + 1000000).alias("s_suppkey"),
+            F.lower("s_name").alias("name"),
+        )
+    )
+    ci = F.expr("collate(name, 'UTF8_LCASE')")
+    return (
+        v.groupBy(ci.alias("k"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct(F.expr("collate(name, 'UTF8_BINARY')")).alias(
+                "n_exact_variants"
+            ),
+            F.min("s_suppkey").alias("min_key"),
+        )
+        .select(
+            F.lower(F.expr("collate(k, 'UTF8_BINARY')")).alias("name_ci"),
+            "n_rows",
+            "n_exact_variants",
+            "min_key",
+        )
+        .orderBy("name_ci")
+    )
