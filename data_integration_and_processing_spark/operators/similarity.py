@@ -740,6 +740,35 @@ def _train_centroids(
     return best[1]
 
 
+def train_ivf_centers(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> "np.ndarray":
+    """Train the IVF coarse quantizer on a bounded, hash-deterministic
+    corpus sample (the block :func:`ann_join_ivf` uses). Exposed so a
+    multi-probe sweep (e.g. the recall audit's nprobe curve) trains ONCE
+    and shares the centers across calls — the build-once, probe-many
+    production pattern."""
+    sample_rows = (
+        fan_out_scan(corpus)
+        .select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_svec"))
+        .withColumn("_b", F.pmod(F.xxhash64("_sid", F.lit(seed)), F.lit(1024)))
+        .orderBy("_b", "_sid")
+        .limit(65536)
+        .collect()
+    )
+    sample = np.array([r["_svec"] for r in sample_rows], dtype=np.float64)
+    if len(sample) < n_cells:
+        sample = np.array(
+            [r[vec_col] for r in corpus.select(vec_col).limit(max(n_cells, 64)).collect()],
+            dtype=np.float64,
+        )
+    return _train_centroids(sample, n_cells, seed)
+
+
 def ann_join_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -751,6 +780,7 @@ def ann_join_ivf(
     query_id_col: str = "query_id",
     seed: int = 42,
     round_digits: int = 6,
+    centers: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Approximate k-NN JOIN: every query row gets its top-k corpus
     neighbors, but each query only ever meets the ``nprobe`` nearest of
@@ -788,22 +818,13 @@ def ann_join_ivf(
     # collect at ~32 MB for dim=64 while far exceeding what single-digit
     # n_cells needs; a larger corpus contributes a hash-deterministic
     # subset, a smaller one trains on everything (sub-sampling a small
-    # corpus costs measurable recall for zero savings)
-    sample_rows = (
-        fan_out_scan(corpus)
-        .select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_svec"))
-        .withColumn("_b", F.pmod(F.xxhash64("_sid", F.lit(seed)), F.lit(1024)))
-        .orderBy("_b", "_sid")
-        .limit(65536)
-        .collect()
+    # corpus costs measurable recall for zero savings). A caller sweeping
+    # nprobe passes prebuilt ``centers`` (train_ivf_centers) to skip the
+    # redundant sample + Lloyd runs — identical output either way (same
+    # seed, same corpus => same centers).
+    centers_np = centers if centers is not None else train_ivf_centers(
+        corpus, n_cells, vec_col, id_col, seed
     )
-    sample = np.array([r["_svec"] for r in sample_rows], dtype=np.float64)
-    if len(sample) < n_cells:
-        sample = np.array(
-            [r[vec_col] for r in corpus.select(vec_col).limit(max(n_cells, 64)).collect()],
-            dtype=np.float64,
-        )
-    centers_np = _train_centroids(sample, n_cells, seed)
 
     cent = queries.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers_np)],

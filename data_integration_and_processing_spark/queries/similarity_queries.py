@@ -723,6 +723,7 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
         ann_join_ivf,
         cosine,
+        train_ivf_centers,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -730,6 +731,8 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = e.filter(F.col("vec_id") % 25 != 0)
+    # build once, probe three times: the nprobe sweep shares one quantizer
+    centers = train_ivf_centers(c, n_cells=8)
 
     scored = c.select(F.col("vec_id").alias("neighbor_id"), "embedding").join(
         F.broadcast(q.select("query_id", F.col("embedding").alias("q_emb")))
@@ -745,7 +748,7 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = None
     for nprobe in (2, 4, 8):  # 8 = exhaustive: recall must hit 1.0 (in-plan sanity)
-        approx = ann_join_ivf(q, c, k=10, n_cells=8, nprobe=nprobe).select(
+        approx = ann_join_ivf(q, c, k=10, n_cells=8, nprobe=nprobe, centers=centers).select(
             "query_id", F.col("neighbor_id").alias("a_neighbor")
         )
         hits = exact.join(
