@@ -1238,3 +1238,52 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding", F.least("md", d2_to(top["embedding"])).alias("md")
         )
     return spark.createDataFrame(picked, "rank int, vec_id bigint, dist2 double")
+
+
+# ---------------------------------------------------------------------------
+# group-keyed k-fold cross-validation assignment (leak-proof folds)
+# ---------------------------------------------------------------------------
+
+_KFOLD_K = 5
+_KFOLD_BUCKET = hash_bucket_sql(["o_custkey"], _KFOLD_K, seed=7)
+
+
+@register(
+    "sample_stratified_kfold",
+    oracle=f"""
+        WITH folds AS (
+            SELECT o_orderkey, o_custkey, o_orderpriority,
+                   {_KFOLD_BUCKET} AS fold
+            FROM orders
+        )
+        SELECT fold, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM folds GROUP BY fold, o_orderpriority
+        ORDER BY fold, o_orderpriority
+    """,
+    description=(
+        "leak-proof k-fold cross-validation assignment: the fold is a "
+        "portable-hash bucket of the GROUP key (customer), never the row "
+        "key, so all of an entity's rows land in one fold and eval never "
+        "sees a training customer — the grouped-CV discipline that "
+        "random row splits silently violate. Assignment is a pure map "
+        "(no RNG, no shuffle, retry/backfill-stable); the per-(fold, "
+        "stratum) census is one partial aggregate. Both halves derive "
+        "from the same hash spec (hash_bucket / hash_bucket_sql), so "
+        "there is no second implementation to drift"
+    ),
+    tags=("sampling", "north-star", "ids"),
+)
+def sample_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    fold = hash_bucket(["o_custkey"], _KFOLD_K, seed=7)
+    return (
+        o.select("o_custkey", "o_orderpriority", fold.alias("fold"))
+        .groupBy("fold", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("fold", "o_orderpriority")
+    )

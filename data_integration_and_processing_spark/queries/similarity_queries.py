@@ -1041,3 +1041,85 @@ def sim_sample_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("sim") >= 0.3, 1)).cast("double") / F.count("*"), 6
         ).alias("frac_similar"),
     )
+
+
+# ---------------------------------------------------------------------------
+# binary (sign-code) embeddings + Hamming top-k — exact cross-engine ANN
+# ---------------------------------------------------------------------------
+
+_HAMMING_ORACLE = """
+WITH codes AS (
+    SELECT vec_id,
+           list_reduce(list_transform(embedding[1:32],  x -> CAST(x >= 0 AS BIGINT)),
+                       (a, b) -> a * 2 + b) AS c1,
+           list_reduce(list_transform(embedding[33:64], x -> CAST(x >= 0 AS BIGINT)),
+                       (a, b) -> a * 2 + b) AS c2
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, c1 AS q1, c2 AS q2 FROM codes WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, c1, c2 FROM codes WHERE vec_id >= 5),
+scored AS (
+    SELECT q.query_id, c.neighbor_id,
+           CAST(bit_count(xor(q.q1, c.c1)) + bit_count(xor(q.q2, c.c2)) AS INT) AS hamming
+    FROM q, c
+),
+ranked AS (
+    SELECT query_id, neighbor_id, hamming,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+@register(
+    "sim_binary_hamming_topk",
+    oracle=_HAMMING_ORACLE,
+    description=(
+        "binary-embedding retrieval: 64 float dims sign-quantized to two "
+        "32-bit codes packed in BIGINTs (the 32x memory cut behind "
+        "binary-embedding indexes), Hamming distance = popcount of XOR — "
+        "pure JVM bitwise expressions, integer-exact cross-engine (unlike "
+        "every float-scored ANN variant, this one hash-checks end to end). "
+        "Codes are a one-pass narrow map; the probe batch broadcasts as "
+        "packed codes, so the scan touches 16 bytes per corpus row instead "
+        "of 256. Two 32-bit chunks, not one 64-bit pack, because a 64-deep "
+        "acc*2 fold would overflow signed BIGINT under ANSI. The standard "
+        "production shape is Hamming shortlist -> exact-cosine rerank; the "
+        "shortlist stage is what this checks"
+    ),
+    tags=("similarity", "north-star", "topk", "quantization", "scale"),
+)
+def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def pack(lo: int) -> F.Column:
+        return F.aggregate(
+            F.slice("embedding", lo, 32),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + (x >= 0).cast("long"),
+        )
+
+    codes = e.select("vec_id", pack(1).alias("c1"), pack(33).alias("c2"))
+    q = codes.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("c1").alias("q1"), F.col("c2").alias("q2")
+    )
+    c = codes.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), "c1", "c2"
+    )
+    hamming = (
+        F.bit_count(F.col("q1").bitwiseXOR(F.col("c1")))
+        + F.bit_count(F.col("q2").bitwiseXOR(F.col("c2")))
+    ).cast("int")
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    return (
+        c.crossJoin(F.broadcast(q))  # probe batch broadcast as 16-byte codes
+        .select("query_id", "neighbor_id", hamming.alias("hamming"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    )
