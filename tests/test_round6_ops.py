@@ -175,3 +175,97 @@ def test_kcenter_covers_better_than_prefix_of_ids(spark, sf_dir):
     picked = [r["vec_id"] for r in sample_coreset_kcenter(spark, sf_dir).collect()]
     first_ids = [r["vec_id"] for r in e.orderBy("vec_id").limit(_KC_K).collect()]
     assert radius(picked) < radius(first_ids)
+
+
+# ---------------------------------------------------------------------------
+# sim_binary_hamming_topk
+# ---------------------------------------------------------------------------
+
+
+def test_hamming_topk_bounds_and_self_distance(spark, sf_dir):
+    rows = _q("sim_binary_hamming_topk")(spark, sf_dir).collect()
+    assert rows and all(0 <= r["hamming"] <= 64 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == list(
+            range(1, len(rs) + 1)
+        )
+        hams = [r["hamming"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert hams == sorted(hams)
+
+
+def test_hamming_correlates_with_cosine(spark, sf_dir):
+    """Sign codes must be informative: the Hamming top-10 of query 0 should
+    overlap the exact cosine top-10 far better than chance (50 codes vs a
+    ~500-vector corpus)."""
+    from pyspark.sql import functions as F
+
+    ham = {
+        r["neighbor_id"]
+        for r in _q("sim_binary_hamming_topk")(spark, sf_dir).collect()
+        if r["query_id"] == 0
+    }
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("qv").cast("array<double>"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    topcos = (
+        e.filter(F.col("vec_id") >= 5)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", dot.alias("dot"))
+        .orderBy(F.desc("dot"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    overlap = len(ham & {r["vec_id"] for r in topcos})
+    assert overlap >= 3, f"hamming/cosine top-10 overlap only {overlap}"
+
+
+# ---------------------------------------------------------------------------
+# sample_stratified_kfold
+# ---------------------------------------------------------------------------
+
+
+def test_kfold_is_leak_proof_and_total(spark, sf_dir):
+    """Every customer's orders land in exactly one fold; folds partition all
+    orders and are roughly balanced."""
+    from pyspark.sql import functions as F
+
+    from data_integration_and_processing_spark.operators.sampling import hash_bucket
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assigned = o.select("o_custkey", hash_bucket(["o_custkey"], 5, seed=7).alias("fold"))
+    per_cust = assigned.groupBy("o_custkey").agg(F.count_distinct("fold").alias("nf"))
+    assert per_cust.filter(F.col("nf") > 1).count() == 0
+    census = _q("sample_stratified_kfold")(spark, sf_dir).collect()
+    assert sum(r["n_orders"] for r in census) == o.count()
+    by_fold = {}
+    for r in census:
+        by_fold[r["fold"]] = by_fold.get(r["fold"], 0) + r["n_orders"]
+    assert set(by_fold) == set(range(5))
+    mean = sum(by_fold.values()) / 5
+    assert all(abs(v - mean) / mean < 0.25 for v in by_fold.values()), by_fold
+
+
+# ---------------------------------------------------------------------------
+# multimodal_dedup_exact_bytes
+# ---------------------------------------------------------------------------
+
+
+def test_bytes_dedup_ledger_arithmetic(spark, sf_dir):
+    rows = _q("multimodal_dedup_exact_bytes")(spark, sf_dir).collect()
+    assert rows, "injected byte-identical copies must produce dup groups"
+    for r in rows:
+        assert r["n_copies"] >= 2
+        assert r["bytes_saved"] == (r["n_copies"] - 1) * r["n_bytes"]
+        # keeper is the original, not the +100000 re-ingest
+        assert r["keeper_doc_id"] < 100000
