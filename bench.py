@@ -257,6 +257,52 @@ def _jaccard_prefix_probe(spark, sf_dir: str) -> dict[str, float | int]:
     return out
 
 
+def _interval_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:
+    """Standing interval-overlap probe at a scale where the naive range
+    cross join is already 3.6e8 candidate pairs: ~60k shipment intervals x
+    ~6k order windows through the grid-bucketed join
+    (`join_interval_overlap`'s cell + later-start-cell-claim shape). The
+    measured quantity is the full pair count — the grid join's shuffle is
+    O(intervals x cells covered) (~1.2 cells each at 32-day cells), so this
+    timing tracks the candidate-generation discipline, not the quadratic
+    blowup it avoids."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cell_days = 32
+    cell = lambda c: F.floor(F.unix_date(F.col(c)) / cell_days)  # noqa: E731
+    ship = F.col("l_shipdate").cast("date")
+    a = l.filter(F.col("l_orderkey") % 10 == 1).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id_a"),
+        ship.alias("start_a"),
+        F.date_add(ship, (F.lit(1) + F.col("l_orderkey") % 13).cast("int")).alias("end_a"),
+    )
+    b = o.filter(F.col("o_orderkey") % 25 == 1).select(
+        F.col("o_orderkey").alias("id_b"),
+        F.col("o_orderdate").cast("date").alias("start_b"),
+        F.date_add(F.col("o_orderdate").cast("date"), 3).alias("end_b"),
+    )
+    ae = a.select("*", F.explode(F.sequence(cell("start_a"), cell("end_a"))).alias("cell"))
+    be = b.select("*", F.explode(F.sequence(cell("start_b"), cell("end_b"))).alias("cell"))
+    claim = F.col("cell") == F.greatest(
+        F.floor(F.unix_date(F.col("start_a")) / cell_days),
+        F.floor(F.unix_date(F.col("start_b")) / cell_days),
+    )
+    best, pairs = float("inf"), 0
+    for _ in range(2):
+        t0 = time.time()
+        pairs = (
+            ae.join(be, "cell")
+            .filter(
+                (F.col("start_a") <= F.col("end_b")) & (F.col("start_b") <= F.col("end_a")) & claim
+            )
+            .count()
+        )
+        best = min(best, time.time() - t0)
+    return {"sec": round(best, 3), "pairs": pairs, "n_a": a.count(), "n_b": b.count()}
+
+
 def _ann_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:
     """Standing 20k-vector near-dup probe, FORCED onto the distributed
     sign-LSH candidate path (the corpus-size guard would route this size to
@@ -358,6 +404,9 @@ def main() -> int:
     ann_probe = _ann_scale_probe(spark, sf_dir)
     print(f"# ann_scale_probe_20k: {ann_probe}", file=sys.stderr)
 
+    interval_probe = _interval_scale_probe(spark, sf_dir)
+    print(f"# interval_scale_probe_60k: {interval_probe}", file=sys.stderr)
+
     baseline_name, baseline, base_canary = _baseline_queries()
     # Host drift this round = how much the code-frozen canary pair moved vs
     # the previous round's recording; the regression threshold widens (or
@@ -395,6 +444,7 @@ def main() -> int:
         "dedup_scale_probe_50k": probe,
         "jaccard_prefix_probe_50k": jaccard_probe,
         "ann_scale_probe_20k": ann_probe,
+        "interval_scale_probe_60k": interval_probe,
         "baseline": baseline_name,
         "regressions": regressions,
     }))
