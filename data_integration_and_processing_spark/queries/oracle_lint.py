@@ -28,10 +28,21 @@ _SWEEP_CACHE: dict[str, list[str]] | None = None
 
 
 def is_complex_type(ddl_type: str) -> bool:
-    """True for DuckDB types the driver canon cannot sort (lists render as
-    ``BIGINT[]``, fixed arrays as ``BIGINT[3]``)."""
+    """True for DuckDB output types that diverge under the driver's canon:
+
+    - list/struct/map/union — pandas ``sort_values`` crashes on list cells
+      (the r5 red-row class);
+    - HUGEINT — fetchdf materializes float64, rendering "5.0" against
+      Spark's int "5" (the r3/r4 class; cast aggregates to BIGINT);
+    - DECIMAL — fetchdf float64 vs Spark's ``decimal.Decimal`` objects
+      render "5.0" vs "5.00" (latent same-class; cast to DOUBLE and round).
+    """
     t = ddl_type.strip().upper()
-    return "[" in t or t.startswith(("STRUCT", "MAP", "UNION"))
+    return (
+        "[" in t
+        or t.startswith(("STRUCT", "MAP", "UNION", "DECIMAL"))
+        or t in ("HUGEINT", "UHUGEINT")
+    )
 
 
 def complex_oracle_outputs(

@@ -39,8 +39,12 @@ def test_is_complex_type_markers():
     assert is_complex_type("TINYINT[3]")
     assert is_complex_type("STRUCT(a INTEGER)")
     assert is_complex_type("MAP(VARCHAR, BIGINT)")
+    # dtype-divergence classes (r3/r4): uncast DuckDB aggregates
+    assert is_complex_type("HUGEINT")
+    assert is_complex_type("DECIMAL(12,2)")
     assert not is_complex_type("VARCHAR")
-    assert not is_complex_type("DECIMAL(12,2)")
+    assert not is_complex_type("BIGINT")
+    assert not is_complex_type("DOUBLE")
     assert not is_complex_type("TIMESTAMP")
 
 
