@@ -1123,3 +1123,144 @@ def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval evaluation: nDCG@10 / MRR / P@10 per query (embedding QA)
+# ---------------------------------------------------------------------------
+
+_EVAL_K = 10
+
+_EVAL_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+    FROM embeddings WHERE vec_id % 25 = 1
+),
+c AS (
+    SELECT vec_id AS neighbor_id, label, embedding
+    FROM embeddings WHERE vec_id % 25 <> 1
+),
+scored AS (
+    SELECT q.query_id, q.q_label, c.neighbor_id,
+           CAST(c.label = q.q_label AS INT) AS rel,
+           round({_cos_sql('c.embedding', 'q.q_emb')}, 6) AS cos_sim
+    FROM c, q
+),
+ranked AS (
+    SELECT query_id, q_label, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+),
+nrel AS (
+    SELECT q.query_id, count(*) AS n_rel
+    FROM q JOIN c ON c.label = q.q_label GROUP BY q.query_id
+),
+topk AS (SELECT * FROM ranked WHERE rank <= {_EVAL_K}),
+metrics AS (
+    SELECT t.query_id,
+           sum(t.rel / log2(t.rank + 1.0)) AS dcg,
+           CAST(sum(t.rel) AS BIGINT) AS n_hits,
+           min(CASE WHEN t.rel = 1 THEN t.rank END) AS first_rel_rank
+    FROM topk t GROUP BY t.query_id
+),
+idcg_table(m, idcg) AS (
+    -- IDCG prefix sums precomputed in the same ascending-i double fold the
+    -- Spark side uses (identical literals => identical quotients)
+    VALUES (1, 1.0),
+            (2, 1.6309297535714575),
+            (3, 2.1309297535714578),
+            (4, 2.5616063116448506),
+            (5, 2.9484591188793923),
+            (6, 3.3046663059874146),
+            (7, 3.637999639320748),
+            (8, 3.953464516106477),
+            (9, 4.254494511770458),
+            (10, 4.543559338088346)
+),
+ideal AS (
+    SELECT n.query_id, t.idcg
+    FROM nrel n JOIN idcg_table t ON t.m = LEAST(n.n_rel, {_EVAL_K})
+)
+SELECT m.query_id,
+       round(m.dcg / i.idcg, 6) AS ndcg10,
+       round(coalesce(1.0 / m.first_rel_rank, 0.0), 6) AS mrr,
+       round(m.n_hits / {_EVAL_K}.0, 6) AS prec10
+FROM metrics m JOIN ideal i ON i.query_id = m.query_id
+ORDER BY m.query_id
+"""
+
+
+@register(
+    "sim_retrieval_eval_ndcg",
+    oracle=_EVAL_ORACLE,
+    description=(
+        "retrieval-quality evaluation harness (embedding QA): per probe, "
+        "rank the corpus by exact cosine (rounded to 6dp before ranking so "
+        "float summation order cannot flip a rank) and score the label-match "
+        "relevance of the top-10 as nDCG@10, MRR and P@10 — the metrics "
+        "every retrieval deployment tracks before swapping an embedding "
+        "model. Probe batch broadcasts; ranking is a per-query window over "
+        "the scored candidates; IDCG normalizes by min(n_relevant, k) "
+        "computed from a label-count broadcast. At scale the scored set is "
+        "the ANN shortlist instead of the full corpus — the metric stage "
+        "stays O(probes x k)"
+    ),
+    tags=("similarity", "north-star", "audit", "analytics"),
+)
+def sim_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.similarity import cosine  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = e.filter(F.col("vec_id") % 25 != 1).select(
+        F.col("vec_id").alias("neighbor_id"), "label", "embedding"
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "q_label",
+        (F.col("label") == F.col("q_label")).cast("int").alias("rel"),
+        F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        "neighbor_id",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _EVAL_K)
+    metrics = topk.groupBy("query_id").agg(
+        F.sum(F.col("rel") / F.log2(F.col("rank") + 1.0)).alias("dcg"),
+        F.sum("rel").alias("n_hits"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel_rank"),
+    )
+    nrel = (
+        q.join(c, q.q_label == c.label)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_rel"))
+    )
+    # IDCG lookup: same ascending-i double fold as the oracle's VALUES table
+    import math  # noqa: PLC0415
+
+    acc, prefix = 0.0, {}
+    for i in range(1, _EVAL_K + 1):
+        acc += 1.0 / math.log2(i + 1)
+        prefix[i] = acc
+    m = F.least(F.col("n_rel"), F.lit(_EVAL_K))
+    idcg = None
+    for i in range(1, _EVAL_K + 1):
+        branch = F.when(m == i, F.lit(prefix[i]))
+        idcg = branch if idcg is None else idcg.when(m == i, F.lit(prefix[i]))
+    ideal = nrel.select("query_id", idcg.alias("idcg"))
+    return (
+        metrics.join(ideal, "query_id")
+        .select(
+            "query_id",
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg10"),
+            F.round(F.coalesce(1.0 / F.col("first_rel_rank"), F.lit(0.0)), 6).alias("mrr"),
+            F.round(F.col("n_hits") / F.lit(float(_EVAL_K)), 6).alias("prec10"),
+        )
+        .orderBy("query_id")
+    )
