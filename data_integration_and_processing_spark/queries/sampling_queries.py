@@ -1287,3 +1287,62 @@ def sample_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup-aware train/eval split (no near-trivial duplicate straddles splits)
+# ---------------------------------------------------------------------------
+
+_DSPLIT_BUCKET = hash_bucket_sql(["grp"], 10, seed=11)
+
+
+@register(
+    "sample_split_dedup_aware",
+    oracle=f"""
+        WITH u AS (
+            SELECT doc_id AS id, text FROM documents
+            UNION ALL
+            -- case/punct variant copies, the leak vector this split closes
+            SELECT doc_id + 10000, concat(upper(text), '  !!') FROM documents
+        ),
+        n AS (
+            SELECT id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                           ' +', ' ', 'g'))) AS fp
+            FROM u
+        ),
+        g AS (SELECT id, fp, min(id) OVER (PARTITION BY fp) AS grp FROM n)
+        SELECT id, grp,
+               CASE WHEN {_DSPLIT_BUCKET} < 8 THEN 'train' ELSE 'eval' END AS split
+        FROM g ORDER BY id
+    """,
+    description=(
+        "dedup-aware 80/20 split: the split key is the duplicate-GROUP "
+        "representative (min id over the normalized-content fingerprint), "
+        "never the row id — a variant copy of a training document can "
+        "therefore never land in eval (the contamination vector row-keyed "
+        "splits leave open, and the reason serious corpora split AFTER "
+        "dedup grouping). One fingerprint window + the portable hash on "
+        "the representative; assignment stays deterministic under retries "
+        "and backfills. Both halves derive from the shared hash spec"
+    ),
+    tags=("sampling", "dedup", "north-star", "curation"),
+)
+def sample_split_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.dedup import normalize_for_dedup  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(F.col("doc_id").alias("id"), "text").unionByName(
+        d.select(
+            (F.col("doc_id") + 10000).alias("id"),
+            F.concat(F.upper("text"), F.lit("  !!")).alias("text"),
+        )
+    )
+    n = u.select("id", F.md5(normalize_for_dedup(F.col("text")).cast("binary")).alias("fp"))
+    g = n.select("id", F.min("id").over(Window.partitionBy("fp")).alias("grp"))
+    split = F.when(hash_bucket(["grp"], 10, seed=11) < 8, F.lit("train")).otherwise(
+        F.lit("eval")
+    )
+    return g.select("id", "grp", split.alias("split")).orderBy("id")

@@ -269,3 +269,25 @@ def test_bytes_dedup_ledger_arithmetic(spark, sf_dir):
         assert r["bytes_saved"] == (r["n_copies"] - 1) * r["n_bytes"]
         # keeper is the original, not the +100000 re-ingest
         assert r["keeper_doc_id"] < 100000
+
+
+# ---------------------------------------------------------------------------
+# sample_split_dedup_aware
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_aware_split_never_straddles_groups(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    out = _q("sample_split_dedup_aware")(spark, sf_dir)
+    straddle = out.groupBy("grp").agg(F.count_distinct("split").alias("ns"))
+    assert straddle.filter(F.col("ns") > 1).count() == 0
+    # every injected variant copy (id + 10000) shares its original's split
+    pairs = out.alias("a").join(
+        out.alias("b"), F.col("a.id") + 10000 == F.col("b.id")
+    )
+    assert pairs.filter(F.col("a.split") != F.col("b.split")).count() == 0
+    # rough 80/20 at the GROUP grain
+    grp = out.select("grp", "split").distinct()
+    frac = grp.filter(F.col("split") == "train").count() / grp.count()
+    assert 0.7 < frac < 0.9, frac
