@@ -213,8 +213,14 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_days"),
     )
     exact = e.groupBy("event_type").agg(F.count_distinct("user_id").alias("exact_distinct_users"))
+    # ANSI-safe: a group whose user_id is entirely NULL would have exact=0
+    # and divide-by-zero under the session's ANSI default (ADVICE r6); the
+    # fallback demands the sketch also saw nothing.
     rel_err = F.abs(F.col("raw_est") - F.col("exact_distinct_users")) / F.col(
         "exact_distinct_users"
+    )
+    within = F.when(F.col("exact_distinct_users") > 0, rel_err <= 0.05).otherwise(
+        F.col("raw_est") == 0
     )
     return (
         rolled.join(F.broadcast(exact), "event_type")
@@ -223,7 +229,7 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct_users",
             "n_events",
             "n_days",
-            (rel_err <= 0.05).alias("within_5pct"),
+            within.alias("within_5pct"),
         )
         .orderBy("event_type")
     )
@@ -1312,7 +1318,7 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.hll_sketch_estimate("sk")).alias("sum_each"),
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
         ).select(
-            "pair", (F.col("sum_each") - F.col("est_union")).alias("est_overlap")
+            "pair", "sum_each", (F.col("sum_each") - F.col("est_union")).alias("est_overlap")
         )
         exact = (
             e.filter(F.col("event_type") == a)
@@ -1323,10 +1329,15 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         row = est.join(exact, "pair")
         out = row if out is None else out.unionByName(row)
+    # Zero-overlap guard (ADVICE r6): with ANSI mode on (session default) a
+    # zero exact_overlap would fail the whole query with a divide-by-zero;
+    # fall back to an absolute bound — the HLL estimate of a truly empty
+    # intersection must stay within 10% of the two audiences' sketch mass.
     rel_err = F.abs(F.col("est_overlap") - F.col("exact_overlap")) / F.col("exact_overlap")
-    return out.select(
-        "pair", "exact_overlap", (rel_err <= 0.10).alias("within_10pct")
-    ).orderBy("pair")
+    within = F.when(F.col("exact_overlap") > 0, rel_err <= 0.10).otherwise(
+        F.abs(F.col("est_overlap")) <= 0.10 * F.col("sum_each")
+    )
+    return out.select("pair", "exact_overlap", within.alias("within_10pct")).orderBy("pair")
 
 
 @register(

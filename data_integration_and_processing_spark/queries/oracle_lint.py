@@ -96,3 +96,52 @@ def complex_frame_columns(pdf) -> list[str]:
         if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
             bad.append(c)
     return bad
+
+
+def negative_zero_frame_columns(pdf) -> list[str]:
+    """Float columns containing IEEE ``-0.0`` — the fourth replica/driver
+    canon-divergence class (VERDICT r6): DuckDB ``round()`` preserves the
+    sign bit while Spark's ``F.round`` (BigDecimal) strips it, so the
+    driver's repr-based canon renders ``-0.0`` vs ``0.0`` and hash-fails on
+    numerically identical values. Any signed zero on EITHER side is a risk
+    (the engines rarely agree on sign propagation) — normalize at the source
+    (oracle: ``round(...) + 0``; Spark: ``F.round(...) + F.lit(0.0)``)."""
+    import numpy as np
+    import pandas.api.types as pt
+
+    bad = []
+    for c in pdf.columns:
+        s = pdf[c].dropna()
+        if len(s) == 0 or not pt.is_float_dtype(s):
+            continue
+        v = s.to_numpy(dtype="float64", copy=False)
+        if bool(np.any(np.signbit(v) & (v == 0.0))):
+            bad.append(c)
+    return bad
+
+
+def negative_zero_oracle_outputs(
+    oracles: dict[str, str], sf_dir: str = _DEFAULT_SF_DIR
+) -> dict[str, list[str]]:
+    """Execute every oracle in DuckDB at a small SF and flag queries whose
+    output contains a ``-0.0`` cell. Unlike the DESCRIBE sweep this must run
+    the query (the sign bit is a value property, not a schema property), so
+    it lives in the pytest gate rather than the window pre-flight; a larger
+    SF can still surface new signed zeros — the replica's per-frame check at
+    sf0.01 covers that tier."""
+    import duckdb  # local import: keep the query path importable without it
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    bad: dict[str, list[str]] = {}
+    for name, sql in oracles.items():
+        try:
+            pdf = con.execute(sql).fetchdf()
+        except Exception:  # noqa: BLE001 — oracle errors are not this lint's job
+            continue
+        cols = negative_zero_frame_columns(pdf)
+        if cols:
+            bad[name] = cols
+    con.close()
+    return bad

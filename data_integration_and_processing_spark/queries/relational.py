@@ -383,12 +383,17 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count("*").alias("n_rows"),
     )
+    # ANSI-safe zero guard (ADVICE r6): an all-NULL partkey group would make
+    # exact_parts 0 and divide-by-zero under the session's ANSI default.
     rel_err = F.abs(F.col("raw_approx") - F.col("exact_parts")) / F.col("exact_parts")
+    within = F.when(F.col("exact_parts") > 0, rel_err <= 5 * rsd).otherwise(
+        F.col("raw_approx") == 0
+    )
     return agg.select(
         "l_returnflag",
         "exact_parts",
         "n_rows",
-        (rel_err <= 5 * rsd).alias("within_5rsd"),
+        within.alias("within_5rsd"),
     )
 
 

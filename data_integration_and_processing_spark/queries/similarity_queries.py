@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -660,18 +662,34 @@ def sim_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Recall floors per nprobe: {nprobe: (mean_floor, min_floor)}. The SINGLE
+# source for both the oracle's VALUES table and the Spark when-chain below
+# (ADVICE r6: the literals were duplicated — editing one side alone made the
+# boolean bands diverge with no authoring-time signal). Floors sit well
+# under the measured sf0.001/sf0.01 values (mean ~0.49/0.74, min 0.1/0.3
+# for nprobe 2/4); nprobe=8 probes every cell and must be exhaustive-exact
+# (>= 0.999 = 1.0 up to float round). The tighter floor stays in
+# tests/test_ann_recall.py.
+_ANN_RECALL_FLOORS: dict[int, tuple[float, float]] = {
+    2: (0.35, 0.0),
+    4: (0.60, 0.20),
+    8: (0.999, 0.999),
+}
+
+_ANN_FLOOR_VALUES = ", ".join(
+    f"({np}, {mf}, {mn})" for np, (mf, mn) in sorted(_ANN_RECALL_FLOORS.items())
+)
+
+
 @register(
     "sim_ann_recall_audit",
     # The IVF side is engine-specific (KMeans cells), so the driver-checked
     # output is the audit's VERDICT: per-nprobe recall floors as booleans
-    # (VERDICT r5 item 6). Floors sit well under the measured sf0.001/sf0.01
-    # values (mean ~0.49/0.74, min 0.1/0.3 for nprobe 2/4) except nprobe=8,
-    # which probes every cell and must be exhaustive-exact (>= 0.999 = 1.0
-    # up to float round). A routing or recall regression flips a boolean and
-    # fails the value hash; the tighter floor stays in tests/test_ann_recall.py.
-    oracle="""
+    # (VERDICT r5 item 6). A routing or recall regression flips a boolean
+    # and fails the value hash.
+    oracle=f"""
         WITH np(nprobe, mean_floor, min_floor) AS (
-            VALUES (2, 0.35, 0.0), (4, 0.60, 0.20), (8, 0.999, 0.999)
+            VALUES {_ANN_FLOOR_VALUES}
         )
         SELECT np.nprobe,
                (SELECT CAST(count(*) AS BIGINT) FROM embeddings
@@ -695,14 +713,17 @@ def sim_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve = ann_recall_curve(spark, sf_dir)
-    # floors per nprobe, mirrored in the oracle's VALUES table; 8 of 8
-    # cells probed = exhaustive, recall exactly 1.0
-    mean_floor = (
-        F.when(F.col("nprobe") == 2, 0.35).when(F.col("nprobe") == 4, 0.60).otherwise(0.999)
-    )
-    min_floor = (
-        F.when(F.col("nprobe") == 2, 0.0).when(F.col("nprobe") == 4, 0.20).otherwise(0.999)
-    )
+    # when-chains built from _ANN_RECALL_FLOORS — same source as the oracle
+    mean_floor = functools.reduce(
+        lambda acc, np: acc.when(F.col("nprobe") == np, _ANN_RECALL_FLOORS[np][0]),
+        sorted(_ANN_RECALL_FLOORS),
+        F.when(F.lit(False), 0.0),
+    ).otherwise(None)
+    min_floor = functools.reduce(
+        lambda acc, np: acc.when(F.col("nprobe") == np, _ANN_RECALL_FLOORS[np][1]),
+        sorted(_ANN_RECALL_FLOORS),
+        F.when(F.lit(False), 0.0),
+    ).otherwise(None)
     return curve.select(
         "nprobe",
         "n_queries",

@@ -466,13 +466,18 @@ def stream_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = e.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_distinct_users")
     )
+    # ANSI-safe zero guard (ADVICE r6): all-NULL user_id in a type would make
+    # the denominator 0 and fail the query under ANSI; fall back to exactness.
     rel_err = (
         F.abs(F.col("est_distinct_users") - F.col("exact_distinct_users"))
         / F.col("exact_distinct_users")
     )
+    within = F.when(F.col("exact_distinct_users") > 0, rel_err <= 0.02).otherwise(
+        F.col("est_distinct_users") == 0
+    )
     return (
         est.join(exact, "event_type")
-        .select("event_type", "exact_distinct_users", (rel_err <= 0.02).alias("within_2pct"))
+        .select("event_type", "exact_distinct_users", within.alias("within_2pct"))
         .orderBy("event_type")
     )
 
@@ -532,13 +537,14 @@ def stream_jdbc_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_integration_and_processing_spark.streaming.pipelines import (  # noqa: PLC0415
+        CMS_WIDTH,
         run_streaming_countmin_heavy_hitters,
     )
 
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     top = run_streaming_countmin_heavy_hitters(spark, e, k=10)
     exact = e.groupBy("user_id").agg(F.count("*").alias("true_count"))
-    eps_n = (2.718281828 / 2048.0) * e.count()  # eps = e/width, width=2048
+    eps_n = (2.718281828 / CMS_WIDTH) * e.count()  # eps = e/width, same width the pipeline built
     t10 = (
         exact.orderBy(F.desc("true_count"), F.asc("user_id"))
         .limit(10)

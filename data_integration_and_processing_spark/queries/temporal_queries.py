@@ -249,8 +249,8 @@ l AS (
 )
 SELECT user_id, event_id,
        us - prev_us AS gap_us,
-       round(v - prev_v, 6) AS delta_value,
-       round((v - prev_v) / CAST(us - prev_us AS DOUBLE) * 1000000.0, 6) AS rate_per_sec
+       round(v - prev_v, 6) + 0 AS delta_value,
+       round((v - prev_v) / CAST(us - prev_us AS DOUBLE) * 1000000.0, 6) + 0 AS rate_per_sec
 FROM l WHERE prev_us IS NOT NULL
 ORDER BY user_id, event_id
 """

@@ -1179,13 +1179,21 @@ def run_streaming_jdbc_upsert(
     return read_jdbc(spark, url, table)
 
 
+# Default CMS geometry — the SINGLE source for the pipeline defaults AND the
+# eps band in stream_countmin_heavy_hitters' guarantee booleans (ADVICE r6:
+# the 2048 literal was duplicated there; editing either side alone silently
+# diverged the checked band from the sketch actually built).
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+
 def run_streaming_countmin_heavy_hitters(
     spark: SparkSession,
     events: DataFrame,
     scratch_dir: str | None = None,
     k: int = 10,
-    depth: int = 4,
-    width: int = 2048,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
 ) -> DataFrame:
     """Streaming heavy hitters in bounded state: per micro-batch, (a) fold
     the batch into a Count-Min counter table and MERGE it into the state

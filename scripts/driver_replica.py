@@ -117,7 +117,10 @@ def main() -> int:
 
     import duckdb
     import __spark_entry__ as mod
-    from data_integration_and_processing_spark.queries.oracle_lint import complex_frame_columns
+    from data_integration_and_processing_spark.queries.oracle_lint import (
+        complex_frame_columns,
+        negative_zero_frame_columns,
+    )
     from data_integration_and_processing_spark.session import get_spark
 
     spark = get_spark(app_name="driver-replica")
@@ -165,8 +168,20 @@ def main() -> int:
         complex_bad = complex_frame_columns(spdf) + [
             f"oracle:{c}" for c in complex_frame_columns(opdf)
         ]
+        # Signed-zero guard (r6's red row): the driver's repr canon renders
+        # -0.0 vs 0.0 as different values; this replica's norm() normalizes
+        # zero, so it would stay green where the driver goes red. Flag the
+        # class BEFORE the canon erases it — a -0.0 cell on either side is a
+        # MISMATCH here even when the hashes agree.
+        negzero_bad = [f"spark:{c}" for c in negative_zero_frame_columns(spdf)] + [
+            f"oracle:{c}" for c in negative_zero_frame_columns(opdf)
+        ]
         ok_hash = ok_rows and ok_cols and value_hash(spdf) == value_hash(opdf)
-        status = "MATCH" if (ok_rows and ok_cols and ok_hash and not dtype_bad and not complex_bad) else "MISMATCH"
+        status = (
+            "MATCH"
+            if (ok_rows and ok_cols and ok_hash and not dtype_bad and not complex_bad and not negzero_bad)
+            else "MISMATCH"
+        )
         rec = {"query": name, "status": status, "rows": len(spdf), "sec": round(time.time() - t0, 2)}
         if status == "MISMATCH":
             rec.update({"ok_rows": ok_rows, "ok_cols": ok_cols, "oracle_rows": len(opdf),
@@ -175,6 +190,8 @@ def main() -> int:
                 rec["dtype_parity"] = dtype_bad
             if complex_bad:
                 rec["complex_output"] = complex_bad
+            if negzero_bad:
+                rec["negative_zero"] = negzero_bad
             if args.values and ok_cols and not ok_hash:
                 rec["row_diff"] = row_diff(spdf, opdf)
             n_fail += 1

@@ -18,6 +18,8 @@ from data_integration_and_processing_spark.queries import catalog
 from data_integration_and_processing_spark.queries.oracle_lint import (
     complex_oracle_outputs,
     is_complex_type,
+    negative_zero_frame_columns,
+    negative_zero_oracle_outputs,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_LINT_SF_DIR", "/root/testdata/sf0.001")
@@ -46,6 +48,42 @@ def test_is_complex_type_markers():
     assert not is_complex_type("BIGINT")
     assert not is_complex_type("DOUBLE")
     assert not is_complex_type("TIMESTAMP")
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_no_negative_zero_in_any_oracle_output():
+    """Fourth canon-divergence class (VERDICT r6): DuckDB round() keeps the
+    IEEE sign bit, Spark F.round strips it, and the driver's repr canon
+    renders -0.0 vs 0.0 differently. Execute every oracle at sf0.001 and
+    reject any signed-zero cell — normalize with `round(...) + 0`."""
+    catalog._load()
+    oracles = {s.name: s.oracle for s in catalog._REGISTRY.values() if s.oracle is not None}
+    bad = negative_zero_oracle_outputs(oracles, SF_DIR)
+    assert bad == {}, (
+        "oracles emitting IEEE -0.0 (driver canon renders it differently "
+        f"from Spark's +0.0 — add `+ 0` to the round()/arithmetic): {bad}"
+    )
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_negative_zero_sweep_flags_a_probe():
+    # the DOUBLE path is the one that keeps the sign bit (DECIMAL round
+    # normalizes it) — exactly the r6 temporal_event_deltas shape
+    bad = negative_zero_oracle_outputs(
+        {
+            "probe": "SELECT round(CAST(-0.0000001 AS DOUBLE), 3) AS z",
+            "clean": "SELECT round(CAST(-0.0000001 AS DOUBLE), 3) + 0 AS z",
+        },
+        SF_DIR,
+    )
+    assert bad == {"probe": ["z"]}
+
+
+def test_negative_zero_frame_columns_detects_sign_bit():
+    import pandas as pd
+
+    pdf = pd.DataFrame({"a": [0.0, 1.5], "b": [-0.0, 2.0], "c": [1, 2], "d": ["x", "y"]})
+    assert negative_zero_frame_columns(pdf) == ["b"]
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
