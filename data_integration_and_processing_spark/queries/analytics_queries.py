@@ -585,11 +585,57 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
 # ---------------------------------------------------------------------------
 
 
+def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank in SQL (the k-center-oracle trick:
+    a fixed iteration count needs no recursion — chain one GROUP BY CTE per
+    power iteration). The co-purchase graph is symmetrized, so every vertex
+    has out-edges and the dangling-mass term is identically zero; with the
+    mass-|V| convention (r0 = 1.0) each step is exactly
+    ``r' = (1-d) + d * sum(r(u)/deg(u), u->v)``, matching
+    operators/graph.py:pagerank line for line. Cross-engine float-sum order
+    differs, but ten iterations keep the accumulated drift ~1e-13 — far
+    inside the 6dp output rounding."""
+    head = f"""WITH pairs AS (
+    SELECT DISTINCT o_custkey * 2 AS cust_v, l_partkey * 2 + 1 AS part_v
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS MATERIALIZED (
+    SELECT cust_v AS src, part_v AS dst FROM pairs
+    UNION ALL
+    SELECT part_v, cust_v FROM pairs
+),
+deg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+r0 AS (SELECT id, 1.0 AS rank FROM deg)"""
+    steps = [
+        f"""r{i + 1} AS MATERIALIZED (
+    SELECT e.dst AS id, {1.0 - damping} + {damping} * sum(r.rank / dg.d) AS rank
+    FROM edges e JOIN r{i} r ON r.id = e.src JOIN deg dg ON dg.id = e.src
+    GROUP BY e.dst
+)"""
+        for i in range(n_iter)
+    ]
+    return (
+        head
+        + ",\n"
+        + ",\n".join(steps)
+        + f"""
+SELECT id,
+       CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS vertex_type,
+       CAST(floor(id / 2.0) AS BIGINT) AS entity_key,
+       round(rank, 6) AS rank
+FROM r{n_iter}
+ORDER BY round(rank, 6) DESC, id ASC
+LIMIT 25"""
+    )
+
+
 @register(
     "graph_pagerank",
-    oracle=None,  # fixed-iteration power method; no SQL analogue (recursive
-    # CTEs can't aggregate per level) — mass conservation, determinism, and
-    # degree-rank correlation pinned in tests/test_graph.py
+    # Unrolled power method (10 chained GROUP-BY CTEs — no recursion
+    # needed for a FIXED iteration count, same trick as the k-center
+    # oracle); mass conservation, determinism, and degree-rank correlation
+    # additionally pinned in tests/test_graph.py
+    oracle=_pagerank_oracle(n_iter=10, damping=0.85),
     description=(
         "PageRank over the customer<->part co-purchase graph (orders x lineitem "
         "edges, symmetrized): 10 fixed power iterations, each ONE shuffle of "

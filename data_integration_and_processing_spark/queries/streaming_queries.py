@@ -106,7 +106,22 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_true_streaming_pipeline",
-    oracle=None,  # readStream/watermark/foreachBatch — engine-specific execution, rows-only
+    # Batch twin of append-mode watermark semantics: a bounded availableNow
+    # replay emits exactly the windows the final watermark (max event time
+    # minus the 15-minute delay) has CLOSED — the last, still-open windows
+    # stay in state and never reach the sink. That cutoff is pure SQL:
+    # window_end <= max(ts) - 15min. An emission bug (dropped window, early
+    # flush of an open window, wrong watermark arithmetic) breaks the hash.
+    oracle="""
+        WITH m AS (SELECT max(ts) AS mx FROM events)
+        SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_epoch,
+               event_type,
+               count(*) AS n_events
+        FROM events, m
+        WHERE floor(epoch(ts) / 600) * 600 + 600 <= epoch(mx) - 900
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     description="true Structured Streaming: readStream + watermark + foreachBatch sink (availableNow)",
     tags=("streaming",),
 )
