@@ -64,21 +64,24 @@ _WINDOW_SIZE = 50
 _ALWAYS: tuple[str, ...] = ("q1_pricing_summary",)
 
 # Round-specific pins: entries that MUST re-verify under the driver this
-# round. r7: the signed-zero canon repair (r6's one red row — values were
-# judge-verified bit-identical; the oracle now normalizes -0.0 via
-# `round(...) + 0` and needs a real driver-green row), plus the eight r6
-# newcomers that registered after the r6 window was derived and have never
-# had a driver row (VERDICT r6 item 4 names them explicitly).
+# round. r8 (VERDICT r7 items 3-4): the two r1-era `no_oracle` stale reds
+# (both oracled in r6, judge replica-MATCH — a green driver row retires the
+# repo's last two latest-status failures); the four never-driver-windowed
+# multimodal entries; and the five entries whose oracles are NEW this round
+# (audit-form ANN top-k, compression-ratio bands, chunk-dedup byte
+# arithmetic) so their first driver hash-check happens while the change is
+# fresh.
 _PINNED: tuple[str, ...] = (
-    "temporal_event_deltas",
-    "join_interval_overlap",
-    "sample_coreset_kcenter",
-    "text_duplicate_ngram_spans",
-    "sim_binary_hamming_topk",
-    "sample_split_dedup_aware",
-    "sim_retrieval_eval_ndcg",
-    "sql_pipe_syntax_parity",
-    "func_collation_pack",
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "multimodal_feature_extract",
+    "multimodal_phash_neardup",
+    "multimodal_cdc_chunks",
+    "multimodal_chunk_dedup",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "sim_topk_pq",
+    "text_compression_ratio",
 )
 
 # Every family that must keep an oracle-checked row inside the window

@@ -42,7 +42,20 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_feature_extract",
-    oracle=None,  # mapInPandas feature extraction (stubbed decoder) — rows-only
+    # The stub extractor is deterministic byte arithmetic, so it has an
+    # exact SQL twin: fixture payloads are pure ASCII (the frame-sample
+    # oracle's checked premise), making per-char ascii() == per-byte value —
+    # byte sum, distinct-byte ratio and length all reproduce in DuckDB.
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+                    % 1000000007 AS BIGINT) AS checksum,
+               len(list_distinct(string_split(text, ''))) / 256.0 AS head_entropy_proxy,
+               'stub:byte-stats' AS decoder
+        FROM documents
+        ORDER BY doc_id
+    """,
     description="Arrow-batched mapInPandas feature extraction over binary payloads (decoder stubbed)",
     tags=("multimodal", "north-star", "pandas-udf"),
 )
@@ -156,15 +169,37 @@ def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_chunk_dedup",
-    oracle=None,  # composition over gear-hash chunks (no SQL twin); the
-    # chunk operator's invariants live in tests/test_cdc_chunking.py and the
-    # dedup ratio asserted here is structural (copies share all their chunks)
+    # Gear-hash chunk boundaries have no SQL twin, but the AUDIT's byte
+    # arithmetic is deterministic (VERDICT r7 item 4): logical/copied bytes
+    # are exact SQL sums over the constructed corpus, and the chunk-store
+    # guarantees — chunks reassemble every logical byte; dedup reclaims at
+    # least every byte-identical copy (a copy shares ALL its chunks) — ride
+    # as booleans that the value hash flips on regression. Boundary-level
+    # invariants (determinism, shift resilience) stay in
+    # tests/test_cdc_chunking.py.
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS logical_bytes,
+               CAST(sum(CASE WHEN doc_id >= 100000
+                             THEN octet_length(encode(text)) ELSE 0 END) AS BIGINT)
+                   AS copied_bytes,
+               true AS chunks_cover_bytes,
+               true AS dedup_recovers_copies
+        FROM corpus
+    """,
     description=(
         "chunk-level media dedup composition: payloads (plus byte-identical "
         "copies) -> Gear CDC chunks -> exact dedup on chunk_md5 -> per-corpus "
-        "storage audit (logical vs deduped bytes). The raise_error guard pins the "
-        "structural fact that an exact copy contributes zero unique chunks — the "
-        "chunk-store dedup model (restic/borg/casync) on a DataFrame engine"
+        "storage audit (logical vs deduped bytes). Driver-checked in audit "
+        "form: exact corpus byte arithmetic plus the structural guarantees "
+        "that chunks cover every logical byte and dedup reclaims at least the "
+        "duplicated-copy bytes — the chunk-store dedup model "
+        "(restic/borg/casync) on a DataFrame engine"
     ),
     tags=("multimodal", "north-star", "dedup", "pandas-udf"),
 )
@@ -174,39 +209,41 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    u = d.unionByName(
-        d.filter(F.col("doc_id") % 3 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"), "text"
-        )
+    copies = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
+    u = d.unionByName(copies)
     m = attach_binary_payload(u)
     chunks = cdc_chunk_payloads(m)
     audit = chunks.agg(
-        F.count("*").alias("n_chunks"),
-        F.sum("length").alias("logical_bytes"),
+        F.sum("length").cast("bigint").alias("chunk_bytes"),
         F.count_distinct("chunk_md5").alias("n_unique_chunks"),
     )
     unique_bytes = (
         chunks.groupBy("chunk_md5").agg(F.first("length").alias("length")).agg(
-            F.sum("length").alias("deduped_bytes")
+            F.sum("length").cast("bigint").alias("deduped_bytes")
         )
     )
-    out = audit.crossJoin(unique_bytes).select(
-        "n_chunks",
-        "n_unique_chunks",
-        "logical_bytes",
-        "deduped_bytes",
-        F.round(F.lit(1.0) - F.col("deduped_bytes") / F.col("logical_bytes"), 6).alias(
-            "savings_ratio"
-        ),
+    exact = u.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("text")).cast("bigint").alias("logical_bytes"),
+        F.sum(
+            F.when(F.col("doc_id") >= 100000, F.octet_length("text")).otherwise(0)
+        ).cast("bigint").alias("copied_bytes"),
     )
-    # structural guarantee: 1/4 of logical bytes are byte-identical copies,
-    # so dedup must recover at least ~20% (copies share ALL their chunks)
-    checked = F.when(F.col("savings_ratio") >= 0.2, F.col("savings_ratio")).otherwise(
-        F.raise_error(F.lit("chunk dedup failed to recover the duplicated payload bytes"))
-    )
-    return out.select(
-        "n_chunks", "n_unique_chunks", "logical_bytes", "deduped_bytes", checked.alias("savings_ratio")
+    # three 1-row aggregates joined on nothing: broadcast-safe by construction
+    return (
+        audit.crossJoin(F.broadcast(unique_bytes))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_docs",
+            "logical_bytes",
+            "copied_bytes",
+            (F.col("chunk_bytes") == F.col("logical_bytes")).alias("chunks_cover_bytes"),
+            (F.col("deduped_bytes") <= F.col("logical_bytes") - F.col("copied_bytes")).alias(
+                "dedup_recovers_copies"
+            ),
+        )
     )
 
 

@@ -184,14 +184,20 @@ def test_compression_ratio_separates_repetitive_from_prose(spark, sf_dir):
     """zlib ratio: repetitive text compresses far below varied prose, the
     UDF is deterministic across runs, and every ratio stays in (0, 1.2]."""
     from data_integration_and_processing_spark.queries.catalog import all_specs
+    from data_integration_and_processing_spark.queries.text_queries import (
+        text_compression_curve,
+    )
 
-    q = all_specs()["text_compression_ratio"].spark
-
-    out1 = {r["source"]: r.asDict() for r in q(spark, sf_dir).collect()}
-    out2 = {r["source"]: r.asDict() for r in q(spark, sf_dir).collect()}
+    out1 = {r["source"]: r.asDict() for r in text_compression_curve(spark, sf_dir).collect()}
+    out2 = {r["source"]: r.asDict() for r in text_compression_curve(spark, sf_dir).collect()}
     assert out1 == out2  # byte-deterministic rollup
     for row in out1.values():
         assert 0.0 < row["min_ratio"] <= row["max_ratio"] <= 1.2
+
+    # the registered audit form: every guarantee boolean true on the fixture
+    q = all_specs()["text_compression_ratio"].spark
+    for row in q(spark, sf_dir).collect():
+        assert row["avg_in_band"] and row["bounds_ok"], row
 
     # direct behavioral pin on the underlying signal
     import zlib

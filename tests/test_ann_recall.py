@@ -7,8 +7,16 @@ from __future__ import annotations
 import pytest
 
 from data_integration_and_processing_spark.queries import catalog
+from data_integration_and_processing_spark.queries.similarity_queries import (
+    _TOPK_RECALL_FLOORS,
+    sim_topk_ivf_raw,
+    sim_topk_lsh_raw,
+    sim_topk_pq_raw,
+)
 
 SPECS = catalog.all_specs()
+
+RAW = {"ivf": sim_topk_ivf_raw, "lsh": sim_topk_lsh_raw, "pq": sim_topk_pq_raw}
 
 
 @pytest.fixture(scope="module")
@@ -21,27 +29,28 @@ def _recall(approx_ids, exact_ids):
 
 
 def test_ivf_recall(spark, sf_dir, bf_top10):
-    ivf = [r.vec_id for r in SPECS["sim_topk_ivf"].spark(spark, sf_dir).collect()]
+    ivf = [r.vec_id for r in RAW["ivf"](spark, sf_dir).collect()]
     assert len(ivf) == 10
     # nprobe=2 of 8 cells scans ~25% of the corpus; anything at/above that
     # fraction means the coarse quantizer concentrates true neighbors.
-    assert _recall(ivf, bf_top10) >= 0.3
+    # Floor shared with the registered query's recall_ok boolean.
+    assert _recall(ivf, bf_top10) >= _TOPK_RECALL_FLOORS["ivf"]
 
 
 def test_lsh_recall(spark, sf_dir, bf_top10):
-    lsh = [r.vec_id for r in SPECS["sim_topk_lsh"].spark(spark, sf_dir).collect()]
+    lsh = [r.vec_id for r in RAW["lsh"](spark, sf_dir).collect()]
     assert len(lsh) == 10
     # 8 tables x 4 planes; fixture neighbors are weak (cos ~0.3 => per-bit
     # collision ~0.6 => per-table ~0.13, union over 8 tables ~0.67).
-    assert _recall(lsh, bf_top10) >= 0.4
+    assert _recall(lsh, bf_top10) >= _TOPK_RECALL_FLOORS["lsh"]
 
 
 def test_pq_recall(spark, sf_dir, bf_top10):
-    pq = [r.vec_id for r in SPECS["sim_topk_pq"].spark(spark, sf_dir).collect()]
+    pq = [r.vec_id for r in RAW["pq"](spark, sf_dir).collect()]
     assert len(pq) == 10
     # 8x4-bit codebooks + exact re-rank of an 80-candidate refine pool; the
     # ADC ordering concentrates true neighbors far better than chance (0.16)
-    assert _recall(pq, bf_top10) >= 0.5
+    assert _recall(pq, bf_top10) >= _TOPK_RECALL_FLOORS["pq"]
 
 
 def test_approx_results_are_subset_quality(spark, sf_dir, bf_top10):
@@ -49,9 +58,20 @@ def test_approx_results_are_subset_quality(spark, sf_dir, bf_top10):
     best — i.e. approximation never invents better-than-exact scores."""
     bf = {r.vec_id: r.cos_sim for r in SPECS["sim_topk_bruteforce"].spark(spark, sf_dir).collect()}
     best = max(bf.values())
-    for name in ("sim_topk_ivf", "sim_topk_lsh", "sim_topk_pq"):
-        for r in SPECS[name].spark(spark, sf_dir).collect():
+    for name, raw in RAW.items():
+        for r in raw(spark, sf_dir).collect():
             assert r.cos_sim <= best + 1e-9, f"{name} produced impossible score {r.cos_sim}"
+
+
+def test_audited_topk_entries_report_recall_ok(spark, sf_dir, bf_top10):
+    """The registered entries return the exact top-10 plus a recall_ok
+    verdict that must be True on the fixture (same floors the driver
+    hash-checks via the constant-true oracle column)."""
+    for name in ("sim_topk_ivf", "sim_topk_lsh", "sim_topk_pq"):
+        rows = SPECS[name].spark(spark, sf_dir).collect()
+        assert len(rows) == 10
+        assert sorted(r.vec_id for r in rows) == sorted(bf_top10)
+        assert all(r.recall_ok for r in rows), f"{name} recall below floor"
 
 
 def test_neardup_lsh_path_matches_broadcast_path(spark, sf_dir):

@@ -76,10 +76,17 @@ def test_window_rotates_toward_stale_entries():
 
 
 def test_first_50_are_all_oracle_checked():
+    """Window slots should buy hash checks. Exception (VERDICT r7 item 3):
+    an explicitly _PINNED rows-only entry may spend a slot on its weaker
+    rows-only driver row — that is the only driver signal a genuinely
+    non-SQL-expressible operator can ever get — but at most 2 slots, and
+    never via the mechanical fill."""
     specs = catalog.all_specs()
     window = list(specs.values())[:50]
     missing = [s.name for s in window if s.oracle is None]
-    assert not missing, f"rows-only queries inside the hard-signal window: {missing}"
+    unpinned = [n for n in missing if n not in catalog._PINNED]
+    assert not unpinned, f"unpinned rows-only queries inside the hard-signal window: {unpinned}"
+    assert len(missing) <= 2, f"too many rows-only pins spending window slots: {missing}"
 
 
 def test_first_50_cover_every_family():
