@@ -86,6 +86,9 @@ HEADLINE = [
     "text_duplicate_ngram_spans",
     "join_interval_overlap",
     "sample_coreset_kcenter",
+    # r8 additions (no prior baseline; the regression gate skips unknown keys)
+    "dedup_ngram_jaccard_auto",
+    "sim_topk_ivf",
 ]
 
 
@@ -96,15 +99,27 @@ REGRESSION_RATIO = 1.3
 REGRESSION_FLOOR_SEC = 0.3
 
 
-def _baseline_queries() -> tuple[str, dict[str, float], dict[str, float]]:
-    """(name, per-query timings, canary) from the newest PARSEABLE
-    BENCH_r{N}.json, if any.
+DETAIL_FILE = "BENCH_DETAIL.json"
 
-    A failed round leaves an artifact with ``"parsed": null``; fall back past
-    it to the newest round that actually recorded timings so the regression
-    gate never silently disappears.
+
+def _baseline_queries() -> tuple[str, dict[str, float], dict[str, float]]:
+    """(name, per-query timings, canary) for the regression gate.
+
+    Preferred source: the repo's own BENCH_DETAIL.json (written by the
+    previous bench run and committed — VERDICT r7 item 2: the driver's
+    ~2000-char stdout tail capture truncated the old fat JSON line two
+    rounds running, leaving BENCH_r6/r7 with ``"parsed": null`` and the
+    gate silently pinned to the r5 baseline). Fallback: the newest
+    driver-recorded BENCH_r{N}.json that actually parsed.
     """
     here = os.path.dirname(os.path.abspath(__file__))
+    detail = os.path.join(here, DETAIL_FILE)
+    try:
+        with open(detail) as f:
+            doc = json.load(f)
+        return DETAIL_FILE, dict(doc["queries"]), dict(doc.get("canary") or {})
+    except Exception:  # noqa: BLE001 — absent/malformed detail falls through to driver artifacts
+        pass
     rounds: list[tuple[int, str]] = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -372,6 +387,56 @@ def _ann_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:
     return {"sec": round(time.time() - t0, 3), "pairs": pairs, "vectors": 10 * e.count()}
 
 
+def _pagerank_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:
+    """Standing pagerank-shaped probe (VERDICT r7 item 6): graph_pagerank is
+    the census peak (68 shuffles / 42 broadcasts across 10 fixed power
+    iterations), so iteration-lineage blowup — the classic iterative-DataFrame
+    failure mode that localCheckpoint exists to prevent — would surface here
+    first. The co-purchase edge set is replicated 10x into disjoint vertex-id
+    spaces: same degree structure, 10x the per-iteration (id, double) shuffle
+    volume, identical iteration count."""
+    import functools as _ft  # noqa: PLC0415
+
+    from pyspark.sql import DataFrame  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.graph import pagerank  # noqa: PLC0415
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_v"),
+            (F.col("l_partkey") * 2 + 1).alias("part_v"),
+        )
+        .distinct()
+    )
+    base = pairs.select(F.col("cust_v").alias("src"), F.col("part_v").alias("dst")).unionByName(
+        pairs.select(F.col("part_v").alias("src"), F.col("cust_v").alias("dst"))
+    )
+    offset = 100_000_000
+    edges = _ft.reduce(
+        DataFrame.unionByName,
+        [
+            base.select(
+                (F.col("src") + F.lit(i * offset)).alias("src"),
+                (F.col("dst") + F.lit(i * offset)).alias("dst"),
+            )
+            for i in range(10)
+        ],
+    )
+    n_iter = 10
+    t0 = time.time()
+    n_vertices = pagerank(edges, damping=0.85, n_iter=n_iter).count()
+    return {
+        "sec": round(time.time() - t0, 3),
+        "iterations": n_iter,
+        "vertices": n_vertices,
+        "edges": 10 * base.count(),
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -436,6 +501,9 @@ def main() -> int:
     interval_probe = _interval_scale_probe(spark, sf_dir)
     print(f"# interval_scale_probe_60k: {interval_probe}", file=sys.stderr)
 
+    pagerank_probe = _pagerank_scale_probe(spark, sf_dir)
+    print(f"# pagerank_scale_probe_10x: {pagerank_probe}", file=sys.stderr)
+
     baseline_name, baseline, base_canary = _baseline_queries()
     # Host drift this round = how much the code-frozen canary pair moved vs
     # the previous round's recording; the regression threshold widens (or
@@ -472,7 +540,12 @@ def main() -> int:
                   f"{sec / (base * drift):.2f}x drift-adjusted)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # Full payload -> BENCH_DETAIL.json (repo-committed; next run's baseline).
+    # stdout gets ONLY the driver-contract line — the driver captures a
+    # ~2000-char stdout tail, and the old fat line outgrew it (r6/r7 both
+    # recorded "parsed": null), so everything else moves to the detail file
+    # and stderr.
+    detail = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
@@ -489,9 +562,24 @@ def main() -> int:
         "jaccard_prefix_probe_50k": jaccard_probe,
         "ann_scale_probe_20k": ann_probe,
         "interval_scale_probe_60k": interval_probe,
+        "pagerank_scale_probe_10x": pagerank_probe,
         "baseline": baseline_name,
         "regressions": regressions,
-    }))
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, DETAIL_FILE), "w") as f:
+        json.dump(detail, f, indent=1)
+        f.write("\n")
+    print(f"# full detail (probes, canary, regressions) -> {DETAIL_FILE}", file=sys.stderr)
+    # compact per-query seconds (2 decimals) keep the line inside the
+    # driver's capture window; full 3-decimal timings live in the detail file
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(s, 2) for n, s in timings.items()},
+        "sf": sf,
+    }, separators=(",", ":")))
     spark.stop()
     return 0
 

@@ -41,11 +41,41 @@ def pagerank(
     V vertices and E edges each round moves O(E) (id, double) pairs — the
     Pregel shape; iteration count is fixed (deterministic), not
     convergence-tested, so two runs are bit-identical.
+
+    Superstep caching + edge co-partitioning (found by the r8 10x-edges
+    bench probe): each round consumes the previous ``ranks`` TWICE
+    (dangling aggregate + contribution join), so without a per-round
+    persist the lineage between checkpoints re-evaluates ~2^k chains — and
+    ``e``, consumed every round, re-ran the caller's whole edge
+    construction each time (the probe's 10-way union arrived as 640 input
+    partitions, so every round also paid 640-task stages). Now: ``e`` is
+    shuffled ONCE onto the join key (``src``) with exactly
+    ``spark.sql.shuffle.partitions`` partitions and persisted — every
+    round's contribution join reuses that partitioning, so only the O(V)
+    rank pairs shuffle per iteration, never the O(E) edges — and each
+    round's ranks are lazily persisted (the within-job cache makes the
+    double consumption compute once). The every-``checkpoint_every`` eager
+    localCheckpoint stays the only materialization point; caches
+    accumulated since the previous checkpoint are released there (the
+    GraphX/Pregel superstep-cache discipline).
     """
     src, dst = F.col(src_col), F.col(dst_col)
-    e = edges.select(src.alias("src"), dst.alias("dst"))
-    # vertices and out_deg are loop-invariant: persist once so the n_iter
-    # rounds don't re-scan the raw edge lineage every iteration
+    # one edge shuffle for the whole run: hash-partition on src with the
+    # exact shuffle partition count so the per-iteration join reuses it
+    # (repartition without an explicit count is AQE-coalescible, which
+    # would break the partitioning match)
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # sortWithinPartitions: the cached relation advertises (partitioning,
+    # ordering) on src, so the per-iteration contribution join neither
+    # re-shuffles NOR re-sorts the O(E) side — without it, sort-merge
+    # re-sorted the full cached edge set every round (the dominant cost the
+    # probe measured)
+    e = (
+        edges.select(src.alias("src"), dst.alias("dst"))
+        .repartition(n_part, F.col("src"))
+        .sortWithinPartitions("src")
+        .persist()
+    )
     vertices = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -56,6 +86,7 @@ def pagerank(
     out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_degree")).persist()
     ranks = vertices.select("id", F.lit(1.0).alias("rank"))
 
+    cached: list[DataFrame] = []
     for i in range(n_iter):
         with_deg = ranks.join(out_deg, "id", "left")
         # dangling mass: vertices with no out-edges spread their rank evenly
@@ -83,10 +114,24 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-        )
+        ).persist()
+        cached.append(ranks)
         if (i + 1) % checkpoint_every == 0:
-            # materialize + truncate lineage: constant-size plan per round
+            # materialize + truncate lineage: constant-size plan per round;
+            # everything cached since the last checkpoint is now dead
             ranks = ranks.localCheckpoint(eager=True)
+            for df_ in cached:
+                df_.unpersist()
+            cached = []
+    if cached:
+        # hand the caller a checkpoint-backed frame and release the caches:
+        # callers compose ranks into larger plans and never unpersist
+        ranks = ranks.localCheckpoint(eager=True)
+        for df_ in cached:
+            df_.unpersist()
+    e.unpersist()
+    vertices.unpersist()
+    out_deg.unpersist()
     return ranks
 
 

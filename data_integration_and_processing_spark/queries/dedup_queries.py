@@ -407,6 +407,56 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs_prefix(u, text_col="text", id_col="id", n=3, threshold=0.5)
 
 
+@register(
+    "dedup_ngram_jaccard_auto",
+    # IDENTICAL oracle again: whichever plan the router picks, the result
+    # set is the same (prefix filtering is lossless at equal threshold), so
+    # the value hash proves route-independence end to end.
+    oracle=f"""
+        WITH u AS ({_MUTATED_SQL}),
+        sh AS (
+            SELECT id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> concat_ws(' ', string_split(text, ' ')[i],
+                                           string_split(text, ' ')[i+1],
+                                           string_split(text, ' ')[i+2])))) AS s
+            FROM u WHERE len(string_split(text, ' ')) >= 3
+        ),
+        sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        pair_inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT id_a, id_b, inter,
+               CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        FROM pair_inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    """,
+    description=(
+        "statistics-routed Jaccard join (the auto form of the plain/prefix "
+        "pair): a planner pre-pass samples ~4k docs deterministically, "
+        "measures shingle document-frequency concentration, and routes to "
+        "the PPJoin prefix plan when the hottest shingle covers >= 2% of "
+        "sampled docs (the measured crossover — boilerplate-heavy corpora) "
+        "or the cheaper plain inverted-index plan otherwise (uniform "
+        "corpora, where the filter's ~2 extra shuffles buy nothing). "
+        "Misrouting can only cost time, never pairs"
+    ),
+    tags=("dedup", "north-star", "scale"),
+)
+def dedup_ngram_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.dedup import (  # noqa: PLC0415
+        ngram_jaccard_pairs_auto,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    u = _with_mutated_copies(d)
+    return ngram_jaccard_pairs_auto(u, text_col="text", id_col="id", n=3, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # quality-aware survivor selection (argmax per near-dup cluster)
 # ---------------------------------------------------------------------------

@@ -377,3 +377,46 @@ def test_line_dedup_invariants(spark):
     all_kept = " || ".join(out[d]["cleaned_text"] for d in sorted(out) if out[d]["cleaned_text"])
     for line in L.values():
         assert all_kept.count(line) == 1
+
+
+def test_jaccard_auto_router_routes_and_is_lossless(spark):
+    """The statistics-routed Jaccard join: a uniform corpus (no shared
+    shingles) routes to the plain plan, a boilerplate-heavy corpus (one
+    sentence shared by 20% of docs) routes to the prefix plan, and BOTH
+    routes return the identical pair set as the unrouted plain operator —
+    the router can cost time, never pairs."""
+    from pyspark.sql import functions as F
+
+    from data_integration_and_processing_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_auto,
+    )
+
+    # 200 docs of 12 globally-unique words each: every shingle has df=1
+    uniform = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"w{j}_"), F.col("id")) for j in range(12)]
+        ).alias("text"),
+    )
+    dec = {}
+    out_u = ngram_jaccard_pairs_auto(uniform, threshold=0.5, decision_handle=dec)
+    assert dec["route"] == "plain", dec
+    assert out_u.count() == 0  # nothing shares a shingle
+
+    boiler = uniform.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws(
+                " ", F.col("text"),
+                F.lit("this site uses cookies accept terms privacy policy"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    dec2 = {}
+    out_b = ngram_jaccard_pairs_auto(boiler, threshold=0.1, decision_handle=dec2)
+    assert dec2["route"] == "prefix", dec2
+    got = sorted(map(tuple, out_b.collect()))
+    want = sorted(map(tuple, ngram_jaccard_pairs(boiler, threshold=0.1).collect()))
+    assert got == want and len(got) > 0
