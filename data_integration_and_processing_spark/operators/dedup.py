@@ -617,10 +617,18 @@ def connected_components(
             if routed is not pairs:
                 routed.unpersist()
     pairs = routed
+    # one edge shuffle for the whole fixpoint (same discipline as
+    # operators/graph.py::pagerank, found by the r8 pagerank probe): the
+    # per-round join is on dst, so the cached edge set is hash-partitioned
+    # and sorted on dst with exactly the shuffle partition count — every
+    # round re-shuffles only the O(V) label pairs, never the O(E) edges
+    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .repartition(n_part, F.col("dst"))
+        .sortWithinPartitions("dst")
         .persist()
     )
     labels = (

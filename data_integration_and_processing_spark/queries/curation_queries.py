@@ -552,3 +552,86 @@ def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("train_id", "bench_id", "shared", "jaccard")
         .orderBy("train_id", "bench_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batch shaping (padding-efficient training batches)
+# ---------------------------------------------------------------------------
+
+_BUCKET_BOUNDS = (16, 32, 64, 128)  # bucket cap = smallest bound >= n_tokens
+_BATCH_TOKEN_BUDGET = 512  # rows per batch = budget // bucket cap
+
+_LB_ORACLE = f"""
+WITH doc AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+bucketed AS (
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN n_tokens <= 16 THEN 16
+                     WHEN n_tokens <= 32 THEN 32
+                     WHEN n_tokens <= 64 THEN 64
+                     ELSE 128 END AS BIGINT) AS bucket_cap
+    FROM doc
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY bucket_cap ORDER BY doc_id) AS rn
+    FROM bucketed
+)
+SELECT doc_id, n_tokens, bucket_cap,
+       CAST((rn - 1) // ({_BATCH_TOKEN_BUDGET} // bucket_cap) AS BIGINT) AS batch_id,
+       CAST({_BATCH_TOKEN_BUDGET} // bucket_cap AS BIGINT) AS batch_rows,
+       round(CAST(n_tokens AS DOUBLE) / bucket_cap, 6) AS pad_efficiency
+FROM ranked
+ORDER BY bucket_cap, batch_id, doc_id
+"""
+
+
+@register(
+    "pack_batches_length_bucketed",
+    oracle=_LB_ORACLE,
+    description=(
+        "length-bucketed batch shaping (the padding-minimization step every "
+        "training loader runs): documents route to the smallest power-of-two "
+        "length bucket that fits, each bucket packs a fixed token budget per "
+        "batch (rows = budget // bucket cap), and batch ids are assigned by "
+        "deterministic in-bucket order — per-row padding waste is "
+        "1 - n_tokens/bucket_cap instead of padding everything to the corpus "
+        "max. Plan: pure map to bucket, ONE per-bucket ranking exchange "
+        "(bucket count is fixed and small), no data shuffle of text. At "
+        "100 TB the per-bucket row_number swaps for the partition-offset "
+        "contiguous-id assignment (ids_contiguous_assign) — same output "
+        "contract, no single-reducer sort per bucket"
+    ),
+    tags=("curation", "text", "north-star", "sampling"),
+)
+def pack_batches_length_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    n_tokens = F.size(F.split("text", " "))
+    cap = (
+        F.when(n_tokens <= 16, 16)
+        .when(n_tokens <= 32, 32)
+        .when(n_tokens <= 64, 64)
+        .otherwise(128)
+        .cast("long")
+    )
+    bucketed = d.select(
+        "doc_id", n_tokens.cast("long").alias("n_tokens"), cap.alias("bucket_cap")
+    )
+    rn = F.row_number().over(Window.partitionBy("bucket_cap").orderBy("doc_id"))
+    batch_rows = (F.lit(_BATCH_TOKEN_BUDGET) / F.col("bucket_cap")).cast("long")
+    return (
+        bucketed.withColumn("rn", rn)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bucket_cap",
+            ((F.col("rn") - 1) / batch_rows).cast("long").alias("batch_id"),
+            batch_rows.alias("batch_rows"),
+            F.round(F.col("n_tokens").cast("double") / F.col("bucket_cap"), 6).alias(
+                "pad_efficiency"
+            ),
+        )
+        .orderBy("bucket_cap", "batch_id", "doc_id")
+    )

@@ -1370,3 +1370,116 @@ def sample_split_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("eval")
     )
     return g.select("id", "grp", split.alias("split")).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling toward a target domain
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGETS = ("src0", "src1")  # proxy "high-quality target domain" sources
+_DSIR_K = 100
+_DSIR_GUMBEL_N = 1_000_000
+_DSIR_SEED = 7
+
+_DSIR_TARGET_SQL = ", ".join(f"'{s}'" for s in _DSIR_TARGETS)
+_DSIR_BUCKET_SQL = hash_bucket_sql(["doc_id"], _DSIR_GUMBEL_N, seed=_DSIR_SEED)
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+stats AS (
+    SELECT count(*) AS n_all,
+           sum(CASE WHEN source IN ({_DSIR_TARGET_SQL}) THEN 1 ELSE 0 END) AS n_tgt
+    FROM tok
+),
+vocab AS (
+    SELECT term, count(*) AS tf_all,
+           sum(CASE WHEN source IN ({_DSIR_TARGET_SQL}) THEN 1 ELSE 0 END) AS tf_tgt
+    FROM tok GROUP BY term
+),
+vsize AS (SELECT count(*) AS v FROM vocab),
+doc AS (
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           sum(ln((vb.tf_tgt + 1.0) / (s.n_tgt + vs.v))
+               - ln((vb.tf_all + 1.0) / (s.n_all + vs.v))) AS logw
+    FROM tok t JOIN vocab vb USING (term), stats s, vsize vs
+    GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       round(logw, 6) AS logweight,
+       round(logw + (-ln(-ln((({_DSIR_BUCKET_SQL}) + 0.5) / {_DSIR_GUMBEL_N}.0))), 6)
+           AS score
+FROM doc
+ORDER BY score DESC, doc_id
+LIMIT {_DSIR_K}
+"""
+
+
+@register(
+    "sample_dsir_importance",
+    oracle=_DSIR_ORACLE,
+    description=(
+        "DSIR-style data selection (importance resampling toward a target "
+        "domain, Xie et al. 2023): add-one-smoothed unigram LMs for the "
+        "target sources and the full corpus share ONE vocabulary aggregate, "
+        "each document's importance log-weight is the summed token "
+        "log-likelihood ratio, and resampling-without-replacement is the "
+        "Gumbel-top-k trick with DETERMINISTIC per-doc Gumbel noise derived "
+        "from the engine's twinned integer hash (rand() would break on task "
+        "retry). Plan: one token-explode shuffle builds the vocab, the "
+        "O(vocab) frequency table broadcasts back onto the token stream, one "
+        "doc-keyed aggregate scores, TakeOrdered selects k — the corpus "
+        "never shuffles twice. At 100 TB the vocab aggregate swaps for "
+        "DSIR's hashed n-gram buckets (fixed 2^16 feature space) and the "
+        "plan is otherwise unchanged"
+    ),
+    tags=("sampling", "text", "north-star", "scale"),
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.parallelism import (  # noqa: PLC0415
+        fan_out_scan,
+    )
+
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    is_tgt = F.col("source").isin(*_DSIR_TARGETS)
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term"), is_tgt.alias("tgt")
+    ).persist()
+    row = tok.agg(
+        F.count("*").alias("n_all"), F.sum(F.col("tgt").cast("long")).alias("n_tgt")
+    ).first()
+    n_all, n_tgt = int(row["n_all"]), int(row["n_tgt"])
+    vocab = tok.groupBy("term").agg(
+        F.count("*").alias("tf_all"),
+        F.sum(F.col("tgt").cast("long")).alias("tf_tgt"),
+    ).persist()
+    v_size = vocab.count()
+
+    logratio = F.log((F.col("tf_tgt") + 1.0) / F.lit(float(n_tgt + v_size))) - F.log(
+        (F.col("tf_all") + 1.0) / F.lit(float(n_all + v_size))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum(logratio).alias("logw"))
+    )
+    bucket = hash_bucket(["doc_id"], _DSIR_GUMBEL_N, seed=_DSIR_SEED)
+    u = (bucket.cast("double") + F.lit(0.5)) / F.lit(float(_DSIR_GUMBEL_N))
+    gumbel = -F.log(-F.log(u))
+    out = (
+        per_doc.select(
+            "doc_id",
+            "n_tokens",
+            F.round("logw", 6).alias("logweight"),
+            # rounded BEFORE ranking (brute_force_topk discipline) so the
+            # selection boundary is engine-stable; ties break on doc_id
+            F.round(F.col("logw") + gumbel, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_DSIR_K)
+    )
+    tok.unpersist()
+    vocab.unpersist()
+    return out

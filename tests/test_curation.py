@@ -151,3 +151,30 @@ class TestSnapshotDedup:
         assert plan.count("Aggregate [fp") == 2
         join_line = next(l for l in plan.splitlines() if "Join LeftAnti" in l)
         assert "fp" in join_line and "text" not in join_line
+
+
+def test_length_bucketed_batches_are_full_and_complete(spark, sf_dir):
+    """Bucketed batching: every document appears exactly once, no batch
+    exceeds its row capacity, every batch except the last per bucket is
+    exactly full, and pad_efficiency is in (0, 1]."""
+    from collections import Counter
+
+    from data_integration_and_processing_spark.queries.catalog import all_specs
+    from data_integration_and_processing_spark.sources.tables import load_table
+
+    rows = all_specs()["pack_batches_length_bucketed"].spark(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+
+    per_batch = Counter((r.bucket_cap, r.batch_id) for r in rows)
+    max_batch = {}
+    for r in rows:
+        assert r.n_tokens <= r.bucket_cap
+        assert 0.0 < r.pad_efficiency <= 1.0
+        max_batch[r.bucket_cap] = max(max_batch.get(r.bucket_cap, -1), r.batch_id)
+    for (cap, bid), n in per_batch.items():
+        cap_rows = next(r.batch_rows for r in rows if r.bucket_cap == cap)
+        assert n <= cap_rows
+        if bid < max_batch[cap]:
+            assert n == cap_rows, f"non-final batch {cap}/{bid} underfull: {n} < {cap_rows}"

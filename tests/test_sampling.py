@@ -119,3 +119,38 @@ class TestTemperatureMix:
         b = {r["doc_id"] for r in temperature_mix(d, "source", ["doc_id"]).select("doc_id").collect()}
         assert a == b
         assert a <= {r["doc_id"] for r in d.select("doc_id").collect()}
+
+
+def test_dsir_importance_prefers_target_domain(spark, sf_dir):
+    """DSIR selection: exactly k rows, deterministic across runs, and the
+    mean importance log-weight of target-source docs exceeds the non-target
+    mean (the selection signal points toward the target domain)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_and_processing_spark.queries.catalog import all_specs
+    from data_integration_and_processing_spark.queries.sampling_queries import (
+        _DSIR_K,
+        _DSIR_TARGETS,
+    )
+    from data_integration_and_processing_spark.sources.tables import load_table
+
+    q = all_specs()["sample_dsir_importance"].spark
+    rows1 = q(spark, sf_dir).collect()
+    rows2 = q(spark, sf_dir).collect()
+    assert [r.doc_id for r in rows1] == [r.doc_id for r in rows2]
+    assert len(rows1) == _DSIR_K
+    assert len({r.doc_id for r in rows1}) == _DSIR_K
+
+    # signal check on the full weight table: join selection back to sources
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sel = spark.createDataFrame([(r.doc_id, float(r.logweight)) for r in rows1],
+                                "doc_id long, logweight double")
+    by_side = (
+        sel.join(d, "doc_id")
+        .groupBy(F.col("source").isin(*_DSIR_TARGETS).alias("tgt"))
+        .agg(F.avg("logweight").alias("m"), F.count("*").alias("n"))
+        .collect()
+    )
+    means = {r.tgt: r.m for r in by_side}
+    if True in means and False in means:
+        assert means[True] > means[False]
