@@ -51,7 +51,10 @@ HEADLINE = [
     "udf_grouped_map_zscore",
     "skew_salted_agg",
     "dedup_exact",
-    "dedup_minhash_lsh",
+    # dedup_minhash_lsh left the headline in r8: the registered query became
+    # the audit form (exact pair set + recall boolean — a different, heavier
+    # plan), while the raw LSH path's timing signal lives in
+    # _dedup_scale_probe below (same operator, 50k docs)
     "dedup_ngram_jaccard",
     "sim_topk_bruteforce",
     "sim_neardup_pairs",

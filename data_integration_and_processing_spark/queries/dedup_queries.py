@@ -124,31 +124,126 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(u, text_col="text", id_col="id", n=3, threshold=0.5)
 
 
+# Recall floors for the audit-form dedup entries (same hoisting rule as the
+# ANN floors in similarity_queries: one constant drives the driver-checked
+# boolean AND any pytest assertion). Measured on the seeded fixtures:
+# MinHash-LSH catches 0.953-0.960 of the exact J>=0.5 pair set (signatures
+# are seeded, so per-fixture recall is FIXED, not run-random); SimHash
+# Hamming<=8 catches 0.618-0.642 of the planted truncated-twin pairs and
+# emits ~4.1 candidates per original document.
+_MINHASH_RECALL_FLOOR = 0.85
+_SIMHASH_PLANTED_FLOOR = 0.5
+_SIMHASH_CAND_CAP_PER_DOC = 8
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64-based signatures are not expressible in DuckDB
-    description="MinHash(32)+LSH(8x4) near-dup pairs with exact Jaccard verify (north-star)",
+    # Audit form (VERDICT r7 item 4 pattern): the xxhash64 signature family
+    # has no DuckDB twin, but the EXACT J>=0.5 pair set does (the
+    # dedup_ngram_jaccard oracle), and LSH output is structurally a subset
+    # of it (candidates are exact-verified at the same threshold). The
+    # driver-checked output is the exact pair set plus the LSH recall-floor
+    # verdict; a banding/signature regression drops recall and flips the
+    # boolean. Raw LSH pairs: operators/dedup.py::minhash_lsh_pairs (its
+    # 50k-doc timing is the standing dedup_scale_probe in bench.py).
+    oracle=f"""
+        WITH u AS ({_MUTATED_SQL}),
+        sh AS (
+            SELECT id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> concat_ws(' ', string_split(text, ' ')[i],
+                                           string_split(text, ' ')[i+1],
+                                           string_split(text, ' ')[i+2])))) AS s
+            FROM u WHERE len(string_split(text, ' ')) >= 3
+        ),
+        sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        pair_inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT id_a, id_b, inter,
+               CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard,
+               true AS recall_ok
+        FROM pair_inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    """,
+    description=(
+        "MinHash(32)+LSH(8x4) near-dup pairs with exact Jaccard verify "
+        "(north-star), driver-checked in audit form: the exact J>=0.5 pair "
+        "set plus the boolean that LSH banding caught >= 85% of it "
+        "(measured 95-96% on the seeded fixtures)"
+    ),
     tags=("dedup", "north-star", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     u = _with_mutated_copies(d)
-    return minhash_lsh_pairs(
+    exact = ngram_jaccard_pairs(u, text_col="text", id_col="id", n=3, threshold=0.5)
+    lsh = minhash_lsh_pairs(
         u, text_col="text", id_col="id", num_hashes=32, bands=8, jaccard_threshold=0.5
-    ).orderBy("id_a", "id_b")
+    ).select("id_a", "id_b")
+    caught = exact.join(lsh, ["id_a", "id_b"], "left_semi")
+    verdict = exact.select(F.count("*").alias("_n")).crossJoin(
+        caught.select(F.count("*").alias("_hit"))
+    ).select(
+        (F.col("_hit") >= F.lit(_MINHASH_RECALL_FLOOR) * F.col("_n")).alias("recall_ok")
+    )
+    return (
+        exact.withColumn("_j", F.lit(1))
+        .join(F.broadcast(verdict.withColumn("_j", F.lit(1))), "_j")
+        .select("id_a", "id_b", "inter", "jaccard", "recall_ok")
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64 bit votes not expressible in DuckDB
-    description="SimHash(63-bit) signatures + banded Hamming<=8 candidate pairs (north-star)",
+    # Audit form: the 63-bit xxhash64 bit-vote signature has no DuckDB
+    # twin, but the PLANTED ground truth does — every document has a
+    # deterministic truncated twin at id+10000 — so the driver-checked
+    # output is the planted pair ledger plus two booleans: banded
+    # Hamming<=8 catches >= 50% of planted twins (measured 62-64%), and
+    # the candidate pair count stays under 8 per original document (a
+    # bucket-collapse regression explodes it quadratically).
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_planted,
+               true AS planted_recall_ok,
+               true AS candidate_bound_ok
+        FROM documents
+    """,
+    description=(
+        "SimHash(63-bit) signatures + banded Hamming<=8 candidate pairs "
+        "(north-star), driver-checked in audit form: planted-twin recall "
+        "floor + candidates-per-document cap as booleans (raw pairs: "
+        "operators/dedup.py::simhash_candidates)"
+    ),
     tags=("dedup", "north-star"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     u = _with_mutated_copies(d)
     pairs = simhash_candidates(u, text_col="text", id_col="id", max_hamming=8)
-    return pairs.orderBy("id_a", "id_b")
+    planted = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 10000).alias("id_b")
+    )
+    caught = planted.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    return (
+        planted.agg(F.count("*").alias("n_planted"))
+        .crossJoin(F.broadcast(caught.agg(F.count("*").alias("_hit"))))
+        .crossJoin(F.broadcast(pairs.agg(F.count("*").alias("_cands"))))
+        .select(
+            "n_planted",
+            (F.col("_hit") >= F.lit(_SIMHASH_PLANTED_FLOOR) * F.col("n_planted")).alias(
+                "planted_recall_ok"
+            ),
+            (F.col("_cands") <= F.lit(_SIMHASH_CAND_CAP_PER_DOC) * F.col("n_planted")).alias(
+                "candidate_bound_ok"
+            ),
+        )
+    )
 
 
 @register(
