@@ -111,17 +111,35 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_binary_payload(d), frame_size=64, stride=4)
 
 
+# Floors for the phash audit booleans, measured on the seeded fixtures:
+# banded byte-window SimHash at Hamming<=6 catches 0.868-0.870 of the
+# planted truncated twins and emits ~1.7 candidate pairs per original.
+_PHASH_PLANTED_FLOOR = 0.7
+_PHASH_CAND_CAP_PER_DOC = 6
+
+
 @register(
     "multimodal_phash_neardup",
-    # no SQL oracle: the byte-window bit-vote signature has no DuckDB
-    # analogue. Identity / near-dup / far-pair invariants are pinned in
-    # tests/test_multimodal_phash.py.
+    # Audit form (same pattern as dedup_simhash): the byte-window bit-vote
+    # signature has no DuckDB analogue, but the planted ground truth does —
+    # every payload gets a truncated twin at id+100000 — so the
+    # driver-checked output is the planted ledger plus recall-floor and
+    # candidates-per-document-cap booleans. Identity / near-dup / far-pair
+    # invariants stay in tests/test_multimodal_phash.py.
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_planted,
+               true AS planted_recall_ok,
+               true AS candidate_bound_ok
+        FROM documents
+    """,
     description=(
         "media near-dup detection: 63-bit perceptual signature (byte-window "
         "SimHash; swaps to DCT bit-votes when a real decoder is present) over "
         "payloads of documents unioned with truncated copies, banded 4x16-bit, "
         "in-task pair expansion, popcount verify <= 6 — the multimodal->dedup "
-        "composition a media pipeline runs before training"
+        "composition a media pipeline runs before training. Driver-checked in "
+        "audit form: planted-twin recall floor (measured 87%) + candidate cap "
+        "booleans (raw pairs: operators/multimodal.py::phash_neardup_pairs)"
     ),
     tags=("multimodal", "north-star", "dedup", "pandas-udf"),
 )
@@ -140,7 +158,27 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = attach_binary_payload(d.unionByName(twins))
-    return phash_neardup_pairs(corpus, max_hamming=6)
+    pairs = phash_neardup_pairs(corpus, max_hamming=6)
+    planted = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 100000).alias("id_b")
+    )
+    # candidate pairs are emitted id_a < id_b, and planted ids are original
+    # < twin by construction, so a plain two-key semi-join finds the hits
+    caught = planted.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    return (
+        planted.agg(F.count("*").alias("n_planted"))
+        .crossJoin(F.broadcast(caught.agg(F.count("*").alias("_hit"))))
+        .crossJoin(F.broadcast(pairs.agg(F.count("*").alias("_cands"))))
+        .select(
+            "n_planted",
+            (F.col("_hit") >= F.lit(_PHASH_PLANTED_FLOOR) * F.col("n_planted")).alias(
+                "planted_recall_ok"
+            ),
+            (F.col("_cands") <= F.lit(_PHASH_CAND_CAP_PER_DOC) * F.col("n_planted")).alias(
+                "candidate_bound_ok"
+            ),
+        )
+    )
 
 
 @register(

@@ -304,17 +304,9 @@ def sim_vector_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_topk_lsh_indexed",
-    oracle=None,  # bucket layout is engine-specific; equality with the in-plan LSH path is pytest-pinned
-    description=(
-        "approximate ANN over a PERSISTED sign-LSH inverted file: build once "
-        "(hive-partitioned by table/bucket), probe via partition-pruned reads of "
-        "n_tables buckets — the production build/probe split of sim_topk_lsh"
-    ),
-    tags=("similarity", "north-star", "lsh", "partitioning"),
-)
-def sim_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_topk_lsh_indexed_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw persisted-index LSH top-10 (engine-specific ranks; the registered
+    entry wraps this in the exact+recall_ok audit form)."""
     import os
 
     from data_integration_and_processing_spark.operators.similarity import (
@@ -330,6 +322,30 @@ def sim_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(f"{path}/meta"):
         build_lsh_index(e.filter(F.col("vec_id") != 0), path, n_planes=4, n_tables=8)
     return lsh_probe(spark, path, q, k=10)
+
+
+@register(
+    "sim_topk_lsh_indexed",
+    # Same audit form as sim_topk_lsh, same floor: the persisted-index path
+    # is pytest-pinned EQUAL to the in-plan LSH path, so the in-plan floor
+    # transfers verbatim.
+    oracle=_TOPK_AUDIT_ORACLE,
+    description=(
+        "approximate ANN over a PERSISTED sign-LSH inverted file: build once "
+        "(hive-partitioned by table/bucket), probe via partition-pruned reads of "
+        "n_tables buckets — the production build/probe split of sim_topk_lsh. "
+        "Driver-checked in audit form: exact top-10 ranks plus recall@10 >= 0.4 "
+        "(raw probe ranks: sim_topk_lsh_indexed_raw)"
+    ),
+    tags=("similarity", "north-star", "lsh", "partitioning"),
+)
+def sim_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    exact = brute_force_topk(e.filter(F.col("vec_id") != 0), q, k=10)
+    return _audited_topk(
+        exact, sim_topk_lsh_indexed_raw(spark, sf_dir), _TOPK_RECALL_FLOORS["lsh"]
+    )
 
 
 def sim_topk_pq_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,21 +479,9 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-@register(
-    "sim_ann_join_ivf",
-    oracle=None,  # KMeans cell assignments are engine-specific; recall vs the
-    # exact k-NN join is pinned in tests/test_ann_recall.py
-    description=(
-        "approximate k-NN JOIN via IVF routing: corpus assigned to coarse-quantizer "
-        "cells once, each query shuffled only to its nprobe nearest cells, exact "
-        "cosine + window top-k within candidates — ~nprobe/n_cells of the all-pairs "
-        "volume. The complement of sim_knn_join's broadcast regime: BOTH sides large. "
-        "At 100 TB: sqrt(N) centroids keep the routing table broadcastable and the "
-        "per-cell join co-partitioned; recall floor pinned in tests"
-    ),
-    tags=("similarity", "north-star", "join", "topk", "ann", "scale"),
-)
-def sim_ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_join_ivf_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw IVF k-NN join (engine-specific cell routing; the registered entry
+    wraps this in the exact+recall_ok audit form)."""
     from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
         ann_join_ivf,
     )
@@ -487,8 +491,86 @@ def sim_ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = e.filter(F.col("vec_id") % 25 != 0)
-    out = ann_join_ivf(q, c, k=10, n_cells=8, nprobe=2)
-    return out.orderBy("query_id", "rank")
+    return ann_join_ivf(q, c, k=10, n_cells=8, nprobe=2).orderBy("query_id", "rank")
+
+
+@register(
+    "sim_ann_join_ivf",
+    # Audit form: KMeans cell assignment is engine-specific, so the
+    # driver-checked output is the EXACT k-NN join (deterministic, the
+    # retrieval ground truth) plus the IVF join's corpus-level recall-floor
+    # verdict — the nprobe=2 mean floor from _ANN_RECALL_FLOORS, the same
+    # constant sim_ann_recall_audit hash-checks per-nprobe.
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 25 = 0
+        ),
+        c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 <> 0),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   round({_cos_sql('c.embedding', 'q.embedding')}, 6) AS cos_sim
+            FROM c, q
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank, true AS recall_ok
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+    description=(
+        "approximate k-NN JOIN via IVF routing: corpus assigned to coarse-quantizer "
+        "cells once, each query shuffled only to its nprobe nearest cells, exact "
+        "cosine + window top-k within candidates — ~nprobe/n_cells of the all-pairs "
+        "volume. The complement of sim_knn_join's broadcast regime: BOTH sides large. "
+        "At 100 TB: sqrt(N) centroids keep the routing table broadcastable and the "
+        "per-cell join co-partitioned. Driver-checked in audit form: the exact k-NN "
+        "join plus the IVF recall-floor boolean (raw join: sim_ann_join_ivf_raw)"
+    ),
+    tags=("similarity", "north-star", "join", "topk", "ann", "scale"),
+)
+def sim_ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.filter(F.col("vec_id") % 25 != 0)
+    scored = c.select(F.col("vec_id").alias("neighbor_id"), "embedding").join(
+        F.broadcast(q.select("query_id", F.col("embedding").alias("q_emb")))
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    exact = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+    approx = sim_ann_join_ivf_raw(spark, sf_dir).select(
+        F.col("query_id").alias("a_q"), F.col("neighbor_id").alias("a_n")
+    )
+    caught = exact.join(
+        approx, (exact.query_id == approx.a_q) & (exact.neighbor_id == approx.a_n), "left_semi"
+    )
+    # micro recall == macro mean recall here (every query has exactly k
+    # exact neighbors), so the nprobe=2 mean floor applies directly
+    verdict = exact.select(F.count("*").alias("_n")).crossJoin(
+        caught.select(F.count("*").alias("_hit"))
+    ).select(
+        (F.col("_hit") >= F.lit(_ANN_RECALL_FLOORS[2][0]) * F.col("_n")).alias("recall_ok")
+    )
+    return (
+        exact.withColumn("_j", F.lit(1))
+        .join(F.broadcast(verdict.withColumn("_j", F.lit(1))), "_j")
+        .select("query_id", "neighbor_id", "cos_sim", "rank", "recall_ok")
+        .orderBy("query_id", "rank")
+    )
 
 
 # ---------------------------------------------------------------------------
