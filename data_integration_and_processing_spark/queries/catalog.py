@@ -119,7 +119,7 @@ def driver_window() -> tuple[str, ...]:
         return _WINDOW_CACHE
     _load()
     green = _load_green()
-    cands = [s for s in _REGISTRY.values() if s.oracle is not None]
+    cands = [s for s in _canonical_specs() if s.oracle is not None]
     # Window-eligibility pre-flight (VERDICT r5 item 2): a query whose oracle
     # outputs a list/struct/map column would crash the driver's canonicalizer
     # (pandas sort_values on list cells) — keep it out of the window. The
@@ -252,6 +252,28 @@ _PRIORITY_R4_ARCHIVE: tuple[str, ...] = (
 _REGISTRY: dict[str, QuerySpec] = {}
 _LOADED = False
 
+# Canonical registry order, IMPORT-ORDER-INDEPENDENT: a test (or any caller)
+# importing one query module directly runs its @register calls before
+# _load()'s canonical sweep, which used to permute _REGISTRY insertion order
+# — and with it the derived window and CATALOG.md (the r8
+# test_catalog_md_is_fresh flake: suite-run order differed from a fresh
+# process). Ordering is therefore derived, not inherited: sort by
+# (_QUERY_MODULES position, registration sequence WITHIN the module) —
+# within-module sequence is statement order, identical however the module
+# got imported.
+_MODULE_ORDER: dict[str, int] = {m: i for i, m in enumerate(_QUERY_MODULES)}
+_MODULE_SEQ: dict[str, int] = {}  # query name -> position within its module
+
+
+def _canonical_specs() -> list[QuerySpec]:
+    return sorted(
+        _REGISTRY.values(),
+        key=lambda s: (
+            _MODULE_ORDER.get(s.spark.__module__, len(_QUERY_MODULES)),
+            _MODULE_SEQ[s.name],
+        ),
+    )
+
 
 def register(
     name: str,
@@ -264,6 +286,9 @@ def register(
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+        _MODULE_SEQ[name] = sum(
+            1 for s in _REGISTRY.values() if s.spark.__module__ == fn.__module__
+        )
         _REGISTRY[name] = QuerySpec(name, fn, oracle, description or (fn.__doc__ or "").strip(), tags)
         return fn
 
@@ -286,7 +311,7 @@ def all_specs() -> dict[str, QuerySpec]:
     if missing:
         raise RuntimeError(f"window pins name unknown queries: {missing}")
     ordered = {n: _REGISTRY[n] for n in driver_window()}
-    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
+    ordered.update((s.name, s) for s in _canonical_specs() if s.name not in ordered)
     return ordered
 
 
