@@ -635,3 +635,47 @@ def pack_batches_length_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_cap", "batch_id", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# model-based quality filtering: hashed-feature logistic regression
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_quality_classifier",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (
+                   WHERE list_contains(string_split(text, ' '), 'spark')
+               ) AS BIGINT) AS n_pos,
+               true AS loss_decreasing,
+               true AS train_acc_ok,
+               true AS auc_ok
+        FROM documents
+    """,
+    description=(
+        "model-based quality gate (the fastText-classifier pattern): hashed "
+        "word-presence features -> distributed full-batch IRLS (gradient "
+        "O(D), curvature-weighted Gram O(D^2) — shuffle sizes independent of "
+        "corpus rows, driver solves the normal equations) -> map-side "
+        "scoring. Audit form: exact corpus/label counts the oracle "
+        "recomputes + boolean gates (monotone loss, train acc >= 0.95, "
+        "rank-AUC >= 0.98) on a separable marker-token label"
+    ),
+    tags=("curation", "north-star", "profiling"),
+)
+def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.classifier import (  # noqa: PLC0415
+        classifier_audit,
+        hashed_token_features,
+        train_logistic_regression,
+    )
+
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    d = d.withColumn(
+        "y", F.array_contains(F.split(F.col("text"), " "), "spark").cast("int")
+    )
+    feats = hashed_token_features(d, label_col="y", n_features=1024)
+    model = train_logistic_regression(feats, n_features=1024, n_iters=4, l2=1e-4)
+    return classifier_audit(feats, model, acc_floor=0.95, auc_floor=0.98)

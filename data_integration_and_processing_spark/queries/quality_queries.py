@@ -794,3 +794,144 @@ def quality_conditional_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_rate"
         ),
     ).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# exact rank-AUC: how separable is a label under a scalar score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_auc_separability",
+    oracle="""
+        WITH s AS (
+            SELECT n_chars AS score,
+                   CAST(lang = 'en' AS INT) AS y
+            FROM documents
+        ),
+        by_score AS (
+            SELECT score,
+                   CAST(sum(y) AS DOUBLE) AS np_s,
+                   CAST(sum(1 - y) AS DOUBLE) AS nn_s
+            FROM s GROUP BY score
+        ),
+        cum AS (
+            SELECT np_s, nn_s,
+                   COALESCE(sum(nn_s) OVER (
+                       ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_nn
+            FROM by_score
+        ),
+        tot AS (
+            SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(1 - y) AS BIGINT) AS n_neg
+            FROM s
+        )
+        SELECT tot.n_pos, tot.n_neg,
+               round(sum(np_s * (cum_nn + 0.5 * nn_s))
+                     / (tot.n_pos * tot.n_neg), 6) AS auc
+        FROM cum, tot
+        GROUP BY tot.n_pos, tot.n_neg
+    """,
+    description=(
+        "exact tie-aware rank AUC (Mann-Whitney) of a candidate quality "
+        "score against a label — the model-eval primitive behind every "
+        "classifier-based corpus filter. Distinct scores collapse in a "
+        "map-side-combined groupBy first, so the single-partition "
+        "cumulative window sees |distinct scores| rows, not corpus rows; "
+        "integer-exact until the final division"
+    ),
+    tags=("profiling", "analytics", "aggregation"),
+)
+def quality_auc_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    by_score = d.groupBy("score").agg(
+        F.sum("y").cast("double").alias("np_s"),
+        F.sum(1 - F.col("y")).cast("double").alias("nn_s"),
+    )
+    cum = by_score.withColumn(
+        "cum_nn",
+        F.coalesce(
+            F.sum("nn_s").over(
+                Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0.0),
+        ),
+    )
+    tot = d.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+    )
+    return (
+        cum.crossJoin(tot)  # 1-row totals frame
+        .groupBy("n_pos", "n_neg")
+        .agg(
+            F.round(
+                F.sum(F.col("np_s") * (F.col("cum_nn") + 0.5 * F.col("nn_s")))
+                / (F.col("n_pos") * F.col("n_neg")),
+                6,
+            ).alias("auc")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-square categorical drift between two feed snapshots
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_chi2_drift",
+    oracle="""
+        WITH halves AS (
+            SELECT event_type,
+                   CAST(count(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n_a,
+                   CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT) AS n_b
+            FROM events GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(sum(n_a) AS DOUBLE) AS na,
+                   CAST(sum(n_b) AS DOUBLE) AS nb
+            FROM halves
+        )
+        SELECT h.event_type, h.n_a, h.n_b,
+               round(
+                   pow(h.n_a - (h.n_a + h.n_b) * t.na / (t.na + t.nb), 2)
+                       / ((h.n_a + h.n_b) * t.na / (t.na + t.nb))
+                 + pow(h.n_b - (h.n_a + h.n_b) * t.nb / (t.na + t.nb), 2)
+                       / ((h.n_a + h.n_b) * t.nb / (t.na + t.nb)),
+               6) AS chi2_term
+        FROM halves h, tot t
+        ORDER BY h.event_type
+    """,
+    description=(
+        "chi-square categorical-drift audit between two snapshots of a feed "
+        "(deterministic even/odd event split): per-category observed counts "
+        "vs pooled-expected, one chi2 contribution per category. The "
+        "companion to quality_psi_drift for categorical columns; one "
+        "map-side-combined groupBy + a broadcast 1-row totals join"
+    ),
+    tags=("profiling", "quality", "aggregation"),
+)
+def quality_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    halves = e.groupBy("event_type").agg(
+        F.count(F.when(F.col("event_id") % 2 == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("event_id") % 2 == 1, 1)).cast("long").alias("n_b"),
+    )
+    tot = halves.agg(
+        F.sum("n_a").cast("double").alias("na"), F.sum("n_b").cast("double").alias("nb")
+    )
+    r = F.col("n_a") + F.col("n_b")
+    e_a = r * F.col("na") / (F.col("na") + F.col("nb"))
+    e_b = r * F.col("nb") / (F.col("na") + F.col("nb"))
+    term = F.pow(F.col("n_a") - e_a, 2) / e_a + F.pow(F.col("n_b") - e_b, 2) / e_b
+    return (
+        halves.crossJoin(tot)  # 1-row totals frame
+        .select("event_type", "n_a", "n_b", F.round(term, 6).alias("chi2_term"))
+        .orderBy("event_type")
+    )

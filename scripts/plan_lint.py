@@ -33,6 +33,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # a row-count-sized input — the rule exists to catch the latter.
 WHITELIST: dict[str, dict[str, str]] = {
     "join_cross": {"CARTESIAN": "deliberate 5x5 region cartesian (constant)"},
+    "curation_quality_classifier": {
+        "GLOBAL_WINDOW": "rank-AUC cumulative over the O(distinct probability values) per-score aggregate, not corpus rows"
+    },
+    "quality_auc_separability": {
+        "GLOBAL_WINDOW": "rank-AUC cumulative over the O(distinct scores) per-score aggregate, not corpus rows"
+    },
     "agg_equidepth_histogram": {
         "GLOBAL_WINDOW": "exact ntile demo; scale swap to approx_percentile cutpoints documented"
     },
