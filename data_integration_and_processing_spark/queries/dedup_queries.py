@@ -248,33 +248,189 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_signatures",
-    oracle=None,
-    description="per-document SimHash signatures (deterministic; pure map stage)",
+    # Audit form (VERDICT r7 item 4 pattern): the xxhash64 bit-vote has no
+    # DuckDB twin, so the driver-checked output is the exact corpus counts
+    # the oracle recomputes + boolean invariants of the real signatures:
+    # same text => same signature (the property dedup relies on), all
+    # signatures in the non-negative 63-bit range, and the population count
+    # inside a generous balance band (measured 19..37 around a 28.0 mean on
+    # the fixtures; a hash regression collapses bits and leaves the band).
+    # Raw signatures: dedup_simhash_signatures_raw.
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+               true AS sig_deterministic_ok,
+               true AS sig_range_ok,
+               true AS bit_balance_ok
+        FROM documents
+    """,
+    description=(
+        "per-document SimHash signatures (deterministic; pure map stage), "
+        "driver-checked in audit form: exact corpus counts + "
+        "text-determines-signature / range / bit-balance booleans "
+        "(raw signatures: dedup_simhash_signatures_raw)"
+    ),
     tags=("dedup", "north-star"),
 )
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup_simhash_signatures_raw(spark, sf_dir)
+    joined = d.select("doc_id", "text").join(sig, "doc_id")
+    per_text = joined.groupBy("text").agg(F.countDistinct("simhash").alias("ns"))
+    det = per_text.agg(
+        (F.max("ns") == 1).alias("sig_deterministic_ok"),
+        F.count("*").cast("long").alias("n_distinct_texts"),
+    )
+    stats = sig.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.min("simhash") >= 0).alias("nonneg"),
+        F.avg(F.bit_count("simhash")).alias("avg_pop"),
+        F.min(F.bit_count("simhash")).alias("min_pop"),
+        F.max(F.bit_count("simhash")).alias("max_pop"),
+    )
+    return stats.crossJoin(det).select(  # two 1-row frames
+        "n_docs",
+        "n_distinct_texts",
+        "sig_deterministic_ok",
+        F.col("nonneg").alias("sig_range_ok"),
+        (
+            F.col("avg_pop").between(24.0, 40.0)
+            & (F.col("min_pop") >= 8)
+            & (F.col("max_pop") <= 56)
+        ).alias("bit_balance_ok"),
+    )
+
+
+def dedup_simhash_signatures_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw per-document signatures (engine-specific bit-vote; the registered
+    entry wraps this in the exact+invariant audit form)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_signatures(d, "text", "doc_id").select(
         F.col("id").alias("doc_id"), F.col("sig").alias("simhash")
     )
 
 
-@register(
-    "dedup_pipeline_end2end",
-    oracle=None,  # minhash signatures aren't DuckDB-expressible; cluster/survivor
-    # properties are pinned by tests/test_dedup_levers.py
-    description=(
-        "the complete near-dedup pipeline: MinHash-LSH pairs -> connected components -> "
-        "min-id survivor per duplicate cluster (north-star composite)"
-    ),
-    tags=("dedup", "north-star", "lsh", "graph"),
-)
-def dedup_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+# LSH misses edges, never invents them (candidates are exact-verified), so
+# LSH components refine exact components and LSH survivors ⊇ exact
+# survivors. Measured survivor excess on the seeded fixtures: 21/502
+# (4.2%) of exact-dropped docs at sf0.01.
+_E2E_EXCESS_CAP = 0.15
+
+
+def dedup_pipeline_end2end_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw survivor ids (signature family is engine-specific; the registered
+    entry wraps this in the exact+invariant audit form)."""
     from data_integration_and_processing_spark.operators.dedup import minhash_lsh_dedup
 
     d = load_table(spark, sf_dir, "documents")
     u = _with_mutated_copies(d)
     return minhash_lsh_dedup(u, text_col="text", id_col="id").select("id").orderBy("id")
+
+
+@register(
+    "dedup_pipeline_end2end",
+    # Audit form (VERDICT r7 item 4 pattern): minhash signatures have no
+    # DuckDB twin, but the EXACT J>=0.5 survivor set does (Jaccard pairs ->
+    # recursive-CTE closure -> min-id rule, the pipeline_entity_resolution
+    # oracle pattern). Because LSH candidates are exact-verified, LSH edges
+    # ⊆ exact edges, so exact survivors MUST be a subset of LSH survivors
+    # (a min-id of an exact component is the min-id of its LSH
+    # sub-component) — that containment plus a survivor-excess cap is the
+    # driver-checked contract. Raw survivor ids: dedup_pipeline_end2end_raw.
+    oracle=f"""
+        WITH u AS ({_MUTATED_SQL}),
+        sh AS (
+            SELECT id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> concat_ws(' ', string_split(text, ' ')[i],
+                                           string_split(text, ' ')[i+1],
+                                           string_split(text, ' ')[i+2])))) AS s
+            FROM u WHERE len(string_split(text, ' ')) >= 3
+        ),
+        sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        pair_inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+            GROUP BY a.id, b.id
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM pair_inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+        ),
+        sym AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            WITH RECURSIVE r(a, b) AS (
+                SELECT id, id FROM u
+                UNION
+                SELECT r.a, sym.b FROM r JOIN sym ON r.b = sym.a
+            )
+            SELECT * FROM r
+        ),
+        lab AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
+        SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n_input,
+               CAST((SELECT count(*) FROM lab WHERE id = component) AS BIGINT)
+                   AS n_exact_survivors,
+               true AS exact_subset_of_lsh_ok,
+               true AS lsh_bounds_ok,
+               true AS excess_cap_ok
+    """,
+    description=(
+        "the complete near-dedup pipeline: MinHash-LSH pairs -> connected "
+        "components -> min-id survivor per duplicate cluster (north-star "
+        "composite), driver-checked in audit form: exact input/survivor "
+        "counts under the exact-Jaccard closure (recursive-CTE oracle) + "
+        "containment and excess-cap booleans on the real LSH survivor set "
+        "(raw ids: dedup_pipeline_end2end_raw)"
+    ),
+    tags=("dedup", "north-star", "lsh", "graph"),
+)
+def dedup_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.dedup import (  # noqa: PLC0415
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    u = _with_mutated_copies(d)
+    lsh_surv = dedup_pipeline_end2end_raw(spark, sf_dir)
+    exact_pairs = ngram_jaccard_pairs(
+        u, text_col="text", id_col="id", n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    comp = connected_components(exact_pairs)
+    exact_surv = u.select("id").join(
+        comp.filter(F.col("id") != F.col("component")).select("id"), "id", "left_anti"
+    )
+    input_stats = u.agg(F.count("*").cast("long").alias("n_input"))
+    exact_stats = exact_surv.agg(F.count("*").cast("long").alias("n_exact_survivors"))
+    lsh_stats = lsh_surv.agg(F.count("*").cast("long").alias("n_lsh"))
+    subset = exact_surv.join(lsh_surv, "id", "left_anti").agg(
+        (F.count("*") == 0).alias("exact_subset_of_lsh_ok")
+    )
+    return (
+        input_stats.crossJoin(exact_stats).crossJoin(lsh_stats).crossJoin(subset)  # 1-row frames
+        .select(
+            "n_input",
+            "n_exact_survivors",
+            "exact_subset_of_lsh_ok",
+            (
+                (F.col("n_lsh") >= F.col("n_exact_survivors"))
+                & (F.col("n_lsh") <= F.col("n_input"))
+            ).alias("lsh_bounds_ok"),
+            (
+                (F.col("n_lsh") - F.col("n_exact_survivors"))
+                <= F.ceil(
+                    F.lit(_E2E_EXCESS_CAP)
+                    * (F.col("n_input") - F.col("n_exact_survivors"))
+                )
+            ).alias("excess_cap_ok"),
+        )
+    )
 
 
 @register(
