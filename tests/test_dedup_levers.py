@@ -332,10 +332,16 @@ def test_minhash_calibration_within_binomial_bound(spark, sf_dir):
     """The signature-agreement Jaccard estimator must track exact Jaccard
     within the Binomial(32, J) standard error (~0.09 worst case): per-band
     avg |est - exact| <= 0.10 for every band with >= 10 pairs. Measured at
-    sf0.01: 0.030-0.073 across bands 6-9."""
-    from data_integration_and_processing_spark.queries import catalog
+    sf0.01: 0.030-0.073 across bands 6-9.
 
-    df = catalog.all_specs()["dedup_minhash_calibration"].spark(spark, sf_dir)
+    Reads the per-band table (dedup_minhash_calibration_raw) directly: the
+    registered catalog entry is the 1-row audit summary since r8 and no
+    longer carries n_pairs/avg_abs_err columns."""
+    from data_integration_and_processing_spark.queries.dedup_queries import (
+        dedup_minhash_calibration_raw,
+    )
+
+    df = dedup_minhash_calibration_raw(spark, sf_dir)
     rows = [r for r in df.collect() if r["n_pairs"] >= 10]
     assert rows, "calibration produced no populated bands"
     for r in rows:
