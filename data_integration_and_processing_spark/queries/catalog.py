@@ -64,24 +64,21 @@ _WINDOW_SIZE = 50
 _ALWAYS: tuple[str, ...] = ("q1_pricing_summary",)
 
 # Round-specific pins: entries that MUST re-verify under the driver this
-# round. r8 (VERDICT r7 items 3-4): the two r1-era `no_oracle` stale reds
-# (both oracled in r6, judge replica-MATCH — a green driver row retires the
-# repo's last two latest-status failures); the four never-driver-windowed
-# multimodal entries; and the five entries whose oracles are NEW this round
-# (audit-form ANN top-k, compression-ratio bands, chunk-dedup byte
-# arithmetic) so their first driver hash-check happens while the change is
-# fresh.
+# round. r9 (VERDICT r8 items 3 and 5): the three never-driver-checked
+# operators the judge replica-verified this round (DSIR + the two graph
+# queries), plus the entries whose oracles are NEW this round — the
+# rows-only -> audit-form conversions (chunk near-dup planted ledger,
+# incremental-vs-one-shot equivalence booleans) — so their first driver
+# hash-check happens while the change is fresh. `multimodal_cdc_chunks`
+# stays OUT of the window (rows-only by design; pinning it just burns a
+# slot on a standing `no_oracle` red).
 _PINNED: tuple[str, ...] = (
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
-    "multimodal_feature_extract",
-    "multimodal_phash_neardup",
-    "multimodal_cdc_chunks",
-    "multimodal_chunk_dedup",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
-    "sim_topk_pq",
-    "text_compression_ratio",
+    "sample_dsir_importance",
+    "graph_bfs_distances",
+    "graph_connected_components",
+    "dedup_chunk_neardup",
+    "dedup_incremental_neardup",
+    "stream_neardup_incremental",
 )
 
 # Every family that must keep an oracle-checked row inside the window
@@ -150,13 +147,26 @@ def driver_window() -> tuple[str, ...]:
 
     for name in _ALWAYS + _PINNED:
         add(name)
+    # Family coverage (r9 refinement, VERDICT r8 item 3): a family slot
+    # exists to bound how stale any family can get, not to re-verify fresh
+    # ones — a family whose freshest member was driver-green within the
+    # last two rounds skips its slot this round, freeing the fill for
+    # never-driver-checked entries (88 remained at r8 close; the rotation
+    # target is >= 45 first-time names per window).
+    latest_round = max(green.values(), default=0)
     for tag in _FAMILY_TAGS:
         covered = any(tag in _REGISTRY[n].tags for n in window)
-        if not covered:
-            for s in ranked:
-                if tag in s.tags:
-                    add(s.name)
-                    break
+        if covered:
+            continue
+        freshest = max(
+            (green.get(s.name, -1) for s in cands if tag in s.tags), default=-1
+        )
+        if freshest >= latest_round - 1:
+            continue
+        for s in ranked:
+            if tag in s.tags:
+                add(s.name)
+                break
     for s in ranked:
         add(s.name)
     _WINDOW_CACHE = tuple(window)

@@ -270,28 +270,114 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 64 synthetic boilerplate tokens planted verbatim at the head of every
+# 10th document for the dedup_chunk_neardup audit: exactly one 64-token
+# chunk window (chunk_id 0), so every planted doc's chunk 0 is IDENTICAL —
+# signature equality makes LSH recall on the planted ledger exactly 1, not
+# probabilistic, and the tokens appear nowhere in the natural corpus so the
+# planted pairs are disjoint from natural boilerplate hits.
+_PLANT_BOILERPLATE = " ".join(f"bpqz{i:03d}" for i in range(64))
+
+
 @register(
     "dedup_chunk_neardup",
-    oracle=None,  # MinHash banding has no DuckDB twin (xxhash64); component
-    # invariants are pinned in tests/test_chunking.py and tests/test_dedup_levers.py,
-    # and the pair set here is Jaccard-verified in-plan (candidates only)
+    # Audit form (VERDICT r8 item 5 pattern, same shape as
+    # multimodal_phash_neardup): MinHash banding has no DuckDB twin, but the
+    # PLANTED ground truth does — every 10th doc gets the same 64-token
+    # boilerplate passage prepended, which lands as an identical chunk 0 in
+    # each, so all C(k,2) planted (doc_a, doc_b) chunk-0 pairs MUST appear
+    # with exact Jaccard 1.0 (identical text => identical signature => same
+    # bucket in every band; deterministic, not a recall floor). The
+    # driver-checked row is the exact planted-ledger arithmetic plus
+    # structural booleans. Raw cross-document pair table:
+    # dedup_chunk_neardup_raw (invariants pinned in tests/test_chunking.py).
+    oracle="""
+        WITH k AS (
+            SELECT CAST(count(*) AS BIGINT) AS n
+            FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT n AS n_planted_docs,
+               CAST(n * (n - 1) / 2 AS BIGINT) AS n_planted_pairs,
+               CAST(n * (n - 1) / 2 AS BIGINT) AS n_planted_caught,
+               true AS planted_exact_ok,
+               true AS cross_doc_only_ok,
+               true AS verified_threshold_ok
+        FROM k
+    """,
     description=(
         "passage-level near-dedup: chunk every document into overlapping "
-        "128-token windows (shuffle-free in-task fan-out), then MinHash-LSH "
+        "64-token windows (shuffle-free in-task fan-out), then MinHash-LSH "
         "banding over chunk texts finds near-duplicate PASSAGES across "
         "documents — the cross-document boilerplate detector exact doc-level "
-        "dedup misses. Same banded one-shuffle candidate plan as "
-        "dedup_minhash_lsh, only the unit is the chunk; the output keeps only "
-        "cross-document pairs (same-doc overlapping windows are near-dups by "
-        "construction)"
+        "dedup misses. Driver-checked in audit form: a planted boilerplate "
+        "passage (prepended to every 10th doc as an identical chunk 0) must "
+        "surface as exactly C(k,2) cross-document pairs at Jaccard 1.0, and "
+        "the output must be cross-document-only and threshold-verified "
+        "(raw pair table: dedup_chunk_neardup_raw)"
     ),
     tags=("curation", "dedup", "chunking", "north-star"),
 )
 def dedup_chunk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit(_PLANT_BOILERPLATE + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    pairs = _chunk_neardup_pairs(planted).localCheckpoint(eager=True)
+    is_planted_pair = (
+        (F.col("doc_a") % 10 == 0)
+        & (F.col("doc_b") % 10 == 0)
+        & (F.col("chunk_a") == 0)
+        & (F.col("chunk_b") == 0)
+    )
+    caught = pairs.agg(
+        F.sum(is_planted_pair.cast("long")).alias("n_planted_caught"),
+        F.coalesce(
+            F.min(F.when(is_planted_pair, F.col("jaccard") == 1.0)), F.lit(False)
+        ).alias("planted_exact_ok"),
+        F.coalesce(F.min(F.col("doc_a") != F.col("doc_b")), F.lit(False)).alias(
+            "cross_doc_only_ok"
+        ),
+        F.coalesce(F.min(F.col("jaccard") >= 0.6), F.lit(False)).alias(
+            "verified_threshold_ok"
+        ),
+    )
+    ledger = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .agg(F.count("*").alias("n_planted_docs"))
+        .select(
+            "n_planted_docs",
+            F.expr("CAST(n_planted_docs * (n_planted_docs - 1) DIV 2 AS BIGINT)").alias(
+                "n_planted_pairs"
+            ),
+        )
+    )
+    return ledger.crossJoin(F.broadcast(caught)).select(
+        "n_planted_docs",
+        "n_planted_pairs",
+        "n_planted_caught",
+        "planted_exact_ok",
+        "cross_doc_only_ok",
+        "verified_threshold_ok",
+    )
+
+
+def dedup_chunk_neardup_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw cross-document chunk near-dup pair table over the unmodified
+    corpus (the pre-audit-form registered output)."""
+    d = load_table(spark, sf_dir, "documents")
+    return _chunk_neardup_pairs(d).orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+
+
+def _chunk_neardup_pairs(d: DataFrame) -> DataFrame:
     from data_integration_and_processing_spark.operators.dedup import minhash_lsh_pairs  # noqa: PLC0415
     from data_integration_and_processing_spark.operators.text_analysis import chunk_documents  # noqa: PLC0415
 
-    d = load_table(spark, sf_dir, "documents")
     # chunk key packs (doc, chunk) into one long: doc_id < 1e12 in any
     # fixture, chunk_id < 4096 for docs under ~196k words at this stride.
     # The in-plan guard raises instead of silently attributing chunks of an
@@ -321,7 +407,6 @@ def dedup_chunk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id_b") % 4096).alias("chunk_b"),
             "jaccard",
         )
-        .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
     )
 
 

@@ -547,24 +547,123 @@ def dedup_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_incremental_neardup",
-    oracle=None,  # MinHash-LSH banding has no DuckDB twin (xxhash64);
-    # semantics pinned in tests/test_incremental_neardup.py
+    # Audit form (VERDICT r8 item 5): MinHash-LSH banding has no DuckDB
+    # twin, so the driver-checked output is the exact SQL-computable fixture
+    # arithmetic plus incremental-vs-one-shot equivalence booleans. With the
+    # snapshot pre-deduped by the same engine (the operator's contract — a
+    # snapshot IS an already-near-deduped corpus), the incremental accepted
+    # corpus (snapshot + batch survivors) and a one-shot minhash_lsh_dedup
+    # over snapshot+batch produce the SAME survivor count; the id-level
+    # divergence is exactly the documented survivor-choice difference
+    # (incremental keeps the earlier-accepted snapshot member, one-shot the
+    # min id), so every inc-only id must be a snapshot doc and every
+    # one-shot-only id a batch doc. Measured sf0.001/sf0.01: counts equal
+    # (478 == 478 at sf0.01), 5 divergent ids each way, all explained; 94-96%
+    # of injected truncated twins dropped (floor 0.9; seeded hashes make the
+    # measurement fixed, not run-random). Raw survivor ids:
+    # dedup_incremental_neardup_raw. Operator semantics additionally pinned
+    # in tests/test_incremental_neardup.py.
+    oracle="""
+        SELECT CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_snapshot_raw,
+               CAST(sum(CASE WHEN doc_id % 3 = 0 OR doc_id % 7 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_batch,
+               CAST(sum(CASE WHEN doc_id % 3 <> 0 AND doc_id % 7 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_injected,
+               true AS counts_equal_ok,
+               true AS divergence_explained_ok,
+               true AS injected_drop_ok
+        FROM documents
+    """,
     description=(
         "steady-state NEAR-dedup ingest: a new batch (novel docs + truncated "
         "near-copies of snapshot docs) joins the snapshot's banded LSH index "
         "on (band, bucket), exact-Jaccard-verifies candidates, drops "
         "snapshot-near-dups, then near-dedups within the batch — O(batch + "
         "matched buckets) per ingest instead of re-running dedup over the "
-        "whole corpus. The near-dup twin of dedup_incremental_snapshot"
+        "whole corpus. Driver-checked in audit form: exact fixture counts + "
+        "booleans that the incremental accepted corpus matches a one-shot "
+        "dedup of the same corpus in survivor COUNT, that id-level "
+        "divergence is exactly the survivor-choice difference, and that "
+        ">= 90% of injected near-copies were dropped (raw ids: "
+        "dedup_incremental_neardup_raw)"
     ),
     tags=("dedup", "north-star", "incremental"),
 )
 def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_integration_and_processing_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_lsh_dedup,
         neardup_against_snapshot,
     )
 
     d = load_table(spark, sf_dir, "documents")
+    snapshot, batch, injected = _incremental_neardup_fixture(d)
+    # pre-dedup the snapshot with the same engine: the operator's contract
+    # is "batch against an already-near-deduped corpus", and the
+    # equivalence boolean below only holds under that premise
+    snapshot = minhash_lsh_dedup(snapshot, text_col="text", id_col="id").localCheckpoint(
+        eager=True
+    )
+    surv = (
+        neardup_against_snapshot(batch, snapshot, id_col="id", text_col="text")
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+    inc = snapshot.select("id").unionByName(surv)
+    oneshot = (
+        minhash_lsh_dedup(snapshot.unionByName(batch), text_col="text", id_col="id")
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+
+    counts = (
+        d.agg(
+            F.sum((F.col("doc_id") % 3 != 0).cast("long")).alias("n_snapshot_raw"),
+            F.sum(((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 7 == 1)).cast("long")).alias(
+                "n_batch"
+            ),
+            F.sum(((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 1)).cast("long")).alias(
+                "n_injected"
+            ),
+        )
+    )
+    counts_equal = (
+        inc.agg(F.count("*").alias("_inc"))
+        .crossJoin(oneshot.agg(F.count("*").alias("_one")))
+        .select((F.col("_inc") == F.col("_one")).alias("counts_equal_ok"))
+    )
+    # inc-only ids must all be snapshot docs; one-shot-only ids all batch docs
+    inc_only_batch = (
+        inc.join(oneshot, "id", "left_anti")
+        .join(batch.select("id"), "id", "left_semi")
+        .agg(F.count("*").alias("_bad_inc"))
+    )
+    one_only_snap = (
+        oneshot.join(inc, "id", "left_anti")
+        .join(snapshot.select("id"), "id", "left_semi")
+        .agg(F.count("*").alias("_bad_one"))
+    )
+    divergence = inc_only_batch.crossJoin(one_only_snap).select(
+        ((F.col("_bad_inc") == 0) & (F.col("_bad_one") == 0)).alias("divergence_explained_ok")
+    )
+    injected_drop = (
+        injected.select("id")
+        .join(surv, "id", "left_semi")
+        .agg(F.count("*").alias("_inj_kept"))
+        .crossJoin(injected.agg(F.count("*").alias("_inj")))
+        .select((F.col("_inj_kept") <= 0.1 * F.col("_inj")).alias("injected_drop_ok"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(counts_equal))  # all 1-row frames
+        .crossJoin(F.broadcast(divergence))
+        .crossJoin(F.broadcast(injected_drop))
+    )
+
+
+def _incremental_neardup_fixture(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(raw snapshot, batch, injected) split of the documents fixture:
+    snapshot = doc_id % 3 != 0; batch = novel (doc_id % 3 == 0) + truncated
+    near-copies of every 7th snapshot doc at id+500_000."""
     words = F.split(F.col("text"), " ")
     truncated = F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 5, F.lit(1))), " ")
     snapshot = d.filter(F.col("doc_id") % 3 != 0).select(F.col("doc_id").alias("id"), "text")
@@ -573,7 +672,19 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 1))
         .select((F.col("doc_id") + 500_000).alias("id"), truncated.alias("text"))
     )
-    batch = novel.unionByName(injected)
+    return snapshot, novel.unionByName(injected), injected
+
+
+def dedup_incremental_neardup_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw batch-survivor ids of the incremental ingest (the pre-audit-form
+    registered output): batch docs that survived both the snapshot check and
+    the in-batch near-dedup."""
+    from data_integration_and_processing_spark.operators.dedup import (  # noqa: PLC0415
+        neardup_against_snapshot,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    snapshot, batch, _ = _incremental_neardup_fixture(d)
     out = neardup_against_snapshot(batch, snapshot, id_col="id", text_col="text")
     return out.select("id", (F.col("id") >= 500_000).alias("was_injected")).orderBy("id")
 

@@ -705,8 +705,28 @@ def stream_python_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_neardup_incremental",
-    # no SQL oracle (MinHash-LSH banding has no DuckDB twin); the order-free
-    # cluster contract is pinned in tests/test_incremental_neardup.py
+    # Audit form (VERDICT r8 item 5): MinHash-LSH banding has no DuckDB
+    # twin, so the driver-checked output is the exact SQL-computable fixture
+    # arithmetic plus the batch-vs-stream equivalence boolean: the set of
+    # documents the stream accepts across micro-batches must EQUAL the
+    # one-shot minhash_lsh_dedup survivor set over the same corpus (measured
+    # set-identical at sf0.001 and sf0.01: 292/292 and 297/297, zero ids in
+    # either difference — within-batch min-id + earlier-batch-wins composes
+    # to the same survivor rule as global min-id because the staged stream
+    # replays in id order and every planted copy carries a larger id than
+    # its original). Copies floor measured 2-4 of 75 kept (<= 10%).
+    # Order-free cluster contract additionally pinned in
+    # tests/test_incremental_neardup.py.
+    oracle="""
+        SELECT CAST(sum(CASE WHEN doc_id < 300 THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN doc_id < 300 AND doc_id % 4 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_input,
+               CAST(sum(CASE WHEN doc_id < 300 AND doc_id % 4 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_copies,
+               true AS stream_equals_oneshot_ok,
+               true AS copies_drop_ok
+        FROM documents
+    """,
     description=(
         "streaming NEAR-dedup: each micro-batch near-dedups within itself, then "
         "checks against the persistent banded-LSH index of everything accepted so "
@@ -714,24 +734,80 @@ def stream_python_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "index itself, grown by accepted docs only (every duplicate adds "
         "nothing), and per-batch cost is O(batch + matched buckets) however much "
         "history the stream has accumulated. The streaming twin of "
-        "dedup_incremental_neardup"
+        "dedup_incremental_neardup. Driver-checked in audit form: exact fixture "
+        "counts + booleans that the stream's accepted set EQUALS the one-shot "
+        "dedup survivor set and that >= 90% of planted near-copies were dropped "
+        "(raw accepted ids: stream_neardup_incremental_raw)"
     ),
     tags=("streaming", "dedup", "incremental", "north-star"),
 )
 def stream_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    from data_integration_and_processing_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_lsh_dedup,
+    )
     from data_integration_and_processing_spark.streaming.pipelines import (  # noqa: PLC0415
         run_streaming_neardup,
     )
 
-    d = load_table(spark, sf_dir, "documents").limit(300)
+    d, copies, stream_input = _stream_neardup_fixture(spark, sf_dir)
+    accepted = run_streaming_neardup(spark, stream_input).localCheckpoint(eager=True)
+    oneshot = (
+        minhash_lsh_dedup(stream_input, text_col="text", id_col="doc_id")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    counts = d.agg(
+        (
+            F.sum((F.col("doc_id") < 300).cast("long"))
+            + F.sum(((F.col("doc_id") < 300) & (F.col("doc_id") % 4 == 0)).cast("long"))
+        ).alias("n_input"),
+        F.sum(((F.col("doc_id") < 300) & (F.col("doc_id") % 4 == 0)).cast("long")).alias(
+            "n_copies"
+        ),
+    )
+    sym_diff = (
+        accepted.join(oneshot, "doc_id", "left_anti")
+        .unionByName(oneshot.join(accepted, "doc_id", "left_anti"))
+        .agg(F.count("*").alias("_diff"))
+        .select((F.col("_diff") == 0).alias("stream_equals_oneshot_ok"))
+    )
+    copies_drop = (
+        copies.select("doc_id")
+        .join(accepted, "doc_id", "left_semi")
+        .agg(F.count("*").alias("_kept"))
+        .crossJoin(copies.agg(F.count("*").alias("_n_cp")))
+        .select((F.col("_kept") <= 0.1 * F.col("_n_cp")).alias("copies_drop_ok"))
+    )
+    return counts.crossJoin(F.broadcast(sym_diff)).crossJoin(F.broadcast(copies_drop))
+
+
+def _stream_neardup_fixture(spark: SparkSession, sf_dir: str):
+    """(documents, planted copies, stream input) for the streaming near-dedup
+    fixture: the first 300 docs by id plus truncated near-copies of every 4th
+    at id+900_000 (a deterministic filter, not limit(), so the DuckDB oracle
+    can reproduce the subset)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    head = d.filter(F.col("doc_id") < 300)
     words = F.split(F.col("text"), " ")
     truncated = F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 5, F.lit(1))), " ")
-    copies = d.filter(F.col("doc_id") % 4 == 0).select(
+    copies = head.filter(F.col("doc_id") % 4 == 0).select(
         (F.col("doc_id") + 900_000).alias("doc_id"), truncated.alias("text")
     )
-    stream_input = d.select("doc_id", "text").unionByName(copies)
+    return d, copies, head.select("doc_id", "text").unionByName(copies)
+
+
+def stream_neardup_incremental_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw accepted doc_ids from the streaming near-dedup (the pre-audit-form
+    registered output)."""
+    from data_integration_and_processing_spark.streaming.pipelines import (  # noqa: PLC0415
+        run_streaming_neardup,
+    )
+
+    _, _, stream_input = _stream_neardup_fixture(spark, sf_dir)
     return run_streaming_neardup(spark, stream_input)
 
 

@@ -68,11 +68,15 @@ def test_first_50_follow_derived_window():
 def test_window_rotates_toward_stale_entries():
     """The derived window must spend most of its slots on entries without a
     recent driver-green round — the rotation policy VERDICT r4 item 6 asked
-    to make mechanical."""
+    to make mechanical, tightened to >= 45 first-time names per window in r9
+    (VERDICT r8 item 3) while never-driver-checked entries remain. Once the
+    backlog drains below a windowful the bound adapts to what is left."""
     green = catalog._load_green()
     window = catalog.driver_window()
+    specs = catalog.all_specs()
+    never_checked = [n for n in specs if n not in green and specs[n].oracle]
     first_timers = [n for n in window if n not in green]
-    assert len(first_timers) >= 8
+    assert len(first_timers) >= min(45, len(never_checked))
 
 
 def test_first_50_are_all_oracle_checked():
@@ -90,10 +94,25 @@ def test_first_50_are_all_oracle_checked():
 
 
 def test_first_50_cover_every_family():
+    """Every family is either represented in this round's window or was
+    driver-green within the last two rounds (the r9 relaxation that frees
+    family slots for never-driver-checked entries — a family can skip at
+    most two consecutive windows before it must spend a slot again)."""
     specs = catalog.all_specs()
+    green = catalog._load_green()
+    latest = max(green.values(), default=0)
     window_tags = {t for s in list(specs.values())[:50] for t in s.tags}
-    missing = [t for t in REQUIRED_FAMILY_TAGS if t not in window_tags]
-    assert not missing, f"families with no row in the driver window: {missing}"
+    missing = []
+    for tag in REQUIRED_FAMILY_TAGS:
+        if tag in window_tags:
+            continue
+        freshest = max(
+            (green.get(s.name, -1) for s in specs.values() if tag in s.tags),
+            default=-1,
+        )
+        if freshest < latest - 1:
+            missing.append(tag)
+    assert not missing, f"stale families with no row in the driver window: {missing}"
 
 
 def test_priority_does_not_shrink_catalog():
@@ -109,3 +128,19 @@ def test_catalog_md_is_fresh():
 
     with open("/root/repo/CATALOG.md") as f:
         assert f.read() == dump.render(), "CATALOG.md stale — run scripts/catalog_dump.py"
+
+
+def test_coverage_md_counts_are_fresh():
+    """COVERAGE.md's header counts must match the live registry (VERDICT r8
+    item 2 — the header drifted two rounds running; this pins it the way
+    test_catalog_md_is_fresh pins CATALOG.md)."""
+    specs = catalog.all_specs()
+    total = len(specs)
+    oracled = sum(1 for s in specs.values() if s.oracle is not None)
+    rows_only = total - oracled
+    with open("/root/repo/COVERAGE.md") as f:
+        header = f.read(600)
+    expected = f"{total} catalog queries ({oracled} DuckDB-oracle value-checked, {rows_only} rows-only"
+    assert expected in header, (
+        f"COVERAGE.md header stale — expected it to contain {expected!r}"
+    )
