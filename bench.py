@@ -92,7 +92,31 @@ HEADLINE = [
     # r8 additions (no prior baseline; the regression gate skips unknown keys)
     "dedup_ngram_jaccard_auto",
     "sim_topk_ivf",
+    # r9 additions (VERDICT r8 item 4): the registered sim_ann_join_ivf and
+    # dedup_chunk_neardup entries are audit forms (exact ground truth + the
+    # production plan + the recall/ledger join in one plan) — the regression
+    # gate must ALSO track the plan a user actually runs, so the raw
+    # production paths bench alongside them (resolved via RAW_HEADLINE, not
+    # the catalog — raw paths are deliberately unregistered)
+    "sim_ann_join_ivf_raw",
+    "dedup_chunk_neardup_raw",
 ]
+
+
+def _raw_headline_paths():
+    """name -> callable for headline entries that are NOT catalog specs:
+    the raw production plans whose registered twins became audit forms."""
+    from data_integration_and_processing_spark.queries.curation_queries import (  # noqa: PLC0415
+        dedup_chunk_neardup_raw,
+    )
+    from data_integration_and_processing_spark.queries.similarity_queries import (  # noqa: PLC0415
+        sim_ann_join_ivf_raw,
+    )
+
+    return {
+        "sim_ann_join_ivf_raw": sim_ann_join_ivf_raw,
+        "dedup_chunk_neardup_raw": dedup_chunk_neardup_raw,
+    }
 
 
 # Flag a per-query regression only when BOTH hold — run-to-run variance on
@@ -105,7 +129,7 @@ REGRESSION_FLOOR_SEC = 0.3
 DETAIL_FILE = "BENCH_DETAIL.json"
 
 
-def _baseline_queries() -> tuple[str, dict[str, float], dict[str, float]]:
+def _baseline_queries(cur_sf: float) -> tuple[str, dict[str, float], dict[str, float]]:
     """(name, per-query timings, canary) for the regression gate.
 
     Preferred source: the repo's own BENCH_DETAIL.json (written by the
@@ -114,13 +138,29 @@ def _baseline_queries() -> tuple[str, dict[str, float], dict[str, float]]:
     rounds running, leaving BENCH_r6/r7 with ``"parsed": null`` and the
     gate silently pinned to the r5 baseline). Fallback: the newest
     driver-recorded BENCH_r{N}.json that actually parsed.
+
+    A baseline recorded at a DIFFERENT scale factor than this run is
+    skipped (ADVICE r8): comparing timings across SFs reports bogus
+    regressions — a detail file left behind by an sf0.01 dev loop must not
+    gate the driver's sf0.1 run, and vice versa.
     """
     here = os.path.dirname(os.path.abspath(__file__))
     detail = os.path.join(here, DETAIL_FILE)
+
+    def _sf_matches(doc: dict) -> bool:
+        base_sf = doc.get("sf")
+        return base_sf is not None and abs(float(base_sf) - cur_sf) < 1e-9
+
     try:
         with open(detail) as f:
             doc = json.load(f)
-        return DETAIL_FILE, dict(doc["queries"]), dict(doc.get("canary") or {})
+        if _sf_matches(doc):
+            return DETAIL_FILE, dict(doc["queries"]), dict(doc.get("canary") or {})
+        print(
+            f"# baseline skip: {DETAIL_FILE} recorded at sf={doc.get('sf')}, "
+            f"this run is sf={cur_sf}",
+            file=sys.stderr,
+        )
     except Exception:  # noqa: BLE001 — absent/malformed detail falls through to driver artifacts
         pass
     rounds: list[tuple[int, str]] = []
@@ -133,6 +173,8 @@ def _baseline_queries() -> tuple[str, dict[str, float], dict[str, float]]:
             with open(path) as f:
                 doc = json.load(f)
             parsed = doc["parsed"]
+            if not _sf_matches(parsed):
+                continue
             return os.path.basename(path), dict(parsed["queries"]), dict(parsed.get("canary") or {})
         except Exception:  # noqa: BLE001 — a malformed artifact must not kill the bench
             continue
@@ -483,11 +525,13 @@ def main() -> int:
     # worker pool warms — which false-alarms the regression gate; the min
     # of three runs is a stable noise floor for a fixed plan on a warm JVM
     timings: dict[str, float] = {}
+    raw_paths = _raw_headline_paths()
     for name in HEADLINE:
+        fn = raw_paths[name] if name in raw_paths else specs[name].spark
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
-            specs[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
@@ -507,7 +551,7 @@ def main() -> int:
     pagerank_probe = _pagerank_scale_probe(spark, sf_dir)
     print(f"# pagerank_scale_probe_10x: {pagerank_probe}", file=sys.stderr)
 
-    baseline_name, baseline, base_canary = _baseline_queries()
+    baseline_name, baseline, base_canary = _baseline_queries(sf)
     # Host drift this round = how much the code-frozen canary pair moved vs
     # the previous round's recording; the regression threshold widens (or
     # tightens, floor 1.0 so a fast host never masks a real regression) by

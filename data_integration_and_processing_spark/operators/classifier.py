@@ -48,19 +48,30 @@ def hashed_token_features(
     """(id, label, feats: array<struct<idx,val>>) over hashed word-unigram
     presence features (the fastText-classifier default), plus an always-on
     bias feature at index ``n_features`` so the intercept rides through the
-    same IRLS solve as every other weight."""
+    same IRLS solve as every other weight.
+
+    Every input doc appears exactly once: a doc whose text tokenizes to
+    nothing (empty/whitespace-only) still emits a bias-only feature row via
+    the left join, so downstream counts (classifier_audit's n_docs/n_pos)
+    agree with the raw table at any scale factor."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("label")
+    )
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.col(label_col).cast("double").alias("label"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
     idx = F.pmod(F.xxhash64("tok"), F.lit(n_features)).cast("int").alias("idx")
-    present = toks.groupBy("id", "label", idx).agg(F.lit(1.0).alias("val"))
-    return present.groupBy("id", "label").agg(
-        F.concat(
-            F.collect_list(F.struct(F.col("idx"), F.col("val"))),
-            F.array(F.struct(F.lit(n_features).cast("int").alias("idx"), F.lit(1.0).alias("val"))),
-        ).alias("feats")
+    present = toks.groupBy("id", idx).agg(F.lit(1.0).alias("val"))
+    tok_feats = present.groupBy("id").agg(
+        F.collect_list(F.struct(F.col("idx"), F.col("val"))).alias("_tf")
+    )
+    bias = F.array(
+        F.struct(F.lit(n_features).cast("int").alias("idx"), F.lit(1.0).alias("val"))
+    )
+    empty = F.array().cast("array<struct<idx:int,val:double>>")
+    return base.join(tok_feats, "id", "left").select(
+        "id", "label", F.concat(F.coalesce(F.col("_tf"), empty), bias).alias("feats")
     )
 
 
@@ -166,12 +177,19 @@ def train_logistic_regression(
         H += l2 * np.eye(dim)
         delta = np.linalg.solve(H, g)
         t = 1.0
+        accepted = False
         for _bt in range(4):
             w_try = w - t * delta
             new_loss = _mean_loss(w_try)
             if new_loss <= cur_loss:
+                accepted = True
                 break
             t *= 0.5
+        if not accepted:
+            # every halving still increased the loss: keep the current
+            # iterate and stop — committing w_try here would break the
+            # monotone-under-backtracking contract the audit pins
+            break
         w, cur_loss = w_try, new_loss
         losses.append(cur_loss)
         if len(losses) >= 2 and losses[-2] - losses[-1] < tol:
@@ -240,6 +258,9 @@ def classifier_audit(
             "n_pos",
             F.lit(bool(model.loss_decreasing)).alias("loss_decreasing"),
             (F.col("acc") >= acc_floor).alias("train_acc_ok"),
-            (F.col("auc") >= auc_floor).alias("auc_ok"),
+            # a single-class label makes the AUC denominator 0 -> NULL;
+            # coalesce so the degenerate case FLIPS the gate instead of
+            # silently degrading the boolean contract (and the schema)
+            F.coalesce(F.col("auc") >= auc_floor, F.lit(False)).alias("auc_ok"),
         )
     )

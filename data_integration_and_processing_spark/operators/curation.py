@@ -203,12 +203,18 @@ _PACK_SCHEMA = StructType(
 )
 
 
+# Default hash-bucket count for pack_sequences — exported so audit bounds
+# (pack_sequences_budget's seq-count upper bound gains up to one partial
+# sequence per bucket) reference the same constant the operator runs with.
+PACK_N_BUCKETS = 256
+
+
 def pack_sequences(
     docs: DataFrame,
     token_budget: int,
     id_col: str = "doc_id",
     tokens_col: Column | str | None = None,
-    n_buckets: int = 256,
+    n_buckets: int = PACK_N_BUCKETS,
 ) -> DataFrame:
     """Pack documents into fixed-token-budget training sequences (next-fit
     bin packing): scan docs in id order, append to the current sequence

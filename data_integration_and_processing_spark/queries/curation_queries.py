@@ -173,15 +173,30 @@ def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_seqs"),
         F.min((F.col("st") <= budget) | (F.col("nd") == 1)).alias("budget_ok"),
     )
+    from data_integration_and_processing_spark.operators.curation import (  # noqa: PLC0415
+        PACK_N_BUCKETS,
+    )
+
     doc_stats = packed.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.countDistinct("doc_id").alias("n_distinct"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum(F.when(F.col("n_tokens") > budget, 1).otherwise(0)).cast("long").alias("n_big_docs"),
-        F.sum(F.when(F.col("n_tokens") <= budget, F.col("n_tokens")).otherwise(0)).alias("small_tokens"),
+        # coalesce: with zero within-budget docs the conditional sum is NULL,
+        # which would turn both bound booleans NULL instead of true/false
+        F.coalesce(
+            F.sum(F.when(F.col("n_tokens") <= budget, F.col("n_tokens")).otherwise(0)),
+            F.lit(0),
+        ).alias("small_tokens"),
     )
+    # next-fit can leave at most one partial sequence open per hash bucket,
+    # so the upper bound carries the operator's own bucket-count constant
     lower = F.ceil(F.col("small_tokens") / budget) + F.col("n_big_docs")
-    upper = 2 * F.ceil(F.col("small_tokens") / budget) + F.lit(256) + F.col("n_big_docs")
+    upper = (
+        2 * F.ceil(F.col("small_tokens") / budget)
+        + F.lit(PACK_N_BUCKETS)
+        + F.col("n_big_docs")
+    )
     return doc_stats.crossJoin(seq_stats).select(  # two 1-row frames
         "n_docs",
         "total_tokens",
