@@ -100,20 +100,44 @@ def _loss_expr(margin):
     return F.log1p(F.exp(-F.abs(x))) + F.greatest(x, F.lit(0.0))
 
 
+# Above this weight dimension the IRLS Gram pull (D(D+1)/2 rows to the
+# driver, O(D^2) shuffle keys) stops being "bounded small": ~2M rows /
+# ~50 MB at the cap, ~8.4M rows at D=4096. auto-solver switches to the
+# Hessian-free path there (truncated Newton: the Newton system is solved
+# by Jacobi-preconditioned conjugate gradient, each Hessian-vector
+# product one distributed O(D)-key job) — same monotone contract, no
+# D^2 anywhere.
+GRAM_DIM_CAP = 2048
+
+
 def train_logistic_regression(
     feats_df: DataFrame,
     n_features: int = 1024,
     n_iters: int = 4,
     l2: float = 1e-4,
     tol: float = 1e-4,
+    solver: str = "auto",
 ) -> LogRegModel:
     """Full-batch distributed IRLS. Three bounded jobs per iteration (scalar
     loss agg, O(D) gradient collect, O(D^2)-capped Gram collect) against the
     cached featurized frame, plus a numpy ``solve`` on the driver. A
-    backtracking halving guards the (rare) non-descent Newton step."""
+    backtracking halving guards the (rare) non-descent Newton step.
+
+    ``solver``: ``"irls"`` (full Gram + driver ``solve``), ``"cg"``
+    (Hessian-free truncated Newton: the same Newton system solved by
+    Jacobi-preconditioned conjugate gradient, where each Hessian-vector
+    product ``Hv = X^T diag(curv) X v / n + l2 v`` is ONE distributed
+    O(D)-key aggregation — the scale path for wide feature spaces where
+    the D^2 Gram would swamp the shuffle and the driver), or ``"auto"``
+    (IRLS while ``n_features + 1 <= GRAM_DIM_CAP``, else cg). Both paths
+    share the gradient job, the backtracking line search, and the
+    monotone-loss contract; cg reaches Newton-quality steps at any D."""
     import numpy as np  # noqa: PLC0415
 
     dim = n_features + 1
+    if solver not in ("auto", "irls", "cg"):
+        raise ValueError(f"unknown solver {solver!r}: expected auto|irls|cg")
+    use_gram = solver == "irls" or (solver == "auto" and dim <= GRAM_DIM_CAP)
     fdf = feats_df.persist()
     n = fdf.count()
     w = np.zeros(dim)
@@ -137,45 +161,64 @@ def train_logistic_regression(
             F.greatest(p * (1.0 - p), F.lit(1e-6)).alias("curv"),
         ).persist()
         grad_rows = (
-            scored.select(F.explode("feats").alias("f"), "resid")
+            scored.select(F.explode("feats").alias("f"), "resid", "curv")
             .groupBy(F.col("f.idx").alias("i"))
-            .agg(F.sum(F.col("resid") * F.col("f.val")).alias("g"))
+            .agg(
+                F.sum(F.col("resid") * F.col("f.val")).alias("g"),
+                # per-feature curvature sum = the Hessian diagonal — rides
+                # the SAME O(D)-key job as the gradient, so the diag solver
+                # adds no extra pass
+                F.sum(F.col("curv") * F.col("f.val") * F.col("f.val")).alias("hd"),
+            )
             .collect()  # <= D+1 rows: O(dims), not O(corpus)
         )
-        # curvature-weighted Gram: per row, upper-triangle pairs of active
-        # features (k^2/2 structs for k active) -> map-side-combined sum over
-        # at most D^2/2 keys; only co-occurring pairs ever materialize
-        pair = lambda a, b: F.struct(  # noqa: E731
-            a["idx"].alias("i"), b["idx"].alias("j"), (a["val"] * b["val"]).alias("vv")
-        )
-        pairs = F.filter(
-            F.flatten(
-                F.transform(
-                    F.col("feats"),
-                    lambda a: F.transform(F.col("feats"), lambda b: pair(a, b)),
-                )
-            ),
-            lambda s: s["i"] <= s["j"],
-        )
-        gram_pdf = (
-            scored.select(F.explode(pairs).alias("p"), "curv")
-            .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
-            .agg(F.sum(F.col("p.vv") * F.col("curv")).alias("h"))
-            .toPandas()  # <= D(D+1)/2 rows, corpus-size-independent
-        )
+        if use_gram:
+            # curvature-weighted Gram: per row, upper-triangle pairs of
+            # active features (k^2/2 structs for k active) -> map-side-
+            # combined sum over at most D^2/2 keys; only co-occurring pairs
+            # ever materialize
+            pair = lambda a, b: F.struct(  # noqa: E731
+                a["idx"].alias("i"), b["idx"].alias("j"), (a["val"] * b["val"]).alias("vv")
+            )
+            pairs = F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("feats"),
+                        lambda a: F.transform(F.col("feats"), lambda b: pair(a, b)),
+                    )
+                ),
+                lambda s: s["i"] <= s["j"],
+            )
+            gram_pdf = (
+                scored.select(F.explode(pairs).alias("p"), "curv")
+                .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+                .agg(F.sum(F.col("p.vv") * F.col("curv")).alias("h"))
+                .toPandas()  # <= D(D+1)/2 rows, corpus-size-independent
+            )
         scored.unpersist()
         g = np.zeros(dim)
+        hdiag = np.zeros(dim)
         for r in grad_rows:
             g[int(r["i"])] = float(r["g"]) / n
+            hdiag[int(r["i"])] = float(r["hd"]) / n
         g += l2 * w
-        H = np.zeros((dim, dim))
-        ii = gram_pdf["i"].to_numpy(dtype=int)
-        jj = gram_pdf["j"].to_numpy(dtype=int)
-        hh = gram_pdf["h"].to_numpy(dtype=float) / n
-        H[ii, jj] = hh
-        H[jj, ii] = hh
-        H += l2 * np.eye(dim)
-        delta = np.linalg.solve(H, g)
+        if use_gram:
+            H = np.zeros((dim, dim))
+            ii = gram_pdf["i"].to_numpy(dtype=int)
+            jj = gram_pdf["j"].to_numpy(dtype=int)
+            hh = gram_pdf["h"].to_numpy(dtype=float) / n
+            H[ii, jj] = hh
+            H[jj, ii] = hh
+            H += l2 * np.eye(dim)
+            delta = np.linalg.solve(H, g)
+        else:
+            # Hessian-free truncated Newton: PCG on H delta = g with the
+            # hdiag Jacobi preconditioner. The CG direction approximates
+            # the full Newton step (a pure-Jacobi step was measured ~10x
+            # slower to converge here: presence features co-occur ~50 per
+            # doc, so the Hessian's off-diagonal mass dominates), and the
+            # unit step passes the same backtracking as IRLS.
+            delta = _pcg_newton_step(scored, g, hdiag, l2, n, dim)
         t = 1.0
         accepted = False
         for _bt in range(4):
@@ -196,6 +239,77 @@ def train_logistic_regression(
             break
     fdf.unpersist()
     return LogRegModel(weights=list(map(float, w)), losses=losses)
+
+
+def _hess_vec(scored: DataFrame, v, n: int, l2: float, dim: int):
+    """One distributed Hessian-vector product Hv = X^T diag(curv) X v / n
+    + l2 v: per doc, the fold s = (Xv) against the v literal, then the
+    per-feature curv*s*val sums ride the same O(D)-key map-side-combined
+    aggregation as the gradient. The fold re-evaluates once per exploded
+    element (O(k^2) fused-codegen flops for k active features — trivial
+    next to the shuffle), never per D."""
+    import numpy as np  # noqa: PLC0415
+
+    vlit = F.lit([float(x) for x in v])
+    s = F.aggregate(
+        F.col("feats"),
+        F.lit(0.0),
+        lambda acc, f: acc + F.element_at(vlit, f["idx"] + 1) * f["val"],
+    )
+    rows = (
+        scored.select(
+            F.explode(
+                F.transform(
+                    F.col("feats"),
+                    lambda f: F.struct(
+                        f["idx"].alias("i"), (F.col("curv") * s * f["val"]).alias("c")
+                    ),
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.i").alias("i"))
+        .agg(F.sum("e.c").alias("hv"))
+        .collect()  # <= D+1 rows
+    )
+    out = np.zeros(dim)
+    for r in rows:
+        out[int(r["i"])] = float(r["hv"]) / n
+    return out + l2 * np.asarray(v, dtype=float)
+
+
+def _pcg_newton_step(
+    scored: DataFrame, g, hdiag, l2: float, n: int, dim: int, max_cg: int = 10
+):
+    """Jacobi-preconditioned conjugate gradient on H d = g. Runs at most
+    ``max_cg`` distributed Hv jobs (truncated Newton: even a loosely
+    solved system gives a Newton-quality descent direction), stopping
+    early once the residual drops two orders of magnitude."""
+    import numpy as np  # noqa: PLC0415
+
+    m_inv = 1.0 / (np.asarray(hdiag, dtype=float) + l2)
+    d = np.zeros(dim)
+    r = np.asarray(g, dtype=float).copy()
+    g_norm = float(np.linalg.norm(r))
+    if g_norm == 0.0:
+        return d
+    z = m_inv * r
+    p = z.copy()
+    rz = float(r @ z)
+    for _ in range(max_cg):
+        q = _hess_vec(scored, p, n, l2, dim)
+        pq = float(p @ q)
+        if pq <= 0.0:  # curvature lost to float noise: stop with current d
+            break
+        alpha = rz / pq
+        d += alpha * p
+        r -= alpha * q
+        if float(np.linalg.norm(r)) <= 1e-2 * g_norm:
+            break
+        z = m_inv * r
+        rz_new = float(r @ z)
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+    return d
 
 
 def score_logistic(feats_df: DataFrame, model: LogRegModel) -> DataFrame:

@@ -92,3 +92,41 @@ def test_determinism_same_data(feats):
     m2 = train_logistic_regression(feats, n_features=N_FEATURES, n_iters=2, l2=1e-4)
     # full-batch + fixed init: same iterate up to float-summation jitter
     assert m1.losses[-1] == pytest.approx(m2.losses[-1], rel=1e-6)
+
+
+def test_cg_solver_wide_feature_space(labeled_docs):
+    """The large-D scale path (VERDICT r8 item 8): above GRAM_DIM_CAP the
+    auto solver must switch to Hessian-free truncated Newton (PCG — O(D)
+    shuffle keys per Hessian-vector job, no D^2 Gram pull) and still learn
+    the separable marker label at Newton-like convergence under the same
+    monotone-loss contract."""
+    from data_integration_and_processing_spark.operators.classifier import GRAM_DIM_CAP
+
+    wide = GRAM_DIM_CAP + 1024  # forces solver="auto" onto the cg path
+    feats = hashed_token_features(labeled_docs, label_col="y", n_features=wide)
+    model = train_logistic_regression(feats, n_features=wide, n_iters=4, l2=1e-4)
+    assert all(b <= a + 1e-12 for a, b in zip(model.losses, model.losses[1:]))
+    assert model.losses[-1] < 0.2 * model.losses[0]
+    scored = score_logistic(feats, model)
+    acc = scored.agg(
+        F.avg(((F.col("prob") >= 0.5).cast("double") == F.col("label")).cast("double"))
+    ).collect()[0][0]
+    assert acc >= 0.95
+
+
+def test_solver_explicit_choices_agree(feats):
+    """irls and cg solve the same Newton system (exactly vs truncated):
+    both must decrease the loss from zero-init on the same data, to
+    within the truncation gap on the same iteration budget."""
+    m_irls = train_logistic_regression(
+        feats, n_features=N_FEATURES, n_iters=2, solver="irls"
+    )
+    m_cg = train_logistic_regression(
+        feats, n_features=N_FEATURES, n_iters=2, solver="cg"
+    )
+    assert m_irls.loss_decreasing and m_cg.loss_decreasing
+    # a 10-step PCG direction tracks the exact Newton step closely
+    assert m_cg.losses[-1] <= m_irls.losses[-1] * 3 + 1e-9
+
+    with pytest.raises(ValueError):
+        train_logistic_regression(feats, n_features=N_FEATURES, solver="newton")
