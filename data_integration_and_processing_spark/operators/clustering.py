@@ -1,0 +1,153 @@
+"""Distributed Lloyd k-means over an embedding column.
+
+The IVF coarse quantizer (operators/similarity.py:train_ivf_centers) trains
+on a bounded driver-side sample — right for single-digit cell counts, where
+the model only has to partition space roughly. Corpus *clustering* (SemDeDup
+-style semantic curation buckets, cluster-balanced sampling, per-cluster
+quality profiling) is the other regime: every vector's assignment matters
+and the objective is the global inertia, so the Lloyd iteration itself must
+run on the cluster.
+
+Scale shape per iteration (the whole point):
+
+1. **assign**: argmin over k squared-L2 folds (`zip_with`/`aggregate`, all
+   JVM expressions against literal centers — no UDF, no shuffle);
+2. **update**: `groupBy(cluster).agg(count, sum(get(vec, 0..dim-1)))` — one
+   partial-aggregated shuffle of at most k*(dim+2) doubles per map
+   partition, never a row explosion (a `posexplode` update would multiply
+   the shuffle rows by dim);
+3. **driver**: collect k rows (k*(dim+2) doubles), recompute centers, feed
+   them back as literals. Empty clusters keep their previous center.
+
+Total driver state is O(k*dim) per iteration; data passes are n_iter scans
+of a persisted (id, vec) projection. Inertia — sum of min squared distance
+under the centers the assignment used — is folded into the same aggregation
+(zero extra passes) and is non-increasing across iterations by Lloyd's
+argument; the audit query gates on that measured sequence.
+
+No counterpart in the reference (its engine is a pandas/JDBC ETL bridge);
+this is part of the LLM-curation extension surface, same family as
+operators/similarity.py and operators/classifier.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class KMeansModel:
+    centers: tuple[tuple[float, ...], ...]  # k x dim
+    inertia_history: tuple[float, ...]  # one per iteration, non-increasing
+    cluster_sizes: tuple[int, ...]  # final assignment counts, len k
+
+
+def _d2_fold(vec: Column, center: tuple[float, ...]) -> Column:
+    """Squared L2 distance vec -> literal center, one JVM fold."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(x)) for x in center]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_to_centers(vec: Column, centers: tuple[tuple[float, ...], ...]) -> Column:
+    """0-based argmin cluster id over literal centers (ties -> lowest id)."""
+    d2 = [_d2_fold(vec, c) for c in centers]
+    return (F.array_position(F.array(*d2), F.array_min(F.array(*d2))) - 1).cast("int")
+
+
+def _min_d2(vec: Column, centers: tuple[tuple[float, ...], ...]) -> Column:
+    return F.array_min(F.array(*[_d2_fold(vec, c) for c in centers]))
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 5,
+) -> tuple[DataFrame, KMeansModel]:
+    """Distributed Lloyd k-means; returns (assignments, model).
+
+    ``assignments`` has (id_col, cluster) — the final labels, i.e. the
+    argmin against the centers produced by the LAST update step (one extra
+    assignment-only pass, so labels and returned centers are mutually
+    consistent). Initialization is deterministic and shuffle-independent:
+    the k rows with the smallest md5(id) seed the centers (a hash-spread
+    subset — md5 order is uncorrelated with insertion or value order, the
+    same trick the deterministic samplers use). Center updates are
+    distributed sums, so different partition layouts can differ at the FP
+    ulp level (cross-partition add order is not fixed); assignments — and
+    therefore everything the audit query hashes — are layout-independent
+    on any non-degenerate corpus.
+    """
+    if k < 1 or n_iter < 1:
+        raise ValueError("k and n_iter must be >= 1")
+    base = df.select(
+        F.col(id_col).alias("_kid"), F.col(vec_col).cast("array<double>").alias("_kvec")
+    ).persist()
+    try:
+        first = base.select(F.size("_kvec").alias("s")).limit(1).collect()
+        if not first:
+            raise ValueError("kmeans_lloyd: empty input")
+        dim = int(first[0]["s"])
+        seed_rows = (
+            base.orderBy(F.md5(F.col("_kid").cast("string").cast("binary")), "_kid")
+            .limit(k)
+            .collect()
+        )
+        if not seed_rows:
+            raise ValueError("kmeans_lloyd: empty input")
+        centers: list[tuple[float, ...]] = [tuple(r["_kvec"]) for r in seed_rows]
+        while len(centers) < k:  # fewer rows than k: duplicate last seed
+            centers.append(centers[-1])
+
+        history: list[float] = []
+        for _ in range(n_iter):
+            cents = tuple(centers)
+            assigned = base.select(
+                assign_to_centers(F.col("_kvec"), cents).alias("_c"),
+                F.col("_kvec"),
+                _min_d2(F.col("_kvec"), cents).alias("_d2"),
+            )
+            # one shuffle of k*(dim+2) partials per map partition
+            stats = (
+                assigned.groupBy("_c")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.sum("_d2").alias("_j"),
+                    *[F.sum(F.get(F.col("_kvec"), i)).alias(f"_s{i}") for i in range(dim)],
+                )
+                .collect()
+            )
+            history.append(float(sum(r["_j"] for r in stats)))
+            new_centers = list(centers)  # empty cluster keeps previous center
+            for r in stats:
+                n = r["_n"]
+                new_centers[r["_c"]] = tuple(float(r[f"_s{i}"]) / n for i in range(dim))
+            centers = new_centers
+
+        final = tuple(tuple(c) for c in centers)
+        assignments = base.select(
+            F.col("_kid").alias(id_col),
+            assign_to_centers(F.col("_kvec"), final).alias("cluster"),
+        )
+        sizes = {
+            r["cluster"]: r["n"]
+            for r in assignments.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        model = KMeansModel(
+            centers=final,
+            inertia_history=tuple(history),
+            cluster_sizes=tuple(sizes.get(c, 0) for c in range(k)),
+        )
+        return assignments, model
+    finally:
+        base.unpersist()

@@ -1513,3 +1513,70 @@ def sim_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus clustering: distributed Lloyd k-means (SemDeDup-style buckets)
+# ---------------------------------------------------------------------------
+
+
+def sim_kmeans_lloyd_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw plan: (vec_id, cluster) final assignments — what a curation
+    pipeline consumes downstream (per-cluster sampling, semantic dedup)."""
+    from data_integration_and_processing_spark.operators.clustering import (  # noqa: PLC0415
+        kmeans_lloyd,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assignments, _ = kmeans_lloyd(e, k=8, n_iter=5)
+    return assignments.orderBy("vec_id")
+
+
+@register(
+    "sim_kmeans_lloyd",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               8 AS k,
+               5 AS n_iters,
+               true AS clusters_nonempty,
+               true AS inertia_monotone,
+               true AS inertia_improved,
+               true AS sizes_consistent
+        FROM embeddings
+    """,
+    description=(
+        "distributed Lloyd k-means over the embedding corpus (the SemDeDup/"
+        "cluster-balanced-curation regime where every vector's assignment "
+        "matters, vs the IVF quantizer's bounded driver sample): per "
+        "iteration one JVM argmin fold + one k*(dim+2)-wide partial-agg "
+        "shuffle, O(k*dim) driver state. Audit form: exact corpus count the "
+        "oracle recomputes + measured gates (all 8 clusters populated, "
+        "inertia non-increasing across 5 iterations, final inertia < "
+        "initial, groupBy sizes sum back to the corpus count)"
+    ),
+    tags=("similarity", "north-star", "curation"),
+)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.clustering import (  # noqa: PLC0415
+        kmeans_lloyd,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assignments, model = kmeans_lloyd(e, k=8, n_iter=5)
+    hist = model.inertia_history
+    monotone = all(
+        hist[i + 1] <= hist[i] * (1.0 + 1e-9) for i in range(len(hist) - 1)
+    )
+    improved = hist[-1] < hist[0]
+    nonempty = all(s > 0 for s in model.cluster_sizes)
+    return assignments.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.lit(8).alias("k"),
+        F.lit(5).alias("n_iters"),
+        F.lit(bool(nonempty)).alias("clusters_nonempty"),
+        F.lit(bool(monotone)).alias("inertia_monotone"),
+        F.lit(bool(improved)).alias("inertia_improved"),
+        (F.count(F.lit(1)) == F.lit(int(sum(model.cluster_sizes)))).alias(
+            "sizes_consistent"
+        ),
+    )

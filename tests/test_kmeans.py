@@ -1,0 +1,101 @@
+"""Distributed Lloyd k-means (operators/clustering.py) invariants:
+planted-cluster recovery, monotone inertia, determinism across partition
+layouts, empty-cluster carry, and label/center mutual consistency."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_integration_and_processing_spark.operators.clustering import kmeans_lloyd
+
+
+def _planted(spark, n_per: int = 40, k: int = 4, dim: int = 8, sep: float = 50.0):
+    """k well-separated blobs: cluster c sits at sep*c on every axis, with a
+    deterministic small per-point offset (no RNG — retry-stable fixtures)."""
+    rows = []
+    vid = 0
+    for c in range(k):
+        for i in range(n_per):
+            jitter = ((i * 2654435761 + c * 40503) % 97) / 97.0  # in [0, 1)
+            rows.append((vid, c, [sep * c + jitter + 0.01 * d for d in range(dim)]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, true_c int, embedding array<double>")
+
+
+def test_planted_clusters_recovered(spark):
+    df = _planted(spark)
+    assignments, model = kmeans_lloyd(df, k=4, n_iter=5)
+    # each true blob maps to exactly one learned cluster and vice versa
+    got = (
+        assignments.join(df.select("vec_id", "true_c"), "vec_id")
+        .groupBy("true_c", "cluster")
+        .count()
+        .collect()
+    )
+    by_true = {}
+    for r in got:
+        by_true.setdefault(r["true_c"], set()).add(r["cluster"])
+    assert all(len(v) == 1 for v in by_true.values()), by_true
+    learned = {next(iter(v)) for v in by_true.values()}
+    assert len(learned) == 4
+    assert sorted(model.cluster_sizes) == [40, 40, 40, 40]
+
+
+def test_inertia_monotone_and_improving(spark):
+    df = _planted(spark, n_per=30, k=3)
+    _, model = kmeans_lloyd(df, k=3, n_iter=6)
+    h = model.inertia_history
+    assert len(h) == 6
+    assert all(h[i + 1] <= h[i] * (1 + 1e-9) for i in range(len(h) - 1)), h
+    assert h[-1] < h[0]
+
+
+def test_deterministic_across_partitioning(spark):
+    df = _planted(spark, n_per=25, k=3)
+    a1, m1 = kmeans_lloyd(df.repartition(1), k=3, n_iter=4)
+    a2, m2 = kmeans_lloyd(df.repartition(13, "vec_id"), k=3, n_iter=4)
+    # labels are layout-independent; centers agree up to FP summation order
+    # (cross-partition sum order is not fixed — ulp-level drift is expected)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    for c1, c2 in zip(m1.centers, m2.centers):
+        for x1, x2 in zip(c1, c2):
+            assert abs(x1 - x2) <= 1e-9 * max(1.0, abs(x1))
+
+
+def test_empty_cluster_keeps_previous_center(spark):
+    # k=3 over 2 distinct points: one cluster must stay empty and its
+    # center must survive (no NaNs, no crash), sizes sum to n
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [9.0, 9.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assignments, model = kmeans_lloyd(df, k=3, n_iter=3)
+    assert sum(model.cluster_sizes) == 3
+    assert len(model.centers) == 3
+    flat = [x for c in model.centers for x in c]
+    assert all(x == x for x in flat)  # no NaN
+
+
+def test_labels_consistent_with_final_centers(spark):
+    df = _planted(spark, n_per=20, k=3)
+    assignments, model = kmeans_lloyd(df, k=3, n_iter=4)
+    from data_integration_and_processing_spark.operators.clustering import (
+        assign_to_centers,
+    )
+    from pyspark.sql import functions as F
+
+    re_assigned = df.select(
+        "vec_id", assign_to_centers(F.col("embedding"), model.centers).alias("c2")
+    )
+    diff = (
+        assignments.join(re_assigned, "vec_id")
+        .filter(F.col("cluster") != F.col("c2"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_rejects_bad_params(spark):
+    df = _planted(spark, n_per=5, k=2)
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, k=0, n_iter=3)
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, k=2, n_iter=0)
