@@ -830,3 +830,88 @@ def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = hashed_token_features(d, label_col="y", n_features=1024)
     model = train_logistic_regression(feats, n_features=1024, n_iters=4, l2=1e-4)
     return classifier_audit(feats, model, acc_floor=0.95, auc_floor=0.98)
+
+
+# ---------------------------------------------------------------------------
+# rule-based quality filtering with a per-rule ledger (Gopher-style rules)
+# ---------------------------------------------------------------------------
+
+from data_integration_and_processing_spark.operators.text_analysis import (  # noqa: E402
+    STOPWORDS,
+    stopword_count,
+    words_of,
+)
+
+_GOPHER_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+# Thresholds follow the published Gopher/MassiveText heuristics (word-count
+# window, mean-word-length window, symbol-to-word ratio, alphabetic-word
+# fraction, stopword floor), tokenized by single-space split so the Spark
+# plan and the DuckDB oracle segment identically.
+_GOPHER_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           length(text) AS n_chars,
+           len(list_filter(string_split(text, ' '),
+                           w -> w IN ({_GOPHER_STOPS}))) AS stop_cnt,
+           len(list_filter(string_split(text, ' '),
+                           w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+           length(text) - length(replace(text, '#', '')) AS hash_chars,
+           (length(text) - length(replace(text, '...', ''))) / 3 AS ellipses
+    FROM documents
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       n_words BETWEEN 50 AND 100000 AS r_word_count,
+       CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
+           AS r_mean_word_len,
+       stop_cnt >= 2 AS r_stopwords,
+       CAST(alpha_words AS DOUBLE) / n_words >= 0.70 AS r_alpha_words,
+       CAST(hash_chars + ellipses AS DOUBLE) / n_words <= 0.10 AS r_symbol_ratio,
+       (n_words BETWEEN 50 AND 100000)
+           AND (CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+           AND stop_cnt >= 2
+           AND CAST(alpha_words AS DOUBLE) / n_words >= 0.70
+           AND CAST(hash_chars + ellipses AS DOUBLE) / n_words <= 0.10 AS kept
+FROM base
+"""
+
+
+@register(
+    "curation_gopher_rules",
+    oracle=_GOPHER_ORACLE,
+    description=(
+        "rule-based quality filter with a per-rule ledger (the Gopher/"
+        "MassiveText heuristics: word-count window, mean-word-length window, "
+        "stopword floor, alphabetic-word fraction, symbol-to-word ratio) — "
+        "filter-with-reasons, not just a kept bit, so curation can report "
+        "per-rule rejection rates; one codegen'd map stage, no shuffle"
+    ),
+    tags=("curation", "text", "north-star", "filter"),
+)
+def curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    words = words_of(F.col("text"))
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    mean_wl = (n_chars - (n_words - 1)).cast("double") / n_words
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    hash_chars = n_chars - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    ellipses = (
+        n_chars - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / 3
+    r_wc = n_words.between(50, 100000)
+    r_mwl = mean_wl.between(3.0, 10.0)
+    r_stop = stopword_count(words, "en") >= 2
+    r_alpha = alpha_words.cast("double") / n_words >= 0.70
+    r_sym = (hash_chars + ellipses).cast("double") / n_words <= 0.10
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_stop.alias("r_stopwords"),
+        r_alpha.alias("r_alpha_words"),
+        r_sym.alias("r_symbol_ratio"),
+        (r_wc & r_mwl & r_stop & r_alpha & r_sym).alias("kept"),
+    )

@@ -1483,3 +1483,69 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok.unpersist()
     vocab.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# training-epoch global shuffle (shard-major, deterministic)
+# ---------------------------------------------------------------------------
+
+_EPOCH_SHARDS = 16
+_EPOCHS = (0, 1)
+
+
+@register(
+    "sample_epoch_shuffle",
+    oracle=f"""
+        WITH s AS (
+            {" UNION ALL ".join(
+                f'''SELECT {epoch} AS epoch, doc_id,
+                       md5('{epoch}:' || CAST(doc_id AS VARCHAR)) AS k,
+                       CAST({hash_bucket_sql(["doc_id"], _EPOCH_SHARDS, seed=epoch)} AS BIGINT) AS shard
+                FROM documents'''
+                for epoch in _EPOCHS
+            )}
+        )
+        SELECT epoch, shard, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY epoch, shard ORDER BY k, doc_id
+               ) AS BIGINT) AS pos
+        FROM s
+    """,
+    description=(
+        "deterministic training-epoch shuffle, shard-major (how epoch order "
+        "is actually materialized at scale: readers consume shards in "
+        "parallel, intra-shard order is a per-shard window — never a global "
+        "row_number): shard = seeded integer hash of the key (epoch is the "
+        "seed, so epochs reshuffle), within-shard rank = md5(epoch:id). "
+        "Reproducible across retries/partitionings, and refinement-free: "
+        "position is a pure function of (epoch, doc_id)"
+    ),
+    tags=("sampling", "north-star", "ids"),
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    parts = [
+        d.select(
+            F.lit(epoch).alias("epoch"),
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(str(epoch)), F.col("doc_id").cast("string")
+                ).cast("binary")
+            ).alias("k"),
+            hash_bucket(["doc_id"], _EPOCH_SHARDS, seed=epoch).alias("shard"),
+        )
+        for epoch in _EPOCHS
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+    return u.select(
+        "epoch",
+        "shard",
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
