@@ -32,12 +32,23 @@ HASH_MOD = 2_147_483_647
 _MULTIPLIERS = (1_103_515_245, 779_359_397, 913_986_893, 1_500_450_271)
 
 
-def hash_bucket(keys: Sequence[Column | str], n_buckets: int, seed: int = 0) -> Column:
+def hash_bucket(
+    keys: Sequence[Column | str], n_buckets: int, seed: int | Column = 0
+) -> Column:
     """Deterministic bucket in [0, n_buckets) from stable key columns.
 
     bucket = (sum_i ((key_i mod M) * A_i mod M) + seed) mod M mod n_buckets
+
+    ``seed`` may be a Column (e.g. an epoch number), which keeps a
+    per-epoch reshuffle to ONE scan of the base table — the constant-seed
+    alternative is a UNION of per-epoch branches, i.e. one full data pass
+    per epoch. For a non-negative constant c the column form is identical
+    to seed=c (hash_bucket_sql stays the oracle twin of both).
     """
-    acc = F.lit(seed % HASH_MOD).cast("long")
+    if isinstance(seed, Column):
+        acc = F.pmod(seed.cast("long"), F.lit(HASH_MOD))
+    else:
+        acc = F.lit(seed % HASH_MOD).cast("long")
     for i, key in enumerate(keys):
         col = F.col(key) if isinstance(key, str) else key
         mult = _MULTIPLIERS[i % len(_MULTIPLIERS)]

@@ -1525,23 +1525,26 @@ _EPOCHS = (0, 1)
 def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window  # noqa: PLC0415
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-    parts = [
-        d.select(
-            F.lit(epoch).alias("epoch"),
+    # single scan: epochs fan out as a generator, not a per-epoch UNION
+    # branch (which would re-read the base table once per epoch)
+    u = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select(
+            F.explode(F.array(*[F.lit(e) for e in _EPOCHS])).alias("epoch"),
+            "doc_id",
+        )
+        .select(
+            "epoch",
             "doc_id",
             F.md5(
                 F.concat_ws(
-                    ":", F.lit(str(epoch)), F.col("doc_id").cast("string")
+                    ":", F.col("epoch").cast("string"), F.col("doc_id").cast("string")
                 ).cast("binary")
             ).alias("k"),
-            hash_bucket(["doc_id"], _EPOCH_SHARDS, seed=epoch).alias("shard"),
+            hash_bucket(["doc_id"], _EPOCH_SHARDS, seed=F.col("epoch")).alias("shard"),
         )
-        for epoch in _EPOCHS
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
+    )
     w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
     return u.select(
         "epoch",
