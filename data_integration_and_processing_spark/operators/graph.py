@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_stats"]
+__all__ = ["pagerank", "triangle_stats", "label_propagation"]
 
 
 def pagerank(
@@ -264,3 +264,69 @@ def bfs_distances(
         return dist
     finally:
         e.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over a
+    symmetrized edge list; returns (id, label) after ``n_iter`` supersteps.
+
+    Every vertex starts labeled with its own id; each superstep it adopts
+    the most frequent label among its in-neighbors, ties broken toward the
+    SMALLEST label — the deterministic variant (async/randomized LPA is
+    run-order dependent, useless for a hash-checked contract). Fixed
+    iteration count, not convergence-tested: synchronous LPA can 2-cycle on
+    bipartite structure, so a fixpoint test may never fire; fixed supersteps
+    are also what makes the unrolled SQL oracle possible.
+
+    Scale shape per superstep: labels are (id, long) pairs joined onto the
+    once-shuffled edge partitioning (pagerank's edge-co-partition
+    discipline: O(V) label pairs move per round, never the O(E) edges),
+    then ONE count shuffle keyed by (dst, label) and a struct-argmax
+    groupBy(dst) — no window, no row_number. Lineage is truncated with the
+    same per-round persist + every-``checkpoint_every`` localCheckpoint
+    superstep caching as :func:`pagerank`.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select(src.alias("src"), dst.alias("dst"))
+        .repartition(n_part, F.col("src"))
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    # symmetrized input => every vertex occurs as src; its first label is id
+    labels = e.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    cached: list[DataFrame] = []
+    for i in range(n_iter):
+        counts = (
+            e.join(labels, e.src == labels.id)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax by (count desc, label asc): max over (c, -label) — labels
+        # are vertex ids >= 0, so negation is a safe total-order flip
+        labels = (
+            counts.groupBy("dst")
+            .agg(F.max(F.struct(F.col("c").alias("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select(F.col("dst").alias("id"), (-F.col("m.nl")).cast("long").alias("label"))
+        ).persist()
+        cached.append(labels)
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+            for df_ in cached:
+                df_.unpersist()
+            cached = []
+    if cached:
+        labels = labels.localCheckpoint(eager=True)
+        for df_ in cached:
+            df_.unpersist()
+    e.unpersist()
+    return labels

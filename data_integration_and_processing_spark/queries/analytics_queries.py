@@ -2704,3 +2704,98 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities (same co-purchase graph as graph_pagerank)
+# ---------------------------------------------------------------------------
+
+
+def _lpa_oracle(n_iter: int = 4) -> str:
+    """Unrolled synchronous label propagation in SQL (the _pagerank_oracle
+    trick): one GROUP BY + row_number CTE per superstep, argmax by
+    (count DESC, label ASC) — the exact deterministic tie-break the Spark
+    struct-max computes. Integer labels, so there is no cross-engine float
+    drift at all."""
+    head = """WITH pairs AS (
+    SELECT DISTINCT o_custkey * 2 AS cust_v, l_partkey * 2 + 1 AS part_v
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS MATERIALIZED (
+    SELECT cust_v AS src, part_v AS dst FROM pairs
+    UNION ALL
+    SELECT part_v, cust_v FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)"""
+    steps = [
+        f"""l{i + 1} AS MATERIALIZED (
+    SELECT id, label FROM (
+        SELECT e.dst AS id, l.label AS label, count(*) AS c,
+               row_number() OVER (
+                   PARTITION BY e.dst ORDER BY count(*) DESC, l.label ASC
+               ) AS rn
+        FROM edges e JOIN l{i} l ON l.id = e.src
+        GROUP BY e.dst, l.label
+    ) WHERE rn = 1
+)"""
+        for i in range(n_iter)
+    ]
+    return (
+        head
+        + ",\n"
+        + ",\n".join(steps)
+        + f"""
+SELECT id,
+       CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS vertex_type,
+       CAST(floor(id / 2.0) AS BIGINT) AS entity_key,
+       CAST(label AS BIGINT) AS label
+FROM l{n_iter}
+ORDER BY id"""
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(n_iter=4),
+    description=(
+        "synchronous label-propagation communities over the customer<->part "
+        "co-purchase graph: 4 fixed supersteps, each ONE (dst,label) count "
+        "shuffle + a struct-argmax groupBy (ties to the smallest label — the "
+        "deterministic variant; async LPA is run-order dependent), labels "
+        "riding pagerank's once-shuffled edge co-partitioning. Per-vertex "
+        "final labels hash-checked against the unrolled SQL supersteps"
+    ),
+    tags=("analytics", "graph", "iterative", "north-star"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.graph import (  # noqa: PLC0415
+        label_propagation,
+    )
+
+    orders, lineitem = (
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_v"),
+            (F.col("l_partkey") * 2 + 1).alias("part_v"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cust_v").alias("src"), F.col("part_v").alias("dst")).unionByName(
+        pairs.select(F.col("part_v").alias("src"), F.col("cust_v").alias("dst"))
+    )
+    labels = label_propagation(edges, n_iter=4)
+    return (
+        labels.select(
+            "id",
+            F.when(F.col("id") % 2 == 0, F.lit("customer")).otherwise(F.lit("part")).alias(
+                "vertex_type"
+            ),
+            (F.col("id") / F.lit(2)).cast("long").alias("entity_key"),
+            "label",
+        )
+        .orderBy("id")
+    )

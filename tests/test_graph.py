@@ -118,3 +118,42 @@ class TestBfsDistances:
         edges = self._edges(spark, [(1, 2), (2, 3), (9, 3)])
         got = {r["id"]: r["dist"] for r in bfs_distances(edges, [1, 9], max_depth=5).collect()}
         assert got[3] == 1 and got[1] == 0 and got[9] == 0
+
+
+class TestLabelPropagation:
+    def _sym(self, spark, pairs):
+        """Symmetrized edge frame from undirected pairs."""
+        rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        return spark.createDataFrame(rows, "src long, dst long")
+
+    def test_two_cliques_converge_to_min_label(self, spark):
+        from data_integration_and_processing_spark.operators.graph import label_propagation
+
+        # two disjoint triangles: each converges to its component's min id
+        edges = self._sym(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)])
+        got = {r["id"]: r["label"] for r in label_propagation(edges, n_iter=4).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+    def test_tie_breaks_to_smallest_label(self, spark):
+        from data_integration_and_processing_spark.operators.graph import label_propagation
+
+        # path 1-2-3 after one superstep: 2 sees {1, 3} -> tie -> 1
+        edges = self._sym(spark, [(1, 2), (2, 3)])
+        got = {r["id"]: r["label"] for r in label_propagation(edges, n_iter=1).collect()}
+        assert got[2] == 1
+
+    def test_deterministic_across_partitioning(self, spark):
+        from data_integration_and_processing_spark.operators.graph import label_propagation
+
+        pairs = [(i, (i * 7) % 20 + 20) for i in range(20)] + [(3, 5), (5, 9)]
+        e = self._sym(spark, pairs)
+        a = sorted(map(tuple, label_propagation(e.repartition(1), n_iter=3).collect()))
+        b = sorted(map(tuple, label_propagation(e.repartition(17, "dst"), n_iter=3).collect()))
+        assert a == b
+
+    def test_every_vertex_labeled_once(self, spark):
+        from data_integration_and_processing_spark.operators.graph import label_propagation
+
+        edges = self._sym(spark, [(1, 2), (2, 3), (4, 5)])
+        out = label_propagation(edges, n_iter=2).collect()
+        assert sorted(r["id"] for r in out) == [1, 2, 3, 4, 5]
