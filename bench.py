@@ -100,6 +100,13 @@ HEADLINE = [
     # the catalog — raw paths are deliberately unregistered)
     "sim_ann_join_ivf_raw",
     "dedup_chunk_neardup_raw",
+    # r9 session additions (no prior baseline; gate skips unknown keys):
+    # LPA tracks the iterative-graph path on the headline board (pagerank's
+    # timing signal lives in the 10x probe); epoch shuffle and the Gopher
+    # ledger are the cheap curation paths a training pipeline runs per batch
+    "graph_label_propagation",
+    "sample_epoch_shuffle",
+    "curation_gopher_rules",
 ]
 
 

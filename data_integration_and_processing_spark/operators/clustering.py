@@ -112,10 +112,18 @@ def kmeans_lloyd(
         history: list[float] = []
         for _ in range(n_iter):
             cents = tuple(centers)
-            assigned = base.select(
-                assign_to_centers(F.col("_kvec"), cents).alias("_c"),
+            # materialize the k distances ONCE per row (a projected array
+            # column), then derive argmin and min from it — inlining both
+            # through assign_to_centers/_min_d2 doubles an already-large
+            # (k*dim literals) expression tree and the codegen compile time
+            # dominates the per-iteration cost on small inputs
+            darr = F.array(*[_d2_fold(F.col("_kvec"), c) for c in cents])
+            assigned = base.select(F.col("_kvec"), darr.alias("_darr")).select(
+                (F.array_position(F.col("_darr"), F.array_min(F.col("_darr"))) - 1)
+                .cast("int")
+                .alias("_c"),
                 F.col("_kvec"),
-                _min_d2(F.col("_kvec"), cents).alias("_d2"),
+                F.array_min(F.col("_darr")).alias("_d2"),
             )
             # one shuffle of k*(dim+2) partials per map partition
             stats = (
