@@ -2799,3 +2799,131 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) mergeable distinct sketch — exact-twin checkable
+# ---------------------------------------------------------------------------
+
+_KMV_K = 128
+# first 8 md5 hex chars as an integer, exactly, in both engines
+_KMV_FRAC_SQL = (
+    "list_reduce(list_transform(string_split(substr({fp}, 1, 8), ''), "
+    "c -> strpos('0123456789abcdef', c) - 1), (a, x) -> a * 16 + x) "
+    "/ 4294967296.0"
+)
+
+_KMV_ORACLE = f"""
+WITH vals AS (
+    SELECT DISTINCT l_returnflag AS grp, md5(CAST(l_partkey AS VARCHAR)) AS fp
+    FROM lineitem
+),
+ranked AS (
+    SELECT grp, fp,
+           row_number() OVER (PARTITION BY grp ORDER BY fp) AS rn
+    FROM vals
+),
+sk AS (SELECT grp, fp, rn FROM ranked WHERE rn <= {_KMV_K}),
+per_group AS (
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_sketch, max(fp) AS kth_hash
+    FROM sk GROUP BY grp
+),
+exact AS (
+    SELECT l_returnflag AS grp, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+    FROM lineitem GROUP BY l_returnflag
+),
+merged_ranked AS (
+    SELECT fp, row_number() OVER (ORDER BY fp) AS rn
+    FROM (SELECT DISTINCT fp FROM sk)
+),
+merged AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_sketch, max(fp) AS kth_hash
+    FROM merged_ranked WHERE rn <= {_KMV_K}
+),
+merged_exact AS (
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact FROM lineitem
+),
+unioned AS (
+    SELECT e.grp, e.n_exact, p.n_sketch, p.kth_hash FROM exact e JOIN per_group p ON e.grp = p.grp
+    UNION ALL
+    SELECT 'ALL', me.n_exact, m.n_sketch, m.kth_hash FROM merged m CROSS JOIN merged_exact me
+)
+SELECT grp, n_exact, n_sketch, kth_hash,
+       round(CASE WHEN n_sketch < {_KMV_K} THEN CAST(n_sketch AS DOUBLE)
+                  ELSE ({_KMV_K} - 1) / ({_KMV_FRAC_SQL.format(fp="kth_hash")})
+             END, 4) AS est_distinct,
+       abs(CASE WHEN n_sketch < {_KMV_K} THEN CAST(n_sketch AS DOUBLE)
+                ELSE ({_KMV_K} - 1) / ({_KMV_FRAC_SQL.format(fp="kth_hash")})
+           END - n_exact) / n_exact <= 0.25 AS within_rel_err
+FROM unioned
+ORDER BY grp
+"""
+
+
+@register(
+    "agg_kmv_distinct_sketch",
+    oracle=_KMV_ORACLE,
+    description=(
+        "KMV (k-minimum-values) mergeable distinct-count sketch, k=128: the "
+        "bottom-k md5 hashes per group are the sketch state (the shuffle "
+        "carries at most k 16-byte hashes per group after a combiner-friendly "
+        "distinct), estimate = (k-1)/R_k; the ALL row is rebuilt purely from "
+        "the per-group sketches — the mergeability property HLL gives up "
+        "set-intersection for. Unlike HLL/CMS the whole sketch is "
+        "deterministic, so the state itself (kth hash) and the estimate are "
+        "hash-checked EXACTLY against the SQL twin, with a 2.8-sigma "
+        "relative-error boolean documenting the accuracy contract"
+    ),
+    tags=("analytics", "aggregation", "percentile", "north-star"),
+)
+def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    k = _KMV_K
+    li = load_table(spark, sf_dir, "lineitem")
+    fp = F.md5(F.col("l_partkey").cast("string").cast("binary"))
+    # combiner-friendly dedup BEFORE the rank: the (grp, fp) distinct
+    # map-side-combines, so the window only ever ranks distinct hashes
+    vals = li.select(F.col("l_returnflag").alias("grp"), fp.alias("fp")).distinct()
+    w = Window.partitionBy("grp").orderBy("fp")
+    # consumed twice (per-group state + merge); at most n_groups * k rows
+    # survive the filter, so recomputation is cheaper than cache residue
+    sk = vals.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    per_group = sk.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketch"), F.max("fp").alias("kth_hash")
+    )
+    exact = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_exact")
+    )
+    merged = (
+        sk.select("fp")
+        .distinct()
+        # bottom-k of the sketch union: TakeOrderedAndProject (per-partition
+        # top-k + a k-row driver merge), never a single-reducer window
+        .orderBy("fp")
+        .limit(k)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sketch"), F.max("fp").alias("kth_hash"))
+    )
+    merged_exact = li.agg(F.countDistinct("l_partkey").cast("long").alias("n_exact"))
+    unioned = (
+        exact.join(per_group, "grp")
+        .select("grp", "n_exact", "n_sketch", "kth_hash")
+        .unionByName(
+            merged.crossJoin(F.broadcast(merged_exact)).select(
+                F.lit("ALL").alias("grp"), "n_exact", "n_sketch", "kth_hash"
+            )
+        )
+    )
+    frac = F.conv(F.substring("kth_hash", 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / frac)
+    out = unioned.select(
+        "grp",
+        "n_exact",
+        "n_sketch",
+        "kth_hash",
+        F.round(est, 4).alias("est_distinct"),
+        (F.abs(est - F.col("n_exact")) / F.col("n_exact") <= 0.25).alias("within_rel_err"),
+    ).orderBy("grp")
+    return out
