@@ -2815,8 +2815,8 @@ _KMV_FRAC_SQL = (
 
 _KMV_ORACLE = f"""
 WITH vals AS (
-    SELECT DISTINCT l_returnflag AS grp, md5(CAST(l_partkey AS VARCHAR)) AS fp
-    FROM lineitem
+    SELECT DISTINCT o_orderpriority AS grp, md5(CAST(o_custkey AS VARCHAR)) AS fp
+    FROM orders
 ),
 ranked AS (
     SELECT grp, fp,
@@ -2829,8 +2829,8 @@ per_group AS (
     FROM sk GROUP BY grp
 ),
 exact AS (
-    SELECT l_returnflag AS grp, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
-    FROM lineitem GROUP BY l_returnflag
+    SELECT o_orderpriority AS grp, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+    FROM orders GROUP BY o_orderpriority
 ),
 merged_ranked AS (
     SELECT fp, row_number() OVER (ORDER BY fp) AS rn
@@ -2841,7 +2841,7 @@ merged AS (
     FROM merged_ranked WHERE rn <= {_KMV_K}
 ),
 merged_exact AS (
-    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact FROM lineitem
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM orders
 ),
 unioned AS (
     SELECT e.grp, e.n_exact, p.n_sketch, p.kth_hash FROM exact e JOIN per_group p ON e.grp = p.grp
@@ -2880,11 +2880,11 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     k = _KMV_K
-    li = load_table(spark, sf_dir, "lineitem")
-    fp = F.md5(F.col("l_partkey").cast("string").cast("binary"))
+    o = load_table(spark, sf_dir, "orders")
+    fp = F.md5(F.col("o_custkey").cast("string").cast("binary"))
     # combiner-friendly dedup BEFORE the rank: the (grp, fp) distinct
     # map-side-combines, so the window only ever ranks distinct hashes
-    vals = li.select(F.col("l_returnflag").alias("grp"), fp.alias("fp")).distinct()
+    vals = o.select(F.col("o_orderpriority").alias("grp"), fp.alias("fp")).distinct()
     w = Window.partitionBy("grp").orderBy("fp")
     # consumed twice (per-group state + merge); at most n_groups * k rows
     # survive the filter, so recomputation is cheaper than cache residue
@@ -2892,8 +2892,8 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_group = sk.groupBy("grp").agg(
         F.count(F.lit(1)).cast("long").alias("n_sketch"), F.max("fp").alias("kth_hash")
     )
-    exact = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
-        F.countDistinct("l_partkey").cast("long").alias("n_exact")
+    exact = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact")
     )
     merged = (
         sk.select("fp")
@@ -2904,7 +2904,7 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(k)
         .agg(F.count(F.lit(1)).cast("long").alias("n_sketch"), F.max("fp").alias("kth_hash"))
     )
-    merged_exact = li.agg(F.countDistinct("l_partkey").cast("long").alias("n_exact"))
+    merged_exact = o.agg(F.countDistinct("o_custkey").cast("long").alias("n_exact"))
     unioned = (
         exact.join(per_group, "grp")
         .select("grp", "n_exact", "n_sketch", "kth_hash")
@@ -2927,3 +2927,155 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(est - F.col("n_exact")) / F.col("n_exact") <= 0.25).alias("within_rel_err"),
     ).orderBy("grp")
     return out
+
+
+_KMV_INTER_ORACLE = f"""
+WITH vals AS (
+    SELECT DISTINCT o_orderpriority AS grp, o_custkey,
+           md5(CAST(o_custkey AS VARCHAR)) AS fp
+    FROM orders
+),
+sk AS (
+    SELECT grp, fp FROM (
+        SELECT grp, fp, row_number() OVER (PARTITION BY grp ORDER BY fp) AS rn
+        FROM (SELECT DISTINCT grp, fp FROM vals)
+    ) WHERE rn <= {_KMV_K}
+),
+grps AS (SELECT DISTINCT grp FROM sk),
+prs AS (
+    SELECT a.grp AS g1, b.grp AS g2 FROM grps a JOIN grps b ON a.grp < b.grp
+),
+union_ranked AS (
+    SELECT p.g1, p.g2, u.fp,
+           row_number() OVER (PARTITION BY p.g1, p.g2 ORDER BY u.fp) AS rn
+    FROM prs p JOIN (
+        SELECT DISTINCT s.grp, s.fp FROM sk s
+    ) u ON u.grp IN (p.g1, p.g2)
+    GROUP BY p.g1, p.g2, u.fp
+),
+union_k AS (SELECT g1, g2, fp FROM union_ranked WHERE rn <= {_KMV_K}),
+union_stats AS (
+    SELECT g1, g2, CAST(count(*) AS BIGINT) AS m, max(fp) AS theta
+    FROM union_k GROUP BY g1, g2
+),
+matching AS (
+    SELECT u.g1, u.g2, CAST(count(*) AS BIGINT) AS n_matching
+    FROM union_k u
+    JOIN sk s1 ON s1.grp = u.g1 AND s1.fp = u.fp
+    JOIN sk s2 ON s2.grp = u.g2 AND s2.fp = u.fp
+    GROUP BY u.g1, u.g2
+),
+exact_inter AS (
+    SELECT a.grp AS g1, b.grp AS g2, CAST(count(*) AS BIGINT) AS exact_intersection
+    FROM (SELECT DISTINCT grp, o_custkey FROM vals) a
+    JOIN (SELECT DISTINCT grp, o_custkey FROM vals) b
+      ON a.o_custkey = b.o_custkey AND a.grp < b.grp
+    GROUP BY a.grp, b.grp
+)
+SELECT s.g1, s.g2, COALESCE(x.n_matching, 0) AS n_matching,
+       e.exact_intersection,
+       round(CASE WHEN s.m < {_KMV_K} THEN CAST(COALESCE(x.n_matching, 0) AS DOUBLE)
+                  ELSE COALESCE(x.n_matching, 0) * (({_KMV_K} - 1)
+                       / ({_KMV_FRAC_SQL.format(fp="s.theta")})) / {_KMV_K}
+             END, 4) AS est_intersection,
+       abs(CASE WHEN s.m < {_KMV_K} THEN CAST(COALESCE(x.n_matching, 0) AS DOUBLE)
+                ELSE COALESCE(x.n_matching, 0) * (({_KMV_K} - 1)
+                     / ({_KMV_FRAC_SQL.format(fp="s.theta")})) / {_KMV_K}
+           END - e.exact_intersection)
+           <= 0.35 * e.exact_intersection + {_KMV_K} AS within_err
+FROM union_stats s
+JOIN exact_inter e ON e.g1 = s.g1 AND e.g2 = s.g2
+LEFT JOIN matching x ON x.g1 = s.g1 AND x.g2 = s.g2
+ORDER BY s.g1, s.g2
+"""
+
+
+@register(
+    "agg_kmv_set_intersection",
+    oracle=_KMV_INTER_ORACLE,
+    description=(
+        "set-intersection estimation from KMV sketches (the theta-sketch "
+        "recipe HLL cannot do without inclusion-exclusion blowup): per group "
+        "pair, merge the two bottom-k sketches, count survivors present in "
+        "BOTH, scale by the merged theta — everything computed from the "
+        "O(k)-row sketch states, never re-touching the base table except for "
+        "the exact-intersection audit column. Deterministic sketch => the "
+        "matching counts and estimates hash-check exactly against the SQL "
+        "twin; the error boolean documents the k=128 accuracy contract"
+    ),
+    tags=("analytics", "aggregation", "setop", "north-star"),
+)
+def agg_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    k = _KMV_K
+    o = load_table(spark, sf_dir, "orders")
+    fp = F.md5(F.col("o_custkey").cast("string").cast("binary"))
+    vals = o.select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_custkey"), fp.alias("fp")
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("fp")
+    sk = (
+        vals.select("grp", "fp")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "fp")
+    )
+    grps = sk.select("grp").distinct()
+    prs = (
+        grps.alias("a")
+        .join(grps.alias("b"), F.col("a.grp") < F.col("b.grp"))
+        .select(F.col("a.grp").alias("g1"), F.col("b.grp").alias("g2"))
+    )
+    # sketch union per pair: broadcast the O(n_groups^2) pair table onto the
+    # O(n_groups * k) sketch rows, dedup, rank within pair
+    union_rows = (
+        F.broadcast(prs)
+        .join(sk, (sk.grp == F.col("g1")) | (sk.grp == F.col("g2")))
+        .select("g1", "g2", "fp")
+        .distinct()
+    )
+    wp = Window.partitionBy("g1", "g2").orderBy("fp")
+    union_k = union_rows.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= k)
+    union_stats = union_k.groupBy("g1", "g2").agg(
+        F.count(F.lit(1)).cast("long").alias("m"), F.max("fp").alias("theta")
+    )
+    s1 = sk.select(F.col("grp").alias("g1"), "fp")
+    s2 = sk.select(F.col("grp").alias("g2"), "fp")
+    matching = (
+        union_k.join(s1, ["g1", "fp"]).join(s2, ["g2", "fp"])
+        .groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matching"))
+    )
+    pk = vals.select("grp", "o_custkey").distinct()
+    exact_inter = (
+        pk.alias("a")
+        .join(
+            pk.alias("b"),
+            (F.col("a.o_custkey") == F.col("b.o_custkey")) & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(F.col("a.grp").alias("g1"), F.col("b.grp").alias("g2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    frac = F.conv(F.substring("theta", 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+    n_match = F.coalesce(F.col("n_matching"), F.lit(0)).cast("long")
+    est = F.when(F.col("m") < k, n_match.cast("double")).otherwise(
+        n_match * (F.lit(float(k - 1)) / frac) / F.lit(float(k))
+    )
+    return (
+        union_stats.join(exact_inter, ["g1", "g2"])
+        .join(matching, ["g1", "g2"], "left")
+        .select(
+            "g1",
+            "g2",
+            n_match.alias("n_matching"),
+            "exact_intersection",
+            F.round(est, 4).alias("est_intersection"),
+            (
+                F.abs(est - F.col("exact_intersection"))
+                <= 0.35 * F.col("exact_intersection") + F.lit(float(k))
+            ).alias("within_err"),
+        )
+        .orderBy("g1", "g2")
+    )
