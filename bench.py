@@ -489,6 +489,58 @@ def _pagerank_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:
     }
 
 
+def _lpa_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:
+    """Label-propagation arm of the 10x iterative-graph probe: same
+    replicated 12M-edge co-purchase graph as _pagerank_scale_probe, 4 fixed
+    supersteps. Where pagerank moves O(V) (id, double) pairs per round, LPA's
+    count shuffle is keyed by (dst, label) — up to O(E) partials before the
+    map-side combine — so label-shuffle blowup or a broken edge
+    co-partitioning would surface here and not in the pagerank arm."""
+    import functools as _ft  # noqa: PLC0415
+
+    from pyspark.sql import DataFrame  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.graph import label_propagation  # noqa: PLC0415
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_v"),
+            (F.col("l_partkey") * 2 + 1).alias("part_v"),
+        )
+        .distinct()
+    )
+    base = pairs.select(F.col("cust_v").alias("src"), F.col("part_v").alias("dst")).unionByName(
+        pairs.select(F.col("part_v").alias("src"), F.col("cust_v").alias("dst"))
+    )
+    offset = 100_000_000
+    edges = _ft.reduce(
+        DataFrame.unionByName,
+        [
+            base.select(
+                (F.col("src") + F.lit(i * offset)).alias("src"),
+                (F.col("dst") + F.lit(i * offset)).alias("dst"),
+            )
+            for i in range(10)
+        ],
+    )
+    n_iter = 4
+    t0 = time.time()
+    labels = label_propagation(edges, n_iter=n_iter)
+    stats = labels.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("label").alias("c")
+    ).collect()[0]
+    return {
+        "sec": round(time.time() - t0, 3),
+        "supersteps": n_iter,
+        "vertices": int(stats["n"]),
+        "communities": int(stats["c"]),
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -558,6 +610,9 @@ def main() -> int:
     pagerank_probe = _pagerank_scale_probe(spark, sf_dir)
     print(f"# pagerank_scale_probe_10x: {pagerank_probe}", file=sys.stderr)
 
+    lpa_probe = _lpa_scale_probe(spark, sf_dir)
+    print(f"# lpa_scale_probe_10x: {lpa_probe}", file=sys.stderr)
+
     baseline_name, baseline, base_canary = _baseline_queries(sf)
     # Host drift this round = how much the code-frozen canary pair moved vs
     # the previous round's recording; the regression threshold widens (or
@@ -617,6 +672,7 @@ def main() -> int:
         "ann_scale_probe_20k": ann_probe,
         "interval_scale_probe_60k": interval_probe,
         "pagerank_scale_probe_10x": pagerank_probe,
+        "lpa_scale_probe_10x": lpa_probe,
         "baseline": baseline_name,
         "regressions": regressions,
     }
