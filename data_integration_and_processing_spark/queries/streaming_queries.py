@@ -971,3 +971,79 @@ def stream_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
         F.unix_micros(F.col("session_window.end").cast("timestamp")).alias("session_end_us"),
         "n_events",
     ).orderBy("user_id", "session_start_us")
+
+
+_KMV_STREAM_K = 64
+_KMV_STREAM_FRAC = (
+    "list_reduce(list_transform(string_split(substr(kth_hash, 1, 8), ''), "
+    "c -> strpos('0123456789abcdef', c) - 1), (a, x) -> a * 16 + x) "
+    "/ 4294967296.0"
+)
+
+
+@register(
+    "stream_kmv_incremental",
+    # Unlike stream_hll_incremental (engine-opaque registers, boolean-bound
+    # oracle), KMV state is plain md5 strings: the streamed end-state —
+    # sketch size, kth hash AND estimate — is EXACTLY the batch sketch, so
+    # the whole row value-hash checks against a direct SQL twin.
+    oracle=f"""
+        WITH vals AS (
+            SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS fp
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, fp,
+                   row_number() OVER (PARTITION BY event_type ORDER BY fp) AS rn
+            FROM vals
+        ),
+        sk AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_sketch,
+                   max(fp) AS kth_hash
+            FROM ranked WHERE rn <= {_KMV_STREAM_K} GROUP BY event_type
+        ),
+        exact AS (
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users
+            FROM events GROUP BY event_type
+        )
+        SELECT s.event_type, e.exact_distinct_users, s.n_sketch, s.kth_hash,
+               round(CASE WHEN s.n_sketch < {_KMV_STREAM_K} THEN CAST(s.n_sketch AS DOUBLE)
+                          ELSE ({_KMV_STREAM_K} - 1) / ({_KMV_STREAM_FRAC})
+                     END, 4) AS est_distinct_users
+        FROM sk s JOIN exact e ON e.event_type = s.event_type
+        ORDER BY s.event_type
+    """,
+    description=(
+        "incremental KMV distinct sketch over a stream: per-micro-batch "
+        "bottom-k merge into O(types * k) persistent state (the streaming "
+        "complement of agg_kmv_distinct_sketch; exact-dedup state would grow "
+        "with distinct users, sketch state never does). Bottom-k-of-union is "
+        "associative + idempotent, so the streamed end-state equals the "
+        "one-shot batch sketch for ANY batching — and because KMV state is "
+        "plain md5 strings, the sketch size, kth hash and estimate are "
+        "value-hash checked EXACTLY against the SQL twin, with the exact "
+        "batch distinct count alongside"
+    ),
+    tags=("streaming", "sketch", "incremental"),
+)
+def stream_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.streaming.pipelines import (  # noqa: PLC0415
+        run_streaming_kmv_distinct,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    est = run_streaming_kmv_distinct(spark, e, k=_KMV_STREAM_K)
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct_users")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct_users",
+            "n_sketch",
+            "kth_hash",
+            "est_distinct_users",
+        )
+        .orderBy("event_type")
+    )

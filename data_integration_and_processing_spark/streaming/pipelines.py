@@ -1717,3 +1717,70 @@ def run_streaming_incremental_mv(
         )
         .orderBy("event_type")
     )
+
+
+def run_streaming_kmv_distinct(
+    spark: SparkSession,
+    events: DataFrame,
+    k: int = 64,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Incremental KMV distinct sketch over a stream: per micro-batch, the
+    batch's distinct (event_type, md5(user_id)) hashes merge into a
+    persistent bottom-k state table — O(types * k) rows FOREVER, vs the
+    O(distinct users) a dropDuplicates approach holds.
+
+    Bottom-k-of-union is associative and idempotent, so the merged state —
+    and therefore the kth hash and the (k-1)/R_k estimate — is IDENTICAL to
+    a one-shot sketch over the whole corpus, regardless of micro-batch
+    boundaries, replay, or arrival order. Unlike the HLL twin
+    (:func:`run_streaming_hll_distinct`, engine-opaque registers), KMV
+    state is plain md5 strings: the streamed end-state value-hash checks
+    EXACTLY against a SQL oracle."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    scratch = scratch_dir or f"/tmp/diaps_kmv_{uuid.uuid4().hex[:8]}"
+    stream, sink = _staged_stream(spark, events, scratch)
+    w = Window.partitionBy("event_type").orderBy("fp")
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.sparkSession
+        batch_sk = batch_df.select(
+            "event_type",
+            F.md5(F.col("user_id").cast("string").cast("binary")).alias("fp"),
+        ).distinct()
+        state = read_state_version(b, sink, upto=batch_id)
+        merged = batch_sk if state is None else state.unionByName(batch_sk)
+        bottom_k = (
+            merged.distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("event_type", "fp")
+        )
+        write_state_version(bottom_k, sink, batch_id)
+
+    (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .option("maxFilesPerTrigger", 1)
+        .foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    frac = F.conv(F.substring("kth_hash", 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+    state = read_state_version(spark, sink).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketch"), F.max("fp").alias("kth_hash")
+    )
+    return state.select(
+        "event_type",
+        "n_sketch",
+        "kth_hash",
+        F.round(
+            F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double")).otherwise(
+                F.lit(float(k - 1)) / frac
+            ),
+            4,
+        ).alias("est_distinct_users"),
+    ).orderBy("event_type")
