@@ -1,0 +1,57 @@
+"""KMV sketch invariants: merge associativity/idempotence (streamed state
+== one-shot sketch under different batchings) and estimator behavior on
+known-cardinality fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _one_shot_kmv(df, k):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("fp")
+    return (
+        df.select(
+            "event_type", F.md5(F.col("user_id").cast("string").cast("binary")).alias("fp")
+        )
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("fp").alias("kth_hash"))
+    )
+
+
+def test_streamed_state_equals_one_shot_for_any_batching(spark, sf_dir):
+    from data_integration_and_processing_spark.streaming.pipelines import (
+        run_streaming_kmv_distinct,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    # two different physical layouts => different micro-batch boundaries
+    # under maxFilesPerTrigger=1; bottom-k-of-union must not care
+    got1 = run_streaming_kmv_distinct(spark, e.repartition(3), k=16)
+    got7 = run_streaming_kmv_distinct(spark, e.repartition(7, "event_id"), k=16)
+    one = _one_shot_kmv(e, 16)
+    ref = {r["event_type"]: (r["n_sketch"], r["kth_hash"]) for r in one.collect()}
+    for got in (got1, got7):
+        rows = {r["event_type"]: (r["n_sketch"], r["kth_hash"]) for r in got.collect()}
+        assert rows.keys() == ref.keys()
+        for t, (n, kth) in ref.items():
+            assert rows[t][0] == n and rows[t][1] == kth
+
+
+def test_small_set_branch_is_exact(spark):
+    from data_integration_and_processing_spark.streaming.pipelines import (
+        run_streaming_kmv_distinct,
+    )
+
+    rows = [(i, "t", i % 5) for i in range(40)]  # 5 distinct users < k
+    e = spark.createDataFrame(rows, "event_id long, event_type string, user_id long")
+    got = run_streaming_kmv_distinct(spark, e, k=16).collect()
+    assert len(got) == 1
+    assert got[0]["n_sketch"] == 5
+    assert got[0]["est_distinct_users"] == 5.0
