@@ -2886,9 +2886,13 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side-combines, so the window only ever ranks distinct hashes
     vals = o.select(F.col("o_orderpriority").alias("grp"), fp.alias("fp")).distinct()
     w = Window.partitionBy("grp").orderBy("fp")
-    # consumed twice (per-group state + merge); at most n_groups * k rows
-    # survive the filter, so recomputation is cheaper than cache residue
-    sk = vals.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    # consumed twice (per-group state + merge): materialize the
+    # O(n_groups * k) sketch once so the base scan + rank never recompute
+    sk = (
+        vals.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .localCheckpoint(eager=True)
+    )
     per_group = sk.groupBy("grp").agg(
         F.count(F.lit(1)).cast("long").alias("n_sketch"), F.max("fp").alias("kth_hash")
     )
@@ -3021,6 +3025,10 @@ def agg_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("grp", "fp")
+        # consumed THREE times (pair union, both match sides): materialize
+        # the O(n_groups * k) sketch once so the base scan + rank never
+        # recompute (triangle_stats' materialize-then-reuse discipline)
+        .localCheckpoint(eager=True)
     )
     grps = sk.select("grp").distinct()
     prs = (
@@ -3048,7 +3056,10 @@ def agg_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g1", "g2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_matching"))
     )
-    pk = vals.select("grp", "o_custkey").distinct()
+    # both sides of the exact-intersection self-join: one materialization,
+    # O(n_groups * distinct_keys) rows (the bounded audit column, not the
+    # sketch path)
+    pk = vals.select("grp", "o_custkey").distinct().localCheckpoint(eager=True)
     exact_inter = (
         pk.alias("a")
         .join(
