@@ -154,3 +154,17 @@ def test_dsir_importance_prefers_target_domain(spark, sf_dir):
     means = {r.tgt: r.m for r in by_side}
     if True in means and False in means:
         assert means[True] > means[False]
+
+
+def test_hash_bucket_column_seed_matches_int_seed(spark):
+    """The Column-seed form (epoch fan-out) must equal the int-seed form for
+    every constant, including negative and > HASH_MOD seeds."""
+    from pyspark.sql import functions as F
+
+    from data_integration_and_processing_spark.operators.sampling import hash_bucket
+
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    for seed in (0, 1, 5, 12345, 2**31, -3):
+        a = df.select(hash_bucket(["k"], 64, seed=seed).alias("b")).collect()
+        b = df.select(hash_bucket(["k"], 64, seed=F.lit(seed)).alias("b")).collect()
+        assert [r["b"] for r in a] == [r["b"] for r in b], seed
