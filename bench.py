@@ -439,6 +439,41 @@ def _ann_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:
     return {"sec": round(time.time() - t0, 3), "pairs": pairs, "vectors": 10 * e.count()}
 
 
+def _kmeans_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:
+    """100k-vector distributed-Lloyd probe: the registered sim_kmeans_lloyd
+    entry only ever sees the ~2k-row embeddings fixture at sf0.1, so the
+    per-iteration k*(dim+2) partial-agg shuffle — the operator's whole scale
+    claim — needs its own at-scale measurement. Vectors are synthesized
+    deterministically (trig of (id, dim), no RNG) with 8 planted blobs
+    offset by id mod 8, so the probe also records whether the planted
+    structure is recovered (all clusters populated, inertia drops)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.clustering import (  # noqa: PLC0415
+        kmeans_lloyd,
+    )
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda d: F.sin(F.col("id").cast("double") * 0.37 + d.cast("double") * 1.7)
+            + F.pmod(F.col("id"), F.lit(8)).cast("double") * 3.0,
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    _, model = kmeans_lloyd(df, k=8, n_iter=5)
+    h = model.inertia_history
+    return {
+        "sec": round(time.time() - t0, 3),
+        "vectors": n,
+        "k": 8,
+        "inertia_drop": round(h[-1] / h[0], 4) if h and h[0] > 0 else None,
+        "clusters_nonempty": all(s > 0 for s in model.cluster_sizes),
+    }
+
+
 def _pagerank_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:
     """Standing pagerank-shaped probe (VERDICT r7 item 6): graph_pagerank is
     the census peak (68 shuffles / 42 broadcasts across 10 fixed power
@@ -613,6 +648,9 @@ def main() -> int:
     lpa_probe = _lpa_scale_probe(spark, sf_dir)
     print(f"# lpa_scale_probe_10x: {lpa_probe}", file=sys.stderr)
 
+    kmeans_probe = _kmeans_scale_probe(spark, sf_dir)
+    print(f"# kmeans_scale_probe_100k: {kmeans_probe}", file=sys.stderr)
+
     baseline_name, baseline, base_canary = _baseline_queries(sf)
     # Host drift this round = how much the code-frozen canary pair moved vs
     # the previous round's recording; the regression threshold widens (or
@@ -673,6 +711,7 @@ def main() -> int:
         "interval_scale_probe_60k": interval_probe,
         "pagerank_scale_probe_10x": pagerank_probe,
         "lpa_scale_probe_10x": lpa_probe,
+        "kmeans_scale_probe_100k": kmeans_probe,
         "baseline": baseline_name,
         "regressions": regressions,
     }
