@@ -79,6 +79,16 @@ _PINNED: tuple[str, ...] = (
     "dedup_chunk_neardup",
     "dedup_incremental_neardup",
     "stream_neardup_incremental",
+    # r9 session-2 operators: driver-check the new flagships in their first
+    # round (they displace other never-checked fill names, which rotate in
+    # next round — count-neutral, but new work gets hard driver signal now)
+    "sim_kmeans_lloyd",
+    "graph_label_propagation",
+    "agg_kmv_distinct_sketch",
+    "agg_kmv_set_intersection",
+    "stream_kmv_incremental",
+    "sample_epoch_shuffle",
+    "curation_gopher_rules",
 )
 
 # Every family that must keep an oracle-checked row inside the window
