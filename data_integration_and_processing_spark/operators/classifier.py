@@ -195,30 +195,35 @@ def train_logistic_regression(
                 .agg(F.sum(F.col("p.vv") * F.col("curv")).alias("h"))
                 .toPandas()  # <= D(D+1)/2 rows, corpus-size-independent
             )
-        scored.unpersist()
         g = np.zeros(dim)
         hdiag = np.zeros(dim)
         for r in grad_rows:
             g[int(r["i"])] = float(r["g"]) / n
             hdiag[int(r["i"])] = float(r["hd"]) / n
         g += l2 * w
-        if use_gram:
-            H = np.zeros((dim, dim))
-            ii = gram_pdf["i"].to_numpy(dtype=int)
-            jj = gram_pdf["j"].to_numpy(dtype=int)
-            hh = gram_pdf["h"].to_numpy(dtype=float) / n
-            H[ii, jj] = hh
-            H[jj, ii] = hh
-            H += l2 * np.eye(dim)
-            delta = np.linalg.solve(H, g)
-        else:
-            # Hessian-free truncated Newton: PCG on H delta = g with the
-            # hdiag Jacobi preconditioner. The CG direction approximates
-            # the full Newton step (a pure-Jacobi step was measured ~10x
-            # slower to converge here: presence features co-occur ~50 per
-            # doc, so the Hessian's off-diagonal mass dominates), and the
-            # unit step passes the same backtracking as IRLS.
-            delta = _pcg_newton_step(scored, g, hdiag, l2, n, dim)
+        try:
+            if use_gram:
+                H = np.zeros((dim, dim))
+                ii = gram_pdf["i"].to_numpy(dtype=int)
+                jj = gram_pdf["j"].to_numpy(dtype=int)
+                hh = gram_pdf["h"].to_numpy(dtype=float) / n
+                H[ii, jj] = hh
+                H[jj, ii] = hh
+                H += l2 * np.eye(dim)
+                delta = np.linalg.solve(H, g)
+            else:
+                # Hessian-free truncated Newton: PCG on H delta = g with the
+                # hdiag Jacobi preconditioner. The CG direction approximates
+                # the full Newton step (a pure-Jacobi step was measured ~10x
+                # slower to converge here: presence features co-occur ~50 per
+                # doc, so the Hessian's off-diagonal mass dominates), and the
+                # unit step passes the same backtracking as IRLS. The up-to-10
+                # Hv jobs each scan `scored`, so it stays cached until the
+                # delta is in hand (unpersisting earlier recomputed the
+                # projection once per Hv product — ADVICE r9).
+                delta = _pcg_newton_step(scored, g, hdiag, l2, n, dim)
+        finally:
+            scored.unpersist()
         t = 1.0
         accepted = False
         for _bt in range(4):

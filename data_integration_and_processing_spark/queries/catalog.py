@@ -64,31 +64,67 @@ _WINDOW_SIZE = 50
 _ALWAYS: tuple[str, ...] = ("q1_pricing_summary",)
 
 # Round-specific pins: entries that MUST re-verify under the driver this
-# round. r9 (VERDICT r8 items 3 and 5): the three never-driver-checked
-# operators the judge replica-verified this round (DSIR + the two graph
-# queries), plus the entries whose oracles are NEW this round — the
-# rows-only -> audit-form conversions (chunk near-dup planted ledger,
-# incremental-vs-one-shot equivalence booleans) — so their first driver
-# hash-check happens while the change is fresh. `multimodal_cdc_chunks`
-# stays OUT of the window (rows-only by design; pinning it just burns a
-# slot on a standing `no_oracle` red).
+# round. r10 (VERDICT r9 item 1): ALL 45 queries that have never been
+# checked by the real driver — after this window lands, every oracled
+# catalog entry has at least one hard driver row. With q1 always-in, the
+# 4 remaining slots go to the derived stalest-first fill, which by
+# construction picks the oldest-green (round-1) entries — the start of
+# the standing stale-green re-check rotation (VERDICT r9 item 3).
+# `multimodal_cdc_chunks` stays OUT (rows-only by design; its new
+# planted-boundary audit form is registered under
+# `multimodal_cdc_chunks_audit` and pinned once it exists).
 _PINNED: tuple[str, ...] = (
-    "sample_dsir_importance",
-    "graph_bfs_distances",
-    "graph_connected_components",
-    "dedup_chunk_neardup",
-    "dedup_incremental_neardup",
-    "stream_neardup_incremental",
-    # r9 session-2 operators: driver-check the new flagships in their first
-    # round (they displace other never-checked fill names, which rotate in
-    # next round — count-neutral, but new work gets hard driver signal now)
-    "sim_kmeans_lloyd",
-    "graph_label_propagation",
-    "agg_kmv_distinct_sketch",
-    "agg_kmv_set_intersection",
-    "stream_kmv_incremental",
-    "sample_epoch_shuffle",
-    "curation_gopher_rules",
+    # events family (13)
+    "events_error_burst_detection",
+    "events_peak_concurrency",
+    "events_dau_wau",
+    "events_attribution_first_touch",
+    "events_time_to_convert",
+    "events_markov_transitions",
+    "events_cohort_ltv",
+    "events_power_user_gini",
+    "events_session_length_histogram",
+    "events_window_funnel",
+    "events_top_paths",
+    "events_funnel_any_order",
+    "events_growth_accounting",
+    # text family (7)
+    "text_tokenizer_fertility",
+    "text_lexical_diversity",
+    "text_langid_confusion",
+    "text_bigram_lm",
+    "text_zipf_fit",
+    "text_vocab_coverage_curve",
+    # agg family (6)
+    "agg_hll_intersection",
+    "agg_winsorized_mean",
+    "agg_order_size_distribution",
+    "agg_market_basket_lift",
+    "agg_shannon_entropy",
+    # etl family (5)
+    "etl_xml_roundtrip",
+    "etl_xlsx_distributed_scan",
+    "etl_corrupt_row_quarantine",
+    "etl_file_lineage",
+    "etl_fixed_width_roundtrip",
+    # join family (5)
+    "join_temporal_pointintime",
+    "join_interval_binned",
+    "join_null_safe",
+    "join_lateral_topn",
+    "join_semi_range",
+    # misc (11)
+    "sample_neyman_allocation",
+    "sim_matryoshka_prefix_recall",
+    "sim_sample_diversity",
+    "stream_incremental_mv",
+    "temporal_week_over_week",
+    "stream_session_window_dynamic",
+    "graph_degree_distribution",
+    "quality_order_total_reconcile",
+    "analytics_rfm_segmentation",
+    "window_rolling_median",
+    "sql_recursive_date_spine",
 )
 
 # Every family that must keep an oracle-checked row inside the window

@@ -206,14 +206,54 @@ def run_streaming_window_pipeline(
     return spark.read.parquet(sink)
 
 
-def _staged_stream(spark: SparkSession, events: DataFrame, scratch: str) -> tuple[DataFrame, str]:
+def _staged_stream(
+    spark: SparkSession,
+    events: DataFrame,
+    scratch: str,
+    max_files_per_trigger: int | None = None,
+    n_files: int = 4,
+    order_col: str | None = None,
+) -> tuple[DataFrame, str]:
     """Stage a batch DataFrame as parquet and open it with ``readStream``
     (bounded replay via availableNow at the call sites). Returns (stream,
-    sink_path)."""
+    sink_path).
+
+    ``max_files_per_trigger`` is a READ option (on the writer it is a
+    silent no-op — ADVICE r9): when set, the input is staged as ``n_files``
+    parquet files and the reader caps each micro-batch at that many files,
+    so ``trigger(availableNow=True)`` yields a real multi-batch replay and
+    incremental state-merge paths actually merge across batches. Callers
+    whose state merge is associative/commutative (register-max, counter
+    sums, bottom-k-of-union, digest merge) leave ``order_col`` unset — the
+    round-robin file split makes batch boundaries arbitrary, which is the
+    point. Callers whose semantics depend on arrival order (earlier-batch-
+    wins near-dedup) set ``order_col``: files are range-partitioned on it
+    and given strictly increasing mtimes so FileStreamSource (oldest-mtime-
+    first) replays the column's total order deterministically on any fs."""
     src, sink = f"{scratch}/src", f"{scratch}/sink"
     shutil.rmtree(scratch, ignore_errors=True)
-    _watermarkable(events).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    staged = _watermarkable(events)
+    if max_files_per_trigger is not None:
+        if order_col is not None:
+            staged = staged.repartitionByRange(n_files, order_col)
+        else:
+            staged = staged.repartition(n_files)
+    staged.write.mode("overwrite").parquet(src)
+    if order_col is not None and max_files_per_trigger is not None:
+        import glob as _glob  # noqa: PLC0415
+        import time as _time  # noqa: PLC0415
+
+        # part-00000 holds the lowest order_col range; ascending mtimes by
+        # filename => replay follows the range order (2s apart beats coarse
+        # mtime granularity)
+        files = sorted(_glob.glob(f"{src}/*.parquet"))
+        base = int(_time.time()) - 2 * (len(files) + 1)
+        for i, f in enumerate(files):
+            os.utime(f, (base + 2 * i, base + 2 * i))
+    reader = spark.readStream.schema(spark.read.parquet(src).schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src)
     return stream, sink
 
 
@@ -650,7 +690,7 @@ def run_streaming_hll_distinct(
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     scratch = scratch_dir or f"/tmp/diaps_hll_{uuid.uuid4().hex[:8]}"
-    stream, sink = _staged_stream(spark, events, scratch)
+    stream, sink = _staged_stream(spark, events, scratch, max_files_per_trigger=1)
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.sparkSession
@@ -672,7 +712,6 @@ def run_streaming_hll_distinct(
     (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", f"{scratch}/ckpt")
-        .option("maxFilesPerTrigger", 1)
         .foreachBatch(land)
         .trigger(availableNow=True)
         .start()
@@ -1217,7 +1256,7 @@ def run_streaming_countmin_heavy_hitters(
     )
 
     scratch = scratch_dir or f"/tmp/diaps_cms_{uuid.uuid4().hex[:8]}"
-    stream, sink = _staged_stream(spark, events, scratch)
+    stream, sink = _staged_stream(spark, events, scratch, max_files_per_trigger=1)
     cms_state, cand_state = f"{sink}_cms", f"{sink}_cand"
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
@@ -1251,7 +1290,6 @@ def run_streaming_countmin_heavy_hitters(
     (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", f"{scratch}/ckpt")
-        .option("maxFilesPerTrigger", 1)
         .foreachBatch(land)
         .trigger(availableNow=True)
         .start()
@@ -1402,7 +1440,7 @@ def run_streaming_quantile_digest(
     6-chunk replay that is ~0.03; tests pin 0.05 against exact quantiles.
     """
     scratch = scratch_dir or f"/tmp/diaps_qd_{uuid.uuid4().hex[:8]}"
-    stream, sink = _staged_stream(spark, events, scratch)
+    stream, sink = _staged_stream(spark, events, scratch, max_files_per_trigger=2)
     state_path = f"{sink}_qd"
     probs = [(2 * i + 1) / (2 * n_buckets) for i in range(n_buckets)]
 
@@ -1460,7 +1498,6 @@ def run_streaming_quantile_digest(
     (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", f"{scratch}/ckpt")
-        .option("maxFilesPerTrigger", 6)
         .foreachBatch(land)
         .trigger(availableNow=True)
         .start()
@@ -1588,19 +1625,31 @@ def run_streaming_neardup(
     from data_integration_and_processing_spark.operators.dedup import (  # noqa: PLC0415
         lsh_bands,
         minhash_lsh_dedup,
-        minhash_signature_from_hashes,
+        minhash_signature_vectorized,
         shingle_keys,
     )
 
     scratch = scratch_dir or f"/tmp/diaps_sneardup_{uuid.uuid4().hex[:8]}"
-    stream, sink = _staged_stream(spark, docs, scratch)
+    # Ordered multi-batch replay (ADVICE r9 made replays genuinely
+    # multi-batch): earlier-batch-wins composes to the one-shot global
+    # min-id survivor rule only when arrival follows id order, so the
+    # stage is range-partitioned on the id with mtime-forced file order.
+    stream, sink = _staged_stream(
+        spark, docs, scratch, max_files_per_trigger=1, order_col=id_col
+    )
     hs_state, band_state, out_state = f"{sink}_hs", f"{sink}_bands", f"{sink}_accepted"
+    # The SAME signature family as minhash_lsh_dedup's banding (Arrow
+    # multiply-shift, seed 42): a near-dup pair split across batches then
+    # collides in a band exactly when the one-shot banding would have
+    # generated the candidate — keeping streamed recall identical to the
+    # one-shot path the equivalence audit compares against.
+    sig_udf = minhash_signature_vectorized(num_hashes)
 
     def _index(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         hs = df.select(
             F.col(id_col).alias("id"), shingle_keys(F.col(text_col), 3).alias("hs")
         ).filter(F.size("hs") > 0)
-        sig = hs.select("id", minhash_signature_from_hashes(F.col("hs"), num_hashes).alias("sig"))
+        sig = hs.select("id", sig_udf(F.col("hs")).alias("sig"))
         banded = sig.select(
             "id", F.posexplode(lsh_bands(F.col("sig"), bands, num_hashes // bands)).alias("band", "bucket")
         )
@@ -1656,7 +1705,6 @@ def run_streaming_neardup(
     (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", f"{scratch}/ckpt")
-        .option("maxFilesPerTrigger", 8)
         .foreachBatch(land)
         .trigger(availableNow=True)
         .start()
@@ -1685,7 +1733,7 @@ def run_streaming_incremental_mv(
     )
 
     scratch = scratch_dir or f"/tmp/diaps_incmv_{uuid.uuid4().hex[:8]}"
-    stream, sink = _staged_stream(spark, events, scratch)
+    stream, sink = _staged_stream(spark, events, scratch, max_files_per_trigger=2)
     keys, sums = ["event_type"], ["value"]
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
@@ -1702,7 +1750,6 @@ def run_streaming_incremental_mv(
     (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", f"{scratch}/ckpt")
-        .option("maxFilesPerTrigger", 4)
         .foreachBatch(land)
         .trigger(availableNow=True)
         .start()
@@ -1741,7 +1788,7 @@ def run_streaming_kmv_distinct(
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     scratch = scratch_dir or f"/tmp/diaps_kmv_{uuid.uuid4().hex[:8]}"
-    stream, sink = _staged_stream(spark, events, scratch)
+    stream, sink = _staged_stream(spark, events, scratch, max_files_per_trigger=1)
     w = Window.partitionBy("event_type").orderBy("fp")
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
@@ -1763,7 +1810,6 @@ def run_streaming_kmv_distinct(
     (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", f"{scratch}/ckpt")
-        .option("maxFilesPerTrigger", 1)
         .foreachBatch(land)
         .trigger(availableNow=True)
         .start()

@@ -9,11 +9,15 @@ Usage:
     python scripts/plan_audit.py --only a,b --sf-dir /root/testdata/sf0.01
 
 One JSON line per query plus a final summary. Nested loops are split by
-scale class: `broadcast_nested_loop` counts BroadcastNestedLoopJoin (the
-build side fit the broadcast threshold, so it is bounded by construction —
-the audit-form scalar/centroid/band crosses all land here), while
-`nested_loop` counts CartesianProduct only, the genuinely unbounded
-all-pairs shape; only the latter can appear in `undeclared_nested_loop`.
+physical shape (`broadcast_nested_loop` = BroadcastNestedLoopJoin,
+`nested_loop` = CartesianProduct) but BOTH are gated against the declared
+allowlist: Spark's JoinSelection falls back to BNLJ for any non-equi join
+it cannot plan otherwise, broadcasting the smaller side REGARDLESS of
+spark.sql.autoBroadcastJoinThreshold (ADVICE r9) — so an unbounded
+theta-join between two large tables compiles to BNLJ, and "it took the
+broadcast shape" proves nothing about boundedness. An undeclared BNLJ
+lands in `undeclared_broadcast_nested_loop`; an undeclared Cartesian in
+`undeclared_nested_loop`; either fails `--fail-on cartesian`.
 """
 
 from __future__ import annotations
@@ -72,11 +76,10 @@ def audit_plan(plan: str) -> dict:
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sortmerge_joins": plan.count("SortMergeJoin"),
         "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
-        # Split by scale class: a BroadcastNestedLoopJoin's build side fit
-        # the broadcast threshold (10 MB under driver conditions) — it is
-        # bounded by construction (the audit-form scalar/centroid/band
-        # crosses), and an UNBOUNDED all-pairs could not take this shape; a
-        # CartesianProduct has no such bound and is the real scale risk.
+        # Split by physical shape only — NOT by risk class: JoinSelection
+        # uses BNLJ as the last-resort plan for non-equi joins regardless of
+        # the broadcast threshold, so BNLJ does not imply a bounded build
+        # side. Both counters are gated against DELIBERATE_NESTED_LOOP.
         "broadcast_nested_loop": plan.count("BroadcastNestedLoopJoin"),
         "nested_loop": plan.count("CartesianProduct"),
         "codegen_spans": plan.count("WholeStageCodegen"),
@@ -107,6 +110,7 @@ def main() -> int:
         names = [n for n in args.only.split(",") if n in specs]
 
     offenders = []
+    bnlj_offenders = []
     for name in names:
         try:
             df = specs[name].spark(spark, args.sf_dir)
@@ -117,15 +121,28 @@ def main() -> int:
         rec = audit_plan(plan)
         rec["query"] = name
         print(json.dumps(rec))
-        # only true Cartesians are "undeclared" — broadcast nested loops are
-        # bounded-build by definition (see audit_plan) and reported as their
-        # own counter instead of polluting the offender list
+        # BOTH nested-loop shapes are gated: a Cartesian is always unbounded,
+        # and a BNLJ may be JoinSelection's non-equi fallback over two large
+        # sides (the broadcast threshold is NOT consulted there), so neither
+        # shape passes without a per-query allowlist entry.
         if rec["nested_loop"] and name not in DELIBERATE_NESTED_LOOP:
             offenders.append(name)
+        if rec["broadcast_nested_loop"] and name not in DELIBERATE_NESTED_LOOP:
+            bnlj_offenders.append(name)
 
-    print(json.dumps({"plan_audit": {"checked": len(names), "undeclared_nested_loop": offenders}}))
+    print(
+        json.dumps(
+            {
+                "plan_audit": {
+                    "checked": len(names),
+                    "undeclared_nested_loop": offenders,
+                    "undeclared_broadcast_nested_loop": bnlj_offenders,
+                }
+            }
+        )
+    )
     spark.stop()
-    if args.fail_on == "cartesian" and offenders:
+    if args.fail_on == "cartesian" and (offenders or bnlj_offenders):
         return 1
     return 0
 
