@@ -70,10 +70,11 @@ _ALWAYS: tuple[str, ...] = ("q1_pricing_summary",)
 # 4 remaining slots go to the derived stalest-first fill, which by
 # construction picks the oldest-green (round-1) entries — the start of
 # the standing stale-green re-check rotation (VERDICT r9 item 3).
-# `multimodal_cdc_chunks` stays OUT (rows-only by design; its new
-# planted-boundary audit form is registered under
-# `multimodal_cdc_chunks_audit` and pinned once it exists).
+# `multimodal_cdc_chunks` — rows-only since r1 — got its planted-boundary
+# audit-form oracle this round (VERDICT r9 item 4) and is pinned for its
+# first hash-check, closing the catalog at 345/345 oracled.
 _PINNED: tuple[str, ...] = (
+    "multimodal_cdc_chunks",
     # events family (13)
     "events_error_burst_detection",
     "events_peak_concurrency",

@@ -181,21 +181,126 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted CDC block (VERDICT r9 item 4): 512 ASCII chars derived from a
+# fixed seed, searched (seed 71 was the 72nd candidate) so that the gear
+# hash of BLOCK*k masks to zero at EXACTLY the block ends — verified for
+# k in {1,2,3,5,8,10} against cdc_boundaries at authoring time and pinned
+# by tests/test_cdc_chunking.py. With one cut per block, chunk counts and
+# offsets of planted payloads are pure arithmetic: doc with r repeats has
+# r chunks of 512 bytes at offsets 0, 512, ... — SQL-computable.
+_CDC_PLANT_SEED = 71
+_CDC_PLANT_BLOCK_LEN = 512
+
+
+def _cdc_plant_block() -> str:
+    import random  # noqa: PLC0415
+    import string  # noqa: PLC0415
+
+    r = random.Random(_CDC_PLANT_SEED)
+    alphabet = string.ascii_letters + string.digits
+    return "".join(r.choice(alphabet) for _ in range(_CDC_PLANT_BLOCK_LEN))
+
+
 @register(
     "multimodal_cdc_chunks",
-    oracle=None,  # gear-hash boundaries have no SQL twin; reassembly,
-    # determinism and shift-resilience pinned in tests/test_cdc_chunking.py
+    # Audit form (VERDICT r9 item 4, the last rows-only entry): gear-hash
+    # boundaries have no DuckDB twin, so the driver-checked output is the
+    # exact SQL-computable planted-ledger arithmetic (docs with doc_id <
+    # 200 get a payload of 1 + doc_id % 7 repeats of the planted block,
+    # so chunk counts/bytes are closed-form) plus measured-deterministic
+    # booleans: every planted chunk lands at offset idx*512 with length
+    # 512 (the boundary-match check), and over the REAL text-payload
+    # corpus the chunks reassemble every byte contiguously under the
+    # max_len bound. Raw chunk rows: multimodal_cdc_chunks_raw (benched).
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_planted,
+               CAST(sum(1 + doc_id % 7) AS BIGINT) AS n_chunks_planted,
+               CAST(512 * sum(1 + doc_id % 7) AS BIGINT) AS planted_bytes,
+               true AS boundaries_exact_ok,
+               true AS corpus_cover_ok
+        FROM documents WHERE doc_id < 200
+    """,
     description=(
         "content-defined chunking (Gear CDC) of binary payloads: boundaries land "
         "where a windowed rolling hash masks to zero, so an edit early in a file "
         "shifts only its local chunk — every later chunk keeps its identity and "
         "dedups away as ordinary exact dedup on chunk_md5. Arrow-batched "
-        "mapInPandas with vectorized numpy hashing, no per-byte Python. The "
-        "media-payload analogue of text passage-level dedup"
+        "mapInPandas with vectorized numpy hashing, no per-byte Python. "
+        "Driver-checked in audit form: planted payloads built from a seed-fixed "
+        "512-byte block with exactly one gear cut per repeat make chunk "
+        "count/offset/length pure SQL arithmetic, and the real corpus adds a "
+        "bytes-reassemble-contiguously boolean. The media-payload analogue of "
+        "text passage-level dedup (raw chunk rows: multimodal_cdc_chunks_raw)"
     ),
-    tags=("multimodal", "north-star", "dedup", "pandas-udf"),
+    tags=("multimodal", "north-star", "dedup", "pandas-udf", "chunking"),
 )
 def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.multimodal import (  # noqa: PLC0415
+        cdc_chunk_payloads,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    # planted ledger: reps = 1 + doc_id % 7 repeats of the fixed block
+    planted = d.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.repeat(F.lit(_cdc_plant_block()), (F.lit(1) + F.col("doc_id") % 7).cast("int"))
+        .cast("binary")
+        .alias("payload"),
+        (F.lit(1) + F.col("doc_id") % 7).cast("long").alias("reps"),
+    )
+    chunks_p = cdc_chunk_payloads(planted)
+    # boundary match: per planted doc, chunk count == reps and every chunk
+    # sits at offset idx*512 with length 512
+    per_doc = (
+        chunks_p.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                (
+                    (F.col("offset") != F.col("chunk_idx") * _CDC_PLANT_BLOCK_LEN)
+                    | (F.col("length") != _CDC_PLANT_BLOCK_LEN)
+                ).cast("long")
+            ).alias("bad_pos"),
+        )
+        .join(planted.select("doc_id", "reps"), "doc_id")
+    )
+    planted_audit = per_doc.agg(
+        F.count("*").alias("n_planted"),
+        F.sum("n_chunks").cast("long").alias("n_chunks_planted"),
+        (F.sum("n_chunks") * _CDC_PLANT_BLOCK_LEN).cast("long").alias("planted_bytes"),
+        (
+            (F.sum("bad_pos") == 0) & (F.sum((F.col("n_chunks") != F.col("reps")).cast("long")) == 0)
+        ).alias("boundaries_exact_ok"),
+    )
+    # real-corpus coverage: chunks reassemble every payload byte
+    # contiguously (sorted (offset, length) runs seam to seam) under the
+    # max_len bound
+    m = attach_binary_payload(d)
+    chunks_r = cdc_chunk_payloads(m)
+    cover = (
+        chunks_r.groupBy("doc_id")
+        .agg(
+            F.min("offset").alias("first_off"),
+            F.max(F.col("offset") + F.col("length")).alias("cover_end"),
+            F.sum("length").alias("sum_len"),
+            F.max("length").alias("max_chunk"),
+        )
+        .join(m.select("doc_id", F.col("media_meta.n_bytes").alias("n_bytes")), "doc_id")
+        .agg(
+            (
+                (F.sum((F.col("first_off") != 0).cast("long")) == 0)
+                & (F.sum((F.col("cover_end") != F.col("n_bytes")).cast("long")) == 0)
+                & (F.sum((F.col("sum_len") != F.col("n_bytes")).cast("long")) == 0)
+                & (F.max("max_chunk") <= 2048)
+            ).alias("corpus_cover_ok")
+        )
+    )
+    return planted_audit.crossJoin(F.broadcast(cover))
+
+
+def multimodal_cdc_chunks_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw CDC chunk rows over the real payload corpus (the pre-audit-form
+    registered output; benched as a headline raw path)."""
     from data_integration_and_processing_spark.operators.multimodal import (  # noqa: PLC0415
         cdc_chunk_payloads,
     )

@@ -67,6 +67,61 @@ DELIBERATE_NESTED_LOOP = {
     "skew_salted_join",  # salt-range replicate of the small side
     "sim_knn_join",  # broadcast query batch (bounded by construction)
     "sim_ann_join_ivf",  # n_cells centroid rows
+    # --- r10 re-adjudication (ADVICE r9: the blanket BNLJ exemption was
+    # wrong — JoinSelection falls back to BNLJ for ANY non-equi join
+    # regardless of the broadcast threshold, so every BNLJ site below was
+    # re-read and is declared with the bound that makes it safe) ---
+    # (a) audit-form scalar crosses: crossJoin(F.broadcast(one-row agg)) —
+    # the registered audit pattern (fixture arithmetic + measured booleans)
+    "events_error_burst_detection",
+    "events_growth_accounting",
+    "text_vocab_coverage_curve",  # top-vocab scalar + coverage scalar
+    "agg_market_basket_lift",  # basket-count scalar
+    "etl_corrupt_row_quarantine",  # quarantine-count scalar
+    "sample_neyman_allocation",  # total-budget scalar
+    "sim_matryoshka_prefix_recall",  # recall-floor scalar
+    "analytics_rfm_segmentation",  # quantile-cut scalars
+    "dedup_minhash_lsh",  # pair/recall audit scalars
+    "dedup_simhash",
+    "dedup_simhash_signatures",
+    "dedup_pipeline_end2end",
+    "dedup_cap_audit",
+    "dedup_incremental_neardup",  # equivalence-boolean scalars
+    "dedup_minhash_calibration",
+    "dedup_chunk_neardup",  # planted-ledger scalars
+    "sim_pca_project",  # variance/orthonormality scalars
+    "sim_centroid_classification",
+    "sim_uncertainty_sampling",
+    "sim_binary_hamming_topk",
+    "sim_retrieval_eval_ndcg",
+    "search_hybrid_rrf",
+    "pack_sequences_budget",  # budget scalar
+    "curation_quality_classifier",  # AUC/count scalars via classifier op
+    "sample_ab_srm_audit",
+    "quality_ks_drift_bucketed",
+    "quality_sequence_audit",
+    "quality_freshness_lag_audit",
+    "quality_auc_separability",
+    "quality_chi2_drift",
+    "stream_countmin_heavy_hitters",  # CMS audit scalars
+    "stream_neardup_incremental",  # equivalence-boolean scalars
+    "multimodal_phash_neardup",  # planted-recall scalars
+    "multimodal_cdc_chunks",  # planted-ledger + coverage scalars (r10)
+    "agg_kmv_distinct_sketch",  # k-th-hash scalar
+    "agg_kmv_set_intersection",  # one-row-per-sketch crosses
+    "agg_hll_intersection",  # inclusion-exclusion over one-row sketches
+    # (b) bounded broadcast sides inside operators
+    "sim_topk_lsh",  # 1-row query vector (brute_force_topk ground truth)
+    "sim_topk_ivf",
+    "sim_topk_lsh_indexed",
+    "sim_topk_pq",
+    "sim_ann_recall_audit",  # query-batch crosses in the exact ground truth
+    "sim_hard_negatives",  # broadcast anchor/positive batch
+    "sim_sample_diversity",  # broadcast k-row sample
+    # (c) inequality join against a calendar-bounded side: distinct days
+    # (O(span), ~35 at sf0.1, ~365/yr at any corpus size) broadcast against
+    # user-days for the 7-day WAU window
+    "events_dau_wau",
 }
 
 

@@ -88,3 +88,20 @@ def test_short_payloads_chunk_without_error():
             assert ends[-1] == n and sum(
                 e2 - e1 for e1, e2 in zip([0] + ends[:-1], ends)
             ) == n
+
+
+def test_planted_block_cuts_exactly_per_repeat():
+    """The seed-71 planted block (multimodal_cdc_chunks audit form) must
+    keep its defining property: cdc_boundaries(BLOCK*k) == [512, 1024, ...]
+    for every repeat count the fixture uses (reps = 1 + doc_id % 7 <= 7,
+    plus margin). If the gear table, window, or selection logic ever
+    changes, this pins the planted-ledger arithmetic to the new reality."""
+    from data_integration_and_processing_spark.queries.multimodal_queries import (
+        _CDC_PLANT_BLOCK_LEN,
+        _cdc_plant_block,
+    )
+
+    block = _cdc_plant_block().encode()
+    assert len(block) == _CDC_PLANT_BLOCK_LEN == 512
+    for k in (1, 2, 3, 5, 7, 8, 10):
+        assert cdc_boundaries(block * k) == [512 * i for i in range(1, k + 1)], k
