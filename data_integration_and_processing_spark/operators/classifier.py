@@ -79,6 +79,10 @@ def hashed_token_features(
 class LogRegModel:
     weights: list[float]  # length n_features + 1; last entry is the bias
     losses: list[float] = field(default_factory=list)
+    # CG iterations per Newton step (cg/auto-wide solver only; empty for
+    # the Gram path) — the D=8192 scale probe gates on these staying
+    # bounded (truncated Newton caps at max_cg=10 Hv jobs per step)
+    cg_iters: list[int] = field(default_factory=list)
 
     @property
     def loss_decreasing(self) -> bool:
@@ -151,6 +155,7 @@ def train_logistic_regression(
 
     cur_loss = _mean_loss(w)
     losses.append(cur_loss)
+    cg_hist: list[int] = []
     for _ in range(n_iters):
         margin = _margin(list(map(float, w)))
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
@@ -221,7 +226,8 @@ def train_logistic_regression(
                 # Hv jobs each scan `scored`, so it stays cached until the
                 # delta is in hand (unpersisting earlier recomputed the
                 # projection once per Hv product — ADVICE r9).
-                delta = _pcg_newton_step(scored, g, hdiag, l2, n, dim)
+                delta, n_cg = _pcg_newton_step(scored, g, hdiag, l2, n, dim)
+                cg_hist.append(n_cg)
         finally:
             scored.unpersist()
         t = 1.0
@@ -243,7 +249,7 @@ def train_logistic_regression(
         if len(losses) >= 2 and losses[-2] - losses[-1] < tol:
             break
     fdf.unpersist()
-    return LogRegModel(weights=list(map(float, w)), losses=losses)
+    return LogRegModel(weights=list(map(float, w)), losses=losses, cg_iters=cg_hist)
 
 
 def _hess_vec(scored: DataFrame, v, n: int, l2: float, dim: int):
@@ -288,7 +294,8 @@ def _pcg_newton_step(
     """Jacobi-preconditioned conjugate gradient on H d = g. Runs at most
     ``max_cg`` distributed Hv jobs (truncated Newton: even a loosely
     solved system gives a Newton-quality descent direction), stopping
-    early once the residual drops two orders of magnitude."""
+    early once the residual drops two orders of magnitude. Returns
+    (direction, cg_iterations_used)."""
     import numpy as np  # noqa: PLC0415
 
     m_inv = 1.0 / (np.asarray(hdiag, dtype=float) + l2)
@@ -296,11 +303,12 @@ def _pcg_newton_step(
     r = np.asarray(g, dtype=float).copy()
     g_norm = float(np.linalg.norm(r))
     if g_norm == 0.0:
-        return d
+        return d, 0
     z = m_inv * r
     p = z.copy()
     rz = float(r @ z)
-    for _ in range(max_cg):
+    it = 0
+    for it in range(1, max_cg + 1):
         q = _hess_vec(scored, p, n, l2, dim)
         pq = float(p @ q)
         if pq <= 0.0:  # curvature lost to float noise: stop with current d
@@ -314,7 +322,7 @@ def _pcg_newton_step(
         rz_new = float(r @ z)
         p = z + (rz_new / rz) * p
         rz = rz_new
-    return d
+    return d, it
 
 
 def score_logistic(feats_df: DataFrame, model: LogRegModel) -> DataFrame:

@@ -67,12 +67,41 @@ def _min_d2(vec: Column, centers: tuple[tuple[float, ...], ...]) -> Column:
     return F.array_min(F.array(*[_d2_fold(vec, c) for c in centers]))
 
 
+# Above this many literal doubles in the per-row distance expression,
+# centers travel as a one-row broadcast-joined array<array<double>> DATA
+# value instead of literals: the expression tree is then O(1) in k (one
+# transform over the joined matrix) and — the bigger effect — IDENTICAL
+# across iterations, so whole-stage codegen compiles once and caches,
+# where the literal tree recompiles every iteration because the literal
+# values change. Measured at 100k x dim-64 vectors, 3 iters (r10):
+# k=8 literal 12.2s / broadcast 7.7s; k=32 15.3 / 8.5; k=64 53.0 / 17.1;
+# k=256 broadcast 47.8s (literal not attempted — 16k-literal tree).
+# The cap keeps the tiny-model regime (registered k=8 x dim=64 fixture,
+# where a warm literal run still edges out the join by ~0.7s) on the
+# join-free plan; every larger model takes the broadcast path.
+LITERAL_CENTERS_CAP = 512
+
+
+def _d2_arr_from_matrix(vec: Column, cmat: Column) -> Column:
+    """Per-row distance array against a runtime centers matrix column:
+    same arithmetic as the literal fold, constant expression size."""
+    return F.transform(
+        cmat,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
 def kmeans_lloyd(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 8,
     n_iter: int = 5,
+    centers_mode: str = "auto",
 ) -> tuple[DataFrame, KMeansModel]:
     """Distributed Lloyd k-means; returns (assignments, model).
 
@@ -87,9 +116,19 @@ def kmeans_lloyd(
     ulp level (cross-partition add order is not fixed); assignments — and
     therefore everything the audit query hashes — are layout-independent
     on any non-degenerate corpus.
+
+    ``centers_mode``: ``"literal"`` inlines the k centers as literal
+    arrays in the distance expression (fastest at small k*dim — zero
+    join); ``"broadcast"`` ships them as a one-row broadcast-joined
+    matrix (constant codegen size — the large-k SemDeDup regime);
+    ``"auto"`` switches at ``LITERAL_CENTERS_CAP`` literal doubles. Both
+    modes compute identical distances (same zip_with arithmetic), so
+    assignments do not depend on the mode.
     """
     if k < 1 or n_iter < 1:
         raise ValueError("k and n_iter must be >= 1")
+    if centers_mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown centers_mode {centers_mode!r}")
     base = df.select(
         F.col(id_col).alias("_kid"), F.col(vec_col).cast("array<double>").alias("_kvec")
     ).persist()
@@ -108,17 +147,32 @@ def kmeans_lloyd(
         centers: list[tuple[float, ...]] = [tuple(r["_kvec"]) for r in seed_rows]
         while len(centers) < k:  # fewer rows than k: duplicate last seed
             centers.append(centers[-1])
+        use_broadcast = centers_mode == "broadcast" or (
+            centers_mode == "auto" and k * dim > LITERAL_CENTERS_CAP
+        )
+        spark = df.sparkSession
+
+        def _with_darr(cents: tuple[tuple[float, ...], ...]) -> DataFrame:
+            """(_kvec, _darr) — k distances materialized ONCE per row (a
+            projected array column); argmin and min derive from it.
+            Inlining both through assign_to_centers/_min_d2 doubles an
+            already-large (k*dim literals) expression tree and the codegen
+            compile time dominates the per-iteration cost on small inputs."""
+            if use_broadcast:
+                cdf = spark.createDataFrame(
+                    [([list(c) for c in cents],)], "_cmat: array<array<double>>"
+                )
+                return base.join(F.broadcast(cdf)).select(
+                    F.col("_kvec"),
+                    _d2_arr_from_matrix(F.col("_kvec"), F.col("_cmat")).alias("_darr"),
+                )
+            darr = F.array(*[_d2_fold(F.col("_kvec"), c) for c in cents])
+            return base.select(F.col("_kvec"), darr.alias("_darr"))
 
         history: list[float] = []
         for _ in range(n_iter):
             cents = tuple(centers)
-            # materialize the k distances ONCE per row (a projected array
-            # column), then derive argmin and min from it — inlining both
-            # through assign_to_centers/_min_d2 doubles an already-large
-            # (k*dim literals) expression tree and the codegen compile time
-            # dominates the per-iteration cost on small inputs
-            darr = F.array(*[_d2_fold(F.col("_kvec"), c) for c in cents])
-            assigned = base.select(F.col("_kvec"), darr.alias("_darr")).select(
+            assigned = _with_darr(cents).select(
                 (F.array_position(F.col("_darr"), F.array_min(F.col("_darr"))) - 1)
                 .cast("int")
                 .alias("_c"),
@@ -143,10 +197,30 @@ def kmeans_lloyd(
             centers = new_centers
 
         final = tuple(tuple(c) for c in centers)
-        assignments = base.select(
-            F.col("_kid").alias(id_col),
-            assign_to_centers(F.col("_kvec"), final).alias("cluster"),
-        )
+        if use_broadcast:
+            fdf = spark.createDataFrame(
+                [([list(c) for c in final],)], "_cmat: array<array<double>>"
+            )
+            # materialize the distance array once (the r9 duplicated-fold
+            # compile lesson applies to the matrix form too)
+            assignments = (
+                base.join(F.broadcast(fdf))
+                .select(
+                    F.col("_kid"),
+                    _d2_arr_from_matrix(F.col("_kvec"), F.col("_cmat")).alias("_darr"),
+                )
+                .select(
+                    F.col("_kid").alias(id_col),
+                    (F.array_position(F.col("_darr"), F.array_min(F.col("_darr"))) - 1)
+                    .cast("int")
+                    .alias("cluster"),
+                )
+            )
+        else:
+            assignments = base.select(
+                F.col("_kid").alias(id_col),
+                assign_to_centers(F.col("_kvec"), final).alias("cluster"),
+            )
         sizes = {
             r["cluster"]: r["n"]
             for r in assignments.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()

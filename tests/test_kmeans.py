@@ -99,3 +99,34 @@ def test_rejects_bad_params(spark):
         kmeans_lloyd(df, k=0, n_iter=3)
     with pytest.raises(ValueError):
         kmeans_lloyd(df, k=2, n_iter=0)
+
+
+def test_broadcast_mode_matches_literal_mode(spark):
+    """centers_mode='broadcast' (one-row joined matrix, constant codegen
+    size — the large-k path) must produce byte-identical assignments and
+    inertia history to the literal-fold mode: same zip_with arithmetic,
+    different delivery of the centers."""
+    df = _planted(spark)
+    a_lit, m_lit = kmeans_lloyd(df, k=4, n_iter=4, centers_mode="literal")
+    a_bc, m_bc = kmeans_lloyd(df, k=4, n_iter=4, centers_mode="broadcast")
+    assert m_lit.inertia_history == m_bc.inertia_history
+    assert m_lit.centers == m_bc.centers
+    lit_rows = {r["vec_id"]: r["cluster"] for r in a_lit.collect()}
+    bc_rows = {r["vec_id"]: r["cluster"] for r in a_bc.collect()}
+    assert lit_rows == bc_rows
+
+
+def test_auto_mode_switches_on_kdim(spark):
+    """auto picks broadcast above LITERAL_CENTERS_CAP literal doubles and
+    stays literal below — pinned by checking the plan for the broadcast
+    join only in the large case."""
+    from data_integration_and_processing_spark.operators.clustering import (
+        LITERAL_CENTERS_CAP,
+    )
+
+    df = _planted(spark)  # dim=8, so k=4 -> 32 doubles: literal
+    assert 4 * 8 <= LITERAL_CENTERS_CAP
+    a_small, _ = kmeans_lloyd(df, k=4, n_iter=1, centers_mode="auto")
+    assert "BroadcastNestedLoopJoin" not in a_small._jdf.queryExecution().executedPlan().toString()
+    a_big, _ = kmeans_lloyd(df, k=4, n_iter=1, centers_mode="broadcast")
+    assert "BroadcastNestedLoopJoin" in a_big._jdf.queryExecution().executedPlan().toString()
