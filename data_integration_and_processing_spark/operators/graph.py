@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_stats", "label_propagation"]
+__all__ = ["pagerank", "triangle_stats", "label_propagation", "kcore_peel"]
 
 
 def pagerank(
@@ -330,3 +330,59 @@ def label_propagation(
             df_.unpersist()
     e.unpersist()
     return labels
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    n_iter: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-superstep k-core peeling over a symmetrized edge list; returns
+    (id, core_deg): the surviving edges' per-vertex degrees after
+    ``n_iter`` rounds of deleting every vertex whose current degree is
+    below ``k``.
+
+    The k-core is the classic dense-subgraph extractor (spam/link-farm
+    clusters in a web corpus, review rings, bot cliques); full peeling
+    iterates to a fixpoint, but a FIXED superstep count keeps the result
+    deterministic and makes the unrolled-CTE SQL oracle possible (the
+    label_propagation/pagerank contract) — after T rounds the survivor set
+    is a superset of the true k-core that shrinks monotonically in T, and
+    on graphs whose peel converges within T it IS the k-core.
+
+    Scale shape per superstep: ONE degree aggregation keyed by vertex
+    (O(E) -> O(V) with map-side combine) and two semi-joins filtering the
+    edge list against the O(V) alive set — the edge list never grows, only
+    shrinks, and each round's survivor edges are persisted while consumed
+    (degree agg + next filter) then released. No window, no row_number,
+    no driver materialization.
+    """
+    if k < 1 or n_iter < 1:
+        raise ValueError("k and n_iter must be >= 1")
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = edges.select(src.alias("src"), dst.alias("dst")).persist()
+    cached: list[DataFrame] = [e]
+    for _ in range(n_iter):
+        alive = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select(F.col("src").alias("_id"))
+        )
+        e = (
+            e.join(alive.withColumnRenamed("_id", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("_id", "dst"), "dst", "left_semi")
+            .persist()
+        )
+        cached.append(e)
+    out = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+        .select(F.col("src").alias("id"), "core_deg")
+        .localCheckpoint(eager=True)
+    )
+    for df_ in cached:
+        df_.unpersist()
+    return out

@@ -3090,3 +3090,245 @@ def agg_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g1", "g2")
     )
+
+
+_KMV_DIFF_ORACLE = f"""
+WITH vals AS (
+    SELECT DISTINCT o_orderpriority AS grp, o_custkey,
+           md5(CAST(o_custkey AS VARCHAR)) AS fp
+    FROM orders
+),
+sk AS (
+    SELECT grp, fp FROM (
+        SELECT grp, fp, row_number() OVER (PARTITION BY grp ORDER BY fp) AS rn
+        FROM (SELECT DISTINCT grp, fp FROM vals)
+    ) WHERE rn <= {_KMV_K}
+),
+grps AS (SELECT DISTINCT grp FROM sk),
+prs AS (
+    SELECT a.grp AS g1, b.grp AS g2 FROM grps a JOIN grps b ON a.grp <> b.grp
+),
+union_ranked AS (
+    SELECT p.g1, p.g2, u.fp,
+           row_number() OVER (PARTITION BY p.g1, p.g2 ORDER BY u.fp) AS rn
+    FROM prs p JOIN (
+        SELECT DISTINCT s.grp, s.fp FROM sk s
+    ) u ON u.grp IN (p.g1, p.g2)
+    GROUP BY p.g1, p.g2, u.fp
+),
+union_k AS (SELECT g1, g2, fp FROM union_ranked WHERE rn <= {_KMV_K}),
+union_stats AS (
+    SELECT g1, g2, CAST(count(*) AS BIGINT) AS m, max(fp) AS theta
+    FROM union_k GROUP BY g1, g2
+),
+anotb AS (
+    SELECT u.g1, u.g2, CAST(count(*) AS BIGINT) AS n_anotb
+    FROM union_k u
+    JOIN sk s1 ON s1.grp = u.g1 AND s1.fp = u.fp
+    LEFT JOIN sk s2 ON s2.grp = u.g2 AND s2.fp = u.fp
+    WHERE s2.fp IS NULL
+    GROUP BY u.g1, u.g2
+),
+exact_diff AS (
+    SELECT a.g1, a.g2, CAST(count(*) AS BIGINT) AS exact_difference
+    FROM (SELECT p.g1, p.g2, v.o_custkey
+          FROM prs p JOIN (SELECT DISTINCT grp, o_custkey FROM vals) v
+            ON v.grp = p.g1) a
+    LEFT JOIN (SELECT DISTINCT grp, o_custkey FROM vals) b
+      ON b.grp = a.g2 AND b.o_custkey = a.o_custkey
+    WHERE b.o_custkey IS NULL
+    GROUP BY a.g1, a.g2
+)
+SELECT s.g1, s.g2, COALESCE(x.n_anotb, 0) AS n_anotb,
+       COALESCE(e.exact_difference, 0) AS exact_difference,
+       round(CASE WHEN s.m < {_KMV_K} THEN CAST(COALESCE(x.n_anotb, 0) AS DOUBLE)
+                  ELSE COALESCE(x.n_anotb, 0) * (({_KMV_K} - 1)
+                       / ({_KMV_FRAC_SQL.format(fp="s.theta")})) / {_KMV_K}
+             END, 4) AS est_difference,
+       abs(CASE WHEN s.m < {_KMV_K} THEN CAST(COALESCE(x.n_anotb, 0) AS DOUBLE)
+                ELSE COALESCE(x.n_anotb, 0) * (({_KMV_K} - 1)
+                     / ({_KMV_FRAC_SQL.format(fp="s.theta")})) / {_KMV_K}
+           END - COALESCE(e.exact_difference, 0))
+           <= 0.35 * COALESCE(e.exact_difference, 0) + {_KMV_K} AS within_err
+FROM union_stats s
+LEFT JOIN anotb x ON x.g1 = s.g1 AND x.g2 = s.g2
+LEFT JOIN exact_diff e ON e.g1 = s.g1 AND e.g2 = s.g2
+ORDER BY s.g1, s.g2
+"""
+
+
+@register(
+    "agg_kmv_set_difference",
+    oracle=_KMV_DIFF_ORACLE,
+    description=(
+        "set-DIFFERENCE (A-not-B) estimation from KMV sketches, completing "
+        "the sketch set algebra (distinct + intersection landed in r9): per "
+        "ORDERED group pair, the union sketch's bottom-k is a uniform sample "
+        "of A∪B below theta, and because theta <= each side's own theta a "
+        "sampled hash lies in A exactly when it is in A's sketch — so "
+        "|A\\\\B| ~= (union members in sk_A and not in sk_B) * est|A∪B| / k. "
+        "Everything is computed from the O(k)-row sketch states (the "
+        "corpus-snapshot diff primitive: 'how many NEW documents does this "
+        "crawl add' without re-touching either corpus). Deterministic md5 "
+        "sketch => counts and estimates hash-check exactly against the SQL "
+        "twin; the error boolean documents the k=128 accuracy contract"
+    ),
+    tags=("analytics", "aggregation", "setop", "north-star"),
+)
+def agg_kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    k = _KMV_K
+    o = load_table(spark, sf_dir, "orders")
+    fp = F.md5(F.col("o_custkey").cast("string").cast("binary"))
+    vals = o.select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_custkey"), fp.alias("fp")
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("fp")
+    sk = (
+        vals.select("grp", "fp")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "fp")
+        .localCheckpoint(eager=True)
+    )
+    grps = sk.select("grp").distinct()
+    prs = (
+        grps.alias("a")
+        .join(grps.alias("b"), F.col("a.grp") != F.col("b.grp"))
+        .select(F.col("a.grp").alias("g1"), F.col("b.grp").alias("g2"))
+    )
+    union_rows = (
+        F.broadcast(prs)
+        .join(sk, (sk.grp == F.col("g1")) | (sk.grp == F.col("g2")))
+        .select("g1", "g2", "fp")
+        .distinct()
+    )
+    wp = Window.partitionBy("g1", "g2").orderBy("fp")
+    union_k = union_rows.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= k)
+    union_stats = union_k.groupBy("g1", "g2").agg(
+        F.count(F.lit(1)).cast("long").alias("m"), F.max("fp").alias("theta")
+    )
+    s1 = sk.select(F.col("grp").alias("g1"), "fp")
+    s2 = sk.select(F.col("grp").alias("g2"), "fp")
+    anotb = (
+        union_k.join(s1, ["g1", "fp"])
+        .join(s2, ["g2", "fp"], "left_anti")
+        .groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_anotb"))
+    )
+    # exact audit column: per ordered pair, g1 members absent from g2 —
+    # bounded O(n_groups * distinct_keys), the audit path not the sketch path
+    pk = vals.select("grp", "o_custkey").distinct().localCheckpoint(eager=True)
+    g1_members = F.broadcast(prs).join(
+        pk.select(F.col("grp").alias("g1"), "o_custkey"), "g1"
+    )
+    exact_diff = (
+        g1_members.join(
+            pk.select(F.col("grp").alias("g2"), "o_custkey"), ["g2", "o_custkey"], "left_anti"
+        )
+        .groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_difference"))
+    )
+    frac = F.conv(F.substring("theta", 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+    n_ab = F.coalesce(F.col("n_anotb"), F.lit(0)).cast("long")
+    ex = F.coalesce(F.col("exact_difference"), F.lit(0)).cast("long")
+    est = F.when(F.col("m") < k, n_ab.cast("double")).otherwise(
+        n_ab * (F.lit(float(k - 1)) / frac) / F.lit(float(k))
+    )
+    return (
+        union_stats.join(anotb, ["g1", "g2"], "left")
+        .join(exact_diff, ["g1", "g2"], "left")
+        .select(
+            "g1",
+            "g2",
+            n_ab.alias("n_anotb"),
+            ex.alias("exact_difference"),
+            F.round(est, 4).alias("est_difference"),
+            (F.abs(est - ex) <= 0.35 * ex + F.lit(float(k))).alias("within_err"),
+        )
+        .orderBy("g1", "g2")
+    )
+
+
+def _kcore_oracle(k: int = 3, n_iter: int = 4) -> str:
+    """Unrolled k-core peel in SQL (the _lpa_oracle trick): per superstep
+    one degree CTE (HAVING >= k) and one both-endpoints-alive edge filter;
+    output = surviving edges' per-vertex degrees. Integer-only, so there
+    is no cross-engine drift at all."""
+    head = """WITH pairs AS (
+    SELECT DISTINCT o_custkey * 2 AS cust_v, l_partkey * 2 + 1 AS part_v
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e0 AS MATERIALIZED (
+    SELECT cust_v AS src, part_v AS dst FROM pairs
+    UNION ALL
+    SELECT part_v, cust_v FROM pairs
+)"""
+    steps = [
+        f"""a{i + 1} AS MATERIALIZED (
+    SELECT src AS id FROM e{i} GROUP BY src HAVING count(*) >= {k}
+),
+e{i + 1} AS MATERIALIZED (
+    SELECT e.src, e.dst FROM e{i} e
+    JOIN a{i + 1} x ON x.id = e.src
+    JOIN a{i + 1} y ON y.id = e.dst
+)"""
+        for i in range(n_iter)
+    ]
+    return (
+        head
+        + ",\n"
+        + ",\n".join(steps)
+        + f"""
+SELECT src AS id,
+       CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'part' END AS vertex_type,
+       CAST(count(*) AS BIGINT) AS core_deg
+FROM e{n_iter}
+GROUP BY src ORDER BY id"""
+    )
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(k=3, n_iter=4),
+    description=(
+        "k-core peeling (k=3, 4 fixed supersteps) over the customer<->part "
+        "co-purchase graph — the dense-subgraph extractor for spam/link-farm/"
+        "bot-ring detection in corpus curation: each superstep drops every "
+        "vertex whose remaining degree is under k, via one map-side-combined "
+        "degree aggregation plus two semi-joins of the (only ever shrinking) "
+        "edge list against the O(V) alive set. Fixed supersteps keep the "
+        "result deterministic and unrolled-CTE-oracle-checkable (the LPA/"
+        "pagerank contract); surviving per-vertex degrees hash-check exactly "
+        "(integer-only)"
+    ),
+    tags=("analytics", "graph", "iterative", "north-star", "scale"),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.graph import kcore_peel  # noqa: PLC0415
+
+    orders, lineitem = (
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_v"),
+            (F.col("l_partkey") * 2 + 1).alias("part_v"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cust_v").alias("src"), F.col("part_v").alias("dst")).unionByName(
+        pairs.select(F.col("part_v").alias("src"), F.col("cust_v").alias("dst"))
+    )
+    cores = kcore_peel(edges, k=3, n_iter=4)
+    return cores.select(
+        "id",
+        F.when(F.col("id") % 2 == 0, F.lit("customer")).otherwise(F.lit("part")).alias(
+            "vertex_type"
+        ),
+        "core_deg",
+    ).orderBy("id")

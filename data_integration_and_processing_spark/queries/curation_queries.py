@@ -915,3 +915,94 @@ def curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_sym.alias("r_symbol_ratio"),
         (r_wc & r_mwl & r_stop & r_alpha & r_sym).alias("kept"),
     )
+
+
+@register(
+    "quality_calibration_bins",
+    # Audit form: the trained model's probabilities have no SQL twin, so
+    # the driver-checked row is the exact corpus/label arithmetic plus
+    # measured-deterministic booleans over the 10-bin reliability diagram
+    # (the production artifact a quality-gate owner reads before trusting
+    # a score threshold).
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (
+                   WHERE list_contains(string_split(text, ' '), 'spark')
+               ) AS BIGINT) AS n_pos,
+               true AS bins_cover_ok,
+               true AS bin_bounds_ok,
+               true AS separation_ok,
+               true AS ece_ok
+        FROM documents
+    """,
+    description=(
+        "classifier CALIBRATION audit (reliability diagram): score the corpus "
+        "with the hashed-feature logistic model, bucket probabilities into 10 "
+        "equal-width bins, and gate on the diagram's structural guarantees — "
+        "bins partition every document (counts sum exactly), each bin's mean "
+        "probability lies inside its own bounds, the >=0.5 half separates the "
+        "marker label from the <0.5 half by at least 0.5 positive-rate, and "
+        "expected calibration error stays under 0.15. Binning is one map-side "
+        "floor() pass + a 10-key aggregate over the same no-shuffle scoring "
+        "plan as the quality gate itself"
+    ),
+    tags=("quality", "curation", "profiling", "north-star"),
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.classifier import (  # noqa: PLC0415
+        hashed_token_features,
+        score_logistic,
+        train_logistic_regression,
+    )
+
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    d = d.withColumn(
+        "y", F.array_contains(F.split(F.col("text"), " "), "spark").cast("int")
+    )
+    feats = hashed_token_features(d, label_col="y", n_features=1024)
+    model = train_logistic_regression(feats, n_features=1024, n_iters=4, l2=1e-4)
+    scored = score_logistic(feats, model).select(
+        "label",
+        F.col("prob"),
+        F.least(F.floor(F.col("prob") * 10).cast("int"), F.lit(9)).alias("bin"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("n_pos_bin"),
+        F.avg("prob").alias("mean_prob"),
+    )
+    # structural gates, all computed from the 10-row bin table
+    gates = bins.agg(
+        F.sum("n").cast("long").alias("_n_total"),
+        F.sum(
+            (
+                (F.col("mean_prob") < F.col("bin") / 10.0)
+                | (F.col("mean_prob") > (F.col("bin") + 1) / 10.0)
+            ).cast("long")
+        ).alias("_oob"),
+        (
+            F.sum(
+                F.col("n")
+                * F.abs(F.col("n_pos_bin") / F.col("n") - F.col("mean_prob"))
+            )
+            / F.sum("n")
+        ).alias("_ece"),
+        (
+            F.sum(F.when(F.col("bin") >= 5, F.col("n_pos_bin")))
+            / F.sum(F.when(F.col("bin") >= 5, F.col("n")))
+            - F.sum(F.when(F.col("bin") < 5, F.col("n_pos_bin")))
+            / F.sum(F.when(F.col("bin") < 5, F.col("n")))
+        ).alias("_sep"),
+    )
+    counts = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    return counts.crossJoin(F.broadcast(gates)).select(
+        "n_docs",
+        "n_pos",
+        (F.col("_n_total") == F.col("n_docs")).alias("bins_cover_ok"),
+        (F.col("_oob") == 0).alias("bin_bounds_ok"),
+        (F.col("_sep") >= 0.5).alias("separation_ok"),
+        (F.col("_ece") <= 0.15).alias("ece_ok"),
+    )

@@ -1508,3 +1508,100 @@ def text_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_frac"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_pmi_collocations",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+            FROM documents
+        ),
+        toks AS (SELECT unnest(ws) AS tok FROM w),
+        uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+        n_tok AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+        bg AS (
+            SELECT ws[i] AS w1, ws[i + 1] AS w2
+            FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+            WHERE len(ws) >= 2
+        ),
+        big AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM bg GROUP BY w1, w2
+        ),
+        n_big AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+        scored AS (
+            SELECT b.w1, b.w2, b.c12,
+                   round(ln((CAST(b.c12 AS DOUBLE) / nb.n)
+                         / ((CAST(u1.c AS DOUBLE) / nt.n)
+                            * (CAST(u2.c AS DOUBLE) / nt.n))), 6) AS pmi
+            FROM big b
+            JOIN uni u1 ON u1.tok = b.w1
+            JOIN uni u2 ON u2.tok = b.w2
+            CROSS JOIN n_tok nt CROSS JOIN n_big nb
+            WHERE b.c12 >= 5
+        )
+        SELECT w1, w2, c12, pmi
+        FROM scored
+        ORDER BY pmi DESC, w1, w2
+        LIMIT 30
+    """,
+    description=(
+        "PMI collocation mining (the phrase-mining pass a tokenizer/vocab "
+        "pipeline runs to find multi-word units worth merging): adjacent "
+        "bigrams with count >= 5 scored by pointwise mutual information "
+        "ln(P(w1,w2) / (P(w1) P(w2))), top 30. Plan: one bigram explode + "
+        "map-side-combinable counts, unigram probabilities joined back by "
+        "token key (two hash joins, never a vocab broadcast assumption), "
+        "TakeOrderedAndProject for the top-k — no global sort, no window. "
+        "The cutoff orders by ROUNDED pmi with a (w1, w2) tiebreak so both "
+        "engines pick an identical set"
+    ),
+    tags=("text", "analytics", "north-star"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    ws = d.select(
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("ws")
+    )
+    toks = ws.select(F.explode("ws").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_tok = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = ws.filter(F.size("ws") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    n_big = pairs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    nt = F.broadcast(n_tok.select(F.col("n").alias("n_tok")))
+    nb = F.broadcast(n_big.select(F.col("n").alias("n_big")))
+    scored = (
+        big.filter(F.col("c12") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(nt)
+        .crossJoin(nb)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") / F.col("n_big"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("n_tok"))
+                        * (F.col("c2").cast("double") / F.col("n_tok"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(30)

@@ -109,7 +109,10 @@ DELIBERATE_NESTED_LOOP = {
     "multimodal_cdc_chunks",  # planted-ledger + coverage scalars (r10)
     "agg_kmv_distinct_sketch",  # k-th-hash scalar
     "agg_kmv_set_intersection",  # one-row-per-sketch crosses
+    "agg_kmv_set_difference",  # O(groups^2) pair broadcast + audit scalars (r10)
     "agg_hll_intersection",  # inclusion-exclusion over one-row sketches
+    "text_pmi_collocations",  # N_tok / N_big one-row scalar crosses (r10)
+    "quality_calibration_bins",  # 10-row bin-gate scalar cross (r10)
     # (b) bounded broadcast sides inside operators
     "sim_topk_lsh",  # 1-row query vector (brute_force_topk ground truth)
     "sim_topk_ivf",

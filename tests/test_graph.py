@@ -157,3 +157,43 @@ class TestLabelPropagation:
         edges = self._sym(spark, [(1, 2), (2, 3), (4, 5)])
         out = label_propagation(edges, n_iter=2).collect()
         assert sorted(r["id"] for r in out) == [1, 2, 3, 4, 5]
+
+
+class TestKCorePeel:
+    def _sym(self, spark, und_pairs):
+        rows = [(a, b) for a, b in und_pairs] + [(b, a) for a, b in und_pairs]
+        return spark.createDataFrame(rows, "src long, dst long")
+
+    def test_clique_plus_tail_peels_to_clique(self, spark):
+        """K4 (0-3) with a pendant path 3-4-5: the 3-core is exactly the
+        clique, every clique vertex keeps degree 3, and the tail peels off
+        within two supersteps."""
+        from data_integration_and_processing_spark.operators.graph import kcore_peel
+
+        und = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+        out = {r["id"]: r["core_deg"] for r in kcore_peel(self._sym(spark, und), k=3, n_iter=3).collect()}
+        assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_cycle_survives_k2_vanishes_k3(self, spark):
+        from data_integration_and_processing_spark.operators.graph import kcore_peel
+
+        und = [(0, 1), (1, 2), (2, 3), (3, 0)]  # 4-cycle: every degree 2
+        k2 = kcore_peel(self._sym(spark, und), k=2, n_iter=3)
+        assert {r["id"]: r["core_deg"] for r in k2.collect()} == {0: 2, 1: 2, 2: 2, 3: 2}
+        k3 = kcore_peel(self._sym(spark, und), k=3, n_iter=2)
+        assert k3.count() == 0
+
+    def test_monotone_in_supersteps(self, spark):
+        """The survivor set only shrinks as supersteps increase (each round
+        filters the previous round's edges)."""
+        from data_integration_and_processing_spark.operators.graph import kcore_peel
+
+        # chain of triangles sharing vertices: peels gradually under k=2
+        und = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (4, 5)]
+        e = self._sym(spark, und)
+        prev = None
+        for t in (1, 2, 3):
+            ids = {r["id"] for r in kcore_peel(e, k=2, n_iter=t).collect()}
+            if prev is not None:
+                assert ids <= prev
+            prev = ids

@@ -55,3 +55,29 @@ def test_small_set_branch_is_exact(spark):
     assert len(got) == 1
     assert got[0]["n_sketch"] == 5
     assert got[0]["est_distinct_users"] == 5.0
+
+
+def test_kmv_difference_identities(spark, sf_dir):
+    """A-not-B sketch identities on the registered query's own output:
+    est|A\\B| + est|A∩B| should reconstruct est|A| within sketch error, and
+    the directional counts are anti-symmetric in the exact column
+    (exact(A\\B) - exact(B\\A) == |A| - |B|)."""
+    from data_integration_and_processing_spark.queries.catalog import all_specs
+
+    specs = all_specs()
+    rows = {
+        (r["g1"], r["g2"]): r
+        for r in specs["agg_kmv_set_difference"].spark(spark, sf_dir).collect()
+    }
+    import duckdb
+
+    exact_sizes = dict(
+        duckdb.sql(
+            f"SELECT o_orderpriority, count(DISTINCT o_custkey) FROM "
+            f"read_parquet('{sf_dir}/orders.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    for (g1, g2), r in rows.items():
+        assert r["within_err"], (g1, g2, r)
+        back = rows[(g2, g1)]
+        assert r["exact_difference"] - back["exact_difference"] == exact_sizes[g1] - exact_sizes[g2]
