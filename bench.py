@@ -107,6 +107,14 @@ HEADLINE = [
     "graph_label_propagation",
     "sample_epoch_shuffle",
     "curation_gopher_rules",
+    # r10 additions (no prior baseline; gate skips unknown keys): the raw
+    # CDC chunker joins its new audit-form twin (same raw-path rationale as
+    # sim_ann_join_ivf_raw); kcore tracks the second iterative-peel shape;
+    # KMV difference and PMI are the new sketch/text paths
+    "multimodal_cdc_chunks_raw",
+    "graph_kcore_peel",
+    "agg_kmv_set_difference",
+    "text_pmi_collocations",
 ]
 
 
@@ -116,6 +124,9 @@ def _raw_headline_paths():
     from data_integration_and_processing_spark.queries.curation_queries import (  # noqa: PLC0415
         dedup_chunk_neardup_raw,
     )
+    from data_integration_and_processing_spark.queries.multimodal_queries import (  # noqa: PLC0415
+        multimodal_cdc_chunks_raw,
+    )
     from data_integration_and_processing_spark.queries.similarity_queries import (  # noqa: PLC0415
         sim_ann_join_ivf_raw,
     )
@@ -123,6 +134,7 @@ def _raw_headline_paths():
     return {
         "sim_ann_join_ivf_raw": sim_ann_join_ivf_raw,
         "dedup_chunk_neardup_raw": dedup_chunk_neardup_raw,
+        "multimodal_cdc_chunks_raw": multimodal_cdc_chunks_raw,
     }
 
 
@@ -655,6 +667,60 @@ def _lpa_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:
     }
 
 
+def _kcore_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:
+    """k-core arm of the 10x iterative-graph probe (same replicated
+    12M-edge co-purchase graph): the peel's cost profile is the INVERSE of
+    pagerank/LPA — the edge list shrinks every superstep, so the probe
+    watches that the first-round degree agg + two semi-joins dominate and
+    later rounds get cheaper, not constant. Records survivor counts so a
+    broken alive-filter (peeling too much or nothing) is visible, not just
+    slow."""
+    import functools as _ft  # noqa: PLC0415
+
+    from pyspark.sql import DataFrame  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.graph import kcore_peel  # noqa: PLC0415
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_v"),
+            (F.col("l_partkey") * 2 + 1).alias("part_v"),
+        )
+        .distinct()
+    )
+    base = pairs.select(F.col("cust_v").alias("src"), F.col("part_v").alias("dst")).unionByName(
+        pairs.select(F.col("part_v").alias("src"), F.col("cust_v").alias("dst"))
+    )
+    offset = 100_000_000
+    edges = _ft.reduce(
+        DataFrame.unionByName,
+        [
+            base.select(
+                (F.col("src") + F.lit(i * offset)).alias("src"),
+                (F.col("dst") + F.lit(i * offset)).alias("dst"),
+            )
+            for i in range(10)
+        ],
+    )
+    k, n_iter = 3, 4
+    t0 = time.time()
+    cores = kcore_peel(edges, k=k, n_iter=n_iter)
+    stats = cores.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("core_deg").alias("deg_sum")
+    ).collect()[0]
+    return {
+        "sec": round(time.time() - t0, 3),
+        "k": k,
+        "supersteps": n_iter,
+        "survivors": int(stats["n"]),
+        "surviving_halfedges": int(stats["deg_sum"] or 0),
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -727,6 +793,9 @@ def main() -> int:
     lpa_probe = _lpa_scale_probe(spark, sf_dir)
     print(f"# lpa_scale_probe_10x: {lpa_probe}", file=sys.stderr)
 
+    kcore_probe = _kcore_scale_probe(spark, sf_dir)
+    print(f"# kcore_scale_probe_10x: {kcore_probe}", file=sys.stderr)
+
     kmeans_probe = _kmeans_scale_probe(spark, sf_dir)
     print(f"# kmeans_scale_probe_100k: {kmeans_probe}", file=sys.stderr)
 
@@ -796,6 +865,7 @@ def main() -> int:
         "interval_scale_probe_60k": interval_probe,
         "pagerank_scale_probe_10x": pagerank_probe,
         "lpa_scale_probe_10x": lpa_probe,
+        "kcore_scale_probe_10x": kcore_probe,
         "kmeans_scale_probe_100k": kmeans_probe,
         "kmeans_k_scale_probe_100k": kmeans_k_probe,
         "classifier_width_probe_d8192": classifier_probe,
