@@ -1006,3 +1006,262 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_sep") >= 0.5).alias("separation_ok"),
         (F.col("_ece") <= 0.15).alias("ece_ok"),
     )
+
+
+_GOPHER_REP_ORACLE = """
+WITH w AS (
+    SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS ws
+    FROM documents
+),
+lines AS (
+    SELECT doc_id,
+           array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' ') AS line
+    FROM w, unnest(generate_series(0,
+             greatest(CAST(ceil(len(ws) / 8.0) AS BIGINT), 1) - 1)) AS t(i)
+),
+line_grp AS (
+    SELECT doc_id, line, count(*) AS c, length(line) AS lc
+    FROM lines GROUP BY doc_id, line
+),
+line_stats AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_lines,
+           sum(c - 1) AS dup_lines,
+           sum((c - 1) * lc) AS dup_line_chars,
+           sum(c * lc) AS tot_line_chars
+    FROM line_grp GROUP BY doc_id
+),
+grams AS (
+    SELECT doc_id, n, gram, count(*) AS c, length(gram) AS gc
+    FROM (
+        SELECT doc_id, 2 AS n,
+               concat_ws(' ', ws[i], ws[i+1]) AS gram
+        FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+        UNION ALL
+        SELECT doc_id, 3 AS n,
+               concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS gram
+        FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+        WHERE len(ws) >= 3
+        UNION ALL
+        SELECT doc_id, 5 AS n,
+               concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]) AS gram
+        FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+        WHERE len(ws) >= 5
+    ) GROUP BY doc_id, n, gram
+),
+gram_stats AS (
+    SELECT doc_id,
+           max(CASE WHEN n = 2 THEN c * gc END) AS top2_chars,
+           max(CASE WHEN n = 3 THEN c * gc END) AS top3_chars,
+           sum(CASE WHEN n = 5 AND c >= 2 THEN c * gc ELSE 0 END) AS dup5_chars
+    FROM grams GROUP BY doc_id
+)
+SELECT w.doc_id,
+       round(CAST(l.dup_lines AS DOUBLE) / l.n_lines, 6) AS dup_line_frac,
+       round(CAST(l.dup_line_chars AS DOUBLE) / l.tot_line_chars, 6)
+           AS dup_line_char_frac,
+       round(least(CAST(coalesce(g.top2_chars, 0) AS DOUBLE) / w.n_chars, 1.0), 6)
+           AS top2gram_char_frac,
+       round(least(CAST(coalesce(g.top3_chars, 0) AS DOUBLE) / w.n_chars, 1.0), 6)
+           AS top3gram_char_frac,
+       round(least(CAST(coalesce(g.dup5_chars, 0) AS DOUBLE) / w.n_chars, 1.0), 6)
+           AS dup5gram_char_frac,
+       CAST(l.dup_lines AS DOUBLE) / l.n_lines <= 0.30 AS r_dup_line,
+       CAST(l.dup_line_chars AS DOUBLE) / l.tot_line_chars <= 0.20
+           AS r_dup_line_chars,
+       least(CAST(coalesce(g.top2_chars, 0) AS DOUBLE) / w.n_chars, 1.0) <= 0.20
+           AS r_top2gram,
+       least(CAST(coalesce(g.top3_chars, 0) AS DOUBLE) / w.n_chars, 1.0) <= 0.18
+           AS r_top3gram,
+       least(CAST(coalesce(g.dup5_chars, 0) AS DOUBLE) / w.n_chars, 1.0) <= 0.15
+           AS r_dup5gram,
+       (CAST(l.dup_lines AS DOUBLE) / l.n_lines <= 0.30)
+           AND (CAST(l.dup_line_chars AS DOUBLE) / l.tot_line_chars <= 0.20)
+           AND (least(CAST(coalesce(g.top2_chars, 0) AS DOUBLE) / w.n_chars, 1.0) <= 0.20)
+           AND (least(CAST(coalesce(g.top3_chars, 0) AS DOUBLE) / w.n_chars, 1.0) <= 0.18)
+           AND (least(CAST(coalesce(g.dup5_chars, 0) AS DOUBLE) / w.n_chars, 1.0) <= 0.15)
+           AS kept
+FROM w
+JOIN line_stats l ON l.doc_id = w.doc_id
+LEFT JOIN gram_stats g ON g.doc_id = w.doc_id
+ORDER BY w.doc_id
+"""
+
+
+@register(
+    "curation_gopher_repetition",
+    oracle=_GOPHER_REP_ORACLE,
+    description=(
+        "the OTHER half of the Gopher/MassiveText filter (curation_gopher_rules "
+        "covers the quality heuristics): WITHIN-document repetition signals — "
+        "duplicate-line fraction and duplicate-line character fraction over "
+        "8-word segments, most-frequent 2-/3-gram character fractions, and the "
+        "duplicated-5-gram character fraction — each as a per-rule ledger "
+        "column with the published thresholds (0.30/0.20/0.20/0.18/0.15). "
+        "Machine-generated and template-spam text fails exactly these. Two "
+        "map-side-combinable aggregations keyed by (doc, segment) and "
+        "(doc, n, gram) — high-cardinality keys, no hot reducer — then a "
+        "doc-keyed rollup; all arithmetic integer-ratio, hash-checked exactly"
+    ),
+    tags=("curation", "text", "north-star", "filter", "dedup"),
+)
+def curation_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    base = d.select("doc_id", F.length("text").alias("n_chars"), F.split("text", " ").alias("ws"))
+    n_lines = F.greatest(F.ceil(F.size("ws") / F.lit(8)).cast("int"), F.lit(1))
+    lines = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(F.slice(F.col("ws"), i * 8 + 1, 8), " "),
+            )
+        ).alias("line"),
+    )
+    line_stats = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("c"), F.length("line").alias("lc"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_lines"),
+            F.sum(F.col("c") - 1).alias("dup_lines"),
+            F.sum((F.col("c") - 1) * F.col("lc")).alias("dup_line_chars"),
+            F.sum(F.col("c") * F.col("lc")).alias("tot_line_chars"),
+        )
+    )
+
+    def _grams(n: int):
+        return F.when(
+            F.size("ws") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                lambda i: F.array_join(F.slice(F.col("ws"), i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(_grams(2), lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))),
+                F.transform(_grams(3), lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram"))),
+                F.transform(_grams(5), lambda g: F.struct(F.lit(5).alias("n"), g.alias("gram"))),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.n", "g.gram")
+    gram_stats = (
+        grams.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"), F.length("gram").alias("gc"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("n") == 2, F.col("c") * F.col("gc"))).alias("top2_chars"),
+            F.max(F.when(F.col("n") == 3, F.col("c") * F.col("gc"))).alias("top3_chars"),
+            F.sum(
+                F.when((F.col("n") == 5) & (F.col("c") >= 2), F.col("c") * F.col("gc")).otherwise(0)
+            ).alias("dup5_chars"),
+        )
+    )
+    dl = F.col("dup_lines").cast("double") / F.col("n_lines")
+    dlc = F.col("dup_line_chars").cast("double") / F.col("tot_line_chars")
+    t2 = F.least(F.coalesce(F.col("top2_chars"), F.lit(0)).cast("double") / F.col("n_chars"), F.lit(1.0))
+    t3 = F.least(F.coalesce(F.col("top3_chars"), F.lit(0)).cast("double") / F.col("n_chars"), F.lit(1.0))
+    d5 = F.least(F.coalesce(F.col("dup5_chars"), F.lit(0)).cast("double") / F.col("n_chars"), F.lit(1.0))
+    r1, r2, r3, r4, r5 = dl <= 0.30, dlc <= 0.20, t2 <= 0.20, t3 <= 0.18, d5 <= 0.15
+    return (
+        base.select("doc_id", "n_chars")
+        .join(line_stats, "doc_id")
+        .join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(dl, 6).alias("dup_line_frac"),
+            F.round(dlc, 6).alias("dup_line_char_frac"),
+            F.round(t2, 6).alias("top2gram_char_frac"),
+            F.round(t3, 6).alias("top3gram_char_frac"),
+            F.round(d5, 6).alias("dup5gram_char_frac"),
+            r1.alias("r_dup_line"),
+            r2.alias("r_dup_line_chars"),
+            r3.alias("r_top2gram"),
+            r4.alias("r_top3gram"),
+            r5.alias("r_dup5gram"),
+            (r1 & r2 & r3 & r4 & r5).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "curation_encoding_audit",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 700000,
+                   text || ' caf' || chr(195) || chr(169) || ' ' || chr(65533)
+                        || chr(195) || chr(162)
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        m AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(text) - length(replace(text, chr(65533), ''))
+                       AS n_replacement,
+                   length(text) - length(replace(text, chr(195), ''))
+                       AS n_mojibake_marker,
+                   length(regexp_replace(text, '[^ -~]', '', 'g')) AS n_ascii
+            FROM corpus
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_replacement AS BIGINT) AS n_replacement,
+               CAST(n_mojibake_marker AS BIGINT) AS n_mojibake_marker,
+               round(CAST(n_ascii AS DOUBLE) / n_chars, 6) AS ascii_frac,
+               n_replacement = 0 AS r_no_replacement,
+               n_mojibake_marker = 0 AS r_no_mojibake,
+               CAST(n_ascii AS DOUBLE) / n_chars >= 0.95 AS r_ascii_floor,
+               (n_replacement = 0) AND (n_mojibake_marker = 0)
+                   AND (CAST(n_ascii AS DOUBLE) / n_chars >= 0.95) AS kept
+        FROM m ORDER BY doc_id
+    """,
+    description=(
+        "encoding-health audit (the pre-tokenizer hygiene pass every web "
+        "corpus needs): per-document counts of U+FFFD replacement characters "
+        "(lossy transcodes), U+00C3 mojibake markers (UTF-8 bytes re-decoded "
+        "as Latin-1 — the 'cafÃ©' signature), and the printable-ASCII "
+        "fraction, each as a ledger column with a kept verdict. The fixture "
+        "plants corrupted twins (doc_id+700000 with injected mojibake + "
+        "replacement chars) so the detector is checked in BOTH directions — "
+        "clean docs pass, planted ones fail, hash-exact against the SQL twin. "
+        "One codegen'd map stage over the scan, no shuffle, no UDF"
+    ),
+    tags=("curation", "text", "quality", "filter", "north-star"),
+)
+def curation_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out_scan(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" cafÃ© �Ã¢"),
+    )
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 700000).alias("doc_id"), injected.alias("text")
+        )
+    )
+    n_chars = F.length("text")
+    n_repl = n_chars - F.length(F.replace(F.col("text"), F.lit("�"), F.lit("")))
+    n_moji = n_chars - F.length(F.replace(F.col("text"), F.lit("Ã"), F.lit("")))
+    n_ascii = F.length(F.regexp_replace(F.col("text"), "[^ -~]", ""))
+    ascii_frac = n_ascii.cast("double") / n_chars
+    r_repl = n_repl == 0
+    r_moji = n_moji == 0
+    r_ascii = ascii_frac >= 0.95
+    return corpus.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_repl.cast("long").alias("n_replacement"),
+        n_moji.cast("long").alias("n_mojibake_marker"),
+        F.round(ascii_frac, 6).alias("ascii_frac"),
+        r_repl.alias("r_no_replacement"),
+        r_moji.alias("r_no_mojibake"),
+        r_ascii.alias("r_ascii_floor"),
+        (r_repl & r_moji & r_ascii).alias("kept"),
+    ).orderBy("doc_id")
