@@ -935,3 +935,93 @@ def quality_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_a", "n_b", F.round(term, 6).alias("chi2_term"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "quality_t_closeness_audit",
+    oracle="""
+        WITH segs AS (
+            SELECT c_mktsegment, count(*) AS gc FROM customer GROUP BY c_mktsegment
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+        grp AS (
+            SELECT c_nationkey,
+                   CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+                   c_mktsegment,
+                   count(*) AS c
+            FROM customer
+            GROUP BY c_nationkey, floor(c_acctbal / 2000), c_mktsegment
+        ),
+        gsz AS (
+            SELECT c_nationkey, bal_bucket, sum(c) AS group_size
+            FROM grp GROUP BY c_nationkey, bal_bucket
+        ),
+        tvd AS (
+            SELECT s.c_nationkey, s.bal_bucket, s.group_size,
+                   0.5 * sum(abs(CAST(coalesce(g.c, 0) AS DOUBLE) / s.group_size
+                                 - CAST(gl.gc AS DOUBLE) / t.n)) AS tv_dist
+            FROM gsz s
+            CROSS JOIN segs gl
+            CROSS JOIN tot t
+            LEFT JOIN grp g ON g.c_nationkey = s.c_nationkey
+                           AND g.bal_bucket = s.bal_bucket
+                           AND g.c_mktsegment = gl.c_mktsegment
+            GROUP BY s.c_nationkey, s.bal_bucket, s.group_size, t.n
+        )
+        SELECT c_nationkey, bal_bucket, CAST(group_size AS BIGINT) AS group_size,
+               round(tv_dist, 6) AS tv_dist,
+               round(tv_dist, 6) > 0.2 AS violates_t02
+        FROM tvd ORDER BY c_nationkey, bal_bucket
+    """,
+    description=(
+        "t-closeness audit, completing the k-anonymity / l-diversity / "
+        "t-closeness privacy trio: a quasi-identifier group can satisfy both "
+        "k and l yet still leak by SKEW (one sensitive value dominating), so "
+        "per group the audit computes total-variation distance between the "
+        "group's sensitive-attribute distribution (market segment) and the "
+        "corpus-global one, flagging groups past t=0.2. Plan: one global "
+        "5-row distribution (broadcast) + the same single partial-agg "
+        "shuffle shape as the k/l audits, then a per-group TVD fold over the "
+        "group x segment counts — integer-ratio arithmetic, hash-exact"
+    ),
+    tags=("quality", "audit", "privacy", "aggregation", "north-star"),
+)
+def quality_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    glob = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("gc"))
+    tot = c.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grp = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_bucket"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    gsz = grp.groupBy("c_nationkey", "bal_bucket").agg(F.sum("c").alias("group_size"))
+    # every group crossed with the bounded global segment table (broadcast;
+    # |segments| rows) so zero-count segments still contribute |0 - p_glob|
+    tvd = (
+        gsz.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(grp, ["c_nationkey", "bal_bucket", "c_mktsegment"], "left")
+        .groupBy("c_nationkey", "bal_bucket", "group_size", "n")
+        .agg(
+            (
+                0.5
+                * F.sum(
+                    F.abs(
+                        F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("group_size")
+                        - F.col("gc").cast("double") / F.col("n")
+                    )
+                )
+            ).alias("tv_dist")
+        )
+    )
+    return tvd.select(
+        "c_nationkey",
+        "bal_bucket",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.round("tv_dist", 6).alias("tv_dist"),
+        # threshold compares the ROUNDED value: the unrounded sum differs at
+        # ulp level between engines (5-term float add order), and one fixture
+        # group sits exactly on 0.2
+        (F.round("tv_dist", 6) > 0.2).alias("violates_t02"),
+    ).orderBy("c_nationkey", "bal_bucket")
