@@ -3332,3 +3332,69 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "core_deg",
     ).orderBy("id")
+
+
+@register(
+    "agg_frequent_directions",
+    # Audit form: the sketch itself is SVD output (no SQL twin), so the
+    # driver-checked row is the exact corpus arithmetic (count + Frobenius
+    # mass, both SQL sums) plus the two deterministic WORST-CASE guarantees
+    # the sketch is deployed for — they hold under any partitioning, so
+    # they are partition-layout-independent booleans.
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               round(sum(list_sum(list_transform(embedding, x -> x * x))), 4)
+                   AS frob_sq,
+               CAST(32 AS BIGINT) AS sketch_rows,
+               true AS psd_ok,
+               true AS spectral_bound_ok
+        FROM embeddings
+    """,
+    description=(
+        "Frequent-Directions Gram/covariance sketch of the embedding corpus — "
+        "the matrix member of the mergeable-sketch family (KMV/HLL/CMS/"
+        "q-digest): O(l*d) doubles of state per shard, merged by concatenate+"
+        "shrink, with the deterministic guarantee 0 <= A^T A - B^T B and "
+        "spectral error <= 2||A||_F^2 / l. Per partition one Arrow-batched "
+        "streaming pass (an SVD every l rows); the driver folds O(parts) tiny "
+        "sketches. Driver-checked in audit form: exact count + Frobenius mass "
+        "(SQL sums) and the PSD / spectral-bound booleans measured against "
+        "the EXACT Gram (itself a distributed O(d^2)-key aggregation)"
+    ),
+    tags=("analytics", "aggregation", "similarity", "north-star", "scale"),
+)
+def agg_frequent_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.linalg import (  # noqa: PLC0415
+        corpus_moments,
+        frequent_directions,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sketch_rows = 32
+    sk, n, frob = frequent_directions(e, sketch_rows=sketch_rows)
+    # exact Gram A^T A recovered from the one-pass exact moments
+    n_m, mean, cov = corpus_moments(e)
+    gram = n_m * (cov + np.outer(mean, mean))
+    diff = gram - sk.T @ sk
+    vals = np.linalg.eigvalsh((diff + diff.T) / 2.0)
+    psd_ok = bool(vals.min() >= -1e-6 * max(frob, 1.0))
+    bound_ok = bool(vals.max() <= 2.0 * frob / sketch_rows + 1e-6 * max(frob, 1.0))
+    frob_sq = F.sum(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(frob_sq, 4).alias("frob_sq"),
+    ).select(
+        "n_vectors",
+        "frob_sq",
+        F.lit(sketch_rows).cast("long").alias("sketch_rows"),
+        F.lit(psd_ok).alias("psd_ok"),
+        F.lit(bound_ok).alias("spectral_bound_ok"),
+    )

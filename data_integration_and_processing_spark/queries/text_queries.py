@@ -1605,3 +1605,73 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(30)
+
+
+@register(
+    "text_char_entropy_filter",
+    oracle="""
+        WITH cf AS (
+            SELECT doc_id, c, count(*) AS n
+            FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+            GROUP BY doc_id, c
+        ),
+        tot AS (SELECT doc_id, sum(n) AS tot FROM cf GROUP BY doc_id),
+        ent AS (
+            SELECT cf.doc_id,
+                   CAST(sum(cf.n) AS BIGINT) AS n_chars,
+                   -sum((CAST(cf.n AS DOUBLE) / t.tot)
+                        * ln(CAST(cf.n AS DOUBLE) / t.tot)) AS h
+            FROM cf JOIN tot t ON t.doc_id = cf.doc_id
+            GROUP BY cf.doc_id
+        )
+        SELECT doc_id, n_chars, round(h, 6) AS char_entropy_nats,
+               round(h, 6) >= 2.5 AS r_entropy_floor,
+               round(h, 6) <= 5.0 AS r_entropy_ceiling,
+               (round(h, 6) >= 2.5) AND (round(h, 6) <= 5.0) AS kept
+        FROM ent ORDER BY doc_id
+    """,
+    description=(
+        "character-entropy gibberish filter: per-document Shannon entropy of "
+        "the doc's own character distribution — repeated-character spam sits "
+        "near 0 nats, natural English ~4.1, base64/random blobs push toward "
+        "ln(alphabet) — with floor (2.5) and ceiling (5.0) verdicts, the "
+        "cheap information-theoretic screen run before any model-based "
+        "quality gate. One char explode + a map-side-combinable (doc, char) "
+        "count, then the entropy fold per doc; verdicts compare the ROUNDED "
+        "entropy (the unrounded fold order differs at ulp level between "
+        "engines)"
+    ),
+    tags=("text", "curation", "quality", "filter"),
+)
+def text_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    cf = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # per-doc totals joined back so the p*ln(p) fold is a plain aggregation
+    # (the SQL twin uses a per-doc window for the same ratio)
+    tot = cf.groupBy("doc_id").agg(F.sum("n").alias("tot"))
+    h = (
+        cf.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_chars"),
+            (
+                -F.sum(
+                    (F.col("n").cast("double") / F.col("tot"))
+                    * F.log(F.col("n").cast("double") / F.col("tot"))
+                )
+            ).alias("h"),
+        )
+    )
+    rh = F.round("h", 6)
+    return h.select(
+        "doc_id",
+        "n_chars",
+        rh.alias("char_entropy_nats"),
+        (rh >= 2.5).alias("r_entropy_floor"),
+        (rh <= 5.0).alias("r_entropy_ceiling"),
+        ((rh >= 2.5) & (rh <= 5.0)).alias("kept"),
+    ).orderBy("doc_id")

@@ -113,6 +113,7 @@ DELIBERATE_NESTED_LOOP = {
     "agg_hll_intersection",  # inclusion-exclusion over one-row sketches
     "text_pmi_collocations",  # N_tok / N_big one-row scalar crosses (r10)
     "quality_calibration_bins",  # 10-row bin-gate scalar cross (r10)
+    "quality_t_closeness_audit",  # 5-row global-distribution + 1-row total crosses (r10)
     # (b) bounded broadcast sides inside operators
     "sim_topk_lsh",  # 1-row query vector (brute_force_topk ground truth)
     "sim_topk_ivf",

@@ -76,3 +76,77 @@ def test_merged_moments_equal_whole_corpus_moments(spark, sf_dir):
     assert merged[0] == n
     np.testing.assert_allclose(merged[1], mean, rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(merged[2], cov, rtol=1e-9, atol=1e-12)
+
+
+class TestFrequentDirections:
+    def _vecs(self, spark, n=400, d=12, parts=7):
+        from pyspark.sql import functions as F
+
+        return (
+            spark.range(n)
+            .repartition(parts)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(d)),
+                    lambda j: F.sin(F.col("id").cast("double") * 0.61 + j.cast("double")),
+                ).alias("embedding"),
+            )
+        )
+
+    def test_guarantees_hold(self, spark):
+        import numpy as np
+
+        from data_integration_and_processing_spark.operators.linalg import (
+            corpus_moments,
+            frequent_directions,
+        )
+
+        df = self._vecs(spark)
+        sk, n, frob = frequent_directions(df, sketch_rows=8)
+        assert n == 400 and sk.shape == (8, 12)
+        n_m, mean, cov = corpus_moments(df)
+        gram = n_m * (cov + np.outer(mean, mean))
+        vals = np.linalg.eigvalsh(gram - sk.T @ sk)
+        assert vals.min() >= -1e-6 * frob  # PSD: sketch never overestimates
+        assert vals.max() <= 2.0 * frob / 8 + 1e-6 * frob
+
+    def test_guarantees_partitioning_independent(self, spark):
+        """The FD bound is worst-case, not an expectation: it must hold for
+        ANY partition layout (the sketch itself may differ)."""
+        import numpy as np
+
+        from data_integration_and_processing_spark.operators.linalg import (
+            corpus_moments,
+            frequent_directions,
+        )
+
+        for parts in (1, 3, 16):
+            df = self._vecs(spark, parts=parts)
+            sk, _, frob = frequent_directions(df, sketch_rows=8)
+            n_m, mean, cov = corpus_moments(df)
+            gram = n_m * (cov + np.outer(mean, mean))
+            vals = np.linalg.eigvalsh(gram - sk.T @ sk)
+            assert vals.min() >= -1e-6 * frob, parts
+            assert vals.max() <= 2.0 * frob / 8 + 1e-6 * frob, parts
+
+    def test_low_rank_input_recovered_exactly(self, spark):
+        """Rank-r input with r < l: the sketch captures the whole Gram (the
+        shrink never fires past the rank), so the error is ~0."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from data_integration_and_processing_spark.operators.linalg import (
+            frequent_directions,
+        )
+
+        # every row a multiple of one fixed direction => rank 1
+        df = spark.range(200).select(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(6)),
+                lambda j: (F.col("id") % 5 + 1).cast("double") * j.cast("double"),
+            ).alias("embedding")
+        )
+        sk, n, frob = frequent_directions(df, sketch_rows=4)
+        captured = float((sk * sk).sum())
+        assert abs(captured - frob) <= 1e-6 * frob
