@@ -1047,3 +1047,69 @@ def stream_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_fd_incremental",
+    # Audit form: FD merge is associative but not batching-invariant (a
+    # different micro-batching gives a different, equally valid sketch),
+    # so unlike stream_kmv_incremental the state cannot hash-check against
+    # a one-shot twin; the driver-checked row is the exactly-folding
+    # scalars (n, Frobenius mass — batching-invariant sums, SQL-exact)
+    # plus the worst-case guarantee booleans, which hold for ANY batching.
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               round(sum(list_sum(list_transform(embedding, x -> x * x))), 4)
+                   AS frob_sq,
+               CAST(32 AS BIGINT) AS sketch_rows,
+               true AS psd_ok,
+               true AS spectral_bound_ok
+        FROM embeddings
+    """,
+    description=(
+        "streaming Frequent-Directions: each micro-batch's vectors fold into "
+        "a persistent l x d Gram sketch by concatenate+shrink — O(l*d) state "
+        "forever, the matrix analogue of the streaming KMV/HLL sketches "
+        "(incremental covariance/PCA over an embedding stream without ever "
+        "re-scanning history). n and ||A||_F^2 fold exactly across batches; "
+        "the PSD-underestimate and 2||A||_F^2/l spectral-error guarantees "
+        "are gated against the exact Gram of the full corpus"
+    ),
+    tags=("streaming", "analytics", "similarity", "incremental", "north-star"),
+)
+def stream_fd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.linalg import (  # noqa: PLC0415
+        corpus_moments,
+    )
+    from data_integration_and_processing_spark.streaming.pipelines import (  # noqa: PLC0415
+        run_streaming_frequent_directions,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sketch_rows = 32
+    sk, n, frob = run_streaming_frequent_directions(spark, e, sketch_rows=sketch_rows)
+    n_m, mean, cov = corpus_moments(e)
+    gram = n_m * (cov + np.outer(mean, mean))
+    diff = gram - sk.T @ sk
+    vals = np.linalg.eigvalsh((diff + diff.T) / 2.0)
+    psd_ok = bool(vals.min() >= -1e-6 * max(frob, 1.0))
+    bound_ok = bool(vals.max() <= 2.0 * frob / sketch_rows + 1e-6 * max(frob, 1.0))
+    frob_sq = F.sum(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(frob_sq, 4).alias("frob_sq"),
+    ).select(
+        "n_vectors",
+        "frob_sq",
+        F.lit(sketch_rows).cast("long").alias("sketch_rows"),
+        F.lit(psd_ok).alias("psd_ok"),
+        F.lit(bound_ok).alias("spectral_bound_ok"),
+    )

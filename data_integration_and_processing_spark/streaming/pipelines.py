@@ -1830,3 +1830,72 @@ def run_streaming_kmv_distinct(
             4,
         ).alias("est_distinct_users"),
     ).orderBy("event_type")
+
+
+def run_streaming_frequent_directions(
+    spark: SparkSession,
+    vectors: DataFrame,
+    sketch_rows: int = 32,
+    vec_col: str = "embedding",
+    scratch_dir: str | None = None,
+):
+    """Streaming Frequent-Directions: per micro-batch the batch's vectors
+    fold into a persistent l x d Gram sketch by concatenate+shrink —
+    O(l * d) state FOREVER, the matrix analogue of the KMV/HLL streaming
+    sketches. Returns (sketch ndarray, n_vectors, frob_sq).
+
+    FD merge is associative but not batching-INVARIANT (different batch
+    boundaries give a different — equally valid — sketch), so unlike the
+    KMV twin the state does not hash-check against a one-shot run;
+    instead the registered audit gates the deterministic WORST-CASE
+    guarantees (PSD underestimate, spectral error <= 2||A||_F^2 / l),
+    which hold for any batching. n and ||A||_F^2 fold exactly and ARE
+    batching-invariant."""
+    import numpy as np  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.linalg import (  # noqa: PLC0415
+        _fd_shrink,
+        frequent_directions,
+    )
+
+    scratch = scratch_dir or f"/tmp/diaps_sfd_{uuid.uuid4().hex[:8]}"
+    stream, sink = _staged_stream(spark, vectors, scratch, max_files_per_trigger=1)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.sparkSession
+        sk_b, n_b, frob_b = frequent_directions(batch_df, sketch_rows=sketch_rows, vec_col=vec_col)
+        state = read_state_version(b, sink, upto=batch_id)
+        if state is not None:
+            rows = state.collect()
+            meta = next(r for r in rows if r["kind"] == "meta")
+            n_b += int(meta["n"])
+            frob_b += float(meta["frob"])
+            d = sk_b.shape[1]
+            prev = np.zeros((sketch_rows, d))
+            for r in rows:
+                if r["kind"] == "row":
+                    prev[int(r["i"])] = np.asarray(r["vals"])
+            sk_b = _fd_shrink(np.vstack([prev, sk_b]), sketch_rows)
+        out_rows = [(int(i), "row", list(map(float, sk_b[i])), 0, 0.0) for i in range(sketch_rows)]
+        out_rows.append((-1, "meta", [], int(n_b), float(frob_b)))
+        state_df = b.createDataFrame(
+            out_rows, "i int, kind string, vals array<double>, n long, frob double"
+        )
+        write_state_version(state_df, sink, batch_id)
+
+    (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    rows = read_state_version(spark, sink).collect()
+    meta = next(r for r in rows if r["kind"] == "meta")
+    d = len(next(r for r in rows if r["kind"] == "row")["vals"])
+    sk = np.zeros((sketch_rows, d))
+    for r in rows:
+        if r["kind"] == "row":
+            sk[int(r["i"])] = np.asarray(r["vals"])
+    return sk, int(meta["n"]), float(meta["frob"])
