@@ -3398,3 +3398,89 @@ def agg_frequent_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(psd_ok).alias("psd_ok"),
         F.lit(bound_ok).alias("spectral_bound_ok"),
     )
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        part_deg AS (
+            SELECT part, count(*) AS pd FROM pairs GROUP BY part
+        ),
+        capped AS (
+            SELECT p.cust, p.part FROM pairs p
+            JOIN part_deg d ON d.part = p.part
+            WHERE d.pd <= 50
+        ),
+        cust_deg AS (
+            SELECT cust, count(*) AS cd FROM capped GROUP BY cust
+        ),
+        wedges AS (
+            SELECT a.cust AS c1, b.cust AS c2, count(*) AS cn
+            FROM capped a JOIN capped b
+              ON a.part = b.part AND a.cust < b.cust
+            GROUP BY a.cust, b.cust
+        ),
+        scored AS (
+            SELECT w.c1, w.c2, w.cn,
+                   round(CAST(w.cn AS DOUBLE) / (d1.cd + d2.cd - w.cn), 6) AS jaccard
+            FROM wedges w
+            JOIN cust_deg d1 ON d1.cust = w.c1
+            JOIN cust_deg d2 ON d2.cust = w.c2
+        )
+        SELECT c1, c2, CAST(cn AS BIGINT) AS cn, jaccard
+        FROM scored
+        ORDER BY jaccard DESC, c1, c2
+        LIMIT 20
+    """,
+    description=(
+        "neighborhood-similarity link prediction: customer pairs scored by "
+        "Jaccard over their purchased-part neighborhoods (the collaborative-"
+        "filtering / entity-resolution candidate generator), top 20. The "
+        "wedge join is keyed by the shared PART with hub parts capped at "
+        "degree 50 — the same skew bound every bucketed candidate generator "
+        "in the repo uses (a celebrity hub would otherwise emit O(d^2) "
+        "wedges); degrees and the cap are defined over the capped graph in "
+        "both engines so the arithmetic is identical. Top-k via "
+        "TakeOrderedAndProject on (rounded score, pair) — deterministic "
+        "cutoff, no global sort"
+    ),
+    tags=("analytics", "graph", "similarity", "join", "scale"),
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = (
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    part_deg = pairs.groupBy("part").agg(F.count(F.lit(1)).alias("pd"))
+    capped = pairs.join(part_deg.filter(F.col("pd") <= 50), "part").select("cust", "part")
+    cust_deg = capped.groupBy("cust").agg(F.count(F.lit(1)).alias("cd"))
+    a = capped.select(F.col("part"), F.col("cust").alias("c1"))
+    b = capped.select(F.col("part"), F.col("cust").alias("c2"))
+    wedges = (
+        a.join(b, "part")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    scored = (
+        wedges.join(cust_deg.select(F.col("cust").alias("c1"), F.col("cd").alias("d1")), "c1")
+        .join(cust_deg.select(F.col("cust").alias("c2"), F.col("cd").alias("d2")), "c2")
+        .select(
+            "c1",
+            "c2",
+            F.col("cn").cast("long").alias("cn"),
+            F.round(
+                F.col("cn").cast("double") / (F.col("d1") + F.col("d2") - F.col("cn")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.desc("jaccard"), "c1", "c2").limit(20)

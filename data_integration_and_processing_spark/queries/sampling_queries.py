@@ -1552,3 +1552,127 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+@register(
+    "sample_ab_cuped_adjustment",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   user_id % 2 AS grp,
+                   sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value ELSE 0 END) AS y_pre,
+                   sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value ELSE 0 END) AS y
+            FROM events GROUP BY user_id
+        ),
+        mom AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   sum(y_pre) AS sp, sum(y) AS sy,
+                   sum(y_pre * y_pre) AS spp, sum(y_pre * y) AS spy,
+                   sum(y * y) AS syy
+            FROM per_user
+        ),
+        theta AS (
+            SELECT n, sp / n AS mp,
+                   (spy / n - (sp / n) * (sy / n))
+                   / (spp / n - (sp / n) * (sp / n)) AS th,
+                   syy / n - (sy / n) * (sy / n) AS var_y
+            FROM mom
+        ),
+        adj AS (
+            SELECT u.grp,
+                   count(*) AS n_g,
+                   avg(u.y) AS mean_raw,
+                   avg(u.y - t.th * (u.y_pre - t.mp)) AS mean_cuped,
+                   sum(power(u.y - t.th * (u.y_pre - t.mp), 2)) AS scc,
+                   sum(u.y - t.th * (u.y_pre - t.mp)) AS sc
+            FROM per_user u CROSS JOIN theta t
+            GROUP BY u.grp
+        ),
+        var_c AS (
+            SELECT sum(scc) / sum(n_g)
+                   - power(sum(sc) / sum(n_g), 2) AS var_cuped
+            FROM adj
+        )
+        SELECT round(t.th, 6) AS theta,
+               round((SELECT mean_raw FROM adj WHERE grp = 1)
+                     - (SELECT mean_raw FROM adj WHERE grp = 0), 6) AS lift_raw,
+               round((SELECT mean_cuped FROM adj WHERE grp = 1)
+                     - (SELECT mean_cuped FROM adj WHERE grp = 0), 6) AS lift_cuped,
+               round(t.var_y, 4) AS var_raw,
+               round(v.var_cuped, 4) AS var_cuped,
+               round(v.var_cuped, 4) <= round(t.var_y, 4) AS variance_reduced
+        FROM theta t CROSS JOIN var_c v
+    """,
+    description=(
+        "CUPED variance reduction for A/B readouts (the experimentation-"
+        "platform staple): per-user pre-period covariate (first-half value "
+        "sum) regresses out of the experiment metric (second-half sum) with "
+        "theta = cov(pre, y)/var(pre), shrinking metric variance without "
+        "biasing the lift. Everything reduces to one user-keyed aggregation "
+        "plus closed-form moment arithmetic (explicit sum/sum-of-squares "
+        "formulas, identical in both engines — not var_pop built-ins, whose "
+        "summation strategies differ at ulp level); the variance-reduced "
+        "verdict compares rounded values. Treatment = user_id parity, a "
+        "deterministic stand-in for the assignment column"
+    ),
+    tags=("sampling", "analytics", "quality", "north-star"),
+)
+def sample_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias("y_pre"),
+        F.sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)).alias("y"),
+    ).select((F.col("user_id") % 2).alias("grp"), "y_pre", "y")
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y_pre").alias("sp"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y_pre") * F.col("y_pre")).alias("spp"),
+        F.sum(F.col("y_pre") * F.col("y")).alias("spy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    theta = mom.select(
+        "n",
+        (F.col("sp") / F.col("n")).alias("mp"),
+        (
+            (F.col("spy") / F.col("n") - (F.col("sp") / F.col("n")) * (F.col("sy") / F.col("n")))
+            / (F.col("spp") / F.col("n") - (F.col("sp") / F.col("n")) * (F.col("sp") / F.col("n")))
+        ).alias("th"),
+        (F.col("syy") / F.col("n") - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))).alias(
+            "var_y"
+        ),
+    )
+    cuped = F.col("y") - F.col("th") * (F.col("y_pre") - F.col("mp"))
+    adj = (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.avg("y").alias("mean_raw"),
+            F.avg(cuped).alias("mean_cuped"),
+            F.sum(cuped * cuped).alias("scc"),
+            F.sum(cuped).alias("sc"),
+        )
+    )
+    var_c = adj.agg(
+        (
+            F.sum("scc") / F.sum("n_g")
+            - F.pow(F.sum("sc") / F.sum("n_g"), 2)
+        ).alias("var_cuped")
+    )
+    lifts = adj.groupBy().pivot("grp", [0, 1]).agg(
+        F.first("mean_raw").alias("raw"), F.first("mean_cuped").alias("cuped")
+    )
+    return (
+        theta.crossJoin(F.broadcast(lifts))
+        .crossJoin(F.broadcast(var_c))
+        .select(
+            F.round("th", 6).alias("theta"),
+            F.round(F.col("1_raw") - F.col("0_raw"), 6).alias("lift_raw"),
+            F.round(F.col("1_cuped") - F.col("0_cuped"), 6).alias("lift_cuped"),
+            F.round("var_y", 4).alias("var_raw"),
+            F.round("var_cuped", 4).alias("var_cuped"),
+            (F.round("var_cuped", 4) <= F.round("var_y", 4)).alias("variance_reduced"),
+        )
+    )
