@@ -3484,3 +3484,46 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return scored.orderBy(F.desc("jaccard"), "c1", "c2").limit(20)
+
+
+@register(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+        SELECT o_orderpriority AS grp,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+               CAST(count(DISTINCT (o_custkey + 32767) // 32768) AS BIGINT) AS n_buckets
+        FROM orders GROUP BY o_orderpriority ORDER BY grp
+    """,
+    description=(
+        "EXACT distinct counting via bitmap aggregation (the warehouse "
+        "bitmap-index technique, the exact-answer sibling of the KMV/HLL "
+        "sketches): keys split into 32768-bit buckets "
+        "(bitmap_bucket_number / bitmap_bit_position), per (group, bucket) "
+        "one bitmap_construct_agg OR-fold — 4 KB of state per bucket "
+        "however many rows land in it, map-side combinable — then "
+        "bitmap_count sums per group. Shuffle volume is O(groups x "
+        "occupied buckets x 4 KB), independent of row count and, unlike "
+        "count(DISTINCT), with no per-key dedup shuffle of the raw values; "
+        "the bucket count rides along as the state-size observable"
+    ),
+    tags=("analytics", "aggregation", "scale"),
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_bucket = (
+        o.select(
+            F.col("o_orderpriority").alias("grp"),
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("grp")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        )
+        .orderBy("grp")
+    )

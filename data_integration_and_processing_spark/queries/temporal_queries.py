@@ -1195,3 +1195,90 @@ def temporal_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "temporal_mann_kendall_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   round(avg(value), 9) AS v
+            FROM events GROUP BY event_type, date_trunc('day', ts)
+        ),
+        s AS (
+            SELECT a.event_type,
+                   CAST(sum(CASE WHEN b.v > a.v THEN 1
+                                 WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND b.d > a.d
+            GROUP BY a.event_type
+        ),
+        n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY event_type)
+        SELECT s.event_type, n.n_days, s.s_stat, s.n_pairs,
+               round(CAST(s.s_stat AS DOUBLE)
+                     / (n.n_days * (n.n_days - 1) / 2), 6) AS kendall_tau_a,
+               round(abs(s.s_stat)
+                     / sqrt(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) / 18.0), 6)
+                   AS z_abs,
+               round(abs(s.s_stat)
+                     / sqrt(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) / 18.0), 6)
+                   >= 1.96 AS trend_significant
+        FROM s JOIN n ON n.event_type = s.event_type
+        ORDER BY s.event_type
+    """,
+    description=(
+        "Mann-Kendall monotonic-trend test per event type over the daily "
+        "mean-value series: the S statistic (sum of sign(v_j - v_i) over "
+        "ordered day pairs), Kendall tau-a, and the normal-approximation "
+        "|z| with a 1.96 significance verdict — the nonparametric drift "
+        "detector that needs no distributional assumption. The all-pairs "
+        "sum is bounded by the TIME GRAIN, not the data: series length = "
+        "days regardless of row count (the daily rollup is the only "
+        "corpus-scale aggregation; the pair join is O(days^2) per group). "
+        "Daily means are rounded to 9 decimals BEFORE the sign comparison "
+        "so both engines compare identical values at sign boundaries"
+    ),
+    tags=("temporal", "analytics", "quality", "north-star"),
+)
+def temporal_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.round(F.avg("value"), 9).alias("v"))
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("v").alias("v1"))
+    b = daily.select("event_type", F.col("d").alias("d2"), F.col("v").alias("v2"))
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("d2") > F.col("d1"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("v2") > F.col("v1"), 1)
+                .when(F.col("v2") < F.col("v1"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    n = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    nd = F.col("n_days").cast("double")
+    z = F.abs(F.col("s_stat")) / F.sqrt(nd * (nd - 1) * (2 * nd + 5) / 18.0)
+    return (
+        s.join(n, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            "n_pairs",
+            F.round(
+                F.col("s_stat").cast("double") / (F.col("n_days") * (F.col("n_days") - 1) / 2), 6
+            ).alias("kendall_tau_a"),
+            F.round(z, 6).alias("z_abs"),
+            (F.round(z, 6) >= 1.96).alias("trend_significant"),
+        )
+        .orderBy("event_type")
+    )
