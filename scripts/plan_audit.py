@@ -115,6 +115,8 @@ DELIBERATE_NESTED_LOOP = {
     "quality_calibration_bins",  # 10-row bin-gate scalar cross (r10)
     "quality_t_closeness_audit",  # 5-row global-distribution + 1-row total crosses (r10)
     "sample_ab_cuped_adjustment",  # 1-row theta/lift/variance scalar crosses (r10)
+    "sim_mips_topk",  # 1-row max-norm scalar + equivalence-boolean crosses (r10)
+    "temporal_autocorrelation",  # 3-row lag-table broadcast cross (r10)
     # (b) bounded broadcast sides inside operators
     "sim_topk_lsh",  # 1-row query vector (brute_force_topk ground truth)
     "sim_topk_ivf",
