@@ -1113,3 +1113,34 @@ def stream_fd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(psd_ok).alias("psd_ok"),
         F.lit(bound_ok).alias("spectral_bound_ok"),
     )
+
+
+@register(
+    "stream_bitmap_distinct_incremental",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+               CAST(count(DISTINCT (user_id + 32767) // 32768) AS BIGINT)
+                   AS n_buckets
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description=(
+        "incremental EXACT distinct users per event type over a stream via "
+        "bitmap state: per micro-batch each (type, 32768-bit bucket) bitmap "
+        "OR-merges into the persistent state — bitmap union is associative/"
+        "commutative/idempotent, so the streamed end state equals a one-shot "
+        "pass for ANY batching or replay and the count hash-checks EXACTLY "
+        "against count(DISTINCT). The exact-answer sibling of "
+        "stream_kmv_incremental: O(occupied buckets x 4 KB) state per group "
+        "instead of O(k) hashes, exactness instead of an estimate — the "
+        "dense-integer-domain trade"
+    ),
+    tags=("streaming", "analytics", "aggregation", "incremental", "north-star"),
+)
+def stream_bitmap_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.streaming.pipelines import (  # noqa: PLC0415
+        run_streaming_bitmap_distinct,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    return run_streaming_bitmap_distinct(spark, e)

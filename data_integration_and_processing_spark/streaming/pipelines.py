@@ -1899,3 +1899,60 @@ def run_streaming_frequent_directions(
         if r["kind"] == "row":
             sk[int(r["i"])] = np.asarray(r["vals"])
     return sk, int(meta["n"]), float(meta["frob"])
+
+
+def run_streaming_bitmap_distinct(
+    spark: SparkSession,
+    events: DataFrame,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Incremental EXACT distinct counting over a stream via bitmap state:
+    per micro-batch each (event_type, 32768-bit bucket) bitmap OR-merges
+    into the persistent state table — bitmap union is associative,
+    commutative and idempotent, so the final count is EXACT and identical
+    to a one-shot pass for any batching, replay, or arrival order (the
+    exact-answer sibling of run_streaming_kmv_distinct: where KMV bounds
+    state at O(k) rows with a (k-1)/R_k estimate, bitmaps pay O(occupied
+    buckets * 4 KB) per group for an exact answer — the right trade when
+    the key domain is dense, e.g. integer user ids)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    scratch = scratch_dir or f"/tmp/diaps_sbitmap_{uuid.uuid4().hex[:8]}"
+    stream, sink = _staged_stream(spark, events, scratch, max_files_per_trigger=1)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.sparkSession
+        batch_bm = (
+            batch_df.select(
+                "event_type",
+                F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+                F.expr("bitmap_bit_position(user_id)").alias("pos"),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        )
+        state = read_state_version(b, sink, upto=batch_id)
+        merged = batch_bm if state is None else (
+            state.unionByName(batch_bm)
+            .groupBy("event_type", "bucket")
+            .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        )
+        write_state_version(merged, sink, batch_id)
+
+    (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return (
+        read_state_version(spark, sink)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct_users"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        )
+        .orderBy("event_type")
+    )

@@ -81,3 +81,27 @@ def test_kmv_difference_identities(spark, sf_dir):
         assert r["within_err"], (g1, g2, r)
         back = rows[(g2, g1)]
         assert r["exact_difference"] - back["exact_difference"] == exact_sizes[g1] - exact_sizes[g2]
+
+
+def test_streaming_bitmap_distinct_exact_for_any_batching(spark, sf_dir):
+    """Bitmap union is associative/commutative/idempotent: the streamed
+    end-state count equals the exact batch count under different physical
+    layouts (different micro-batch boundaries)."""
+    from data_integration_and_processing_spark.streaming.pipelines import (
+        run_streaming_bitmap_distinct,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for layout in (e.repartition(3), e.repartition(5, "user_id")):
+        got = {
+            r["event_type"]: r["n_distinct_users"]
+            for r in run_streaming_bitmap_distinct(spark, layout).collect()
+        }
+        assert got == exact
