@@ -291,3 +291,65 @@ def test_dedup_aware_split_never_straddles_groups(spark, sf_dir):
     grp = out.select("grp", "split").distinct()
     frac = grp.filter(F.col("split") == "train").count() / grp.count()
     assert 0.7 < frac < 0.9, frac
+
+
+def test_mips_augmentation_equivalence_any_k(spark, sf_dir):
+    """The norm-augmentation reduction must agree with raw inner-product
+    ranking at any k and for any query vector (cosine of the augmented
+    vectors is a monotone transform of the dot)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_and_processing_spark.operators.similarity import mips_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 7).first()["embedding"]
+    raw, aug = mips_topk(e.filter(F.col("vec_id") != 7), list(q), k=25)
+    raw_ids = [r["vec_id"] for r in raw.collect()]
+    aug_ids = [r["vec_id"] for r in aug.collect()]
+    assert set(raw_ids) == set(aug_ids)
+    # full rank order also agrees (monotone transform, shared tiebreak)
+    assert raw_ids == aug_ids
+
+
+def test_bitmap_bucket_arithmetic_matches_oracle_formula(spark):
+    """The agg_bitmap_exact_distinct oracle computes buckets as
+    (v + 32767) // 32768; pin that this equals Spark's
+    bitmap_bucket_number for positive keys (the fixture domain)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1, 200_000, 7).select(F.col("id").alias("v"))
+    bad = df.select(
+        F.expr("bitmap_bucket_number(v)").alias("spark_b"),
+        ((F.col("v") + 32767) / 32768).cast("long").alias("oracle_b"),
+    ).filter(F.col("spark_b") != F.col("oracle_b"))
+    assert bad.count() == 0
+
+
+def test_cuped_removes_perfectly_correlated_covariate(spark):
+    """When the pre-period metric IS the experiment metric, theta = 1 and
+    the CUPED-adjusted values collapse to a constant (variance -> 0) —
+    the limiting case that catches sign/centering bugs in the moment
+    arithmetic."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, float(10 + (i * 37) % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "user_id long, y double")
+    per_user = df.select("user_id", F.col("y").alias("y_pre"), "y")
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y_pre").alias("sp"), F.sum("y").alias("sy"),
+        F.sum(F.col("y_pre") * F.col("y_pre")).alias("spp"),
+        F.sum(F.col("y_pre") * F.col("y")).alias("spy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).first()
+    n, sp, sy, spp, spy = mom["n"], mom["sp"], mom["sy"], mom["spp"], mom["spy"]
+    theta = (spy / n - (sp / n) * (sy / n)) / (spp / n - (sp / n) * (sp / n))
+    assert math.isclose(theta, 1.0, rel_tol=1e-9)
+    mp = sp / n
+    resid = per_user.select(
+        (F.col("y") - F.lit(theta) * (F.col("y_pre") - F.lit(mp))).alias("c")
+    )
+    stats = resid.agg(F.var_pop("c").alias("v")).first()
+    assert stats["v"] < 1e-18
