@@ -1676,3 +1676,76 @@ def sample_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("var_cuped", 4) <= F.round("var_y", 4)).alias("variance_reduced"),
         )
     )
+
+
+@register(
+    "sample_rolling_origin_cv",
+    oracle="""
+        WITH folds AS (SELECT unnest(generate_series(1, 4)) AS fold),
+        bounds AS (
+            SELECT fold,
+                   TIMESTAMP '2024-01-01' + INTERVAL 5 DAY * fold AS train_end,
+                   TIMESTAMP '2024-01-01' + INTERVAL 5 DAY * (fold + 1) AS test_end
+            FROM folds
+        ),
+        assigned AS (
+            SELECT b.fold, b.train_end, b.test_end,
+                   CASE WHEN e.ts < b.train_end THEN 'train'
+                        WHEN e.ts < b.test_end THEN 'test' END AS split,
+                   e.event_id
+            FROM events e JOIN bounds b
+              ON e.ts < b.test_end
+        )
+        SELECT fold,
+               CAST(CAST(train_end AS DATE) AS VARCHAR) AS train_end,
+               CAST(CAST(test_end AS DATE) AS VARCHAR) AS test_end,
+               CAST(count(*) FILTER (WHERE split = 'train') AS BIGINT) AS n_train,
+               CAST(count(*) FILTER (WHERE split = 'test') AS BIGINT) AS n_test,
+               count(*) FILTER (WHERE split = 'train') > 0
+                   AND count(*) FILTER (WHERE split = 'test') > 0 AS fold_usable
+        FROM assigned GROUP BY fold, train_end, test_end ORDER BY fold
+    """,
+    description=(
+        "rolling-origin (expanding-window) time-series cross-validation "
+        "assignment: fold k trains on everything before day 5k and tests on "
+        "the next 5-day block — the CV scheme that never leaks the future "
+        "into training (user-hash k-fold, sample_kfold_assignment, is the "
+        "iid twin; this is the temporal one). One broadcast of the 4-row "
+        "fold-bounds table against the events scan; per-fold counts and a "
+        "usability verdict, all exact date arithmetic"
+    ),
+    tags=("sampling", "temporal", "north-star"),
+)
+def sample_rolling_origin_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    base = F.lit("2024-01-01").cast("timestamp")
+    folds = spark.range(1, 5).select(F.col("id").cast("int").alias("fold"))
+    bounds = folds.select(
+        "fold",
+        (base + F.make_interval(days=F.col("fold") * 5)).alias("train_end"),
+        (base + F.make_interval(days=(F.col("fold") + 1) * 5)).alias("test_end"),
+    )
+    assigned = e.join(F.broadcast(bounds), F.col("ts") < F.col("test_end")).select(
+        "fold",
+        "train_end",
+        "test_end",
+        F.when(F.col("ts") < F.col("train_end"), "train")
+        .when(F.col("ts") < F.col("test_end"), "test")
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("fold", "train_end", "test_end")
+        .agg(
+            F.count(F.when(F.col("split") == "train", 1)).cast("long").alias("n_train"),
+            F.count(F.when(F.col("split") == "test", 1)).cast("long").alias("n_test"),
+        )
+        .select(
+            "fold",
+            F.col("train_end").cast("date").cast("string").alias("train_end"),
+            F.col("test_end").cast("date").cast("string").alias("test_end"),
+            "n_train",
+            "n_test",
+            ((F.col("n_train") > 0) & (F.col("n_test") > 0)).alias("fold_usable"),
+        )
+        .orderBy("fold")
+    )

@@ -117,6 +117,7 @@ DELIBERATE_NESTED_LOOP = {
     "sample_ab_cuped_adjustment",  # 1-row theta/lift/variance scalar crosses (r10)
     "sim_mips_topk",  # 1-row max-norm scalar + equivalence-boolean crosses (r10)
     "temporal_autocorrelation",  # 3-row lag-table broadcast cross (r10)
+    "sample_rolling_origin_cv",  # 4-row fold-bounds broadcast range join (r10)
     # (b) bounded broadcast sides inside operators
     "sim_topk_lsh",  # 1-row query vector (brute_force_topk ground truth)
     "sim_topk_ivf",
