@@ -2230,9 +2230,9 @@ b AS (
            percentile_cont(0.25) WITHIN GROUP (ORDER BY frequency)    AS f25,
            percentile_cont(0.50) WITHIN GROUP (ORDER BY frequency)    AS f50,
            percentile_cont(0.75) WITHIN GROUP (ORDER BY frequency)    AS f75,
-           percentile_cont(0.25) WITHIN GROUP (ORDER BY monetary)     AS m25,
-           percentile_cont(0.50) WITHIN GROUP (ORDER BY monetary)     AS m50,
-           percentile_cont(0.75) WITHIN GROUP (ORDER BY monetary)     AS m75
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(monetary AS DOUBLE)) AS m25,
+           percentile_cont(0.50) WITHIN GROUP (ORDER BY CAST(monetary AS DOUBLE)) AS m50,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(monetary AS DOUBLE)) AS m75
     FROM cust
 ),
 scored AS (
@@ -2261,8 +2261,12 @@ ORDER BY r_score, f_score, m_score
     description=(
         "RFM customer segmentation: per-customer recency (days since last "
         "order vs corpus max date, integer-exact), frequency (order count), "
-        "monetary (DECIMAL-exact spend sum — order-independent, so quartile "
-        "boundary comparisons are engine-deterministic); each metric scored "
+        "monetary (DECIMAL-exact spend sum, order-independent; quartile "
+        "boundaries are interpolated in DOUBLE on BOTH engines — DuckDB's "
+        "percentile_cont over a DECIMAL column returns a scale-rounded "
+        "DECIMAL boundary with build-dependent rounding, which flips strict "
+        "comparisons for 0.01-grained values, so the DOUBLE cast inside the "
+        "percentile is contract-critical); each metric scored "
         "1-4 by strict comparison against the three exact-percentile "
         "boundaries (NOT ntile, whose tie-splitting depends on a global sort "
         "order), then one 64-cell segment rollup. Scale: orders collapse to "
@@ -2289,7 +2293,9 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cust.agg(
         F.expr("percentile(recency_days, array(0.25, 0.50, 0.75))").alias("rq"),
         F.expr("percentile(frequency, array(0.25, 0.50, 0.75))").alias("fq"),
-        F.expr("percentile(monetary, array(0.25, 0.50, 0.75))").alias("mq"),
+        F.expr(
+            "percentile(CAST(monetary AS DOUBLE), array(0.25, 0.50, 0.75))"
+        ).alias("mq"),
     )
     s = cust.crossJoin(F.broadcast(b))
     asint = lambda c: c.cast("int")  # noqa: E731

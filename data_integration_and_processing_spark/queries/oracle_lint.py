@@ -120,6 +120,214 @@ def negative_zero_frame_columns(pdf) -> list[str]:
     return bad
 
 
+import re
+
+_PCT_RE = re.compile(r"percentile_(?:cont|disc)\s*\(", re.IGNORECASE)
+_WG_RE = re.compile(r"\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+", re.IGNORECASE)
+_FROM_STOP = re.compile(
+    r"\b(WHERE|GROUP|HAVING|QUALIFY|WINDOW|ORDER|LIMIT|UNION|EXCEPT|INTERSECT)\b",
+    re.IGNORECASE,
+)
+_ORDER_SUFFIX = re.compile(r"\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?\s*$", re.IGNORECASE)
+
+
+def _balanced_end(s: str, i: int) -> int:
+    """``s[i]`` must be '('; return the index just past its matching ')'."""
+    depth = 0
+    while i < len(s):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parens")
+
+
+def _percentile_sites(sql: str):
+    """Yield ``(site_start, order_by_expr)`` for every ``percentile_cont`` /
+    ``percentile_disc`` aggregate with a WITHIN GROUP clause."""
+    for m in _PCT_RE.finditer(sql):
+        arg_end = _balanced_end(sql, m.end() - 1)
+        wg = _WG_RE.match(sql, arg_end)
+        if not wg:
+            continue
+        group_open = sql.index("(", arg_end, wg.end())
+        group_close = _balanced_end(sql, group_open)
+        expr = sql[wg.end() : group_close - 1].strip()
+        expr = _ORDER_SUFFIX.sub("", expr)
+        yield m.start(), expr
+
+
+def _enclosing_select_start(sql: str, site_start: int) -> int:
+    """Index of the SELECT keyword whose select-list contains the site:
+    scan backward, skipping sibling paren groups whole; crossing a
+    containing '(' (e.g. a ``round(...)`` wrapper) is allowed."""
+    bal, i = 0, site_start - 1
+    while i >= 0:
+        c = sql[i]
+        if c == ")":
+            bal += 1
+        elif c == "(" and bal > 0:
+            bal -= 1
+        elif bal == 0 and c in "Tt" and i >= 5 and sql[i - 5 : i + 1].upper() == "SELECT":
+            j = i - 5
+            if j == 0 or not (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+                return j
+        i -= 1
+    raise ValueError("no enclosing SELECT")
+
+
+def _enclosing_from_clause(sql: str, site_start: int) -> str:
+    """FROM clause of the SELECT containing a site: forward scan from the
+    enclosing SELECT keyword; the first top-level ``FROM`` (before an
+    unmatched ')') belongs to it."""
+    i, n = _enclosing_select_start(sql, site_start) + 6, len(sql)
+    from_start = None
+    while i < n:
+        c = sql[i]
+        if c == "(":
+            i = _balanced_end(sql, i)  # skip nested groups whole
+            continue
+        if c == ")":
+            break  # left the enclosing SELECT without a FROM — give up
+        if sql[i : i + 4].upper() == "FROM" and (i + 4 == n or not sql[i + 4].isalnum()):
+            from_start = i + 4
+            break
+        i += 1
+    if from_start is None:
+        raise ValueError("no enclosing FROM")
+    # clause runs until a same-depth stop keyword or unmatched ')'
+    j = from_start
+    while j < n:
+        c = sql[j]
+        if c == "(":
+            j = _balanced_end(sql, j)
+            continue
+        if c == ")":
+            break
+        stop = _FROM_STOP.match(sql, j)
+        if stop and (j == 0 or not sql[j - 1].isalnum()):
+            break
+        j += 1
+    return sql[from_start:j].strip()
+
+
+def _preceding_ctes(sql: str, site_start: int) -> str:
+    """The original query's top-level WITH clause, truncated to the CTEs
+    fully defined BEFORE the CTE that contains the site (those are exactly
+    the names visible to the site's FROM clause). Empty string when the
+    site sits in the main SELECT with no earlier CTEs."""
+    m = re.match(r"\s*WITH\s+(RECURSIVE\s+)?", sql, re.IGNORECASE)
+    if not m:
+        return ""
+    kept: list[str] = []
+    i = m.end()
+    while True:
+        nm = re.compile(r"\s*([A-Za-z_][\w]*)\s+AS\s*\(", re.IGNORECASE).match(sql, i)
+        if not nm:
+            break
+        open_paren = nm.end() - 1
+        close = _balanced_end(sql, open_paren)
+        if close <= site_start:
+            kept.append(sql[nm.start() : close].strip())
+        else:
+            break  # the CTE containing the site (or past it) — stop
+        i = close
+        comma = re.compile(r"\s*,").match(sql, i)
+        if not comma:
+            break
+        i = comma.end()
+    if not kept:
+        return ""
+    head = "WITH RECURSIVE " if m.group(1) else "WITH "
+    return head + ", ".join(kept) + " "
+
+
+def decimal_percentile_orderings(
+    oracles: dict[str, str], sf_dir: str = _DEFAULT_SF_DIR
+) -> dict[str, list[str]]:
+    """The r10 knife-edge class (VERDICT r10 item 2a/2b): DuckDB's
+    ``percentile_cont``/``percentile_disc`` over a DECIMAL (or HUGEINT)
+    ORDER BY expression returns the interpolated boundary ROUNDED to the
+    decimal's scale, with build-dependent rounding mode, while Spark's
+    ``percentile`` interpolates in DOUBLE — any strict comparison against
+    such a boundary can flip between engines for values at the grain
+    (``analytics_rfm_segmentation``, r10's one red). For every percentile
+    site in every oracle, this probes the ORDER BY expression's DuckDB type
+    in its real CTE context (``DESCRIBE WITH <preceding ctes> SELECT <expr>
+    FROM <enclosing from>``) and flags DECIMAL/HUGEINT orderings. Fix =
+    ``ORDER BY CAST(x AS DOUBLE)`` in the oracle and
+    ``percentile(CAST(x AS DOUBLE), ...)`` in Spark — identical binary64
+    interpolation on both sides. Sites whose context cannot be parsed are
+    reported under ``"__unparsed__"`` so they fail loud rather than silent."""
+    import duckdb  # local import: keep the query path importable without it
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    bad: dict[str, list[str]] = {}
+    for name, sql in oracles.items():
+        if "WITHIN GROUP" not in sql.upper():
+            continue
+        for site_start, expr in _percentile_sites(sql):
+            try:
+                frm = _enclosing_from_clause(sql, site_start)
+                ctes = _preceding_ctes(sql, site_start)
+                probe = f"{ctes}SELECT ({expr}) AS _probe FROM {frm}"
+                (_, typ, *_rest), = con.execute(f"DESCRIBE {probe}").fetchall()
+            except Exception as ex:  # noqa: BLE001 — unparsable context fails loud
+                bad.setdefault("__unparsed__", []).append(f"{name}: {expr!r} ({ex})")
+                continue
+            t_up = str(typ).strip().upper()
+            if t_up.startswith("DECIMAL") or t_up in ("HUGEINT", "UHUGEINT"):
+                bad.setdefault(name, []).append(f"ORDER BY {expr} :: {typ}")
+    con.close()
+    return bad
+
+
+# DATE-typed output columns render differently between DuckDB fetchdf and
+# Spark collect under some canonicalizers (datetime64 vs datetime.date — the
+# class the r10 memory note records). The entries below are all DRIVER-GREEN
+# (checked rounds r1–r10), so the current driver canon handles them; the lint
+# therefore gates GROWTH, not existence: new oracles must cast DATE outputs
+# to VARCHAR in both engines instead of joining this list.
+DATE_OUTPUT_ALLOWLIST = frozenset(
+    {
+        "temporal_week_over_week",  # week DATE — green r10
+        "func_date_pack",  # month_start DATE — green r5
+    }
+)
+
+
+def date_oracle_outputs(
+    oracles: dict[str, str], sf_dir: str = _DEFAULT_SF_DIR
+) -> dict[str, list[str]]:
+    """DESCRIBE sweep for DATE-typed output columns (VERDICT r10 item 2c).
+    TIMESTAMP outputs are left alone — eight driver-green oracles emit them
+    and both engines materialize datetime64[ns]; bare DATE is the divergent
+    dtype. Returns hits NOT in ``DATE_OUTPUT_ALLOWLIST``."""
+    import duckdb  # local import: keep the query path importable without it
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    bad: dict[str, list[str]] = {}
+    for name, sql in oracles.items():
+        if name in DATE_OUTPUT_ALLOWLIST:
+            continue
+        try:
+            rows = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception:  # noqa: BLE001 — oracle errors are not this lint's job
+            continue
+        cols = [f"{r[0]} {r[1]}" for r in rows if str(r[1]).strip().upper() == "DATE"]
+        if cols:
+            bad[name] = cols
+    con.close()
+    return bad
+
+
 def negative_zero_oracle_outputs(
     oracles: dict[str, str], sf_dir: str = _DEFAULT_SF_DIR
 ) -> dict[str, list[str]]:

@@ -17,6 +17,8 @@ import pytest
 from data_integration_and_processing_spark.queries import catalog
 from data_integration_and_processing_spark.queries.oracle_lint import (
     complex_oracle_outputs,
+    date_oracle_outputs,
+    decimal_percentile_orderings,
     is_complex_type,
     negative_zero_frame_columns,
     negative_zero_oracle_outputs,
@@ -84,6 +86,70 @@ def test_negative_zero_frame_columns_detects_sign_bit():
 
     pdf = pd.DataFrame({"a": [0.0, 1.5], "b": [-0.0, 2.0], "c": [1, 2], "d": ["x", "y"]})
     assert negative_zero_frame_columns(pdf) == ["b"]
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_no_decimal_percentile_orderings_in_any_oracle():
+    """Fifth canon-divergence class (VERDICT r10: analytics_rfm_segmentation):
+    DuckDB percentile_cont over a DECIMAL ORDER BY returns the interpolated
+    boundary rounded to the decimal's scale (rounding mode build-dependent)
+    while Spark interpolates in DOUBLE — strict comparisons at the grain flip
+    between engines. Every percentile site's ORDER BY expression must probe
+    to a non-DECIMAL DuckDB type; fix = CAST(... AS DOUBLE) on BOTH sides.
+    ``__unparsed__`` entries mean the probe could not resolve a site's CTE
+    context — also a failure (the lint must see every site)."""
+    catalog._load()
+    oracles = {s.name: s.oracle for s in catalog._REGISTRY.values() if s.oracle is not None}
+    bad = decimal_percentile_orderings(oracles, SF_DIR)
+    assert bad == {}, (
+        "percentile_cont/disc over DECIMAL-typed ORDER BY (build-dependent "
+        f"boundary rounding — interpolate in DOUBLE on both engines): {bad}"
+    )
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_decimal_percentile_probe_flags_the_rfm_shape():
+    """Seeded negative: the exact r10 red shape (DECIMAL monetary inside a
+    CTE, percentile in a second CTE) must be flagged, and the DOUBLE-cast
+    fix must clear it — proving the probe resolves CTE context correctly."""
+    bad_sql = """
+    WITH cust AS (
+        SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT round(CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY monetary) AS DOUBLE), 6) AS m25
+    FROM cust
+    """
+    fixed_sql = bad_sql.replace("ORDER BY monetary", "ORDER BY CAST(monetary AS DOUBLE)")
+    bad = decimal_percentile_orderings({"probe": bad_sql, "clean": fixed_sql}, SF_DIR)
+    assert set(bad) == {"probe"} and "DECIMAL" in bad["probe"][0]
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_no_new_date_output_columns_in_any_oracle():
+    """Sixth class (r10 memory note): bare DATE output columns materialize as
+    datetime.date vs datetime64 between engines under some canons. Existing
+    DATE emitters are driver-green and allowlisted; NEW oracles must cast
+    DATE outputs to VARCHAR on both sides."""
+    catalog._load()
+    oracles = {s.name: s.oracle for s in catalog._REGISTRY.values() if s.oracle is not None}
+    bad = date_oracle_outputs(oracles, SF_DIR)
+    assert bad == {}, (
+        f"non-allowlisted oracles with bare DATE output columns (cast to "
+        f"VARCHAR in BOTH engines): {bad}"
+    )
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_date_output_sweep_flags_a_probe():
+    bad = date_oracle_outputs(
+        {
+            "probe": "SELECT CAST(o_orderdate AS DATE) AS d FROM orders LIMIT 1",
+            "clean": "SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d FROM orders LIMIT 1",
+        },
+        SF_DIR,
+    )
+    assert bad == {"probe": ["d DATE"]}
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
