@@ -64,68 +64,21 @@ _WINDOW_SIZE = 50
 _ALWAYS: tuple[str, ...] = ("q1_pricing_summary",)
 
 # Round-specific pins: entries that MUST re-verify under the driver this
-# round. r10 (VERDICT r9 item 1): ALL 45 queries that have never been
-# checked by the real driver — after this window lands, every oracled
-# catalog entry has at least one hard driver row. With q1 always-in, the
-# 4 remaining slots go to the derived stalest-first fill, which by
-# construction picks the oldest-green (round-1) entries — the start of
-# the standing stale-green re-check rotation (VERDICT r9 item 3).
-# `multimodal_cdc_chunks` — rows-only since r1 — got its planted-boundary
-# audit-form oracle this round (VERDICT r9 item 4) and is pinned for its
-# first hash-check, closing the catalog at 345/345 oracled.
+# round. r11 (VERDICT r10 items 1+3): only `analytics_rfm_segmentation` is
+# pinned — its oracle contract was repaired (DOUBLE percentile interpolation
+# on both engines; the r10 red) and needs a hard driver row to close. The
+# 15 r10 additions that have never seen the real driver rank never-green
+# (stalest) and auto-fill; every remaining slot goes to the stalest-first
+# fill, which by construction starts the long-deferred oldest-green
+# re-check rotation (entries last driver-green in r1, oldest first).
+# Window math this round: 16 never-checked (15 r10 additions + repaired
+# rfm) + q1 + 10 family-coverage slots (families whose stalest member is
+# r4-r8) + 23 stalest greens = 50. The rotation covers 23 of the 26
+# round-1 greens; the remaining 3 (+ 9 r3 entries) rank stalest next
+# round and complete the rotation in r12 — extra pins would only displace
+# other r1 fills one-for-one, so none are added.
 _PINNED: tuple[str, ...] = (
-    "multimodal_cdc_chunks",
-    # events family (13)
-    "events_error_burst_detection",
-    "events_peak_concurrency",
-    "events_dau_wau",
-    "events_attribution_first_touch",
-    "events_time_to_convert",
-    "events_markov_transitions",
-    "events_cohort_ltv",
-    "events_power_user_gini",
-    "events_session_length_histogram",
-    "events_window_funnel",
-    "events_top_paths",
-    "events_funnel_any_order",
-    "events_growth_accounting",
-    # text family (7)
-    "text_tokenizer_fertility",
-    "text_lexical_diversity",
-    "text_langid_confusion",
-    "text_bigram_lm",
-    "text_zipf_fit",
-    "text_vocab_coverage_curve",
-    # agg family (6)
-    "agg_hll_intersection",
-    "agg_winsorized_mean",
-    "agg_order_size_distribution",
-    "agg_market_basket_lift",
-    "agg_shannon_entropy",
-    # etl family (5)
-    "etl_xml_roundtrip",
-    "etl_xlsx_distributed_scan",
-    "etl_corrupt_row_quarantine",
-    "etl_file_lineage",
-    "etl_fixed_width_roundtrip",
-    # join family (5)
-    "join_temporal_pointintime",
-    "join_interval_binned",
-    "join_null_safe",
-    "join_lateral_topn",
-    "join_semi_range",
-    # misc (11)
-    "sample_neyman_allocation",
-    "sim_matryoshka_prefix_recall",
-    "sim_sample_diversity",
-    "stream_incremental_mv",
-    "temporal_week_over_week",
-    "stream_session_window_dynamic",
-    "graph_degree_distribution",
-    "quality_order_total_reconcile",
     "analytics_rfm_segmentation",
-    "window_rolling_median",
-    "sql_recursive_date_spine",
 )
 
 # Every family that must keep an oracle-checked row inside the window
