@@ -721,6 +721,72 @@ def _kcore_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:
     }
 
 
+def _fd_fold_probe(spark, sf_dir: str) -> dict[str, float | int | bool]:
+    """Frequent-Directions fold-path probe (VERDICT r10 item 4): 200k
+    synthetic d=64 vectors in 256 partitions — enough partials that the
+    two-level sqrt(P)-group executor-side merge engages (threshold 64) —
+    timed against the flat driver fold of the same input. At local[32]
+    P=256 the driver fold is not yet the bottleneck, so the two should be
+    close; the probe's job is a standing timing series for the tree path
+    plus a hard check that the exact scalars (n, ||A||_F^2) are
+    fold-shape-invariant."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.linalg import (  # noqa: PLC0415
+        frequent_directions,
+    )
+
+    n, d, parts, sketch_rows = 200_000, 64, 256, 32
+    vecs = (
+        spark.range(n)
+        .repartition(parts)
+        .select(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(d)),
+                lambda j: F.sin(F.col("id").cast("double") * 0.7 + j.cast("double")),
+            ).alias("embedding")
+        )
+    )
+    t0 = time.time()
+    _, n_flat, frob_flat = frequent_directions(
+        vecs, sketch_rows=sketch_rows, tree_merge_threshold=10**9
+    )
+    flat_sec = time.time() - t0
+    t0 = time.time()
+    _, n_tree, frob_tree = frequent_directions(
+        vecs, sketch_rows=sketch_rows, tree_merge_threshold=64
+    )
+    tree_sec = time.time() - t0
+    return {
+        "sec": round(tree_sec, 3),
+        "flat_sec": round(flat_sec, 3),
+        "rows": n,
+        "dim": d,
+        "partitions": parts,
+        "sketch_rows": sketch_rows,
+        "exact_scalars_equal": bool(
+            n_flat == n_tree and abs(frob_flat - frob_tree) <= 1e-9 * abs(frob_flat)
+        ),
+    }
+
+
+def _probe_canary_units(obj, jvm_sec: float):
+    """Annotate every probe timing with canary-normalized seconds (VERDICT
+    r10 item 5): probes are single-shot and previously carried no drift
+    correction, so a noisy box silently shifted the SCALE.md probe series
+    (r10: pagerank 44.3s builder close vs 59.9s driver run, same code).
+    sec / same-session-JVM-canary-sec is comparable across rounds the same
+    way queries_normalized is for headliners."""
+    if isinstance(obj, dict):
+        out = {}
+        for k, v in obj.items():
+            out[k] = _probe_canary_units(v, jvm_sec)
+            if k == "sec" and isinstance(v, (int, float)) and jvm_sec > 0:
+                out["sec_canary_units"] = round(v / jvm_sec, 2)
+        return out
+    return obj
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -805,6 +871,9 @@ def main() -> int:
     classifier_probe = _classifier_width_probe(spark, sf_dir)
     print(f"# classifier_width_probe_d8192: {classifier_probe}", file=sys.stderr)
 
+    fd_probe = _fd_fold_probe(spark, sf_dir)
+    print(f"# fd_fold_probe_p256: {fd_probe}", file=sys.stderr)
+
     baseline_name, baseline, base_canary = _baseline_queries(sf)
     # Host drift this round = how much the code-frozen canary pair moved vs
     # the previous round's recording; the regression threshold widens (or
@@ -859,16 +928,19 @@ def main() -> int:
         "drift_factor": round(drift, 3),
         "drift_capped": drift_capped,
         "sf": sf,
-        "dedup_scale_probe_50k": probe,
-        "jaccard_prefix_probe_50k": jaccard_probe,
-        "ann_scale_probe_20k": ann_probe,
-        "interval_scale_probe_60k": interval_probe,
-        "pagerank_scale_probe_10x": pagerank_probe,
-        "lpa_scale_probe_10x": lpa_probe,
-        "kcore_scale_probe_10x": kcore_probe,
-        "kmeans_scale_probe_100k": kmeans_probe,
-        "kmeans_k_scale_probe_100k": kmeans_k_probe,
-        "classifier_width_probe_d8192": classifier_probe,
+        # probes carry sec_canary_units siblings (drift-normalized; VERDICT
+        # r10 item 5) — compare THOSE across rounds, raw sec only within one
+        "dedup_scale_probe_50k": _probe_canary_units(probe, canary["jvm_sec"]),
+        "jaccard_prefix_probe_50k": _probe_canary_units(jaccard_probe, canary["jvm_sec"]),
+        "ann_scale_probe_20k": _probe_canary_units(ann_probe, canary["jvm_sec"]),
+        "interval_scale_probe_60k": _probe_canary_units(interval_probe, canary["jvm_sec"]),
+        "pagerank_scale_probe_10x": _probe_canary_units(pagerank_probe, canary["jvm_sec"]),
+        "lpa_scale_probe_10x": _probe_canary_units(lpa_probe, canary["jvm_sec"]),
+        "kcore_scale_probe_10x": _probe_canary_units(kcore_probe, canary["jvm_sec"]),
+        "kmeans_scale_probe_100k": _probe_canary_units(kmeans_probe, canary["jvm_sec"]),
+        "kmeans_k_scale_probe_100k": _probe_canary_units(kmeans_k_probe, canary["jvm_sec"]),
+        "classifier_width_probe_d8192": _probe_canary_units(classifier_probe, canary["jvm_sec"]),
+        "fd_fold_probe_p256": _probe_canary_units(fd_probe, canary["jvm_sec"]),
         "baseline": baseline_name,
         "regressions": regressions,
     }

@@ -338,11 +338,22 @@ def kcore_peel(
     n_iter: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
+    symmetrize: bool = False,
 ) -> DataFrame:
     """Fixed-superstep k-core peeling over a symmetrized edge list; returns
     (id, core_deg): the surviving edges' per-vertex degrees after
     ``n_iter`` rounds of deleting every vertex whose current degree is
     below ``k``.
+
+    INPUT CONTRACT (ADVICE r10): degree is counted as ``count(src rows)``,
+    so the edge list must be SYMMETRIZED (every undirected edge present in
+    both directions) and DEDUPLICATED — an unsymmetrized or multi-edge
+    input yields wrong cores silently. Callers that already maintain that
+    layout (the registered query, the 12M-edge probe) pass the default
+    ``symmetrize=False`` and skip the extra shuffle; pass
+    ``symmetrize=True`` to have the operator union the swapped orientation
+    and ``distinct()`` internally (also drops self-loops, which would
+    otherwise self-inflate a vertex's degree).
 
     The k-core is the classic dense-subgraph extractor (spam/link-farm
     clusters in a web corpus, review rings, bot cliques); full peeling
@@ -369,12 +380,17 @@ def kcore_peel(
     if k < 1 or n_iter < 1:
         raise ValueError("k and n_iter must be >= 1")
     src, dst = F.col(src_col), F.col(dst_col)
+    directed = edges.select(src.alias("src"), dst.alias("dst"))
+    if symmetrize:
+        directed = (
+            directed.unionByName(
+                directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
     n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    e0 = (
-        edges.select(src.alias("src"), dst.alias("dst"))
-        .repartition(n_part, F.col("src"))
-        .persist()
-    )
+    e0 = directed.repartition(n_part, F.col("src")).persist()
 
     def _alive_edges(alive: DataFrame | None) -> DataFrame:
         if alive is None:

@@ -190,7 +190,10 @@ def _fd_shrink(buf: np.ndarray, sketch_rows: int) -> np.ndarray:
 
 
 def frequent_directions(
-    df: DataFrame, sketch_rows: int = 32, vec_col: str = "embedding"
+    df: DataFrame,
+    sketch_rows: int = 32,
+    vec_col: str = "embedding",
+    tree_merge_threshold: int = 64,
 ) -> tuple[np.ndarray, int, float]:
     """Mergeable Frequent-Directions sketch of the corpus Gram matrix:
     returns (B, n, frob_sq) where B is ``sketch_rows x d`` with the
@@ -205,10 +208,16 @@ def frequent_directions(
     guaranteed spectral-error budget when even the d x d Gram partials
     are too wide to ship densely (d in the tens of thousands). Per
     partition an Arrow-batched task streams rows through a 2l-row buffer
-    (one SVD per l rows); the driver folds the O(parts) sketches in
-    partition-id order — deterministic for a fixed input partitioning,
-    and the guarantee booleans hold under ANY partitioning (worst-case
-    bound, not an expectation)."""
+    (one SVD per l rows); the partials then fold two-level (VERDICT r10
+    item 4): when the input has more than ``tree_merge_threshold``
+    partitions, a shuffle stage groups ~sqrt(P) contiguous-pid partials
+    per group and shrink-merges each group executor-side, so the driver
+    only folds the ~sqrt(P) survivors — O(sqrt(P) * l * d) driver state
+    instead of O(P * l * d) at tens of thousands of partitions. Merge
+    order is pid-ascending within groups and group-id-ascending on the
+    driver — deterministic for a fixed input partitioning — and the
+    guarantee booleans hold under ANY partitioning or merge tree
+    (worst-case bound, not an expectation)."""
 
     def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         buf: list[np.ndarray] = []
@@ -235,21 +244,45 @@ def frequent_directions(
                 {"pid": [pid], "n": [n], "frob_sq": [frob], "b": [list(sk.ravel())]}
             )
 
-    parts = (
-        df.select(F.col(vec_col).alias(vec_col), F.spark_partition_id().cast("long").alias("_pid"))
-        .mapInPandas(_partials, schema=_FD_SCHEMA)
-        .collect()
-    )
+    def _fold_rows(rows) -> tuple[np.ndarray | None, int, float]:
+        """pid-ascending shrink-merge of partial sketch rows (shared by the
+        executor-side group merge and the driver-side final fold)."""
+        rows = sorted(rows, key=lambda r: r[0])
+        n, frob, sk = 0, 0.0, None
+        for _, r_n, r_frob, r_b in rows:
+            n += int(r_n)
+            frob += float(r_frob)
+            d = len(r_b) // sketch_rows
+            b = np.asarray(r_b, dtype=np.float64).reshape(sketch_rows, d)
+            sk = b if sk is None else _fd_shrink(np.vstack([sk, b]), sketch_rows)
+        return sk, n, frob
+
+    partials = df.select(
+        F.col(vec_col).alias(vec_col), F.spark_partition_id().cast("long").alias("_pid")
+    ).mapInPandas(_partials, schema=_FD_SCHEMA)
+
+    num_parts = df.rdd.getNumPartitions()
+    if num_parts > tree_merge_threshold:
+        import math
+
+        group_size = int(math.ceil(math.sqrt(num_parts)))
+
+        def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            sk, n, frob = _fold_rows(
+                list(zip(pdf["pid"], pdf["n"], pdf["frob_sq"], pdf["b"]))
+            )
+            gid = int(pdf["pid"].iloc[0]) // group_size
+            return pd.DataFrame(
+                {"pid": [gid], "n": [n], "frob_sq": [frob], "b": [list(sk.ravel())]}
+            )
+
+        partials = (
+            partials.groupBy((F.col("pid") / group_size).cast("long").alias("_gid"))
+            .applyInPandas(lambda _k, pdf: _merge_group(pdf), schema=_FD_SCHEMA)
+        )
+
+    parts = partials.collect()
     if not parts:
         raise ValueError("frequent_directions: empty input")
-    parts.sort(key=lambda r: r["pid"])
-    d = len(parts[0]["b"]) // sketch_rows
-    n = 0
-    frob = 0.0
-    sk = None
-    for r in parts:
-        n += r["n"]
-        frob += r["frob_sq"]
-        b = np.asarray(r["b"]).reshape(sketch_rows, d)
-        sk = b if sk is None else _fd_shrink(np.vstack([sk, b]), sketch_rows)
+    sk, n, frob = _fold_rows([(r["pid"], r["n"], r["frob_sq"], r["b"]) for r in parts])
     return sk, n, frob

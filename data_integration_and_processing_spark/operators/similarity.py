@@ -962,11 +962,18 @@ def mips_topk(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # Rank both paths by the UNROUNDED score with the id tiebreak and round
+    # only the displayed value (ADVICE r10): rounding dot and dot/(M|q|) at
+    # the same digit count quantizes at two different scales, which can
+    # create/break ties differently at the k boundary; IEEE division by a
+    # positive constant is monotone, so the unrounded orderings agree
+    # exactly and the equivalence boolean cannot flip on rounding artifacts.
     base = fan_out_scan(df)
     raw = (
-        base.select(F.col(id_col), F.round(dot, round_digits).alias("dot"))
-        .orderBy(F.desc("dot"), F.asc(id_col))
+        base.select(F.col(id_col), dot.alias("_dot_exact"))
+        .orderBy(F.desc("_dot_exact"), F.asc(id_col))
         .limit(k)
+        .select(F.col(id_col), F.round(F.col("_dot_exact"), round_digits).alias("dot"))
     )
     sq = F.aggregate(
         F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
@@ -978,9 +985,10 @@ def mips_topk(
         base.crossJoin(F.broadcast(m2))
         .select(
             F.col(id_col),
-            F.round(dot / (F.sqrt(F.col("m2")) * F.lit(qnorm)), round_digits).alias("aug_cos"),
+            (dot / (F.sqrt(F.col("m2")) * F.lit(qnorm))).alias("_cos_exact"),
         )
-        .orderBy(F.desc("aug_cos"), F.asc(id_col))
+        .orderBy(F.desc("_cos_exact"), F.asc(id_col))
         .limit(k)
+        .select(F.col(id_col), F.round(F.col("_cos_exact"), round_digits).alias("aug_cos"))
     )
     return raw, aug

@@ -1591,14 +1591,16 @@ _DOT_SQL = (
 @register(
     "sim_mips_topk",
     oracle=f"""
-        SELECT a.vec_id,
-               round({_DOT_SQL}, 6) AS dot,
-               true AS augmented_equiv_ok
-        FROM embeddings a,
-             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        WHERE a.vec_id <> 0
-        ORDER BY dot DESC, a.vec_id
-        LIMIT 10
+        SELECT vec_id, round(dot_exact, 6) AS dot, true AS augmented_equiv_ok
+        FROM (
+            SELECT a.vec_id, {_DOT_SQL} AS dot_exact
+            FROM embeddings a,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE a.vec_id <> 0
+            ORDER BY dot_exact DESC, a.vec_id
+            LIMIT 10
+        )
+        ORDER BY dot DESC, vec_id
     """,
     description=(
         "maximum-inner-product search (the recommendation/reranking query "
@@ -1608,8 +1610,13 @@ _DOT_SQL = (
         "cosine NN (|x'| = M makes cosine a monotone transform of the dot), "
         "so the module's IVF/LSH cosine indexes serve MIPS unchanged. The "
         "boolean gates that the augmented-cosine top-10 id set EQUALS the "
-        "raw inner-product top-10. One scalar max-norm aggregate + the same "
-        "JVM fold/TakeOrderedAndProject shape as the cosine baseline"
+        "raw inner-product top-10. Both paths (and the oracle) select top-k "
+        "by the UNROUNDED score with an id tiebreak and round only the "
+        "displayed value — division by the positive constant M|q| is "
+        "IEEE-monotone, so the two rankings agree exactly and rounding "
+        "cannot flip the k boundary (ADVICE r10). One scalar max-norm "
+        "aggregate + the same JVM fold/TakeOrderedAndProject shape as the "
+        "cosine baseline"
     ),
     tags=("similarity", "north-star", "analytics"),
 )

@@ -1436,8 +1436,12 @@ def run_streaming_quantile_digest(
     (counter addition).
 
     Each merge adds at most 1/B rank error, so a replay in k chunks is
-    bounded by ~k/B + the build sketch's 1/accuracy — with B=256 and a
-    6-chunk replay that is ~0.03; tests pin 0.05 against exact quantiles.
+    bounded by ~k/B + the build sketch's 1/accuracy. The staging here is 4
+    files read 2-per-trigger (reader-side maxFilesPerTrigger — the old
+    writer-side option was a no-op; ADVICE r10) = a 2-chunk replay: with
+    B=256 that bounds rank error at ~2/256 + 1e-4 ≈ 0.008; tests pin the
+    looser 0.05 against exact quantiles so a re-chunked replay (more
+    triggers, k up to ~12) still passes without re-deriving the bound.
     """
     scratch = scratch_dir or f"/tmp/diaps_qd_{uuid.uuid4().hex[:8]}"
     stream, sink = _staged_stream(spark, events, scratch, max_files_per_trigger=2)
@@ -1863,6 +1867,15 @@ def run_streaming_frequent_directions(
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.sparkSession
+        if batch_df.isEmpty():
+            # _staged_stream's repartition can stage empty parquet files when
+            # the input has fewer rows than n_files (ADVICE r10): carry the
+            # prior state forward unchanged rather than folding an empty
+            # batch (frequent_directions raises on empty input).
+            state = read_state_version(b, sink, upto=batch_id)
+            if state is not None:
+                write_state_version(state, sink, batch_id)
+            return
         sk_b, n_b, frob_b = frequent_directions(batch_df, sketch_rows=sketch_rows, vec_col=vec_col)
         state = read_state_version(b, sink, upto=batch_id)
         if state is not None:

@@ -183,6 +183,27 @@ class TestKCorePeel:
         k3 = kcore_peel(self._sym(spark, und), k=3, n_iter=2)
         assert k3.count() == 0
 
+    def test_symmetrize_option_fixes_raw_directed_input(self, spark):
+        """ADVICE r10: the operator assumes a symmetrized deduplicated edge
+        list. symmetrize=True must make a raw directed list (one direction
+        per undirected edge, duplicates, a self-loop) produce the SAME
+        cores as the manual symmetrization path."""
+        from data_integration_and_processing_spark.operators.graph import kcore_peel
+
+        und = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+        raw = spark.createDataFrame(
+            und + [(0, 1), (2, 2)], "src long, dst long"  # dup edge + self-loop
+        )
+        fixed = {
+            r["id"]: r["core_deg"]
+            for r in kcore_peel(raw, k=3, n_iter=3, symmetrize=True).collect()
+        }
+        manual = {
+            r["id"]: r["core_deg"]
+            for r in kcore_peel(self._sym(spark, und), k=3, n_iter=3).collect()
+        }
+        assert fixed == manual == {0: 3, 1: 3, 2: 3, 3: 3}
+
     def test_monotone_in_supersteps(self, spark):
         """The survivor set only shrinks as supersteps increase (each round
         filters the previous round's edges)."""
