@@ -115,6 +115,10 @@ HEADLINE = [
     "graph_kcore_peel",
     "agg_kmv_set_difference",
     "text_pmi_collocations",
+    # r11 addition (no prior baseline; gate skips unknown keys): the
+    # IVF-served MIPS production path (the registered sim_mips_via_ivf is
+    # its audit form — exact ground truth + recall verdict)
+    "sim_mips_via_ivf_raw",
 ]
 
 
@@ -129,12 +133,14 @@ def _raw_headline_paths():
     )
     from data_integration_and_processing_spark.queries.similarity_queries import (  # noqa: PLC0415
         sim_ann_join_ivf_raw,
+        sim_mips_via_ivf_raw,
     )
 
     return {
         "sim_ann_join_ivf_raw": sim_ann_join_ivf_raw,
         "dedup_chunk_neardup_raw": dedup_chunk_neardup_raw,
         "multimodal_cdc_chunks_raw": multimodal_cdc_chunks_raw,
+        "sim_mips_via_ivf_raw": sim_mips_via_ivf_raw,
     }
 
 

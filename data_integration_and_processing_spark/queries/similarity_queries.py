@@ -1635,3 +1635,168 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count(F.lit(1)) == 10).alias("augmented_equiv_ok"))
     )
     return raw.crossJoin(F.broadcast(equiv)).orderBy(F.desc("dot"), "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# MIPS served THROUGH the IVF cosine index (VERDICT r10 item 7)
+# ---------------------------------------------------------------------------
+
+# Augmented-space IVF recall floor (mean over queries, nprobe=2 of 8 cells).
+# Measured on the fixture corpus: the Shrivastava-Li augmentation puts every
+# corpus vector on the radius-M sphere, which CHANGES the coarse-quantizer
+# geometry vs the plain-cosine benchmark (_ANN_RECALL_FLOORS) — so the floor
+# is measured in augmented space, not borrowed. Measured mean recall on the
+# fixed fixture: 0.640 (sf0.001), 0.640 (sf0.01 — the driver's tier), 0.405
+# (sf0.1); deterministic per sf (fixed seed, fixed data), so the floor only
+# needs margin against the WORST tier, not against run noise.
+_MIPS_IVF_RECALL_FLOOR = 0.35
+
+
+def sim_mips_via_ivf_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw plan: MIPS top-10 per query batch served by the IVF cosine index
+    over norm-augmented vectors — what a recommender would deploy. Corpus
+    rows gain the Shrivastava-Li coordinate sqrt(M^2 - |x|^2) (M = corpus
+    max norm, ONE scalar aggregate broadcast back), queries gain a 0; every
+    augmented corpus norm is M, so augmented cosine is a monotone transform
+    of the raw inner product and the cosine IVF router needs no changes."""
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        ann_join_ivf,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.filter(F.col("vec_id") % 100 != 0)
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    sq = F.aggregate(
+        F.col("embedding").cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    m2 = c.agg(F.max(sq).alias("_m2"))
+    c_aug = c.crossJoin(F.broadcast(m2)).select(
+        "vec_id",
+        F.concat(
+            F.col("embedding").cast("array<double>"),
+            F.array(F.sqrt(F.greatest(F.col("_m2") - sq, F.lit(0.0)))),
+        ).alias("embedding"),
+    )
+    q_aug = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.concat(F.col("embedding").cast("array<double>"), F.array(F.lit(0.0))).alias(
+            "embedding"
+        ),
+    )
+    return ann_join_ivf(q_aug, c_aug, k=10, n_cells=8, nprobe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
+_MIPS_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+)
+
+
+@register(
+    "sim_mips_via_ivf",
+    # Audit form (the sim_ann_join_ivf contract): IVF cell assignment is
+    # engine-specific, so the driver-checked output is the EXACT per-query
+    # MIPS top-10 (deterministic ground truth, selected by the UNROUNDED
+    # dot with an id tiebreak) plus the corpus-level recall-floor verdict
+    # for the IVF-served augmented path.
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+        ),
+        c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 <> 0),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id, {_MIPS_DOT_SQL} AS dot_exact
+            FROM c, q
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, dot_exact,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot_exact DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(dot_exact, 6) AS dot, rank,
+               true AS recall_ok
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+    description=(
+        "MIPS top-10 per query batch served THROUGH the IVF cosine index "
+        "(closing the loop sim_mips_topk only proves as a boolean): corpus "
+        "vectors gain the Shrivastava-Li coordinate sqrt(M^2-|x|^2), queries "
+        "gain 0, and the UNCHANGED cosine IVF join (8 cells, nprobe 2) "
+        "serves inner-product retrieval — every augmented corpus norm is M, "
+        "so augmented cosine ranks exactly like the raw dot. Driver-checked "
+        "in audit form: the exact MIPS top-10 join (selected by unrounded "
+        "dot, rounded for display) plus the measured recall-floor boolean "
+        "of the IVF-served set (floor 0.35 mean; measured augmented-space "
+        "recall — see registration-adjacent comment). Raw deployable plan: "
+        "sim_mips_via_ivf_raw. At 100 TB the augmentation is one scalar "
+        "aggregate + a map; the index serves MIPS and cosine tenants from "
+        "ONE routing layout"
+    ),
+    tags=("similarity", "north-star", "join", "topk", "ann", "analytics", "scale"),
+)
+def sim_mips_via_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.filter(F.col("vec_id") % 100 != 0)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("q_emb").cast("array<double>"),
+            lambda x, w: x * w,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(q))
+        .select("query_id", "neighbor_id", dot.alias("dot_exact"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_exact").desc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .localCheckpoint(eager=True)
+    )
+    approx = sim_mips_via_ivf_raw(spark, sf_dir).select(
+        F.col("query_id").alias("a_q"), F.col("neighbor_id").alias("a_n")
+    )
+    caught = exact.join(
+        approx,
+        (exact.query_id == approx.a_q) & (exact.neighbor_id == approx.a_n),
+        "left_semi",
+    )
+    # micro == macro mean recall (every query has exactly k exact rows)
+    verdict = (
+        exact.select(F.count("*").alias("_n"))
+        .crossJoin(caught.select(F.count("*").alias("_hit")))
+        .select(
+            (F.col("_hit") >= F.lit(_MIPS_IVF_RECALL_FLOOR) * F.col("_n")).alias(
+                "recall_ok"
+            )
+        )
+    )
+    return (
+        exact.withColumn("_j", F.lit(1))
+        .join(F.broadcast(verdict.withColumn("_j", F.lit(1))), "_j")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("dot_exact"), 6).alias("dot"),
+            "rank",
+            "recall_ok",
+        )
+        .orderBy("query_id", "rank")
+    )
