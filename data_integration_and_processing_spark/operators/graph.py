@@ -221,6 +221,81 @@ def triangle_stats(
     return out
 
 
+def local_clustering(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-vertex triangle counts and local clustering coefficient of an
+    undirected simple graph: (id, deg, triangles, local_cc) with
+    local_cc = 2*T(v) / (deg(v) * (deg(v) - 1)), 0 for deg < 2.
+
+    Same degree-oriented enumeration as :func:`triangle_stats` (lower-
+    (degree, id) endpoint first; O(m^1.5) total path-join fan-out under
+    power-law skew), but each closed triangle x->y->z is attributed back
+    to ALL THREE endpoints before the per-vertex count — a triangle is
+    still enumerated exactly once, so the per-vertex counts are
+    orientation-independent and any id-ordered SQL enumeration agrees
+    exactly. Four keyed shuffles (degree agg, path join, closing join,
+    per-vertex count), nothing driver-side.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = und.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).persist()
+    closed = (
+        oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .join(oriented.select(F.col("u").alias("y"), F.col("v").alias("z")), "y")
+        .join(oriented.select(F.col("u").alias("x"), F.col("v").alias("z")), ["x", "z"])
+    )
+    tri_v = (
+        closed.select(F.col("x").alias("id"))
+        .unionByName(closed.select(F.col("y").alias("id")))
+        .unionByName(closed.select(F.col("z").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    out = (
+        deg.join(tri_v, "id", "left")
+        .select(
+            "id",
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                2.0
+                * F.coalesce(F.col("triangles"), F.lit(0)).cast("double")
+                / (F.col("deg").cast("double") * (F.col("deg").cast("double") - 1.0)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("local_cc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    oriented.unpersist()
+    return out
+
+
 def bfs_distances(
     edges: DataFrame,
     source_ids: list[int],

@@ -992,3 +992,217 @@ def mips_topk(
         .select(F.col(id_col), F.round(F.col("_cos_exact"), round_digits).alias("aug_cos"))
     )
     return raw, aug
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ combined index (FAISS IVFPQ shape: coarse cells + residual codes)
+# ---------------------------------------------------------------------------
+
+
+def _unit_expr(col):
+    """JVM unit-normalization of an array column (zero vectors pass through)."""
+    v = col.cast("array<double>")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    safe = F.when(nrm > 0.0, nrm).otherwise(F.lit(1.0))
+    return F.transform(v, lambda x: x / safe)
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    m: int = 8,
+    nbits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    train_cap: int = 100_000,
+) -> str:
+    """Build the combined IVF+PQ index — the FAISS IVFPQ architecture the
+    standalone :func:`build_ivf_index` (cells only) and
+    :func:`build_pq_index` (codes only) each provide half of:
+
+    1. unit-normalize (cosine ranking = L2 ranking on the unit sphere);
+    2. train the coarse quantizer on a hash-deterministic sample
+       (:func:`train_ivf_centers`), assign every vector to its nearest
+       cell with a pure JVM argmin;
+    3. PQ-encode each vector's RESIDUAL u - center[cell] (residual
+       encoding is what makes IVFPQ beat flat PQ: residual norms are a
+       fraction of vector norms, so the same 2**nbits codes per subspace
+       quantize a much smaller ball);
+    4. write the corpus hive-partitioned by ``_cell`` so probes
+       partition-prune to nprobe/n_cells of the data AND rank candidates
+       by m table lookups instead of dim multiplies.
+
+    Layout::
+
+        {path}/data/_cell=K/part-*.parquet   (id, codes array<int>, v)
+        {path}/centroids/part-*.parquet      (cell, center array<double>)
+        {path}/codebooks/part-*.parquet      (subspace, code, center)
+        {path}/meta/part-*.parquet           (n_cells, m, nbits, dim, seed)
+
+    At 100 TB: training state is O(n_cells*dim + m*2**nbits*dim/m) driver
+    bytes; assignment + encoding are one distributed map each; the probe
+    reads ~nprobe/n_cells of a table that is itself ~1/32 original bytes
+    for the ADC stage (originals ride along for the exact refine, fetched
+    only for the k*refine survivors).
+    """
+    import pandas as pd  # noqa: PLC0415 — keep pandas off the import hot path
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot index an empty corpus")
+    dim = int(first["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    unit = fan_out_scan(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _unit_expr(F.col(vec_col)).alias("u"),
+    )
+    centers = train_ivf_centers(unit, n_cells, vec_col="u", id_col="id", seed=seed)
+
+    d2_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("u"),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centers
+    ]
+    cell = (F.array_position(F.array(*d2_cols), F.array_min(F.array(*d2_cols))) - 1).cast(
+        "int"
+    )
+    assigned = unit.select("id", "v", "u", cell.alias("_cell"))
+
+    # residual training sample: hash-deterministic, bounded (the PQ shape)
+    sample_rows = (
+        assigned.orderBy(F.xxhash64("id").asc(), F.col("id").asc())
+        .limit(train_cap)
+        .select("u", "_cell")
+        .collect()
+    )
+    res = np.array(
+        [
+            np.asarray(r["u"], dtype=np.float64) - centers[int(r["_cell"])]
+            for r in sample_rows
+        ]
+    )
+    books = _train_pq_codebooks(res, m, nbits, seed)
+    b_books = df.sparkSession.sparkContext.broadcast(books)
+    b_centers = df.sparkSession.sparkContext.broadcast(centers)
+
+    def _encode(batches):
+        cb = b_books.value
+        cc = b_centers.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            u = np.array([np.asarray(x, dtype=np.float64) for x in pdf["u"]])
+            r = u - cc[pdf["_cell"].to_numpy()]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                xj = r[:, j * dsub : (j + 1) * dsub]
+                d2 = ((xj[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "codes": list(codes),
+                    "v": pdf["v"],
+                    "_cell": pdf["_cell"],
+                }
+            )
+
+    encoded = assigned.mapInPandas(
+        _encode, schema="id long, codes array<int>, v array<float>, _cell int"
+    )
+    encoded.write.mode("overwrite").partitionBy("_cell").parquet(f"{path}/data")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j, c]])
+            for j in range(m)
+            for c in range(books.shape[1])
+        ],
+        "subspace int, code int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(n_cells, m, nbits, dim, seed)], "n_cells int, m int, nbits int, dim int, seed int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return path
+
+
+def ivfpq_probe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    refine: int = 8,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Probe a :func:`build_ivfpq_index` index: rank cells by centroid
+    distance driver-side, partition-prune the scan to the ``nprobe``
+    nearest cells, score candidates by per-cell asymmetric-distance
+    lookup tables over the RESIDUAL codes (ADC approximates
+    ||u_q - u_x||^2, a monotone transform of cosine on the unit sphere;
+    one LUT per probed cell because the query residual q - center differs
+    per cell — m * 2**nbits doubles each, pure JVM lookups + adds), then
+    exact-cosine re-rank the top ``k * refine`` ADC survivors on their
+    stored originals."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    m, nbits = int(meta["m"]), int(meta["nbits"])
+    dsub = int(meta["dim"]) // m
+    centers = np.zeros((int(meta["n_cells"]), int(meta["dim"])))
+    for r in spark.read.parquet(f"{path}/centroids").collect():
+        centers[int(r["cell"])] = np.asarray(r["center"])
+    books = np.zeros((m, 2**nbits, dsub))
+    for r in spark.read.parquet(f"{path}/codebooks").collect():
+        books[int(r["subspace"]), int(r["code"])] = np.asarray(r["center"])
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    uq = q / (qn if qn else 1.0)
+    order = np.argsort([float(np.linalg.norm(uq - c)) for c in centers], kind="stable")
+    probe_cells = [int(i) for i in order[:nprobe]]
+
+    adc = None
+    for c in probe_cells:
+        qr = (uq - centers[c]).reshape(m, dsub)
+        lut = ((qr[:, None, :] - books) ** 2).sum(axis=2)  # (m, 2**nbits)
+        cell_adc = None
+        for j in range(m):
+            lut_j = F.array(*[F.lit(float(x)) for x in lut[j]])
+            term = F.element_at(lut_j, F.element_at("codes", j + 1) + F.lit(1))
+            cell_adc = term if cell_adc is None else cell_adc + term
+        adc = (
+            F.when(F.col("_cell") == c, cell_adc)
+            if adc is None
+            else adc.when(F.col("_cell") == c, cell_adc)
+        )
+
+    qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    sim = F.round(cosine(F.col("v"), qcol), round_digits)
+    return (
+        spark.read.parquet(f"{path}/data")
+        .filter(F.col("_cell").isin(probe_cells))
+        .select("id", "v", "codes", F.col("_cell").cast("int").alias("_cell"))
+        .select("id", "v", adc.alias("_adc"))
+        .orderBy(F.asc("_adc"), F.asc("id"))
+        .limit(k * refine)
+        .select(F.col("id").alias(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -3533,3 +3533,95 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "graph_local_clustering",
+    oracle="""
+        WITH pp AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        ),
+        deg AS (
+            SELECT id, count(*) AS deg FROM (
+                SELECT a AS id FROM pp UNION ALL SELECT b AS id FROM pp
+            ) GROUP BY id
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM pp e1
+            JOIN pp e2 ON e1.b = e2.a
+            JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        tv AS (
+            SELECT id, count(*) AS triangles FROM (
+                SELECT x AS id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) GROUP BY id
+        ),
+        cc AS (
+            SELECT deg.id,
+                   CAST(deg.deg AS BIGINT) AS deg,
+                   CAST(coalesce(tv.triangles, 0) AS BIGINT) AS triangles,
+                   CASE WHEN deg.deg >= 2
+                        THEN 2.0 * coalesce(tv.triangles, 0)
+                             / (deg.deg * (deg.deg - 1.0))
+                        ELSE 0.0 END AS local_cc
+            FROM deg LEFT JOIN tv ON tv.id = deg.id
+        ),
+        avgcc AS (SELECT avg(local_cc) AS avg_cc FROM cc)
+        SELECT cc.id, cc.deg, cc.triangles,
+               round(cc.local_cc, 6) AS local_cc,
+               round(avgcc.avg_cc, 6) AS avg_local_cc
+        FROM cc, avgcc
+        ORDER BY round(cc.local_cc, 6) DESC, cc.id
+        LIMIT 25
+    """,
+    description=(
+        "per-vertex local clustering coefficient of the part co-purchase "
+        "graph — 2*T(v)/(deg(v)*(deg(v)-1)) — the Watts-Strogatz companion "
+        "to graph_triangle_census's GLOBAL coefficient: top-25 most-"
+        "clustered vertices plus the corpus mean (the small-world "
+        "fingerprint; in curation, high-local-cc vertices are the cliquey "
+        "spam/bot neighborhoods k-core alone misses when degree is low). "
+        "Same degree-oriented O(m^1.5)-bounded triangle enumeration as the "
+        "census, each triangle attributed to all three endpoints "
+        "(orientation-independent counts, so the id-ordered SQL "
+        "enumeration agrees exactly); selection by ROUNDED coefficient "
+        "with id tiebreak. The corpus mean is a 1-row broadcast cross"
+    ),
+    tags=("analytics", "graph", "join", "aggregation", "north-star"),
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.graph import (  # noqa: PLC0415
+        local_clustering,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    edges = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst"))
+        .distinct()
+    )
+    cc = local_clustering(edges)
+    avg_cc = cc.agg(F.avg("local_cc").alias("_avg_cc"))
+    return (
+        cc.crossJoin(F.broadcast(avg_cc))
+        .select(
+            "id",
+            "deg",
+            "triangles",
+            F.round("local_cc", 6).alias("local_cc"),
+            F.round("_avg_cc", 6).alias("avg_local_cc"),
+        )
+        .orderBy(F.desc("local_cc"), "id")
+        .limit(25)
+    )

@@ -71,12 +71,15 @@ _ALWAYS: tuple[str, ...] = ("q1_pricing_summary",)
 # (stalest) and auto-fill; every remaining slot goes to the stalest-first
 # fill, which by construction starts the long-deferred oldest-green
 # re-check rotation (entries last driver-green in r1, oldest first).
-# Window math this round: 16 never-checked (15 r10 additions + repaired
-# rfm) + q1 + 10 family-coverage slots (families whose stalest member is
-# r4-r8) + 23 stalest greens = 50. The rotation covers 23 of the 26
-# round-1 greens; the remaining 3 (+ 9 r3 entries) rank stalest next
-# round and complete the rotation in r12 — extra pins would only displace
-# other r1 fills one-for-one, so none are added.
+# Window math this round: every never-driver-checked entry (the 15 r10
+# additions + repaired rfm + this round's new ops) auto-fills first
+# (never-green ranks stalest), then q1, ~10 family-coverage slots
+# (families whose stalest member is r4-r8), and the remaining slots start
+# the long-deferred oldest-green rotation (r1 entries, oldest first).
+# Each newly registered op claims one rotation slot — the leftover
+# r1/r3 greens rank stalest next round and complete the rotation in r12.
+# Extra pins would only displace other r1 fills one-for-one, so only the
+# repaired-oracle entry is pinned.
 _PINNED: tuple[str, ...] = (
     "analytics_rfm_segmentation",
 )

@@ -64,7 +64,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hold at sf0.01 (driver + pytest scale) with headroom: measured recall is
 # well above each floor for the seeded fixture; see test_ann_recall.py for
 # the per-family derivation comments.
-_TOPK_RECALL_FLOORS: dict[str, float] = {"ivf": 0.3, "lsh": 0.4, "pq": 0.5}
+_TOPK_RECALL_FLOORS: dict[str, float] = {"ivf": 0.3, "lsh": 0.4, "pq": 0.5, "ivfpq": 0.4}
 
 # Shared oracle for the audited ANN top-k entries: the exact top-10 ranks
 # (deterministic, engine-independent) plus the recall-floor verdict as a
@@ -387,6 +387,59 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vector(spark, sf_dir, 0)
     exact = brute_force_topk(e.filter(F.col("vec_id") != 0), q, k=10)
     return _audited_topk(exact, sim_topk_pq_raw(spark, sf_dir), _TOPK_RECALL_FLOORS["pq"])
+
+
+def sim_topk_ivfpq_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw IVF+PQ top-10 (engine-specific ranks; the registered entry wraps
+    this in the exact+recall_ok audit form)."""
+    import os  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        build_ivfpq_index,
+        ivfpq_probe,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    path = f"/tmp/diaps_scratch/ivfpq_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    # meta lands last in build_ivfpq_index, so its presence marks a complete
+    # index: build once per (read-only) fixture, probe thereafter
+    if not os.path.exists(f"{path}/meta"):
+        build_ivfpq_index(e.filter(F.col("vec_id") != 0), path, n_cells=8, m=8, nbits=4)
+    # nprobe=4 of 8: the fixture's direction clusters are weak (true cosine
+    # neighbors spread over ~6 of 8 spherical cells at sf0.001), so the
+    # half-probe is needed to meet the 0.5 recall floor. refine=16 because
+    # 4-bit residual codes misrank beyond the top tens at sf0.1 cell sizes
+    # (measured: refine 8/16/32 -> recall 0.4/0.5/0.7 at sf0.1); the exact
+    # re-rank touches only k*refine rows either way
+    return ivfpq_probe(spark, path, q, k=10, nprobe=4, refine=16)
+
+
+@register(
+    "sim_topk_ivfpq",
+    oracle=_TOPK_AUDIT_ORACLE,
+    description=(
+        "approximate ANN via the COMBINED IVF+PQ index (the FAISS IVFPQ "
+        "architecture; sim_topk_ivf and sim_topk_pq each exercise half): "
+        "coarse cells partition-prune the scan to nprobe/n_cells of the "
+        "corpus, PQ codes of the RESIDUAL u - center[cell] rank candidates "
+        "by per-cell asymmetric-distance table lookups (pure JVM adds — "
+        "residual quantization is why IVFPQ beats flat PQ at equal bits), "
+        "then exact cosine re-ranks the k*refine survivors. Driver-checked "
+        "in audit form — exact top-10 ranks plus recall@10 >= 0.4 as a "
+        "boolean (measured 0.6/0.5/0.5 at the three fixture sfs; the floor "
+        "leaves one-hit margin against numpy-version codebook drift) "
+        "(raw ANN ranks: sim_topk_ivfpq_raw)"
+    ),
+    tags=("similarity", "north-star", "quantization", "partitioning", "scale"),
+)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    exact = brute_force_topk(e.filter(F.col("vec_id") != 0), q, k=10)
+    return _audited_topk(
+        exact, sim_topk_ivfpq_raw(spark, sf_dir), _TOPK_RECALL_FLOORS["ivfpq"]
+    )
 
 
 _KNN_K = 3

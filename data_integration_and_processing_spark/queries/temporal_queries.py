@@ -1362,3 +1362,106 @@ def temporal_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_pairs"),
         F.round(acf, 6).alias("acf"),
     ).orderBy("event_type", "lag")
+
+
+@register(
+    "temporal_theil_sen_slope",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   round(avg(value), 9) AS v
+            FROM events GROUP BY event_type, date_trunc('day', ts)
+        ),
+        pts AS (
+            SELECT event_type, date_diff('day', DATE '1970-01-01', d) AS t, v
+            FROM daily
+        ),
+        slopes AS (
+            SELECT a.event_type,
+                   (b.v - a.v) / CAST(b.t - a.t AS DOUBLE) AS slope
+            FROM pts a JOIN pts b
+              ON a.event_type = b.event_type AND b.t > a.t
+        ),
+        med AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY slope) AS slope
+            FROM slopes GROUP BY event_type
+        ),
+        inter AS (
+            SELECT p.event_type,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY p.v - med.slope * p.t)
+                       AS intercept
+            FROM pts p JOIN med ON med.event_type = p.event_type
+            GROUP BY p.event_type
+        ),
+        n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY event_type)
+        SELECT med.event_type, n.n_days, med.n_pairs,
+               round(med.slope, 6) AS theil_sen_slope,
+               round(inter.intercept, 6) AS theil_sen_intercept
+        FROM med
+        JOIN n ON n.event_type = med.event_type
+        JOIN inter ON inter.event_type = med.event_type
+        ORDER BY med.event_type
+    """,
+    description=(
+        "Theil-Sen robust trend estimator per event type over the daily "
+        "mean-value series: slope = median of all pairwise slopes "
+        "(v_j-v_i)/(t_j-t_i), intercept = median of (v_i - slope*t_i) — the "
+        "29%-breakdown-point companion to temporal_mann_kendall_trend "
+        "(Kendall says WHETHER a monotone trend exists; Theil-Sen says HOW "
+        "STEEP, immune to the outlier days that wreck OLS). Pair expansion "
+        "is bounded by the TIME GRAIN (days^2 per series, not corpus rows); "
+        "the only corpus-scale work is the daily rollup. Daily means round "
+        "to 9 decimals BEFORE slope arithmetic so both engines interpolate "
+        "the median over identical doubles (slopes are DOUBLE end-to-end — "
+        "the DECIMAL-percentile knife-edge class cannot arise)"
+    ),
+    tags=("temporal", "analytics", "percentile", "north-star"),
+)
+def temporal_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.round(F.avg("value"), 9).alias("v"))
+    pts = daily.select(
+        "event_type",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).alias("t"),
+        "v",
+    )
+    a = pts.select("event_type", F.col("t").alias("t1"), F.col("v").alias("v1"))
+    b = pts.select("event_type", F.col("t").alias("t2"), F.col("v").alias("v2"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("t2") > F.col("t1"))
+        .select(
+            "event_type",
+            ((F.col("v2") - F.col("v1")) / (F.col("t2") - F.col("t1")).cast("double")).alias(
+                "slope"
+            ),
+        )
+    )
+    med = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("slope"),
+    )
+    inter = (
+        pts.join(med.select("event_type", "slope"), "event_type")
+        .select("event_type", (F.col("v") - F.col("slope") * F.col("t")).alias("r"))
+        .groupBy("event_type")
+        .agg(F.expr("percentile(r, 0.5)").alias("intercept"))
+    )
+    n = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        med.join(n, "event_type")
+        .join(inter, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            F.round("slope", 6).alias("theil_sen_slope"),
+            F.round("intercept", 6).alias("theil_sen_intercept"),
+        )
+        .orderBy("event_type")
+    )

@@ -1675,3 +1675,80 @@ def text_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rh <= 5.0).alias("r_entropy_ceiling"),
         ((rh >= 2.5) & (rh <= 5.0)).alias("kept"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_perplexity_filter",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        b AS (
+            SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+            FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        ),
+        c AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY w1, w2),
+        u AS (SELECT w1, sum(n) AS tot FROM c GROUP BY w1),
+        scored AS (
+            SELECT b.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   -avg(ln(c.n / CAST(u.tot AS DOUBLE))) AS h
+            FROM b JOIN c USING (w1, w2) JOIN u USING (w1)
+            GROUP BY b.doc_id
+        )
+        SELECT doc_id, n_bigrams, round(h, 6) AS cross_entropy
+        FROM scored
+        ORDER BY round(h, 6) DESC, doc_id
+        LIMIT 25
+    """,
+    description=(
+        "CCNet-style perplexity filter on the cheapest affordable LM: train "
+        "an unsmoothed bigram model ON the corpus itself (every scored "
+        "bigram is in-vocabulary by construction, so MLE needs no smoothing "
+        "and the oracle is exact), score each document's per-bigram "
+        "cross-entropy -avg(ln P(w2|w1)), and return the 25 most-perplexing "
+        "documents — the kill list a fluency filter would drop first. "
+        "Selection orders by the ROUNDED entropy with a doc_id tiebreak so "
+        "engine-order float-sum drift below 1e-6 cannot flip the k boundary "
+        "(the sim_mips contract, inverted: here rounding is the stabilizer "
+        "because the two engines sum per-doc logs in different orders). "
+        "Scale: bigram counts are one map-side-combinable shuffle; scoring "
+        "is an equi-join of the bigram stream against the O(observed-vocab^2) "
+        "count table + one per-doc aggregate — no row-at-a-time Python, "
+        "no driver state; at 100 TB the count table itself shards by w1"
+    ),
+    tags=("text", "north-star", "curation", "aggregation", "scale"),
+)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    words = F.split("text", " ")
+    n = F.size(words)
+    bigrams = d.filter(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(words, 1, n - 1),
+                F.slice(words, 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    unigram = counts.groupBy("w1").agg(F.sum("n").alias("tot"))
+    scored = (
+        bigrams.join(counts, ["w1", "w2"])
+        .join(unigram, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            (-F.avg(F.log(F.col("n").cast("double") / F.col("tot").cast("double")))).alias("h"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", "n_bigrams", F.round("h", 6).alias("cross_entropy")
+        )
+        .orderBy(F.desc("cross_entropy"), "doc_id")
+        .limit(25)
+    )

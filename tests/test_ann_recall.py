@@ -318,3 +318,37 @@ def test_mips_via_ivf_serves_inner_product_with_recall_floor(spark, sf_dir):
     exact_pairs = {(q, n) for q, ns in exact_expected.items() for n in ns}
     recall = len(exact_pairs & approx) / len(exact_pairs)
     assert recall >= _MIPS_IVF_RECALL_FLOOR, recall
+
+
+def test_ivfpq_probe_is_partition_pruned_and_meets_floor(spark, sf_dir, tmp_path):
+    """The combined IVF+PQ index: probes must partition-prune to the nprobe
+    cells (PartitionFilters on _cell), rank by residual-code ADC, and the
+    refined top-10 must meet the registered recall floor vs brute force."""
+    from pyspark.sql import functions as F
+
+    from data_integration_and_processing_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivfpq_index,
+        ivfpq_probe,
+    )
+    from data_integration_and_processing_spark.queries.similarity_queries import (
+        _TOPK_RECALL_FLOORS,
+        _query_vector,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") != 0)
+    q = _query_vector(spark, sf_dir, 0)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(e, path, n_cells=8, m=8, nbits=4)
+    probed = ivfpq_probe(spark, path, q, k=10, nprobe=4, refine=16)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cell" in plan
+    approx = {r["vec_id"] for r in probed.collect()}
+    exact = {r["vec_id"] for r in brute_force_topk(e, q, k=10).collect()}
+    assert len(exact & approx) >= _TOPK_RECALL_FLOORS["ivfpq"] * 10
+    # nprobe = n_cells degenerates to exhaustive ADC + refine: with refine
+    # covering the probed rows' top ranks this must contain >= the pruned run
+    full = {
+        r["vec_id"] for r in ivfpq_probe(spark, path, q, k=10, nprobe=8, refine=16).collect()
+    }
+    assert len(exact & full) >= len(exact & approx)
