@@ -1144,3 +1144,43 @@ def stream_bitmap_distinct_incremental(spark: SparkSession, sf_dir: str) -> Data
 
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
     return run_streaming_bitmap_distinct(spark, e)
+
+
+@register(
+    "stream_bigram_lm_incremental",
+    oracle="""
+        WITH w AS (
+            SELECT string_split(text, ' ') AS ws FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        b AS (
+            SELECT ws[i] AS w1, ws[i+1] AS w2
+            FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        ),
+        c AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY w1, w2)
+        SELECT w1, w2, n,
+               round(n / CAST(sum(n) OVER (PARTITION BY w1) AS DOUBLE), 6) AS p
+        FROM c
+        ORDER BY n DESC, w1, w2
+        LIMIT 100
+    """,
+    description=(
+        "incremental bigram-LM maintenance over a document stream: per "
+        "micro-batch the batch's (w1, w2) counts ADD into persistent state "
+        "— integer addition is associative/commutative, so the streamed "
+        "count table equals a one-shot corpus pass EXACTLY for any "
+        "batching (the same top-100 P(w2|w1) oracle as text_bigram_lm "
+        "hash-checks it). The LM member of the incremental-MV family: the "
+        "perplexity filter's model refreshes by reading ONLY new documents "
+        "— at 100 TB the state is the O(observed-vocab^2) count table, "
+        "never the corpus"
+    ),
+    tags=("streaming", "text", "incremental", "aggregation", "north-star"),
+)
+def stream_bigram_lm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.streaming.pipelines import (  # noqa: PLC0415
+        run_streaming_bigram_lm,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return run_streaming_bigram_lm(spark, d)

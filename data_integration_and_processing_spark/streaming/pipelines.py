@@ -1969,3 +1969,76 @@ def run_streaming_bitmap_distinct(
         )
         .orderBy("event_type")
     )
+
+
+def run_streaming_bigram_lm(
+    spark: SparkSession,
+    docs: DataFrame,
+    scratch_dir: str | None = None,
+    top_n: int = 100,
+) -> DataFrame:
+    """Incremental bigram-LM maintenance over a document stream: per
+    micro-batch the batch's (w1, w2) counts ADD into the persistent count
+    state — integer addition is associative and commutative, so the end
+    state equals a one-shot corpus pass EXACTLY for any batching, replay
+    chunking, or arrival order, and the conditional P(w2|w1) table
+    hash-checks against the batch text_bigram_lm oracle. This is the LM
+    member of the incremental-MV family (counter sums like CMS, not
+    merge-with-error like the quantile digest): a perplexity filter over a
+    growing corpus re-reads ONLY the new documents, never the history.
+    State is the O(observed-vocab^2) count table; empty staged batches
+    merge as no-ops."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    scratch = scratch_dir or f"/tmp/diaps_sblm_{uuid.uuid4().hex[:8]}"
+    stream, sink = _staged_stream(spark, docs, scratch, max_files_per_trigger=1)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.sparkSession
+        words = F.split("text", " ")
+        n = F.size(words)
+        pairs = (
+            batch_df.filter(n >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(words, 1, n - 1),
+                        F.slice(words, 2, n - 1),
+                        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                    )
+                ).alias("bg")
+            )
+            .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        )
+        batch_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+        state = read_state_version(b, sink, upto=batch_id)
+        merged = (
+            batch_counts
+            if state is None
+            else state.unionByName(batch_counts)
+            .groupBy("w1", "w2")
+            .agg(F.sum("n").alias("n"))
+        )
+        write_state_version(merged, sink, batch_id)
+
+    (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{scratch}/ckpt")
+        .foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    counts = read_state_version(spark, sink)
+    tot = Window.partitionBy("w1")
+    return (
+        counts.select(
+            "w1",
+            "w2",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.sum("n").over(tot).cast("double"), 6).alias("p"),
+        )
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(top_n)
+    )

@@ -105,3 +105,21 @@ def test_streaming_bitmap_distinct_exact_for_any_batching(spark, sf_dir):
             for r in run_streaming_bitmap_distinct(spark, layout).collect()
         }
         assert got == exact
+
+
+def test_streaming_bigram_lm_exact_for_any_batching(spark, sf_dir):
+    """Bigram-count addition is associative/commutative: the streamed LM
+    table equals the one-shot text_bigram_lm result row-for-row under
+    different physical layouts (different micro-batch boundaries)."""
+    from data_integration_and_processing_spark.queries.text_queries import (
+        text_bigram_lm,
+    )
+    from data_integration_and_processing_spark.streaming.pipelines import (
+        run_streaming_bigram_lm,
+    )
+
+    oneshot = [tuple(r) for r in text_bigram_lm(spark, sf_dir).collect()]
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    for layout in (d.repartition(3), d.repartition(5, "doc_id")):
+        streamed = [tuple(r) for r in run_streaming_bigram_lm(spark, layout).collect()]
+        assert streamed == oneshot
