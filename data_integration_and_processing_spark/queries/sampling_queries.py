@@ -1749,3 +1749,68 @@ def sample_rolling_origin_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "prep_target_encoding",
+    oracle="""
+        WITH joined AS (
+            SELECT c.c_mktsegment AS segment, o.o_totalprice AS y
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ),
+        g AS (SELECT avg(y) AS prior, count(*) AS n_total FROM joined),
+        per_cat AS (
+            SELECT segment,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(y) AS sum_y,
+                   avg(y) AS raw_mean
+            FROM joined GROUP BY segment
+        )
+        SELECT per_cat.segment, per_cat.n,
+               round(per_cat.raw_mean, 6) AS raw_mean,
+               round((per_cat.sum_y + 100.0 * g.prior) / (per_cat.n + 100.0), 6)
+                   AS smoothed_enc,
+               round(g.prior, 6) AS global_prior
+        FROM per_cat, g
+        ORDER BY segment
+    """,
+    description=(
+        "smoothed mean-target encoding of a categorical feature (market "
+        "segment -> expected order value): enc = (sum_y + m*prior)/(n + m) "
+        "with m = 100 — the empirical-Bayes shrinkage that keeps rare "
+        "categories from memorizing their few labels (the leakage-safe "
+        "alternative to raw per-category means in feature pipelines). One "
+        "fact-dim broadcast join + one map-side-combinable aggregate + a "
+        "1-row prior cross; at 100 TB the encoding table is O(categories) "
+        "and applies back as a broadcast join"
+    ),
+    tags=("sampling", "analytics", "aggregation", "join"),
+)
+def prep_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("y"))
+    g = joined.agg(F.avg("y").alias("prior"))
+    per_cat = joined.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").alias("sum_y"),
+        F.avg("y").alias("raw_mean"),
+    )
+    return (
+        per_cat.crossJoin(F.broadcast(g))
+        .select(
+            "segment",
+            "n",
+            F.round("raw_mean", 6).alias("raw_mean"),
+            F.round(
+                (F.col("sum_y") + F.lit(100.0) * F.col("prior"))
+                / (F.col("n") + F.lit(100.0)),
+                6,
+            ).alias("smoothed_enc"),
+            F.round("prior", 6).alias("global_prior"),
+        )
+        .orderBy("segment")
+    )

@@ -1465,3 +1465,63 @@ def temporal_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "temporal_decayed_engagement",
+    oracle="""
+        WITH anchor AS (SELECT max(ts) AS t0 FROM events),
+        w AS (
+            SELECT e.user_id, e.value,
+                   round(exp(-0.05 * (date_diff('microsecond', e.ts, anchor.t0)
+                                      / 86400000000.0)), 9) AS wt
+            FROM events e CROSS JOIN anchor
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value * wt), 6) AS decayed_value,
+               round(sum(wt), 6) AS decayed_count
+        FROM w
+        GROUP BY user_id
+        ORDER BY user_id
+        LIMIT 200
+    """,
+    description=(
+        "exponential time-decay engagement features per user (the "
+        "feature-store staple: recent activity counts more, lambda = 0.05/"
+        "day against the corpus max timestamp): decayed value sum and "
+        "decayed event count in ONE map + map-side-combinable aggregate — "
+        "at 100 TB this is a single combinable pass, and the feature "
+        "refreshes incrementally because exp(-l*(t0'-t)) = exp(-l*(t0'-t0))"
+        " * exp(-l*(t0-t)) — old state rescales by one scalar, only new "
+        "events are read. Per-event weights round to 9 decimals BEFORE the "
+        "sum (libm exp() differs at ulp level between engines; rounding "
+        "the weight is what makes the decayed sums hash-identical), first "
+        "200 users for a bounded driver frame"
+    ),
+    tags=("temporal", "analytics", "aggregation", "incremental", "scale"),
+)
+def temporal_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("t0"))
+    # integer MICROSECONDS on both engines (NTZ rejects double casts under
+    # ANSI, and every fixture ts has sub-second parts — at 'second' grain
+    # DuckDB counts boundary crossings while Spark truncates the interval,
+    # so they disagree by 1s on most rows; microsecond grain is exact for
+    # microsecond-precision timestamps)
+    delta_days = (
+        F.expr("timestampdiff(MICROSECOND, ts, t0)").cast("double") / 86400000000.0
+    )
+    wt = F.round(F.exp(F.lit(-0.05) * delta_days), 9)
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .select("user_id", "value", wt.alias("wt"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("wt")), 6).alias("decayed_value"),
+            F.round(F.sum("wt"), 6).alias("decayed_count"),
+        )
+        .orderBy("user_id")
+        .limit(200)
+    )

@@ -119,6 +119,8 @@ DELIBERATE_NESTED_LOOP = {
     "sim_mips_via_ivf",  # broadcast query batch (exact ground truth) + 1-row
     # max-norm augmentation scalar + 1-row recall-verdict cross (r11)
     "graph_local_clustering",  # 1-row corpus-mean scalar cross (r11)
+    "temporal_decayed_engagement",  # 1-row max-ts anchor cross (r11)
+    "prep_target_encoding",  # 1-row global-prior scalar cross (r11)
     "temporal_autocorrelation",  # 3-row lag-table broadcast cross (r10)
     "sample_rolling_origin_cv",  # 4-row fold-bounds broadcast range join (r10)
     # (b) bounded broadcast sides inside operators
