@@ -115,10 +115,14 @@ HEADLINE = [
     "graph_kcore_peel",
     "agg_kmv_set_difference",
     "text_pmi_collocations",
-    # r11 addition (no prior baseline; gate skips unknown keys): the
+    # r11 additions (no prior baseline; gate skips unknown keys): the
     # IVF-served MIPS production path (the registered sim_mips_via_ivf is
-    # its audit form — exact ground truth + recall verdict)
+    # its audit form — exact ground truth + recall verdict), the bigram-LM
+    # perplexity filter (the per-batch fluency gate of a curation
+    # pipeline), and the decayed-engagement feature pass
     "sim_mips_via_ivf_raw",
+    "text_perplexity_filter",
+    "temporal_decayed_engagement",
 ]
 
 

@@ -1734,11 +1734,19 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n"))
-    unigram = counts.groupBy("w1").agg(F.sum("n").alias("tot"))
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    # conditional totals as a WINDOW over the count table, not a separate
+    # groupBy+join: a second aggregate re-expands the counts lineage and
+    # re-explodes the whole corpus (measured: 3 document scans; now 2 — the
+    # bigram stream and the counts chain, the minimum for self-scoring)
+    counts = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+        .withColumn("tot", F.sum("n").over(Window.partitionBy("w1")))
+    )
     scored = (
         bigrams.join(counts, ["w1", "w2"])
-        .join(unigram, ["w1"])
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_bigrams"),
