@@ -1793,12 +1793,14 @@ def prep_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(c.select("c_custkey", "c_mktsegment")),
         o.o_custkey == F.col("c_custkey"),
     ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("y"))
-    g = joined.agg(F.avg("y").alias("prior"))
     per_cat = joined.groupBy("segment").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").alias("sum_y"),
         F.avg("y").alias("raw_mean"),
-    )
+    ).localCheckpoint(eager=True)
+    # the global prior folds from the O(categories) table — no second
+    # corpus pass (sum of sums / sum of counts == avg over all rows)
+    g = per_cat.agg((F.sum("sum_y") / F.sum("n")).alias("prior"))
     return (
         per_cat.crossJoin(F.broadcast(g))
         .select(

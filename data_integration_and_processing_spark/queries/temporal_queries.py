@@ -1244,9 +1244,15 @@ def temporal_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def temporal_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
-    ).agg(F.round(F.avg("value"), 9).alias("v"))
+    daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+        )
+        .agg(F.round(F.avg("value"), 9).alias("v"))
+        # consumed by both pair sides and the day count: materialize the
+        # O(event_types * days) frame once — one corpus scan, not three
+        .localCheckpoint(eager=True)
+    )
     a = daily.select("event_type", F.col("d").alias("d1"), F.col("v").alias("v1"))
     b = daily.select("event_type", F.col("d").alias("d2"), F.col("v").alias("v2"))
     s = (
@@ -1328,9 +1334,14 @@ def temporal_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def temporal_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
-    ).agg(F.avg("value").alias("v"))
+    daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+        )
+        .agg(F.avg("value").alias("v"))
+        # both pair sides consume it: one corpus scan, not two
+        .localCheckpoint(eager=True)
+    )
     lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
     a = daily.select("event_type", F.col("d").alias("d1"), F.col("v").alias("x"))
     b = daily.select(
@@ -1422,9 +1433,17 @@ def temporal_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def temporal_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
-    ).agg(F.round(F.avg("value"), 9).alias("v"))
+    daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+        )
+        .agg(F.round(F.avg("value"), 9).alias("v"))
+        # consumed by slopes (twice), the intercept residuals, and the day
+        # count: materialize the O(event_types * days) frame once so the
+        # corpus rollup runs ONE scan, not six (the bounded-frame
+        # localCheckpoint rule)
+        .localCheckpoint(eager=True)
+    )
     pts = daily.select(
         "event_type",
         F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).alias("t"),
