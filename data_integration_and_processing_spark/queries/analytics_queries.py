@@ -1355,7 +1355,14 @@ def events_error_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     pairs = [("click", "purchase"), ("view", "click"), ("signup", "error")]
-    sk = e.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    # one sketch build for all three pair arms (each arm otherwise re-ran
+    # the corpus sketch agg — O(event_types) rows, materialize once); the
+    # exact-overlap sides still scan per pair, which is the audit's point
+    sk = (
+        e.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .localCheckpoint(eager=True)
+    )
     out = None
     for a, b in pairs:
         two = sk.filter(F.col("event_type").isin(a, b))
@@ -3461,13 +3468,22 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+    # the bipartite edge list is consumed by the degree aggs and both wedge
+    # sides: materialize it once (the kcore/pagerank once-shuffled-edges
+    # discipline) — the un-checkpointed plan re-ran the orders x lineitem
+    # join per consumer, 8 scans of each table (measured)
     pairs = (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     part_deg = pairs.groupBy("part").agg(F.count(F.lit(1)).alias("pd"))
-    capped = pairs.join(part_deg.filter(F.col("pd") <= 50), "part").select("cust", "part")
+    capped = (
+        pairs.join(part_deg.filter(F.col("pd") <= 50), "part")
+        .select("cust", "part")
+        .localCheckpoint(eager=True)
+    )
     cust_deg = capped.groupBy("cust").agg(F.count(F.lit(1)).alias("cd"))
     a = capped.select(F.col("part"), F.col("cust").alias("c1"))
     b = capped.select(F.col("part"), F.col("cust").alias("c2"))

@@ -35,11 +35,27 @@ _MUTATED_SQL = """
 
 
 def _with_mutated_copies(df: DataFrame) -> DataFrame:
+    """Corpus + a truncated twin per document (the planted near-dup ground
+    truth every dedup audit keys on). Single-scan explode: the old
+    union-of-two-selects formulation cost 2 document scans per CONSUMER of
+    this frame (dedup_minhash_lsh's pair-join audit held 24 corpus scans;
+    halved here for free). Deliberately NOT checkpointed: a measured
+    attempt made the three jaccard headliners 30-50% slower — re-scanning
+    a small parquet file is cheaper than the materialization barrier plus
+    block-store round-trip, and the per-consumer work that dominates
+    (shingling, pair joins) happens downstream of this frame either way."""
     words = F.split(F.col("text"), " ")
     truncated = F.array_join(F.slice(words, 1, F.size(words) - 7), " ")
-    orig = df.select(F.col("doc_id").alias("id"), "text")
-    copies = df.select((F.col("doc_id") + 10000).alias("id"), truncated.alias("text"))
-    return orig.unionByName(copies)
+    return df.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id").alias("id"), F.col("text").alias("text")),
+                F.struct(
+                    (F.col("doc_id") + 10000).alias("id"), truncated.alias("text")
+                ),
+            )
+        ).alias("r")
+    ).select("r.id", "r.text")
 
 
 def _with_exact_copies(df: DataFrame) -> DataFrame:
@@ -181,7 +197,12 @@ _SIMHASH_CAND_CAP_PER_DOC = 8
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     u = _with_mutated_copies(d)
-    exact = ngram_jaccard_pairs(u, text_col="text", id_col="id", n=3, threshold=0.5)
+    # the exact pair ledger is consumed three times (semi-join, verdict
+    # count, output) over an expensive shingle pair-join lineage: O(pairs)
+    # rows, materialize once
+    exact = ngram_jaccard_pairs(
+        u, text_col="text", id_col="id", n=3, threshold=0.5
+    ).localCheckpoint(eager=True)
     lsh = minhash_lsh_pairs(
         u, text_col="text", id_col="id", num_hashes=32, bands=8, jaccard_threshold=0.5
     ).select("id_a", "id_b")

@@ -1046,7 +1046,15 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
-    exact = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    # the exact ground truth is consumed twice per nprobe arm (semi-join +
+    # per-query truth counts): O(queries * k) rows, materialize once so the
+    # sweep re-reads the tiny frame instead of re-running the corpus
+    # scoring window six times
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .localCheckpoint(eager=True)
+    )
 
     out = None
     for nprobe in (2, 4, 8):  # 8 = exhaustive: recall must hit 1.0 (in-plan sanity)
