@@ -1113,3 +1113,82 @@ def profile_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("col_a", "col_b")
+
+
+@register(
+    "quality_js_divergence_drift",
+    oracle="""
+        WITH halves AS (
+            SELECT event_type,
+                   CAST(count(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n_a,
+                   CAST(count(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT) AS n_b
+            FROM events GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(sum(n_a) AS DOUBLE) AS na,
+                   CAST(sum(n_b) AS DOUBLE) AS nb
+            FROM halves
+        ),
+        terms AS (
+            SELECT h.event_type, h.n_a, h.n_b,
+                   h.n_a / t.na AS p, h.n_b / t.nb AS q
+            FROM halves h, tot t
+        ),
+        contrib AS (
+            SELECT event_type, n_a, n_b,
+                   CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2))
+                        ELSE 0.0 END
+                 + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2))
+                        ELSE 0.0 END AS js_term
+            FROM terms
+        )
+        SELECT event_type, n_a, n_b,
+               round(js_term, 6) AS js_term,
+               round(sum(js_term) OVER (), 6) AS js_divergence,
+               round(sum(js_term) OVER (), 6) > 0.01 AS drift_flagged
+        FROM contrib
+        ORDER BY event_type
+    """,
+    description=(
+        "Jensen-Shannon divergence drift audit between two snapshots of a "
+        "feed (the same deterministic even/odd split as quality_chi2_drift "
+        "and the PSI/KS audits — JS completes the drift family: symmetric, "
+        "bounded by ln 2, defined even when a category vanishes from one "
+        "side, which chi2 and PSI both blow up on): per-category "
+        "contribution 0.5*p*ln(p/m) + 0.5*q*ln(q/m) with m the mixture, "
+        "plus the corpus total and a 0.01-nat flag. One map-side-combined "
+        "groupBy + a 1-row totals cross; the global-sum window runs over "
+        "O(categories) rows"
+    ),
+    tags=("profiling", "quality", "aggregation", "analytics"),
+)
+def quality_js_divergence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    halves = e.groupBy("event_type").agg(
+        F.count(F.when(F.col("event_id") % 2 == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("event_id") % 2 == 1, 1)).cast("long").alias("n_b"),
+    )
+    tot = halves.agg(
+        F.sum("n_a").cast("double").alias("na"), F.sum("n_b").cast("double").alias("nb")
+    )
+    p = F.col("n_a") / F.col("na")
+    q = F.col("n_b") / F.col("nb")
+    m = (p + q) / 2
+    js = F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0)) + F.when(
+        q > 0, 0.5 * q * F.log(q / m)
+    ).otherwise(F.lit(0.0))
+    contrib = halves.crossJoin(F.broadcast(tot)).select(
+        "event_type", "n_a", "n_b", js.alias("js_term")
+    )
+    w = Window.partitionBy()
+    total = F.round(F.sum("js_term").over(w), 6)
+    return contrib.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("js_term", 6).alias("js_term"),
+        total.alias("js_divergence"),
+        (total > 0.01).alias("drift_flagged"),
+    ).orderBy("event_type")

@@ -1760,3 +1760,101 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cross_entropy"), "doc_id")
         .limit(25)
     )
+
+
+@register(
+    "text_heaps_law_fit",
+    oracle="""
+        WITH mx AS (SELECT max(doc_id) AS md FROM documents),
+        tok AS (
+            SELECT doc_id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS w
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                 unnest(generate_series(1, len(ws) - 2)) AS t(i)
+        ),
+        bkt AS (
+            SELECT tok.doc_id, tok.w,
+                   CAST(floor(tok.doc_id * 20.0 / (mx.md + 1)) AS INTEGER) AS b
+            FROM tok CROSS JOIN mx
+        ),
+        new_v AS (
+            SELECT fb AS b, count(*) AS nv
+            FROM (SELECT w, min(b) AS fb FROM bkt GROUP BY w)
+            GROUP BY fb
+        ),
+        per_b AS (SELECT b, count(*) AS nt FROM bkt GROUP BY b),
+        cum AS (
+            SELECT p.b,
+                   sum(p.nt) OVER (ORDER BY p.b) AS tokens,
+                   sum(coalesce(n.nv, 0)) OVER (ORDER BY p.b) AS vocab
+            FROM per_b p LEFT JOIN new_v n ON n.b = p.b
+        ),
+        pts AS (
+            SELECT ln(CAST(tokens AS DOUBLE)) AS x, ln(CAST(vocab AS DOUBLE)) AS y
+            FROM cum
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_points,
+               round(covar_pop(y, x) / var_pop(x), 6) AS heaps_beta,
+               round(corr(y, x) * corr(y, x), 6) AS r2
+        FROM pts
+    """,
+    description=(
+        "Heaps'-law fit of vocabulary growth: distinct-TRIGRAM count V(n) "
+        "vs running token count n at 20 cumulative sample points, OLS "
+        "slope of ln V vs ln n (natural corpora sit at beta ~ 0.4-0.6; a "
+        "saturating curve flags template/duplicated text, a beta ~ 1 flags "
+        "near-random gibberish — the growth-side companion to "
+        "text_zipf_fit's frequency side; trigram vocabulary because the "
+        "fixture's word pool is deliberately tiny). The trick that makes "
+        "it one pass: V(n) needs no per-threshold rescan — each trigram "
+        "contributes to vocab growth exactly at its FIRST-occurrence "
+        "bucket (min aggregate), so cumulative sums over the 20 bucket "
+        "rows reconstruct every sample point. Scale: two "
+        "map-side-combinable aggregates over the trigram stream; the "
+        "global-order window sees exactly 20 rows at any corpus size"
+    ),
+    tags=("text", "profiling", "aggregation", "analytics", "scale"),
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = fan_out_scan(load_table(spark, sf_dir, "documents"))
+    mx = d.agg(F.max("doc_id").alias("md"))
+    ws = F.split("text", " ")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(ws, i),
+            F.element_at(ws, i + 1),
+            F.element_at(ws, i + 2),
+        ),
+    )
+    tok = d.select("doc_id", F.explode(tri).alias("w"))
+    bkt = tok.crossJoin(F.broadcast(mx)).select(
+        "w",
+        # explicit floor on BOTH engines: DuckDB CAST(float AS INTEGER)
+        # ROUNDS while Spark's cast truncates — 19.6 became bucket 20 in
+        # the oracle only (21 sample points vs 20)
+        F.floor(F.col("doc_id") * 20 / (F.col("md") + 1)).cast("int").alias("b"),
+    )
+    new_v = (
+        bkt.groupBy("w")
+        .agg(F.min("b").alias("fb"))
+        .groupBy(F.col("fb").alias("b"))
+        .agg(F.count("*").alias("nv"))
+    )
+    per_b = bkt.groupBy("b").agg(F.count("*").alias("nt"))
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_b.join(new_v, "b", "left").select(
+        F.sum("nt").over(w_cum).alias("tokens"),
+        F.sum(F.coalesce(F.col("nv"), F.lit(0))).over(w_cum).alias("vocab"),
+    )
+    pts = cum.select(
+        F.log(F.col("tokens").cast("double")).alias("x"),
+        F.log(F.col("vocab").cast("double")).alias("y"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(F.covar_pop("y", "x") / F.var_pop("x"), 6).alias("heaps_beta"),
+        F.round(F.corr("y", "x") * F.corr("y", "x"), 6).alias("r2"),
+    )

@@ -121,6 +121,8 @@ DELIBERATE_NESTED_LOOP = {
     "graph_local_clustering",  # 1-row corpus-mean scalar cross (r11)
     "temporal_decayed_engagement",  # 1-row max-ts anchor cross (r11)
     "prep_target_encoding",  # 1-row global-prior scalar cross (r11)
+    "text_heaps_law_fit",  # 1-row max-doc-id bucket-width cross (r11)
+    "quality_js_divergence_drift",  # 1-row pooled-totals cross (r11)
     "temporal_autocorrelation",  # 3-row lag-table broadcast cross (r10)
     "sample_rolling_origin_cv",  # 4-row fold-bounds broadcast range join (r10)
     # (b) bounded broadcast sides inside operators

@@ -84,6 +84,12 @@ WHITELIST: dict[str, dict[str, str]] = {
     "text_zipf_fit": {
         "GLOBAL_WINDOW": "log-log rank over the O(vocab) term-frequency table"
     },
+    "text_heaps_law_fit": {
+        "GLOBAL_WINDOW": "cumulative sums over exactly 20 bucket rows (fixed sample-point count at any corpus size)"
+    },
+    "quality_js_divergence_drift": {
+        "GLOBAL_WINDOW": "corpus-total sum over the O(categories) contribution table"
+    },
     "window_ntile_distribution": {
         "GLOBAL_WINDOW": "SQL window-surface demo over customers; approx swap documented"
     },
