@@ -130,6 +130,7 @@ DELIBERATE_NESTED_LOOP = {
     "sim_topk_ivf",
     "sim_topk_lsh_indexed",
     "sim_topk_pq",
+    "sim_topk_ivfpq",  # O(k)-row recall-verdict constant-key cross (r11)
     "sim_ann_recall_audit",  # query-batch crosses in the exact ground truth
     "sim_hard_negatives",  # broadcast anchor/positive batch
     "sim_sample_diversity",  # broadcast k-row sample
