@@ -2230,18 +2230,34 @@ cust AS (
     FROM orders CROSS JOIN anchor
     GROUP BY o_custkey, anchor.d0
 ),
-b AS (
-    SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY recency_days) AS r25,
-           percentile_cont(0.50) WITHIN GROUP (ORDER BY recency_days) AS r50,
-           percentile_cont(0.75) WITHIN GROUP (ORDER BY recency_days) AS r75,
-           percentile_cont(0.25) WITHIN GROUP (ORDER BY frequency)    AS f25,
-           percentile_cont(0.50) WITHIN GROUP (ORDER BY frequency)    AS f50,
-           percentile_cont(0.75) WITHIN GROUP (ORDER BY frequency)    AS f75,
-           percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(monetary AS DOUBLE)) AS m25,
-           percentile_cont(0.50) WITHIN GROUP (ORDER BY CAST(monetary AS DOUBLE)) AS m50,
-           percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(monetary AS DOUBLE)) AS m75
-    FROM cust
+rb AS (
+    SELECT max(CASE WHEN rn = (1*n + 3) // 4 THEN v END) AS r25,
+           max(CASE WHEN rn = (2*n + 3) // 4 THEN v END) AS r50,
+           max(CASE WHEN rn = (3*n + 3) // 4 THEN v END) AS r75
+    FROM (SELECT recency_days AS v,
+                 row_number() OVER (ORDER BY recency_days) AS rn,
+                 count(*) OVER () AS n
+          FROM cust)
 ),
+fb AS (
+    SELECT max(CASE WHEN rn = (1*n + 3) // 4 THEN v END) AS f25,
+           max(CASE WHEN rn = (2*n + 3) // 4 THEN v END) AS f50,
+           max(CASE WHEN rn = (3*n + 3) // 4 THEN v END) AS f75
+    FROM (SELECT frequency AS v,
+                 row_number() OVER (ORDER BY frequency) AS rn,
+                 count(*) OVER () AS n
+          FROM cust)
+),
+mb AS (
+    SELECT max(CASE WHEN rn = (1*n + 3) // 4 THEN v END) AS m25,
+           max(CASE WHEN rn = (2*n + 3) // 4 THEN v END) AS m50,
+           max(CASE WHEN rn = (3*n + 3) // 4 THEN v END) AS m75
+    FROM (SELECT monetary AS v,
+                 row_number() OVER (ORDER BY monetary) AS rn,
+                 count(*) OVER () AS n
+          FROM cust)
+),
+b AS (SELECT * FROM rb CROSS JOIN fb CROSS JOIN mb),
 scored AS (
     SELECT 1 + CAST(recency_days < r75 AS INT) + CAST(recency_days < r50 AS INT)
              + CAST(recency_days < r25 AS INT) AS r_score,
@@ -2268,18 +2284,21 @@ ORDER BY r_score, f_score, m_score
     description=(
         "RFM customer segmentation: per-customer recency (days since last "
         "order vs corpus max date, integer-exact), frequency (order count), "
-        "monetary (DECIMAL-exact spend sum, order-independent; quartile "
-        "boundaries are interpolated in DOUBLE on BOTH engines — DuckDB's "
-        "percentile_cont over a DECIMAL column returns a scale-rounded "
-        "DECIMAL boundary with build-dependent rounding, which flips strict "
-        "comparisons for 0.01-grained values, so the DOUBLE cast inside the "
-        "percentile is contract-critical); each metric scored "
-        "1-4 by strict comparison against the three exact-percentile "
-        "boundaries (NOT ntile, whose tie-splitting depends on a global sort "
-        "order), then one 64-cell segment rollup. Scale: orders collapse to "
-        "customer grain in ONE map-side-combinable shuffle; boundaries are 9 "
-        "scalars broadcast back (at 100 TB swap the exact percentile for "
-        "approx_percentile — same comparison contract)"
+        "monetary (DECIMAL-exact spend sum, order-independent). Quartile "
+        "boundaries are INTERPOLATION-FREE exact order statistics — the "
+        "value at sorted rank ceil(q*n) = (4q*n + 3) // 4, i.e. ANSI "
+        "percentile_disc, spelled out as row_number arithmetic on both "
+        "engines: r10/r11 proved percentile_cont boundaries are "
+        "build-dependent in DuckDB (input-typed, scale-rounded for DECIMAL "
+        "and integer orderings), and a boundary that IS a data value in the "
+        "column's native exact type (BIGINT/DECIMAL) has zero float math to "
+        "diverge. Each metric scored 1-4 by strict comparison against its "
+        "three boundaries (NOT ntile, whose tie-splitting depends on a "
+        "global sort order), then one 64-cell segment rollup. Scale: orders "
+        "collapse to customer grain in ONE map-side-combinable shuffle; "
+        "boundaries are 9 scalars broadcast back (the three rank windows "
+        "are single-partition over the customer-grain frame — at 100 TB "
+        "swap for approx_percentile, same comparison contract)"
     ),
     tags=("analytics", "aggregation", "percentile", "scale"),
 )
@@ -2297,33 +2316,50 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
         )
     )
-    b = cust.agg(
-        F.expr("percentile(recency_days, array(0.25, 0.50, 0.75))").alias("rq"),
-        F.expr("percentile(frequency, array(0.25, 0.50, 0.75))").alias("fq"),
-        F.expr(
-            "percentile(CAST(monetary AS DOUBLE), array(0.25, 0.50, 0.75))"
-        ).alias("mq"),
+    def disc_bounds(col: str, prefix: str) -> DataFrame:
+        # exact order statistic: value at ascending rank ceil(q*n), spelled
+        # as integer arithmetic (4q*n + 3) div 4 — the identical expression
+        # the oracle runs, so the boundary is a data value in the column's
+        # native exact type and no float interpolation can diverge
+        ranked = (
+            cust.select(F.col(col).alias("v"))
+            .withColumn("rn", F.row_number().over(Window.orderBy("v")))
+            .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        )
+        return ranked.agg(
+            *[
+                F.max(
+                    F.when(F.col("rn") == F.expr(f"({k}*n + 3) div 4"), F.col("v"))
+                ).alias(f"{prefix}{q}")
+                for k, q in ((1, 25), (2, 50), (3, 75))
+            ]
+        )
+
+    b = (
+        disc_bounds("recency_days", "r")
+        .crossJoin(disc_bounds("frequency", "f"))
+        .crossJoin(disc_bounds("monetary", "m"))
     )
     s = cust.crossJoin(F.broadcast(b))
     asint = lambda c: c.cast("int")  # noqa: E731
     scored = s.select(
         (
             F.lit(1)
-            + asint(F.col("recency_days") < F.col("rq")[2])
-            + asint(F.col("recency_days") < F.col("rq")[1])
-            + asint(F.col("recency_days") < F.col("rq")[0])
+            + asint(F.col("recency_days") < F.col("r75"))
+            + asint(F.col("recency_days") < F.col("r50"))
+            + asint(F.col("recency_days") < F.col("r25"))
         ).alias("r_score"),
         (
             F.lit(1)
-            + asint(F.col("frequency") > F.col("fq")[0])
-            + asint(F.col("frequency") > F.col("fq")[1])
-            + asint(F.col("frequency") > F.col("fq")[2])
+            + asint(F.col("frequency") > F.col("f25"))
+            + asint(F.col("frequency") > F.col("f50"))
+            + asint(F.col("frequency") > F.col("f75"))
         ).alias("f_score"),
         (
             F.lit(1)
-            + asint(F.col("monetary") > F.col("mq")[0])
-            + asint(F.col("monetary") > F.col("mq")[1])
-            + asint(F.col("monetary") > F.col("mq")[2])
+            + asint(F.col("monetary") > F.col("m25"))
+            + asint(F.col("monetary") > F.col("m50"))
+            + asint(F.col("monetary") > F.col("m75"))
         ).alias("m_score"),
         "recency_days",
         "monetary",

@@ -63,6 +63,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "events_power_user_gini": {
         "GLOBAL_WINDOW": "exact Gini rank over the O(users) per-user aggregate"
     },
+    "analytics_rfm_segmentation": {
+        "GLOBAL_WINDOW": "exact order-statistic quartile boundaries: three rank windows over the O(customers) per-customer aggregate (build-insensitive percentile_disc contract; at 100 TB swap for approx_percentile, same comparisons)"
+    },
     "events_session_length_histogram": {
         "GLOBAL_WINDOW": "share normalization over the O(session lengths) histogram"
     },
