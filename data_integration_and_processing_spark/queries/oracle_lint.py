@@ -254,14 +254,19 @@ def decimal_percentile_orderings(
     decimal's scale, with build-dependent rounding mode, while Spark's
     ``percentile`` interpolates in DOUBLE — any strict comparison against
     such a boundary can flip between engines for values at the grain
-    (``analytics_rfm_segmentation``, r10's one red). For every percentile
-    site in every oracle, this probes the ORDER BY expression's DuckDB type
-    in its real CTE context (``DESCRIBE WITH <preceding ctes> SELECT <expr>
-    FROM <enclosing from>``) and flags DECIMAL/HUGEINT orderings. Fix =
+    (``analytics_rfm_segmentation``, r10's one red). r11 proved the r10 scope
+    was too narrow: INTEGER/BIGINT orderings round identically under an
+    input-typed build (the rfm recurrence — VERDICT r11 item 2), so the flag
+    set is now an ALLOWLIST: for every percentile site in every oracle, this
+    probes the ORDER BY expression's DuckDB type in its real CTE context
+    (``DESCRIBE WITH <preceding ctes> SELECT <expr> FROM <enclosing from>``)
+    and flags ANY ordering that is not DOUBLE/FLOAT/REAL. Fix =
     ``ORDER BY CAST(x AS DOUBLE)`` in the oracle and
     ``percentile(CAST(x AS DOUBLE), ...)`` in Spark — identical binary64
-    interpolation on both sides. Sites whose context cannot be parsed are
-    reported under ``"__unparsed__"`` so they fail loud rather than silent."""
+    interpolation on both sides — or remove interpolation from the contract
+    entirely (exact rank-ceil(q*n) order statistics, the repaired rfm shape).
+    Sites whose context cannot be parsed are reported under
+    ``"__unparsed__"`` so they fail loud rather than silent."""
     import duckdb  # local import: keep the query path importable without it
 
     con = duckdb.connect()
@@ -281,7 +286,7 @@ def decimal_percentile_orderings(
                 bad.setdefault("__unparsed__", []).append(f"{name}: {expr!r} ({ex})")
                 continue
             t_up = str(typ).strip().upper()
-            if t_up.startswith("DECIMAL") or t_up in ("HUGEINT", "UHUGEINT"):
+            if t_up not in ("DOUBLE", "FLOAT", "REAL", "FLOAT4", "FLOAT8"):
                 bad.setdefault(name, []).append(f"ORDER BY {expr} :: {typ}")
     con.close()
     return bad

@@ -94,15 +94,17 @@ def test_no_decimal_percentile_orderings_in_any_oracle():
     DuckDB percentile_cont over a DECIMAL ORDER BY returns the interpolated
     boundary rounded to the decimal's scale (rounding mode build-dependent)
     while Spark interpolates in DOUBLE — strict comparisons at the grain flip
-    between engines. Every percentile site's ORDER BY expression must probe
-    to a non-DECIMAL DuckDB type; fix = CAST(... AS DOUBLE) on BOTH sides.
+    between engines. r11 widened the scope (VERDICT r11 item 2): INTEGER/
+    BIGINT orderings round identically under an input-typed build, so every
+    percentile site's ORDER BY expression must now probe to DOUBLE/FLOAT
+    (allowlist, not blocklist); fix = CAST(... AS DOUBLE) on BOTH sides.
     ``__unparsed__`` entries mean the probe could not resolve a site's CTE
     context — also a failure (the lint must see every site)."""
     catalog._load()
     oracles = {s.name: s.oracle for s in catalog._REGISTRY.values() if s.oracle is not None}
     bad = decimal_percentile_orderings(oracles, SF_DIR)
     assert bad == {}, (
-        "percentile_cont/disc over DECIMAL-typed ORDER BY (build-dependent "
+        "percentile_cont/disc over a non-DOUBLE ORDER BY (build-dependent "
         f"boundary rounding — interpolate in DOUBLE on both engines): {bad}"
     )
 
@@ -121,8 +123,18 @@ def test_decimal_percentile_probe_flags_the_rfm_shape():
     FROM cust
     """
     fixed_sql = bad_sql.replace("ORDER BY monetary", "ORDER BY CAST(monetary AS DOUBLE)")
-    bad = decimal_percentile_orderings({"probe": bad_sql, "clean": fixed_sql}, SF_DIR)
-    assert set(bad) == {"probe"} and "DECIMAL" in bad["probe"][0]
+    # the r11 recurrence shape: BIGINT orderings (date_diff / count(*))
+    # must ALSO be flagged — the widened allowlist admits only DOUBLE/FLOAT
+    bigint_sql = """
+    WITH cust AS (SELECT o_custkey, count(*) AS frequency FROM orders GROUP BY o_custkey)
+    SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY frequency) AS f50 FROM cust
+    """
+    bad = decimal_percentile_orderings(
+        {"probe": bad_sql, "clean": fixed_sql, "probe_int": bigint_sql}, SF_DIR
+    )
+    assert set(bad) == {"probe", "probe_int"}
+    assert "DECIMAL" in bad["probe"][0]
+    assert "BIGINT" in bad["probe_int"][0]
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
