@@ -1755,7 +1755,9 @@ def sample_rolling_origin_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prep_target_encoding",
     oracle="""
         WITH joined AS (
-            SELECT c.c_mktsegment AS segment, o.o_totalprice AS y
+            -- binary64 end-to-end on BOTH engines: DECIMAL avg/division in
+            -- Spark vs DOUBLE in DuckDB is the round(...,6) knife-edge class
+            SELECT c.c_mktsegment AS segment, CAST(o.o_totalprice AS DOUBLE) AS y
             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         ),
         g AS (SELECT avg(y) AS prior, count(*) AS n_total FROM joined),
@@ -1792,7 +1794,13 @@ def prep_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = o.join(
         F.broadcast(c.select("c_custkey", "c_mktsegment")),
         o.o_custkey == F.col("c_custkey"),
-    ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("y"))
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        # DOUBLE before aggregation (matches the oracle's CAST): every
+        # derived statistic is binary64 end-to-end, no DECIMAL/DOUBLE
+        # rounding knife-edge at round(...,6)
+        F.col("o_totalprice").cast("double").alias("y"),
+    )
     per_cat = joined.groupBy("segment").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").alias("sum_y"),

@@ -29,6 +29,28 @@ def _cos_sql(a: str, b: str) -> str:
     return f"{dot} / ({na} * {nb})"
 
 
+def _fixture_index_path(kind: str, sf_dir: str) -> str:
+    """Scratch path for a persisted ANN index, keyed by a FINGERPRINT of the
+    embeddings fixture (mtime_ns + size), not just the sf_dir basename — a
+    regenerated fixture must never be probed through a stale cached index
+    (the recall-verdict boolean the driver checks would be meaningless)."""
+    import os  # noqa: PLC0415
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(src):  # multi-file layout: fold every part's stat
+        parts = sorted(
+            os.path.join(src, f) for f in os.listdir(src) if not f.startswith(".")
+        )
+    else:
+        parts = [src]
+    fp = 0
+    for p in parts:
+        st = os.stat(p)
+        fp = (fp * 1000003 + st.st_mtime_ns + st.st_size) % (1 << 61)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return f"/tmp/diaps_scratch/{kind}_index_{base}_{fp:x}"
+
+
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     """Driver-side lookup of one query point (a k-row metadata fetch, not a
     data-path collect)."""
@@ -134,7 +156,7 @@ def sim_topk_ivf_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build-once per (read-only) fixture: ivf_topk skips the KMeans build
     # when the index is already on disk — the production one-build,
     # many-probes call pattern, which is the whole point of IVF
-    path = f"/tmp/diaps_scratch/ivf_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _fixture_index_path("ivf", sf_dir)
     return ivf_topk(
         e.filter(F.col("vec_id") != 0), q, k=10, n_cells=8, nprobe=2, index_path=path
     )
@@ -316,7 +338,7 @@ def sim_topk_lsh_indexed_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
-    path = f"/tmp/diaps_scratch/lsh_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _fixture_index_path("lsh", sf_dir)
     # meta lands after data in build_lsh_index, so its presence marks a
     # complete index: build once per (read-only) fixture, probe thereafter
     if not os.path.exists(f"{path}/meta"):
@@ -360,7 +382,7 @@ def sim_topk_pq_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
-    path = f"/tmp/diaps_scratch/pq_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _fixture_index_path("pq", sf_dir)
     # meta lands last in build_pq_index, so its presence marks a complete
     # index: build once per (read-only) fixture, probe thereafter
     if not os.path.exists(f"{path}/meta"):
@@ -401,14 +423,15 @@ def sim_topk_ivfpq_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
-    path = f"/tmp/diaps_scratch/ivfpq_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _fixture_index_path("ivfpq", sf_dir)
     # meta lands last in build_ivfpq_index, so its presence marks a complete
     # index: build once per (read-only) fixture, probe thereafter
     if not os.path.exists(f"{path}/meta"):
         build_ivfpq_index(e.filter(F.col("vec_id") != 0), path, n_cells=8, m=8, nbits=4)
     # nprobe=4 of 8: the fixture's direction clusters are weak (true cosine
     # neighbors spread over ~6 of 8 spherical cells at sf0.001), so the
-    # half-probe is needed to meet the 0.5 recall floor. refine=16 because
+    # half-probe is needed to meet the 0.4 recall floor
+    # (_TOPK_RECALL_FLOORS["ivfpq"]). refine=16 because
     # 4-bit residual codes misrank beyond the top tens at sf0.1 cell sizes
     # (measured: refine 8/16/32 -> recall 0.4/0.5/0.7 at sf0.1); the exact
     # re-rank touches only k*refine rows either way

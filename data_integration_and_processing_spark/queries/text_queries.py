@@ -1829,7 +1829,11 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(ws, i + 2),
         ),
     )
-    tok = d.select("doc_id", F.explode(tri).alias("w"))
+    # guard: for <3 words F.sequence(1, size-2) would generate a DESCENDING
+    # sequence and element_at(ws, 0) throws, while the oracle's
+    # generate_series is simply empty — filter so both engines emit nothing
+    # (mirrors text_perplexity_filter's n >= 2 guard)
+    tok = d.filter(F.size(ws) >= 3).select("doc_id", F.explode(tri).alias("w"))
     bkt = tok.crossJoin(F.broadcast(mx)).select(
         "w",
         # explicit floor on BOTH engines: DuckDB CAST(float AS INTEGER)

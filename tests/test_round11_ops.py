@@ -155,6 +155,34 @@ def test_heaps_fit_beta_in_range_and_points_fixed(spark, sf_dir):
     assert r["r2"] > 0.9  # log-log growth is near-linear on the fixture
 
 
+def test_heaps_fit_ignores_sub_trigram_docs(spark):
+    """Docs with <3 words must contribute nothing (not crash): Spark's
+    F.sequence(1, size-2) is DESCENDING for size<3 and element_at(ws, 0)
+    throws INVALID_INDEX_OF_ZERO without the size guard, while the oracle's
+    generate_series is simply empty — both engines must agree on 'nothing'."""
+    from data_integration_and_processing_spark.queries.text_queries import (
+        text_heaps_law_fit,
+    )
+
+    # distinct texts so vocab grows (constant vocab would zero var(y) and
+    # trip ANSI divide-by-zero inside r2 — a fixture artifact, not the guard)
+    rows = [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(40)]
+    rows += [(40, "one"), (41, "two words"), (42, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import data_integration_and_processing_spark.queries.text_queries as tx
+
+    orig = tx.load_table
+    try:
+        tx.load_table = lambda s, d, t: df
+        r = text_heaps_law_fit(spark, "ignored").collect()[0]
+    finally:
+        tx.load_table = orig
+    # fit still produced over the trigram-bearing docs only
+    assert r["n_points"] >= 1
+    assert r["heaps_beta"] is not None
+
+
 def test_adamic_adar_weights_rare_shared_parts_higher(spark):
     """Two customer pairs with ONE shared part each: the pair sharing the
     rarer part must score higher (1/ln d), which Jaccard cannot separate."""
