@@ -64,24 +64,22 @@ _WINDOW_SIZE = 50
 _ALWAYS: tuple[str, ...] = ("q1_pricing_summary",)
 
 # Round-specific pins: entries that MUST re-verify under the driver this
-# round. r11 (VERDICT r10 items 1+3): only `analytics_rfm_segmentation` is
-# pinned — its oracle contract was repaired (DOUBLE percentile interpolation
-# on both engines; the r10 red) and needs a hard driver row to close. The
-# 15 r10 additions that have never seen the real driver rank never-green
-# (stalest) and auto-fill; every remaining slot goes to the stalest-first
-# fill, which by construction starts the long-deferred oldest-green
-# re-check rotation (entries last driver-green in r1, oldest first).
-# Window math this round: every never-driver-checked entry (the 15 r10
-# additions + repaired rfm + this round's new ops) auto-fills first
-# (never-green ranks stalest), then q1, ~10 family-coverage slots
-# (families whose stalest member is r4-r8), and the remaining slots start
-# the long-deferred oldest-green rotation (r1 entries, oldest first).
-# Each newly registered op claims one rotation slot — the leftover
-# r1/r3 greens rank stalest next round and complete the rotation in r12.
-# Extra pins would only displace other r1 fills one-for-one, so only the
-# repaired-oracle entry is pinned.
+# round. r12 (VERDICT r11 items 1-3): every query whose contract changed
+# this round — the interpolation-free rfm rewrite (two-round red; exact
+# order-statistic boundaries now, zero float math to diverge), the
+# BIGINT-percentile fix the widened lint found (profile_join_key_skew),
+# the binary64 target-encoding contract, and the heaps short-doc guard
+# (Spark-plan change). rfm ranks never-green and would auto-fill anyway;
+# the other three are r6/r11 greens whose last green predates the change,
+# so the pin is load-bearing. Window math: 4 pins + q1 + the 24 remaining
+# r1/r3 rotation entries (stalest-first fill reaches them all) leaves
+# ~20 slots for new-op registrations (never-green, auto-fill) and the
+# oldest r4 greens — the rotation COMPLETES this round per VERDICT item 3.
 _PINNED: tuple[str, ...] = (
     "analytics_rfm_segmentation",
+    "profile_join_key_skew",
+    "prep_target_encoding",
+    "text_heaps_law_fit",
 )
 
 # Every family that must keep an oracle-checked row inside the window
