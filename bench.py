@@ -123,6 +123,14 @@ HEADLINE = [
     "sim_mips_via_ivf_raw",
     "text_perplexity_filter",
     "temporal_decayed_engagement",
+    # r12 additions (no prior baseline; gate skips unknown keys): the
+    # retrieval-quality eval (nDCG/MRR of both served paths — the metric a
+    # RAG corpus build gates on) and the production batch-serving path
+    # through the incrementally-UPSERTED IVFPQ index (raw twin of the
+    # registered sim_ivfpq_upsert_audit; tracks probe latency against a
+    # maintained, not rebuilt, index)
+    "sim_retrieval_ndcg_mrr",
+    "sim_ivfpq_upsert_raw",
 ]
 
 
@@ -137,6 +145,7 @@ def _raw_headline_paths():
     )
     from data_integration_and_processing_spark.queries.similarity_queries import (  # noqa: PLC0415
         sim_ann_join_ivf_raw,
+        sim_ivfpq_upsert_raw,
         sim_mips_via_ivf_raw,
     )
 
@@ -145,6 +154,7 @@ def _raw_headline_paths():
         "dedup_chunk_neardup_raw": dedup_chunk_neardup_raw,
         "multimodal_cdc_chunks_raw": multimodal_cdc_chunks_raw,
         "sim_mips_via_ivf_raw": sim_mips_via_ivf_raw,
+        "sim_ivfpq_upsert_raw": sim_ivfpq_upsert_raw,
     }
 
 

@@ -1007,6 +1007,66 @@ def _unit_expr(col):
     return F.transform(v, lambda x: x / safe)
 
 
+def _nearest_cell_expr(centers: "np.ndarray") -> Column:
+    """JVM argmin over the coarse centers for a unit-vector column ``u`` —
+    the assignment expression shared by the index build and the incremental
+    upsert (both must route a vector to the SAME cell the probe will rank)."""
+    d2_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("u"),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centers
+    ]
+    return (F.array_position(F.array(*d2_cols), F.array_min(F.array(*d2_cols))) - 1).cast(
+        "int"
+    )
+
+
+def _encode_cells(
+    assigned: DataFrame, books: "np.ndarray", centers: "np.ndarray", m: int, dsub: int
+) -> DataFrame:
+    """Distributed residual PQ encoding of an ``(id, v, u, _cell)`` frame
+    against FROZEN codebooks — one Arrow-batched map, shared by the build
+    and the incremental upsert (same codes for the same vector either way)."""
+    import pandas as pd  # noqa: PLC0415 — keep pandas off the import hot path
+
+    sc = assigned.sparkSession.sparkContext
+    b_books = sc.broadcast(books)
+    b_centers = sc.broadcast(centers)
+
+    def _encode(batches):
+        cb = b_books.value
+        cc = b_centers.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            u = np.array([np.asarray(x, dtype=np.float64) for x in pdf["u"]])
+            r = u - cc[pdf["_cell"].to_numpy()]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                xj = r[:, j * dsub : (j + 1) * dsub]
+                d2 = ((xj[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "codes": list(codes),
+                    "v": pdf["v"],
+                    "_cell": pdf["_cell"],
+                }
+            )
+
+    return assigned.mapInPandas(
+        _encode, schema="id long, codes array<int>, v array<float>, _cell int"
+    )
+
+
 def build_ivfpq_index(
     df: DataFrame,
     path: str,
@@ -1047,8 +1107,6 @@ def build_ivfpq_index(
     for the ADC stage (originals ride along for the exact refine, fetched
     only for the k*refine survivors).
     """
-    import pandas as pd  # noqa: PLC0415 — keep pandas off the import hot path
-
     first = df.select(F.size(vec_col).alias("d")).first()
     if first is None:
         raise ValueError("cannot index an empty corpus")
@@ -1063,23 +1121,7 @@ def build_ivfpq_index(
         _unit_expr(F.col(vec_col)).alias("u"),
     )
     centers = train_ivf_centers(unit, n_cells, vec_col="u", id_col="id", seed=seed)
-
-    d2_cols = [
-        F.aggregate(
-            F.zip_with(
-                F.col("u"),
-                F.array(*[F.lit(float(x)) for x in c]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for c in centers
-    ]
-    cell = (F.array_position(F.array(*d2_cols), F.array_min(F.array(*d2_cols))) - 1).cast(
-        "int"
-    )
-    assigned = unit.select("id", "v", "u", cell.alias("_cell"))
+    assigned = unit.select("id", "v", "u", _nearest_cell_expr(centers).alias("_cell"))
 
     # residual training sample: hash-deterministic, bounded (the PQ shape)
     sample_rows = (
@@ -1095,35 +1137,9 @@ def build_ivfpq_index(
         ]
     )
     books = _train_pq_codebooks(res, m, nbits, seed)
-    b_books = df.sparkSession.sparkContext.broadcast(books)
-    b_centers = df.sparkSession.sparkContext.broadcast(centers)
-
-    def _encode(batches):
-        cb = b_books.value
-        cc = b_centers.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            u = np.array([np.asarray(x, dtype=np.float64) for x in pdf["u"]])
-            r = u - cc[pdf["_cell"].to_numpy()]
-            codes = np.empty((len(pdf), m), dtype=np.int32)
-            for j in range(m):
-                xj = r[:, j * dsub : (j + 1) * dsub]
-                d2 = ((xj[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = np.argmin(d2, axis=1)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"],
-                    "codes": list(codes),
-                    "v": pdf["v"],
-                    "_cell": pdf["_cell"],
-                }
-            )
-
-    encoded = assigned.mapInPandas(
-        _encode, schema="id long, codes array<int>, v array<float>, _cell int"
-    )
-    encoded.write.mode("overwrite").partitionBy("_cell").parquet(f"{path}/data")
+    _encode_cells(assigned, books, centers, m, dsub).write.mode("overwrite").partitionBy(
+        "_cell"
+    ).parquet(f"{path}/data")
     spark = df.sparkSession
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
@@ -1162,6 +1178,17 @@ def ivfpq_probe(
     per cell — m * 2**nbits doubles each, pure JVM lookups + adds), then
     exact-cosine re-rank the top ``k * refine`` ADC survivors on their
     stored originals."""
+    model = load_ivfpq_model(spark, path)
+    return _ivfpq_probe_plan(
+        spark, path, model, query_vec, k, nprobe, refine, id_col, round_digits
+    )
+
+
+def load_ivfpq_model(spark, path: str) -> dict:
+    """Fetch an IVFPQ index's model state (meta + centers + codebooks) to the
+    driver ONCE — O(n_cells*dim + m*2**nbits*dim/m) bytes, the bounded
+    metadata plane every probe shares. Multi-query callers load once and
+    pass the model to each probe instead of re-reading per query."""
     meta = spark.read.parquet(f"{path}/meta").first()
     m, nbits = int(meta["m"]), int(meta["nbits"])
     dsub = int(meta["dim"]) // m
@@ -1171,7 +1198,35 @@ def ivfpq_probe(
     books = np.zeros((m, 2**nbits, dsub))
     for r in spark.read.parquet(f"{path}/codebooks").collect():
         books[int(r["subspace"]), int(r["code"])] = np.asarray(r["center"])
+    return {
+        "m": m,
+        "nbits": nbits,
+        "dim": int(meta["dim"]),
+        "dsub": dsub,
+        "n_cells": int(meta["n_cells"]),
+        "seed": int(meta["seed"]),
+        "centers": centers,
+        "books": books,
+    }
 
+
+def _ivfpq_probe_plan(
+    spark,
+    path: str,
+    model: dict,
+    query_vec: list[float],
+    k: int,
+    nprobe: int,
+    refine: int,
+    id_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """One query's probe plan against a pre-loaded model (see
+    :func:`ivfpq_probe` for the algorithm): cell ranking + per-cell ADC
+    lookup tables are built driver-side from the O(model) state; the scan
+    partition-prunes to the ``nprobe`` chosen ``_cell=`` directories."""
+    m, dsub = model["m"], model["dsub"]
+    centers, books = model["centers"], model["books"]
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q)
     uq = q / (qn if qn else 1.0)
@@ -1206,3 +1261,131 @@ def ivfpq_probe(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+def ivfpq_probe_batch(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    refine: int = 8,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Serve a BOUNDED batch of queries through one IVFPQ index as ONE
+    distributed plan: the model state loads once
+    (:func:`load_ivfpq_model`), the per-(query, probed-cell) ADC lookup
+    tables — O(batch * nprobe * m * 2**nbits) doubles — are built
+    driver-side and BROADCAST as a small table, candidates equi-join their
+    cell's LUT rows, the ADC score is one JVM fold over the m code bytes,
+    and two per-query windows pick the k*refine ADC survivors then the
+    exact-cosine top-k. Returns (query_id, id_col, cos_sim, rank).
+
+    Identical results to per-query :func:`ivfpq_probe` calls (same cell
+    routing, same LUTs, same tiebreaks) at a fraction of the plan cost: one
+    job instead of a union of Q subplans. The scan prunes to the UNION of
+    all probed cells — each query still only meets its own nprobe cells
+    through the equi-join. For corpus-sized query sets use
+    :func:`ann_join_ivf`, which shuffles queries to cells instead of
+    broadcasting LUTs.
+    """
+    if not queries:
+        raise ValueError("empty query batch")
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    model = load_ivfpq_model(spark, path)
+    m, dsub = model["m"], model["dsub"]
+    centers, books = model["centers"], model["books"]
+    lut_rows = []
+    for qid, vec in queries:
+        q = np.asarray(vec, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        uq = q / (qn if qn else 1.0)
+        order = np.argsort(
+            [float(np.linalg.norm(uq - c)) for c in centers], kind="stable"
+        )
+        for c in (int(i) for i in order[:nprobe]):
+            qr = (uq - centers[c]).reshape(m, dsub)
+            lut = ((qr[:, None, :] - books) ** 2).sum(axis=2)  # (m, 2**nbits)
+            lut_rows.append(
+                (
+                    int(qid),
+                    c,
+                    [[float(x) for x in row] for row in lut],
+                    [float(x) for x in vec],
+                )
+            )
+    luts = spark.createDataFrame(
+        lut_rows, "query_id long, _cell int, _lut array<array<double>>, _q array<float>"
+    )
+    probe_cells = sorted({r[1] for r in lut_rows})
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.element_at("_lut", j), F.element_at("codes", j) + F.lit(1)),
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("id"))
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        spark.read.parquet(f"{path}/data")
+        .filter(F.col("_cell").isin(probe_cells))  # partition-pruned scan
+        .select("id", "v", "codes", F.col("_cell").cast("int").alias("_cell"))
+        .join(F.broadcast(luts), "_cell")
+        .select("query_id", "id", "v", "_q", adc.alias("_adc"))
+        .withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= k * refine)
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            F.round(cosine(F.col("v"), F.col("_q")), round_digits).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_upsert(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Incrementally ingest a new vector batch into an EXISTING IVFPQ index
+    — no retrain, no rebuild: read the frozen model state, assign each new
+    vector to its nearest coarse cell (the same JVM argmin the build used),
+    residual-encode against the FROZEN codebooks (same distributed Arrow
+    map), and APPEND the encoded rows to the per-cell hive partitions.
+    Existing data files are never touched; cost is O(batch) work + one
+    append-mode write.
+
+    At 100 TB this is the operational path: the index refresh cadence (a
+    daily crawl drop, a backfill shard) costs per-batch work, while a
+    rebuild re-encodes the full corpus. Frozen codebooks drift from the data
+    distribution over many upserts — the standard IVFPQ maintenance
+    contract (FAISS add_with_ids semantics): monitor recall and schedule a
+    retrain when it sags; the registered audit gates recall ON the upserted
+    index.
+
+    Caller contract: ids in ``df`` must be new (dedupe upstream — the index
+    has no uniqueness constraint, exactly like FAISS add).
+    """
+    spark = df.sparkSession
+    model = load_ivfpq_model(spark, path)
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot upsert an empty batch")
+    if int(first["d"]) != model["dim"]:
+        raise ValueError("batch dim does not match index dim")
+    unit = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _unit_expr(F.col(vec_col)).alias("u"),
+    )
+    assigned = unit.select(
+        "id", "v", "u", _nearest_cell_expr(model["centers"]).alias("_cell")
+    )
+    _encode_cells(
+        assigned, model["books"], model["centers"], model["m"], model["dsub"]
+    ).write.mode("append").partitionBy("_cell").parquet(f"{path}/data")
+    return path

@@ -1884,3 +1884,373 @@ def sim_mips_via_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality eval: nDCG@10 / MRR@10 of the served ANN paths
+# (VERDICT r11 item 5) and incremental IVFPQ maintenance (item 6)
+# ---------------------------------------------------------------------------
+
+# DCG position discounts 1/log2(rank+1) for ranks 1..10, frozen as 9-decimal
+# literals SHARED by the Spark plan and the DuckDB oracle: log2 differs by
+# an ulp across libm builds, a literal table cannot. Both engines parse the
+# same decimal string to the same binary64, so every DCG term is computed
+# from bit-identical inputs.
+_DCG_W: tuple[float, ...] = tuple(
+    float(f"{w:.9f}") for w in (1.0 / __import__("math").log2(i + 1) for i in range(1, 11))
+)
+_DCG_W_SQL = "[" + ", ".join(f"{w:.9f}" for w in _DCG_W) + "]"
+
+# Measured mean nDCG@10 / MRR@10 floors for the two served retrieval paths,
+# per the _MIPS_IVF_RECALL_FLOOR discipline: deterministic per sf (fixed
+# seed, fixed fixture), so each floor needs margin against the WORST tier
+# only. Measured (sf0.001 / sf0.01 / sf0.1):
+#   ivfpq    nDCG 0.8685 / 0.8840 / 0.7339, MRR 1.0 / 1.0 / 1.0
+#   mips_ivf nDCG 0.7749 / 0.7506 / 0.5593, MRR 1.0 / 1.0 / 1.0
+_EVAL_FLOORS: dict[str, tuple[float, float]] = {
+    "ivfpq": (0.6, 0.8),  # (mean nDCG@10, mean MRR@10)
+    "mips_ivf": (0.45, 0.8),
+}
+
+
+def _gain(score_col):
+    """Graded relevance from an exact score: rounded to the hash precision
+    (identical across engines) and clipped at 0 so DCG gains are
+    non-negative."""
+    return F.greatest(F.round(score_col, 6), F.lit(0.0))
+
+
+def _exact_ranked(scored: DataFrame, score_col: str) -> DataFrame:
+    """Exact per-query top-10 with graded gains: rank by the ROUNDED gain
+    with the id tiebreak — the rounded values are bit-identical across
+    engines, so the ranking (and therefore every DCG term) is too."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    g = _gain(F.col(score_col)).alias("g")
+    w = Window.partitionBy("query_id").orderBy(F.desc("g"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", g)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .localCheckpoint(eager=True)  # <= 10 rows/query; reused by 3 consumers
+    )
+
+
+def _ndcg_mrr_path(
+    exact: DataFrame, ann: DataFrame, path_name: str
+) -> DataFrame:
+    """One eval row per query for one served path: the hash-checked column
+    is the exact side's IDCG@10 in integer micro-units (order-independent
+    BIGINT sum of per-rank terms built from bit-identical doubles — no
+    float-accumulation order anywhere near the hash); the ANN side's
+    measured mean nDCG@10 and MRR@10 ride as floor booleans, the
+    _audited_topk contract."""
+    w_arr = F.array(*[F.lit(w) for w in _DCG_W])
+    disc = F.element_at(w_arr, F.col("rank"))
+    idcg_micro = exact.groupBy("query_id").agg(
+        F.sum(F.round(F.col("g") * disc * 1e6).cast("long")).alias("idcg_micro"),
+        F.sum(F.col("g") * disc).alias("_idcg"),
+    )
+    hits = ann.join(
+        exact.select("query_id", "neighbor_id", F.col("g").alias("_eg")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    per_q_ann = hits.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("_eg"), F.lit(0.0)) * disc).alias("_dcg"),
+        F.min(F.when(F.col("_eg").isNotNull(), F.col("rank"))).alias("_first_hit"),
+    )
+    ndcg_floor, mrr_floor = _EVAL_FLOORS[path_name]
+    verdict = (
+        idcg_micro.join(per_q_ann, "query_id", "left")
+        .agg(
+            (
+                F.avg(F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"))
+                >= F.lit(ndcg_floor)
+            ).alias("ndcg_ok"),
+            (
+                F.avg(F.coalesce(F.lit(1.0) / F.col("_first_hit"), F.lit(0.0)))
+                >= F.lit(mrr_floor)
+            ).alias("mrr_ok"),
+        )
+    )
+    return (
+        idcg_micro.select("query_id", "idcg_micro")
+        .crossJoin(F.broadcast(verdict))  # constant-key: 1 verdict row
+        .select(
+            F.lit(path_name).alias("path"), "query_id", "idcg_micro", "ndcg_ok", "mrr_ok"
+        )
+    )
+
+
+def _eval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact scores (cosine AND dot) for the %100 query batch —
+    computed ONCE and shared by both paths' ground truths."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.filter(F.col("vec_id") % 100 != 0)
+    prods = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.col("q_emb").cast("array<double>"),
+        lambda x, w: x * w,
+    )
+    dot = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+    sq = lambda col: F.aggregate(  # noqa: E731
+        F.col(col).cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return (
+        c.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot.alias("dot_exact"),
+            (dot / (F.sqrt(sq("embedding")) * F.sqrt(sq("q_emb")))).alias("cos_exact"),
+        )
+    )
+
+
+def _eval_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once IVFPQ index over the eval corpus (vec_id %% 100 != 0 — the
+    %100 rows are the held-out query batch, never indexed)."""
+    import os  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        build_ivfpq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _fixture_index_path("ivfpq_eval", sf_dir)
+    if not os.path.exists(f"{path}/meta"):
+        build_ivfpq_index(
+            e.filter(F.col("vec_id") % 100 != 0), path, n_cells=8, m=8, nbits=4
+        )
+    return path
+
+
+def sim_retrieval_ndcg_mrr_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw served results for both eval paths (engine-specific ranks; the
+    registered entry wraps them in the IDCG+floor audit form): the IVFPQ
+    batch probe and the IVF-served MIPS join over the same %100 query
+    batch."""
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        ivfpq_probe_batch,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _eval_index_path(spark, sf_dir)
+    # bounded driver fetch: the query batch is %100 of the corpus by
+    # construction (5 rows at sf0.01, 20 at sf0.1) — serving-frontend shape
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    ivfpq = ivfpq_probe_batch(spark, path, qs, k=10, nprobe=4, refine=16).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "rank",
+        F.lit("ivfpq").alias("path"),
+    )
+    mips = sim_mips_via_ivf_raw(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank", F.lit("mips_ivf").alias("path")
+    )
+    return ivfpq.unionByName(mips)
+
+
+@register(
+    "sim_retrieval_ndcg_mrr",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+        ),
+        c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 <> 0),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   greatest(round({_cos_sql('c.embedding', 'q.embedding')}, 6), 0) AS g_cos,
+                   greatest(round({_MIPS_DOT_SQL}, 6), 0) AS g_dot
+            FROM c, q
+        ),
+        rc AS (
+            SELECT query_id, g_cos AS g,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY g_cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ),
+        rd AS (
+            SELECT query_id, g_dot AS g,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY g_dot DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT 'ivfpq' AS path, query_id,
+               CAST(sum(CAST(round(g * {_DCG_W_SQL}[rank] * 1e6) AS BIGINT)) AS BIGINT) AS idcg_micro,
+               true AS ndcg_ok, true AS mrr_ok
+        FROM rc WHERE rank <= 10 GROUP BY query_id
+        UNION ALL
+        SELECT 'mips_ivf' AS path, query_id,
+               CAST(sum(CAST(round(g * {_DCG_W_SQL}[rank] * 1e6) AS BIGINT)) AS BIGINT) AS idcg_micro,
+               true AS ndcg_ok, true AS mrr_ok
+        FROM rd WHERE rank <= 10 GROUP BY query_id
+        ORDER BY path, query_id
+    """,
+    description=(
+        "retrieval-quality eval of the two SERVED ANN paths — nDCG@10 and "
+        "MRR@10 against the exact top-10, per path (ivfpq: the IVFPQ batch "
+        "probe, nprobe=4/refine=16; mips_ivf: the IVF-served "
+        "norm-augmented MIPS join): the metric a RAG corpus build gates "
+        "on, one level above the bare recall floors the per-index entries "
+        "pin. Gains are the exact scores (rounded, clipped at 0), "
+        "discounts a frozen 9-decimal literal table both engines share "
+        "(log2 drifts an ulp across libm builds; a literal cannot). "
+        "Driver-checked: per-(path, query) exact IDCG@10 in integer "
+        "micro-units — an order-independent BIGINT sum over bit-identical "
+        "doubles, zero float accumulation near the hash — plus the "
+        "measured mean-nDCG/mean-MRR floor booleans "
+        "(raw served ranks: sim_retrieval_ndcg_mrr_raw). Scale: ground "
+        "truth is one all-pairs pass over the bounded query batch "
+        "(query-count x corpus, the eval's irreducible cost — sampled "
+        "queries at 100 TB); served paths are partition-pruned probes + "
+        "the cell-routed join"
+    ),
+    tags=("similarity", "north-star", "ann", "analytics", "aggregation", "scale"),
+)
+def sim_retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded materialization (query-batch x corpus rows): both paths'
+    # ground truths rank the SAME all-pairs pass — score once, rank twice
+    scored = _eval_scored(spark, sf_dir).localCheckpoint(eager=True)
+    exact_cos = _exact_ranked(scored.withColumnRenamed("cos_exact", "s"), "s")
+    exact_dot = _exact_ranked(scored.withColumnRenamed("dot_exact", "s"), "s")
+    ann = sim_retrieval_ndcg_mrr_raw(spark, sf_dir).localCheckpoint(eager=True)
+    rows_cos = _ndcg_mrr_path(
+        exact_cos, ann.filter(F.col("path") == "ivfpq").drop("path"), "ivfpq"
+    )
+    rows_dot = _ndcg_mrr_path(
+        exact_dot, ann.filter(F.col("path") == "mips_ivf").drop("path"), "mips_ivf"
+    )
+    return rows_cos.unionByName(rows_dot).orderBy("path", "query_id")
+
+
+# IVFPQ incremental-maintenance recall floor: query 0's recall@10 through
+# the UPSERTED index (base = 90% of the corpus built + frozen codebooks,
+# batch = the %10==3 slice appended with no retrain), nprobe=4/refine=16.
+# Measured recall@10: 0.8 (sf0.001), 0.5 (sf0.01 — the driver's tier),
+# 0.6 (sf0.1); deterministic per sf, floor set under the worst tier.
+_UPSERT_RECALL_FLOOR = 0.4
+
+
+def _upserted_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-base-then-upsert scratch index, keyed by the fixture
+    fingerprint. The `upserted` marker parquet lands LAST: a missing marker
+    means (re)build — and the base build's overwrite-mode write wipes any
+    half-appended data directory first, so a crash between the append and
+    the marker can never leave doubled batch rows behind."""
+    import os  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        build_ivfpq_index,
+        ivfpq_upsert,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    path = _fixture_index_path("ivfpq_upsert", sf_dir)
+    if not os.path.exists(f"{path}/upserted"):
+        build_ivfpq_index(e.filter(F.col("vec_id") % 10 != 3), path, n_cells=8, m=8, nbits=4)
+        ivfpq_upsert(e.filter(F.col("vec_id") % 10 == 3), path)
+        batch_n = e.filter(F.col("vec_id") % 10 == 3).count()
+        spark.createDataFrame([(batch_n,)], "batch_n long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/upserted")
+    return path
+
+
+def sim_ivfpq_upsert_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw probe of the UPSERTED index for query 0 (engine-specific ranks;
+    the registered entry wraps this in the audit form)."""
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        ivfpq_probe,
+    )
+
+    path = _upserted_index_path(spark, sf_dir)
+    q = _query_vector(spark, sf_dir, 0)
+    return ivfpq_probe(spark, path, q, k=10, nprobe=4, refine=16)
+
+
+@register(
+    "sim_ivfpq_upsert_audit",
+    oracle=f"""
+        SELECT a.vec_id,
+               round({_cos_sql('a.embedding', 'q.embedding')}, 6) AS cos_sim,
+               true AS upsert_count_ok,
+               true AS self_hit_ok,
+               true AS recall_ok
+        FROM embeddings a,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE a.vec_id <> 0
+        ORDER BY cos_sim DESC, a.vec_id
+        LIMIT 10
+    """,
+    description=(
+        "incremental IVFPQ index maintenance (the operational path at "
+        "100 TB — refresh cadence costs per-batch work, a rebuild re-encodes "
+        "the corpus): the %10==3 slice of the corpus is UPSERTED into an "
+        "index built on the other 90% — assigned to its nearest frozen "
+        "coarse cell, residual-encoded against the FROZEN codebooks "
+        "(the same distributed Arrow map as the build), appended to the "
+        "per-cell hive partitions; existing files untouched, no retrain "
+        "(FAISS add_with_ids semantics). Driver-checked in audit form: the "
+        "exact top-10 over the FULL corpus plus three booleans on the "
+        "upserted index — accounting (index rows == base + batch), "
+        "self-retrieval (an appended vector finds ITSELF at rank 1 through "
+        "its own cell), and query-0 recall@10 >= 0.4 served entirely "
+        "through the post-upsert index (raw ranks: sim_ivfpq_upsert_raw)"
+    ),
+    tags=("similarity", "north-star", "ann", "incremental", "scale"),
+)
+def sim_ivfpq_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        ivfpq_probe,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    path = _upserted_index_path(spark, sf_dir)
+    q = _query_vector(spark, sf_dir, 0)
+    exact = brute_force_topk(corpus, q, k=10)
+    audited = _audited_topk(
+        exact, sim_ivfpq_upsert_raw(spark, sf_dir), _UPSERT_RECALL_FLOOR
+    )
+    # accounting: every base row + every appended row is servable
+    count_ok = (
+        spark.read.parquet(f"{path}/data")
+        .agg(F.count("*").alias("_idx_n"))
+        .crossJoin(corpus.agg(F.count("*").alias("_corp_n")))
+        .select((F.col("_idx_n") == F.col("_corp_n")).alias("upsert_count_ok"))
+    )
+    # self-retrieval: the smallest upserted id probes for itself — its cell
+    # assignment IS its nearest center, so nprobe=1 must route to it and the
+    # exact refine must rank it first (bounded driver fetch: one row)
+    probe_row = (
+        corpus.filter(F.col("vec_id") % 10 == 3)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .first()
+    )
+    self_top = ivfpq_probe(
+        spark, path, [float(x) for x in probe_row["embedding"]], k=1, nprobe=1, refine=16
+    )
+    self_ok = self_top.agg(
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("vec_id") == int(probe_row["vec_id"]), 1).otherwise(0)),
+                F.lit(0),
+            )
+            > 0
+        ).alias("self_hit_ok")
+    )
+    return (
+        audited.crossJoin(F.broadcast(count_ok))  # constant-key: 1-row verdicts
+        .crossJoin(F.broadcast(self_ok))
+        .select("vec_id", "cos_sim", "upsert_count_ok", "self_hit_ok", "recall_ok")
+    )

@@ -131,6 +131,10 @@ DELIBERATE_NESTED_LOOP = {
     "sim_topk_lsh_indexed",
     "sim_topk_pq",
     "sim_topk_ivfpq",  # O(k)-row recall-verdict constant-key cross (r11)
+    "sim_retrieval_ndcg_mrr",  # broadcast %100 query batch (exact ground
+    # truth all-pairs) + 1-row per-path nDCG/MRR verdict crosses (r12)
+    "sim_ivfpq_upsert_audit",  # 1-row query vector + 1-row accounting /
+    # self-hit / recall verdict crosses (r12)
     "sim_ann_recall_audit",  # query-batch crosses in the exact ground truth
     "sim_hard_negatives",  # broadcast anchor/positive batch
     "sim_sample_diversity",  # broadcast k-row sample
