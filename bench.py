@@ -790,6 +790,62 @@ def _fd_fold_probe(spark, sf_dir: str) -> dict[str, float | int | bool]:
     }
 
 
+def _ivfpq_upsert_probe(spark, sf_dir: str) -> dict[str, float | int | bool]:
+    """Incremental-maintenance probe (VERDICT r11 item 6 follow-through):
+    50k synthetic d=64 vectors indexed once (IVFPQ, 16 cells), then a 5k
+    batch (10%) lands twice — (a) UPSERTED into the existing index (assign
+    to frozen cells + residual-encode against frozen codebooks + per-cell
+    append) and (b) via a full REBUILD over base+batch. The ratio is the
+    claim the operator exists to make: refresh cadence costs O(batch), a
+    rebuild re-trains and re-encodes the corpus. Accounting boolean pins
+    that the upserted index serves every row exactly once."""
+    import shutil  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        build_ivfpq_index,
+        ivfpq_upsert,
+    )
+
+    n_base, n_batch, d = 50_000, 5_000, 64
+
+    def _vecs(lo: int, hi: int):
+        return (
+            spark.range(lo, hi)
+            .repartition(32)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(d)),
+                    lambda j: F.sin(
+                        F.col("id").cast("double") * 0.37 + j.cast("double")
+                    ).cast("float"),
+                ).alias("embedding"),
+            )
+        )
+
+    base_path, rebuild_path = "/tmp/diaps_probe/ivfpq_upsert", "/tmp/diaps_probe/ivfpq_rebuild"
+    shutil.rmtree("/tmp/diaps_probe", ignore_errors=True)
+    build_ivfpq_index(_vecs(0, n_base), base_path, n_cells=16, m=8, nbits=4)
+    t0 = time.time()
+    ivfpq_upsert(_vecs(n_base, n_base + n_batch), base_path)
+    upsert_sec = time.time() - t0
+    t0 = time.time()
+    build_ivfpq_index(_vecs(0, n_base + n_batch), rebuild_path, n_cells=16, m=8, nbits=4)
+    rebuild_sec = time.time() - t0
+    served = spark.read.parquet(f"{base_path}/data").count()
+    shutil.rmtree("/tmp/diaps_probe", ignore_errors=True)
+    return {
+        "sec": round(upsert_sec, 3),
+        "rebuild_sec": round(rebuild_sec, 3),
+        "rebuild_over_upsert": round(rebuild_sec / upsert_sec, 2),
+        "base_rows": n_base,
+        "batch_rows": n_batch,
+        "accounting_ok": bool(served == n_base + n_batch),
+    }
+
+
 def _probe_canary_units(obj, jvm_sec: float):
     """Annotate every probe timing with canary-normalized seconds (VERDICT
     r10 item 5): probes are single-shot and previously carried no drift
@@ -894,6 +950,9 @@ def main() -> int:
     fd_probe = _fd_fold_probe(spark, sf_dir)
     print(f"# fd_fold_probe_p256: {fd_probe}", file=sys.stderr)
 
+    upsert_probe = _ivfpq_upsert_probe(spark, sf_dir)
+    print(f"# ivfpq_upsert_probe_50k: {upsert_probe}", file=sys.stderr)
+
     baseline_name, baseline, base_canary = _baseline_queries(sf)
     # Host drift this round = how much the code-frozen canary pair moved vs
     # the previous round's recording; the regression threshold widens (or
@@ -961,6 +1020,7 @@ def main() -> int:
         "kmeans_k_scale_probe_100k": _probe_canary_units(kmeans_k_probe, canary["jvm_sec"]),
         "classifier_width_probe_d8192": _probe_canary_units(classifier_probe, canary["jvm_sec"]),
         "fd_fold_probe_p256": _probe_canary_units(fd_probe, canary["jvm_sec"]),
+        "ivfpq_upsert_probe_50k": _probe_canary_units(upsert_probe, canary["jvm_sec"]),
         "baseline": baseline_name,
         "regressions": regressions,
     }
