@@ -1985,30 +1985,38 @@ def _ndcg_mrr_path(
 
 def _eval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs exact scores (cosine AND dot) for the %100 query batch —
-    computed ONCE and shared by both paths' ground truths."""
+    computed ONCE and shared by both paths' ground truths. Norms are
+    join-invariant (one per vector, not one per pair), so both are hoisted
+    ABOVE the pair expansion: each pair costs exactly one 64-term fold
+    instead of three."""
     e = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding").cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
     q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(sq).alias("q_norm"),
     )
-    c = e.filter(F.col("vec_id") % 100 != 0)
-    prods = F.zip_with(
-        F.col("embedding").cast("array<double>"),
-        F.col("q_emb").cast("array<double>"),
-        lambda x, w: x * w,
+    c = e.filter(F.col("vec_id") % 100 != 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        F.sqrt(sq).alias("n_norm"),
     )
-    dot = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
-    sq = lambda col: F.aggregate(  # noqa: E731
-        F.col(col).cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("q_emb").cast("array<double>"),
+            lambda x, w: x * w,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
-    return (
-        c.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-        .join(F.broadcast(q))
-        .select(
-            "query_id",
-            "neighbor_id",
-            dot.alias("dot_exact"),
-            (dot / (F.sqrt(sq("embedding")) * F.sqrt(sq("q_emb")))).alias("cos_exact"),
-        )
+    return c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        dot.alias("dot_exact"),
+        (dot / (F.col("n_norm") * F.col("q_norm"))).alias("cos_exact"),
     )
 
 
