@@ -1210,6 +1210,28 @@ def load_ivfpq_model(spark, path: str) -> dict:
     }
 
 
+def _query_luts(
+    model: dict, query_vec: list[float], nprobe: int
+) -> list[tuple[int, "np.ndarray"]]:
+    """Driver-side query prep shared by the single probe and the batch
+    probe — ONE copy of the zero-norm guard, the stable cell ranking, and
+    the residual LUT formula, because the batch path's contract is
+    bit-for-bit equality with per-query probes (pytest-pinned): returns
+    [(cell, (m, 2**nbits) squared-distance LUT)] for the nprobe nearest
+    cells."""
+    m, dsub = model["m"], model["dsub"]
+    centers, books = model["centers"], model["books"]
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    uq = q / (qn if qn else 1.0)
+    order = np.argsort([float(np.linalg.norm(uq - c)) for c in centers], kind="stable")
+    out = []
+    for c in (int(i) for i in order[:nprobe]):
+        qr = (uq - centers[c]).reshape(m, dsub)
+        out.append((c, ((qr[:, None, :] - books) ** 2).sum(axis=2)))  # (m, 2**nbits)
+    return out
+
+
 def _ivfpq_probe_plan(
     spark,
     path: str,
@@ -1225,18 +1247,12 @@ def _ivfpq_probe_plan(
     :func:`ivfpq_probe` for the algorithm): cell ranking + per-cell ADC
     lookup tables are built driver-side from the O(model) state; the scan
     partition-prunes to the ``nprobe`` chosen ``_cell=`` directories."""
-    m, dsub = model["m"], model["dsub"]
-    centers, books = model["centers"], model["books"]
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = np.linalg.norm(q)
-    uq = q / (qn if qn else 1.0)
-    order = np.argsort([float(np.linalg.norm(uq - c)) for c in centers], kind="stable")
-    probe_cells = [int(i) for i in order[:nprobe]]
+    m = model["m"]
+    cell_luts = _query_luts(model, query_vec, nprobe)
+    probe_cells = [c for c, _ in cell_luts]
 
     adc = None
-    for c in probe_cells:
-        qr = (uq - centers[c]).reshape(m, dsub)
-        lut = ((qr[:, None, :] - books) ** 2).sum(axis=2)  # (m, 2**nbits)
+    for c, lut in cell_luts:
         cell_adc = None
         for j in range(m):
             lut_j = F.array(*[F.lit(float(x)) for x in lut[j]])
@@ -1294,19 +1310,10 @@ def ivfpq_probe_batch(
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     model = load_ivfpq_model(spark, path)
-    m, dsub = model["m"], model["dsub"]
-    centers, books = model["centers"], model["books"]
+    m = model["m"]
     lut_rows = []
     for qid, vec in queries:
-        q = np.asarray(vec, dtype=np.float64)
-        qn = np.linalg.norm(q)
-        uq = q / (qn if qn else 1.0)
-        order = np.argsort(
-            [float(np.linalg.norm(uq - c)) for c in centers], kind="stable"
-        )
-        for c in (int(i) for i in order[:nprobe]):
-            qr = (uq - centers[c]).reshape(m, dsub)
-            lut = ((qr[:, None, :] - books) ** 2).sum(axis=2)  # (m, 2**nbits)
+        for c, lut in _query_luts(model, vec, nprobe):
             lut_rows.append(
                 (
                     int(qid),

@@ -1755,23 +1755,28 @@ def sample_rolling_origin_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prep_target_encoding",
     oracle="""
         WITH joined AS (
-            -- binary64 end-to-end on BOTH engines: DECIMAL avg/division in
-            -- Spark vs DOUBLE in DuckDB is the round(...,6) knife-edge class
-            SELECT c.c_mktsegment AS segment, CAST(o.o_totalprice AS DOUBLE) AS y
+            -- sum in exact DECIMAL (order-independent on any engine), cast
+            -- the SUM to DOUBLE: every derived statistic is then binary64
+            -- arithmetic over bit-identical inputs — no DECIMAL/DOUBLE
+            -- representation mismatch AND no float-accumulation-order
+            -- knife-edge at round(...,6)
+            SELECT c.c_mktsegment AS segment,
+                   CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         ),
-        g AS (SELECT avg(y) AS prior, count(*) AS n_total FROM joined),
         per_cat AS (
             SELECT segment,
                    CAST(count(*) AS BIGINT) AS n,
-                   sum(y) AS sum_y,
-                   avg(y) AS raw_mean
+                   sum(y) AS sum_y_dec
             FROM joined GROUP BY segment
+        ),
+        g AS (
+            SELECT CAST(sum(sum_y_dec) AS DOUBLE) / sum(n) AS prior FROM per_cat
         )
         SELECT per_cat.segment, per_cat.n,
-               round(per_cat.raw_mean, 6) AS raw_mean,
-               round((per_cat.sum_y + 100.0 * g.prior) / (per_cat.n + 100.0), 6)
-                   AS smoothed_enc,
+               round(CAST(per_cat.sum_y_dec AS DOUBLE) / per_cat.n, 6) AS raw_mean,
+               round((CAST(per_cat.sum_y_dec AS DOUBLE) + 100.0 * g.prior)
+                     / (per_cat.n + 100.0), 6) AS smoothed_enc,
                round(g.prior, 6) AS global_prior
         FROM per_cat, g
         ORDER BY segment
@@ -1796,27 +1801,31 @@ def prep_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.o_custkey == F.col("c_custkey"),
     ).select(
         F.col("c_mktsegment").alias("segment"),
-        # DOUBLE before aggregation (matches the oracle's CAST): every
-        # derived statistic is binary64 end-to-end, no DECIMAL/DOUBLE
-        # rounding knife-edge at round(...,6)
-        F.col("o_totalprice").cast("double").alias("y"),
+        # sum in exact DECIMAL (order-independent under any shuffle/AQE
+        # partitioning), cast the SUM to DOUBLE (matches the oracle): the
+        # derived stats are binary64 math over bit-identical inputs — a
+        # DOUBLE-typed sum would re-open the accumulation-order knife-edge
+        # at round(...,6)
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
     )
     per_cat = joined.groupBy("segment").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").alias("sum_y"),
-        F.avg("y").alias("raw_mean"),
+        F.sum("y").alias("sum_y_dec"),
     ).localCheckpoint(eager=True)
     # the global prior folds from the O(categories) table — no second
-    # corpus pass (sum of sums / sum of counts == avg over all rows)
-    g = per_cat.agg((F.sum("sum_y") / F.sum("n")).alias("prior"))
+    # corpus pass (exact decimal sum of sums / sum of counts)
+    g = per_cat.agg(
+        (F.sum("sum_y_dec").cast("double") / F.sum("n")).alias("prior")
+    )
+    sum_y = F.col("sum_y_dec").cast("double")
     return (
         per_cat.crossJoin(F.broadcast(g))
         .select(
             "segment",
             "n",
-            F.round("raw_mean", 6).alias("raw_mean"),
+            F.round(sum_y / F.col("n"), 6).alias("raw_mean"),
             F.round(
-                (F.col("sum_y") + F.lit(100.0) * F.col("prior"))
+                (sum_y + F.lit(100.0) * F.col("prior"))
                 / (F.col("n") + F.lit(100.0)),
                 6,
             ).alias("smoothed_enc"),
