@@ -204,3 +204,52 @@ def test_registered_eval_floors_hold_on_fixture(spark, sf_dir):
     assert {r["path"] for r in rows} == {"ivfpq", "mips_ivf"}
     assert all(r["ndcg_ok"] and r["mrr_ok"] for r in rows)
     assert all(r["idcg_micro"] > 0 for r in rows)
+
+
+def test_upserted_index_path_is_idempotent_and_crash_safe(spark, sf_dir, tmp_path, monkeypatch):
+    """The registered audit's scratch builder must (a) no-op when the
+    `upserted` marker exists and (b) recover a clean index — no doubled
+    batch rows — when a crash landed the append but not the marker."""
+    import data_integration_and_processing_spark.queries.similarity_queries as sq
+
+    scratch = str(tmp_path / "upsert_scratch")
+    monkeypatch.setattr(sq, "_fixture_index_path", lambda kind, d: scratch)
+    path = sq._upserted_index_path(spark, sf_dir)
+    n_corpus = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") != 0)
+        .count()
+    )
+    assert spark.read.parquet(f"{path}/data").count() == n_corpus
+    # (a) marker present: second call must not re-append
+    assert sq._upserted_index_path(spark, sf_dir) == path
+    assert spark.read.parquet(f"{path}/data").count() == n_corpus
+    # (b) crash between append and marker: marker gone, appended rows still
+    # on disk — recovery must REBUILD (overwrite wipes the data dir) and
+    # re-append exactly once, never double
+    shutil.rmtree(f"{path}/upserted")
+    sq._upserted_index_path(spark, sf_dir)
+    assert spark.read.parquet(f"{path}/data").count() == n_corpus
+
+
+def test_fixture_index_path_reaps_stale_fingerprints(sf_dir):
+    """A regenerated fixture mints a new fingerprint directory; siblings of
+    the same (kind, sf) with a dead fingerprint must be deleted so the
+    scratch dir stays bounded across regenerations."""
+    from data_integration_and_processing_spark.queries.similarity_queries import (
+        _fixture_index_path,
+    )
+
+    path = _fixture_index_path("reaptest", sf_dir)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    stale = f"/tmp/diaps_scratch/reaptest_index_{base}_deadbeef"
+    os.makedirs(stale, exist_ok=True)
+    other_kind = f"/tmp/diaps_scratch/reapother_index_{base}_deadbeef"
+    os.makedirs(other_kind, exist_ok=True)
+    try:
+        again = _fixture_index_path("reaptest", sf_dir)
+        assert again == path
+        assert not os.path.exists(stale)  # dead sibling reaped
+        assert os.path.exists(other_kind)  # other kinds untouched
+    finally:
+        shutil.rmtree(other_kind, ignore_errors=True)
