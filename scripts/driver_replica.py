@@ -6,7 +6,7 @@ Usage: python scripts/driver_replica.py [--sf-dir /root/testdata/sf0.01]
 1. smoke: entry(spark) on sf0.001 -> collect, rows >= 0, stable schema
 2. correctness: each queries()[name] at sf_dir vs oracle_sql()[name] in
    DuckDB — row count, column-name set, order-insensitive value hash
-   (columns sorted by name, floats rounded to 9 significant digits).
+   (columns sorted by name, floats rendered at round-trip precision).
 
 Prints one JSON line per query and a final summary line.
 """
@@ -39,7 +39,12 @@ def rendered_rows(pdf) -> list[str]:
             f = float(v)
             if f == 0:
                 f = 0.0
-            return f"{f:.9g}"
+            # Round-trip precision (r12 judge gap #2): the old %.9g canon
+            # rendered only 9 SIGNIFICANT digits, so a >=1e4-magnitude value
+            # rounded to 6 decimals had its last digits invisible — the
+            # replica said MATCH on analytics_rfm_segmentation while the
+            # driver hash-failed on the 6th decimal. repr() round-trips.
+            return repr(f)
         if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
             return str(int(v))
         if isinstance(v, (np.ndarray, list, tuple)):
