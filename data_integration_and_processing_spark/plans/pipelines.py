@@ -309,11 +309,15 @@ def incremental_agg_merge(
     n = (
         F.coalesce("n_snap", z) + F.coalesce("n_ins", z) - F.coalesce("n_del", z)
     ).alias("n_rows")
+    # zero-fill with the snapshot's own sum dtype: a bare 0.0 literal would
+    # promote DECIMAL-maintained sums to DOUBLE in the coalesce and silently
+    # reintroduce accumulation-order noise into the merge arithmetic
+    ztype = {c: snapshot_agg.schema[f"sum_{c}"].dataType.simpleString() for c in sum_cols}
     sums = [
         (
-            F.coalesce(f"s_snap_{c}", F.lit(0.0))
-            + F.coalesce(f"s_ins_{c}", F.lit(0.0))
-            - F.coalesce(f"s_del_{c}", F.lit(0.0))
+            F.coalesce(f"s_snap_{c}", F.lit(0).cast(ztype[c]))
+            + F.coalesce(f"s_ins_{c}", F.lit(0).cast(ztype[c]))
+            - F.coalesce(f"s_del_{c}", F.lit(0).cast(ztype[c]))
         ).alias(f"sum_{c}")
         for c in sum_cols
     ]

@@ -239,7 +239,8 @@ _TREND_ORACLE = """
 WITH base AS (
     SELECT event_type,
            CAST(floor(epoch(ts) / 86400) AS BIGINT) AS x,
-           CAST(value AS DECIMAL(18,9)) AS y
+           CAST(value AS DECIMAL(18,9)) AS y,
+           CAST(CAST(value AS DECIMAL(28,9)) * 1000000000 AS DECIMAL(38,0)) AS y_nano
     FROM events
 ),
 sums AS (
@@ -248,6 +249,7 @@ sums AS (
            sum(x) AS sx,
            sum(x * x) AS sxx,
            sum(y) AS sy,
+           sum(y_nano) AS sy_nano,
            sum(x * y) AS sxy,
            sum(y * y) AS syy
     FROM base GROUP BY event_type
@@ -259,7 +261,9 @@ sl AS (
     FROM sums
 )
 SELECT event_type, n, slope,
-       round((CAST(sy AS DOUBLE) - slope * sx) / n, 6) AS intercept,
+       CAST((CAST(sy_nano AS HUGEINT)
+             - CAST(round(slope * 1000000) AS HUGEINT) * 1000 * sx)
+            // (1000 * n) AS BIGINT) AS intercept_micro,
        round((CAST(n * sxy - sx * sy AS DOUBLE))
              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
              / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS pearson_r
@@ -288,12 +292,16 @@ def agg_exact_stats_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("x"),
         F.col("value").cast("decimal(18,9)").alias("y"),
+        F.expr("CAST(CAST(value AS DECIMAL(28,9)) * 1000000000 AS DECIMAL(38,0))").alias(
+            "y_nano"
+        ),
     )
     sums = base.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum("y").alias("sy"),
+        F.sum("y_nano").alias("sy_nano"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
@@ -301,13 +309,18 @@ def agg_exact_stats_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     sl = sums.withColumn("slope", F.round(num / den, 6))
     vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # intercept as EXACT integer-micro (r12 rfm tie class): micro units of
+    # (sy - slope*sx)/n with the rounded slope recovered onto its 1e-6
+    # integer grid, all arithmetic integral, truncating div on both engines
     return sl.select(
         "event_type",
         "n",
         "slope",
-        F.round((F.col("sy").cast("double") - F.col("slope") * F.col("sx")) / F.col("n"), 6).alias(
-            "intercept"
-        ),
+        F.expr(
+            "(CAST(sy_nano AS DECIMAL(38,0))"
+            " - CAST(round(slope * 1000000, 0) AS DECIMAL(38,0)) * 1000 * sx)"
+            " div (1000 * n)"
+        ).alias("intercept_micro"),
         F.round(num / F.sqrt(den) / F.sqrt(vary), 6).alias("pearson_r"),
     )
 
@@ -326,8 +339,12 @@ binned AS (
 )
 SELECT bin,
        count(*) AS n,
-       round(lo + bin * ((hi - lo) / {_HIST_BINS}.0), 6) AS bin_lo,
-       round(lo + (bin + 1) * ((hi - lo) / {_HIST_BINS}.0), 6) AS bin_hi
+       ({_HIST_BINS} * CAST(round(lo * 100) AS BIGINT)
+        + bin * (CAST(round(hi * 100) AS BIGINT) - CAST(round(lo * 100) AS BIGINT)))
+       * {10000 // _HIST_BINS} AS bin_lo_micro,
+       ({_HIST_BINS} * CAST(round(lo * 100) AS BIGINT)
+        + (bin + 1) * (CAST(round(hi * 100) AS BIGINT) - CAST(round(lo * 100) AS BIGINT)))
+       * {10000 // _HIST_BINS} AS bin_hi_micro
 FROM binned GROUP BY bin, lo, hi
 """
 
@@ -360,11 +377,21 @@ def agg_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo",
         "hi",
     )
+    # bin edges emitted as EXACT integer-micro: with cents-grid bounds the
+    # edge lo + b*(hi-lo)/BINS equals (BINS*lo_c + b*range_c) * (1e6/(100*BINS))
+    # — pure integer arithmetic (1e6/(100*20) = 500), no rounding mode or
+    # division to diverge between engines (the r12 rfm tie class)
+    lo_c = F.round(F.col("lo") * 100, 0).cast("long")
+    hi_c = F.round(F.col("hi") * 100, 0).cast("long")
+    rng_c = hi_c - lo_c
+    scale = 10000 // _HIST_BINS
     return binned.groupBy("bin", "lo", "hi").agg(F.count("*").alias("n")).select(
         "bin",
         "n",
-        F.round(F.col("lo") + F.col("bin") * width, 6).alias("bin_lo"),
-        F.round(F.col("lo") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+        ((F.lit(_HIST_BINS) * lo_c + F.col("bin") * rng_c) * scale).alias("bin_lo_micro"),
+        ((F.lit(_HIST_BINS) * lo_c + (F.col("bin") + 1) * rng_c) * scale).alias(
+            "bin_hi_micro"
+        ),
     )
 
 
@@ -1675,14 +1702,14 @@ def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFram
             GROUP BY e.user_id
         ),
         lat AS (
-            SELECT p.user_id, (p.t_p - v.t_v) / 1000000.0 AS sec
+            SELECT p.user_id, p.t_p - v.t_v AS gap_us
             FROM p JOIN v ON v.user_id = p.user_id
         )
         SELECT CAST(count(*) AS BIGINT) AS n_converted,
-               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY sec), 6) AS p50_sec,
-               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY sec), 6) AS p90_sec,
-               round(min(sec), 6) AS min_sec,
-               round(max(sec), 6) AS max_sec
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(gap_us AS DOUBLE)) AS p50_us,
+               percentile_cont(0.9) WITHIN GROUP (ORDER BY CAST(gap_us AS DOUBLE)) AS p90_us,
+               CAST(min(gap_us) AS BIGINT) AS min_us,
+               CAST(max(gap_us) AS BIGINT) AS max_us
         FROM lat
     """,
     description=(
@@ -1691,8 +1718,11 @@ def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFram
         "COMPANION number (the funnel says how many convert; this says how "
         "long they take, which sets attribution windows and retargeting "
         "timing). Two conditional-min aggregates keyed by user, percentiles "
-        "over user-cardinality rows; integer-microsecond subtraction before "
-        "the one float division"
+        "over user-cardinality rows; everything stays in integer "
+        "microseconds — min/max are BIGINT and the interpolated percentiles "
+        "run over DOUBLE-cast integers UNROUNDED (round(.,6) of a seconds "
+        "quotient ties exactly on half-microsecond midpoints — the r12 rfm "
+        "class)"
     ),
     tags=("analytics", "events", "temporal", "percentile"),
 )
@@ -1708,13 +1738,13 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("t").alias("t_p"))
     )
-    lat = p.join(v, "user_id").select(((F.col("t_p") - F.col("t_v")) / 1000000.0).alias("sec"))
+    lat = p.join(v, "user_id").select((F.col("t_p") - F.col("t_v")).alias("gap_us"))
     return lat.agg(
         F.count("*").cast("bigint").alias("n_converted"),
-        F.round(F.expr("percentile(sec, 0.5)"), 6).alias("p50_sec"),
-        F.round(F.expr("percentile(sec, 0.9)"), 6).alias("p90_sec"),
-        F.round(F.min("sec"), 6).alias("min_sec"),
-        F.round(F.max("sec"), 6).alias("max_sec"),
+        F.percentile(F.col("gap_us").cast("double"), 0.5).alias("p50_us"),
+        F.percentile(F.col("gap_us").cast("double"), 0.9).alias("p90_us"),
+        F.min("gap_us").cast("bigint").alias("min_us"),
+        F.max("gap_us").cast("bigint").alias("max_us"),
     )
 
 
@@ -1819,13 +1849,13 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY cohort_week),
         per_offset AS (
             SELECT cohort_week, week_offset,
-                   round(sum(value), 4) AS week_value
+                   CAST(round(sum(value) * 10000) AS BIGINT) AS week_e4
             FROM contrib GROUP BY cohort_week, week_offset
         )
         SELECT p.cohort_week, p.week_offset, s.cohort_size,
-               round(CAST(sum(p.week_value) OVER (PARTITION BY p.cohort_week
-                                                  ORDER BY p.week_offset) AS DOUBLE)
-                     / s.cohort_size, 6) AS cum_value_per_user
+               CAST((sum(p.week_e4) OVER (PARTITION BY p.cohort_week
+                                          ORDER BY p.week_offset) * 100)
+                    // s.cohort_size AS BIGINT) AS cum_value_per_user_micro
         FROM per_offset p JOIN sizes s USING (cohort_week)
         ORDER BY p.cohort_week, p.week_offset
     """,
@@ -1833,9 +1863,12 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort lifetime-value curves: cumulative event value per user by "
         "cohort age (weeks since the cohort's first-seen week) — the LTV "
         "payback readout that pairs with events_cohort_retention's activity "
-        "matrix. Per-week sums are rounded BEFORE the running total so the "
-        "float fold order cannot differ between engines; the cumulative "
-        "window runs on the O(weeks^2) curve table, never the event stream"
+        "matrix. Per-week sums are snapped to integer 1e-4 units BEFORE the "
+        "running total (float fold order cannot differ between engines) and "
+        "the per-user quotient ships as exact integer-micro truncating "
+        "division — no rounding mode to diverge (the r12 rfm tie class); "
+        "the cumulative window runs on the O(weeks^2) curve table, never "
+        "the event stream"
     ),
     tags=("analytics", "events", "window", "aggregation"),
 )
@@ -1850,18 +1883,19 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(firstseen, "user_id")
         .withColumn("week_offset", wk - F.col("cohort_week"))
         .groupBy("cohort_week", "week_offset")
-        .agg(F.round(F.sum("value"), 4).alias("week_value"))
+        .agg(F.round(F.sum("value") * 10000, 0).cast("long").alias("week_e4"))
     )
     cum = Window.partitionBy("cohort_week").orderBy("week_offset")
     return (
         per_offset.join(F.broadcast(sizes), "cohort_week")
+        .withColumn("cum_e4", F.sum("week_e4").over(cum))
         .select(
             "cohort_week",
             "week_offset",
             "cohort_size",
-            F.round(
-                F.sum("week_value").over(cum).cast("double") / F.col("cohort_size"), 6
-            ).alias("cum_value_per_user"),
+            F.expr("(cum_e4 * CAST(100 AS BIGINT)) div cohort_size").alias(
+                "cum_value_per_user_micro"
+            ),
         )
         .orderBy("cohort_week", "week_offset")
     )
@@ -1940,7 +1974,8 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS n_orphan_orders,
                CAST(sum(CASE WHEN delta < 0.01 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_consistent,
-               round(avg(delta), 4) AS avg_abs_delta,
+               CAST((sum(CAST(round(delta * 100) AS BIGINT)) * 10000)
+                    // count(delta) AS BIGINT) AS avg_abs_delta_micro,
                round(quantile_cont(delta, 0.5), 4) AS p50_abs_delta,
                round(max(delta), 4) AS max_abs_delta
         FROM j
@@ -1973,7 +2008,13 @@ def quality_order_total_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").alias("n_orders"),
         F.sum(F.when(F.col("calc_total").isNull(), 1).otherwise(0)).alias("n_orphan_orders"),
         F.sum(F.when(F.col("delta") < 0.01, 1).otherwise(0)).alias("n_consistent"),
-        F.round(F.avg("delta"), 4).alias("avg_abs_delta"),
+        # exact integer-micro average over cent-snapped deltas (r12 rfm tie
+        # class): delta is a difference of cents-grid values, so
+        # round(delta*100) recovers the exact cent count on both engines
+        F.expr(
+            "(sum(CAST(round(delta * 100, 0) AS BIGINT)) * CAST(10000 AS BIGINT))"
+            " div count(delta)"
+        ).alias("avg_abs_delta_micro"),
         F.round(F.expr("percentile(delta, 0.5)"), 4).alias("p50_abs_delta"),
         F.round(F.max("delta"), 4).alias("max_abs_delta"),
     )
@@ -2405,15 +2446,16 @@ pairs AS (
 )
 SELECT part_a, part_b,
        CAST(pair_cnt AS BIGINT) AS pair_cnt,
-       round(CAST(pair_cnt AS DOUBLE) / n.n_orders, 9) AS support,
-       round(CAST(pair_cnt AS DOUBLE) / ca.c, 9) AS confidence,
-       round(CAST(pair_cnt AS DOUBLE) * n.n_orders / (CAST(ca.c AS DOUBLE) * cb.c), 9) AS lift
+       CAST((CAST(pair_cnt AS HUGEINT) * 1000000000) // n.n_orders AS BIGINT) AS support_nano,
+       CAST((CAST(pair_cnt AS HUGEINT) * 1000000000) // ca.c AS BIGINT) AS confidence_nano,
+       CAST((CAST(pair_cnt AS HUGEINT) * n.n_orders * 1000000000)
+            // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_nano
 FROM pairs
 CROSS JOIN n
 JOIN cnt ca ON part_a = ca.pk
 JOIN cnt cb ON part_b = cb.pk
 WHERE pair_cnt >= 2
-ORDER BY lift DESC, part_a, part_b
+ORDER BY lift_nano DESC, part_a, part_b
 LIMIT 50
 """
 
@@ -2423,8 +2465,10 @@ LIMIT 50
     oracle=_BASKET_ORACLE,
     description=(
         "market-basket association mining: co-occurring part pairs within an "
-        "order, scored by support / confidence / lift, min-support filtered, "
-        "top-50 by lift. Pair expansion is the self-join of per-order DISTINCT "
+        "order, scored by support / confidence / lift (emitted as exact "
+        "integer-nano count ratios — no float rounding mode to diverge), "
+        "min-support filtered, top-50 by lift. "
+        "Pair expansion is the self-join of per-order DISTINCT "
         "item lists on the order key — output per order is C(k,2) where k is "
         "the order's item count (TPC-H k<=7), so the blowup is bounded by the "
         "basket size, never |parts|^2; the join shuffles both sides on the "
@@ -2460,17 +2504,25 @@ def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_a",
             "part_b",
             F.col("pair_cnt").cast("bigint").alias("pair_cnt"),
-            F.round(F.col("pair_cnt").cast("double") / F.col("n_orders"), 9).alias("support"),
-            F.round(F.col("pair_cnt").cast("double") / F.col("ca"), 9).alias("confidence"),
-            F.round(
-                F.col("pair_cnt").cast("double")
-                * F.col("n_orders")
-                / (F.col("ca").cast("double") * F.col("cb")),
-                9,
-            ).alias("lift"),
+            # scores as EXACT integer-nano ratios of counts (truncating
+            # integral division, identical on both engines for any sign):
+            # round(DOUBLE, 9) on a rational of counts can land on a
+            # round-half tie where Spark HALF_UP and DuckDB binary
+            # rounding split — the r12 rfm mechanism, swept by the
+            # round_tie_risk_columns lint
+            F.expr(
+                "(CAST(pair_cnt AS DECIMAL(38,0)) * 1000000000) div n_orders"
+            ).alias("support_nano"),
+            F.expr("(CAST(pair_cnt AS DECIMAL(38,0)) * 1000000000) div ca").alias(
+                "confidence_nano"
+            ),
+            F.expr(
+                "(CAST(pair_cnt AS DECIMAL(38,0)) * n_orders * 1000000000)"
+                " div (CAST(ca AS DECIMAL(38,0)) * cb)"
+            ).alias("lift_nano"),
         )
     )
-    return scored.orderBy(F.desc("lift"), "part_a", "part_b").limit(50)
+    return scored.orderBy(F.desc("lift_nano"), "part_a", "part_b").limit(50)
 
 
 _ENTROPY_ORACLE = """

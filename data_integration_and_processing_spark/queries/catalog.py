@@ -64,22 +64,32 @@ _WINDOW_SIZE = 50
 _ALWAYS: tuple[str, ...] = ("q1_pricing_summary",)
 
 # Round-specific pins: entries that MUST re-verify under the driver this
-# round. r12 (VERDICT r11 items 1-3): every query whose contract changed
-# this round — the interpolation-free rfm rewrite (two-round red; exact
-# order-statistic boundaries now, zero float math to diverge), the
-# BIGINT-percentile fix the widened lint found (profile_join_key_skew),
-# the binary64 target-encoding contract, and the heaps short-doc guard
-# (Spark-plan change). rfm ranks never-green and would auto-fill anyway;
-# the other three are r6/r11 greens whose last green predates the change,
-# so the pin is load-bearing. Window math: 4 pins + q1 + the 24 remaining
-# r1/r3 rotation entries (stalest-first fill reaches them all) leaves
-# ~20 slots for new-op registrations (never-green, auto-fill) and the
-# oldest r4 greens — the rotation COMPLETES this round per VERDICT item 3.
+# round. r13 (VERDICT r12 items 1-3): every query whose OUTPUT CONTRACT
+# changed in the round-half-tie sweep — the rfm integer-micro averages
+# (ending the 3-round red), and the twelve other flagged queries whose
+# quotient columns converted to exact integer-micro/nano truncating
+# division (renamed columns and/or new values, so their old driver greens
+# no longer attest the current contract). The value-preserving
+# DECIMAL-exact sum conversions (agg_having, join_range_band,
+# join_bloom_prefilter, sql_text_parity, etl_manifest_skipping,
+# etl_incremental_agg_maintenance) keep identical hashes — replica-proven
+# — and need no pin. Window math: 13 pins + q1 leaves ~36 slots of
+# stalest-first fill for the 52 remaining r4/r5 greens (rotation
+# completes in r14 per VERDICT item 4).
 _PINNED: tuple[str, ...] = (
     "analytics_rfm_segmentation",
-    "profile_join_key_skew",
+    "agg_market_basket_lift",
+    "agg_exact_stats_trend",
+    "agg_equiwidth_histogram",
+    "events_cohort_ltv",
+    "events_time_to_convert",
+    "quality_order_total_reconcile",
+    "sample_ab_welch_ttest",
+    "sample_ab_cuped_adjustment",
     "prep_target_encoding",
-    "text_heaps_law_fit",
+    "temporal_interarrival_stats",
+    "temporal_decayed_engagement",
+    "window_distribution_functions",
 )
 
 # Every family that must keep an oracle-checked row inside the window

@@ -788,7 +788,7 @@ def etl_xlsx_distributed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl_manifest_skipping",
     oracle="""
         SELECT count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
                CAST(min(o_orderkey) AS BIGINT) AS min_key
         FROM orders WHERE o_totalprice >= 400000.0
     """,
@@ -820,7 +820,9 @@ def etl_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.filter(F.col("o_totalprice") >= 400000.0)
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue"),
             F.min("o_orderkey").cast("bigint").alias("min_key"),
         )
     )
@@ -982,8 +984,8 @@ def ids_deterministic_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT l_returnflag, l_linestatus,
                count(*) AS n_rows,
-               round(sum(l_quantity), 2) AS sum_l_quantity,
-               round(sum(l_extendedprice), 2) AS sum_l_extendedprice
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_l_quantity,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_l_extendedprice
         FROM eff GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
@@ -994,8 +996,10 @@ def ids_deterministic_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "O(|delta| + |groups|), one map-side-combinable aggregate per delta "
         "plus a full-outer join on the O(groups) snapshot. The oracle is the "
         "FULL RECOMPUTE over (base minus deletes) union inserts, so the "
-        "MATCH is the equational proof that incremental == recompute "
-        "(sums rounded to cents: double fold order differs by construction)"
+        "MATCH is the equational proof that incremental == recompute — "
+        "EXACT, not cents-approximate: the maintained sums are DECIMAL, so "
+        "merge arithmetic is order-independent and the incremental state "
+        "equals the recompute bit-for-bit"
     ),
     tags=("etl", "aggregation", "incremental", "cdc", "scale"),
 )
@@ -1010,6 +1014,12 @@ def etl_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     inserts = li.filter(F.col("l_orderkey") % 5 == 0)
     keys = ["l_returnflag", "l_linestatus"]
     sums = ["l_quantity", "l_extendedprice"]
+    # maintained sums in DECIMAL: the merge arithmetic (snapshot + insert
+    # delta - delete delta) is then exact and order-independent, so
+    # incremental == recompute holds bit-for-bit, not just to cents
+    base = base.withColumns({c: F.col(c).cast("decimal(18,2)") for c in sums})
+    inserts = inserts.withColumns({c: F.col(c).cast("decimal(18,2)") for c in sums})
+    deletes = deletes.withColumns({c: F.col(c).cast("decimal(18,2)") for c in sums})
     snapshot = base.groupBy(*keys).agg(
         F.count("*").alias("n_rows"),
         *[F.sum(c).alias(f"sum_{c}") for c in sums],
@@ -1018,8 +1028,8 @@ def etl_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     return merged.select(
         *keys,
         "n_rows",
-        F.round("sum_l_quantity", 2).alias("sum_l_quantity"),
-        F.round("sum_l_extendedprice", 2).alias("sum_l_extendedprice"),
+        F.round(F.col("sum_l_quantity").cast("double"), 2).alias("sum_l_quantity"),
+        F.round(F.col("sum_l_extendedprice").cast("double"), 2).alias("sum_l_extendedprice"),
     ).orderBy(*keys)
 
 

@@ -333,6 +333,191 @@ def date_oracle_outputs(
     return bad
 
 
+_ROUND_RE = re.compile(r"\bround\s*\(", re.IGNORECASE)
+_AS_RE = re.compile(r"\s+AS\s+([A-Za-z_]\w*)", re.IGNORECASE)
+_QUOTIENT_RE = re.compile(r"/|\bavg\s*\(|\bmean\s*\(", re.IGNORECASE)
+
+# Sites adjudicated tie-safe after the r13 sweep, each with its reason.
+# Two safe classes exist:
+#   grid  — the rounded expression's EXACT value lives on a decimal grid
+#           coarser than 10^-(k+1), so a digit-(k+1) round-half tie cannot
+#           exist (e.g. a DECIMAL(18,2)-exact cents sum rounded at k=2: the
+#           exact value has 2 decimals, the nearest tie is ~10^-2 away —
+#           ~1e10 double ulps at any magnitude).
+#   det64 — both engines compute the IDENTICAL binary64 (exact DECIMAL
+#           sufficient statistics finished by the same spelled-out IEEE
+#           chain, no libm); Spark HALF_UP on that double's decimal
+#           expansion and DuckDB's binary rounding then only disagree if
+#           the dyadic expansion terminates with '5' exactly at digit k+1
+#           (~2^-40 per cell — the accepted residual class).
+# A quotient over data-dependent exact values (avg, count ratios, money/n)
+# may NOT be allowlisted — convert it to integer-micro div instead.
+ROUND_TIE_ALLOWLIST: dict[str, dict[str, str]] = {
+    "agg_approx_percentile": {
+        "p50_exact": "grid: interpolation of cents values at fraction grid 0.05 -> 5e-4 grid; no digit-7 tie",
+        "p95_exact": "grid: interpolation of cents values at fraction grid 0.05 -> 5e-4 grid; no digit-7 tie",
+    },
+    "agg_weighted_median": {
+        "weighted_median": "grid: output is a raw cents-grid data value (min over cum-weight threshold); no digit-7 tie",
+        "weighted_p90": "grid: output is a raw cents-grid data value; no digit-7 tie",
+    },
+    "agg_having": {
+        "total": "grid: DECIMAL-exact cents sum cast to DOUBLE after aggregation; no digit-3 tie",
+    },
+    "etl_incremental_agg_maintenance": {
+        "sum_l_quantity": "grid: DECIMAL-exact cents sum; no digit-3 tie",
+        "sum_l_extendedprice": "grid: DECIMAL-exact cents sum; no digit-3 tie",
+    },
+    "etl_manifest_skipping": {
+        "revenue": "grid: DECIMAL-exact cents sum; no digit-3 tie",
+    },
+    "join_bloom_prefilter": {
+        "revenue": "grid: DECIMAL-exact cents sum; no digit-3 tie",
+    },
+    "join_range_band": {
+        "total_price": "grid: DECIMAL-exact cents sum; no digit-3 tie",
+    },
+    "sql_text_parity": {
+        "revenue": "grid: DECIMAL-exact cents sum (same ANSI text on both engines); no digit-3 tie",
+    },
+    "prep_feature_scaling": {
+        "price": "grid: raw cents-grid data value rounded at k=6; no digit-7 tie",
+    },
+    "quality_order_total_reconcile": {
+        "p50_abs_delta": "grid: interpolation midpoint of cents-grid deltas -> 5e-3 grid; no digit-5 tie",
+        "max_abs_delta": "grid: cents-grid value; no digit-5 tie",
+    },
+    "sample_ab_cuped_adjustment": {
+        "var_raw": "det64: identical binary64 from DECIMAL-exact moments through the same IEEE chain",
+        "var_cuped": "det64: identical binary64 from DECIMAL-exact moments through the same IEEE chain",
+    },
+    "stream_ohlc_continuous": {
+        "sum_value": "grid: DECIMAL(14,6)-exact sum cast to DOUBLE; 1e-6 grid has no digit-7 tie",
+    },
+    "temporal_ohlc_bars": {
+        "sum_value": "grid: DECIMAL(14,6)-exact sum cast to DOUBLE; 1e-6 grid has no digit-7 tie",
+    },
+    "temporal_sessionize_capped": {
+        "duration_sec": "grid: integer-microsecond difference / 1e6 lies exactly on the 1e-6 grid; no digit-7 tie",
+    },
+    "temporal_theil_sen_slope": {
+        "theil_sen_intercept": "det64: identical binary64 (pairwise-slope medians of identical doubles, no libm)",
+    },
+}
+
+
+def _round_sites(sql: str):
+    """Yield ``(alias_or_None, k, expr)`` for every ``round(expr, k)`` in
+    the SQL. The alias is found by scanning forward from the closing paren
+    at paren-depth 0 (tolerating arithmetic wrappers like the ``+ 0``
+    signed-zero normalization) until ``AS <ident>``, a same-depth comma, or
+    a containing ')' ends the select item."""
+    for m in _ROUND_RE.finditer(sql):
+        open_paren = sql.index("(", m.start())
+        try:
+            close = _balanced_end(sql, open_paren)
+        except ValueError:
+            continue
+        inner = sql[open_paren + 1 : close - 1]
+        # last top-level comma splits expr from k
+        depth, split = 0, None
+        for i, c in enumerate(inner):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 0:
+                split = i
+        if split is None:
+            expr, k = inner.strip(), 0
+        else:
+            expr = inner[:split].strip()
+            try:
+                k = int(inner[split + 1 :].strip())
+            except ValueError:
+                continue  # non-literal precision — not this lint's class
+        # forward-scan for the alias of the enclosing select item
+        alias, i, depth = None, close, 0
+        while i < len(sql):
+            c = sql[i]
+            if c == "(":
+                depth += 1
+                i = _balanced_end(sql, i)
+                depth -= 1
+                continue
+            if c == ")" or (c == "," and depth == 0):
+                break
+            am = _AS_RE.match(sql, i)
+            if am and depth == 0:
+                alias = am.group(1)
+                break
+            i += 1
+        yield alias, k, expr
+
+
+def round_tie_risk_columns(
+    oracles: dict[str, str], sf_dir: str = _DEFAULT_SF_DIR
+) -> dict[str, list[str]]:
+    """The r12 red's failure class, swept statically (VERDICT r12 item 3):
+    ``round(<double expr>, k)`` in a hashed column diverges between engines
+    when the exact value lands on (or within a double ulp of) a round-half
+    tie at decimal k+1 — Spark rounds HALF_UP on the decimal expansion of
+    the binary64 value, DuckDB rounds in binary, and the two split on ties
+    (rfm cell (2,1,2): 68570553.99/32 = 2142829.8121875 exactly). The flag
+    criterion is the judge's: any round(expr, k) output column whose
+    magnitude can reach 10^(9-k) (also exactly the class the pre-r13
+    9-significant-digit replica canon was blind to). Quotient-shaped
+    expressions (``avg`` or ``/``) are the proven mechanism — convert them
+    to the integer-micro ``div`` pattern; non-quotient hits over exact
+    DECIMAL bases may instead join ``ROUND_TIE_ALLOWLIST`` with the
+    tie-distance justification.
+
+    Executes each oracle once at ``sf_dir`` (value property, not schema —
+    like the signed-zero sweep this lives in the pytest gate, not the
+    window pre-flight). Returns {query: ["alias round(.,k) max|x|=m QUOTIENT", ...]}.
+    """
+    import duckdb  # local import: keep the query path importable without it
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    bad: dict[str, list[str]] = {}
+    for name, sql in oracles.items():
+        sites = [(a, k, e) for a, k, e in _round_sites(sql) if a is not None]
+        if not sites:
+            continue
+        # one site per alias: the OUTERMOST round wins (nested rounds of the
+        # same item yield the same alias; magnitude check is identical)
+        per_alias: dict[str, tuple[int, str]] = {}
+        for a, k, e in sites:
+            al = a.lower()
+            if al not in per_alias or len(e) > len(per_alias[al][1]):
+                per_alias[al] = (k, e)
+        try:
+            pdf = con.execute(sql).fetchdf()
+        except Exception:  # noqa: BLE001 — oracle errors are not this lint's job
+            continue
+        cols = {c.lower(): c for c in pdf.columns}
+        allow = ROUND_TIE_ALLOWLIST.get(name, {})
+        for al, (k, e) in sorted(per_alias.items()):
+            if al not in cols or al in allow:
+                continue
+            s = pdf[cols[al]].dropna()
+            if len(s) == 0:
+                continue
+            try:
+                max_abs = float(s.abs().max())
+            except (TypeError, ValueError):
+                continue
+            if max_abs >= 10.0 ** (9 - k):
+                shape = "QUOTIENT" if _QUOTIENT_RE.search(e) else "plain"
+                bad.setdefault(name, []).append(
+                    f"{al} round(.,{k}) max|x|={max_abs:.6g} {shape}"
+                )
+    con.close()
+    return bad
+
+
 def negative_zero_oracle_outputs(
     oracles: dict[str, str], sf_dir: str = _DEFAULT_SF_DIR
 ) -> dict[str, list[str]]:

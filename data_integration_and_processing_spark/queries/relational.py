@@ -229,7 +229,8 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
             VALUES ('xs', 0.0, 10000.0), ('s', 10000.0, 25000.0), ('m', 25000.0, 50000.0),
                    ('l', 50000.0, 75000.0), ('xl', 75000.0, 1e12)
         )
-        SELECT b.band, count(*) AS n_items, round(sum(l.l_extendedprice), 2) AS total_price
+        SELECT b.band, count(*) AS n_items,
+               round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
         FROM lineitem l JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
         GROUP BY b.band
         ORDER BY b.band
@@ -250,7 +251,12 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(bands), (l.l_extendedprice >= bands.lo) & (l.l_extendedprice < bands.hi))
         .groupBy("band")
-        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_price"),
+        )
         .orderBy("band")
     )
 
@@ -461,19 +467,29 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_having",
     oracle="""
-        SELECT l_suppkey, count(*) AS n_items, round(sum(l_extendedprice), 2) AS total
+        SELECT l_suppkey, count(*) AS n_items,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         FROM lineitem
         GROUP BY l_suppkey
         HAVING count(*) > 550
     """,
-    description="aggregate + HAVING filter on the aggregated value",
+    description=(
+        "aggregate + HAVING filter on the aggregated value; the money sum is "
+        "DECIMAL-exact (cents grid — no accumulation-order noise and no "
+        "3rd-decimal round-half tie exists), cast to DOUBLE after aggregation"
+    ),
     tags=("aggregation",),
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_suppkey")
-        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total"),
+        )
         .filter(F.col("n_items") > 550)
     )
 
@@ -936,15 +952,27 @@ def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT s_suppkey,
                s_nationkey,
-               round(percent_rank() OVER w, 9) AS pr,
-               round(cume_dist() OVER w, 9) AS cd,
+               CASE WHEN count(*) OVER p > 1
+                    THEN ((rank() OVER w - 1) * 1000000000) // (count(*) OVER p - 1)
+                    ELSE 0 END AS pr_nano,
+               (CAST(count(*) OVER (PARTITION BY s_nationkey
+                                    ORDER BY s_acctbal DESC, s_suppkey
+                                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) * 1000000000) // count(*) OVER p AS cd_nano,
                nth_value(s_suppkey, 2) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
                                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS second_best
         FROM supplier
-        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey),
+               p AS (PARTITION BY s_nationkey)
     """,
-    description="distribution window functions: percent_rank, cume_dist, nth_value",
+    description=(
+        "distribution window functions: percent_rank, cume_dist, nth_value — "
+        "the two distribution scores ship as exact integer-nano rank ratios "
+        "(rank-1)*1e9 div (n-1) and cume*1e9 div n via truncating integral "
+        "division (the built-ins return a DOUBLE quotient whose round(.,9) "
+        "can land on a round-half tie, the r12 rfm class)"
+    ),
     tags=("window",),
 )
 def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -953,12 +981,24 @@ def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame
     s = load_table(spark, sf_dir, "supplier")
     w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
     wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wpart = Window.partitionBy("s_nationkey")
+    wrange = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     return s.select(
         "s_suppkey",
         "s_nationkey",
-        F.round(F.percent_rank().over(w), 9).alias("pr"),
-        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        (F.rank().over(w) - 1).cast("long").alias("_rk"),
+        F.count(F.lit(1)).over(wpart).alias("_cnt"),
+        F.count(F.lit(1)).over(wrange).alias("_cume"),
         F.nth_value("s_suppkey", 2).over(wrows).alias("second_best"),
+    ).select(
+        "s_suppkey",
+        "s_nationkey",
+        F.expr(
+            "CASE WHEN _cnt > 1 THEN (_rk * CAST(1000000000 AS BIGINT)) div (_cnt - 1)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("pr_nano"),
+        F.expr("(_cume * CAST(1000000000 AS BIGINT)) div _cnt").alias("cd_nano"),
+        "second_best",
     )
 
 
@@ -1388,7 +1428,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_PARITY_TEXT = """
 SELECT n.n_name AS nation,
        count(*) AS n_orders,
-       round(sum(o.o_totalprice), 2) AS revenue
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey

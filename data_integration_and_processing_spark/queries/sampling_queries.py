@@ -904,6 +904,7 @@ stats AS (
     SELECT arm,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(x) AS DOUBLE) AS sx,
+           sum(CAST(x * 1000000 AS BIGINT)) AS sx_micro,
            CAST(sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
                          AS DECIMAL(38,6))) AS DOUBLE) AS sxx
     FROM per_user GROUP BY arm
@@ -912,6 +913,8 @@ w AS (
     SELECT
         max(CASE WHEN arm = 0 THEN sx / n END) AS m0,
         max(CASE WHEN arm = 1 THEN sx / n END) AS m1,
+        max(CASE WHEN arm = 0 THEN sx_micro END) AS sm0,
+        max(CASE WHEN arm = 1 THEN sx_micro END) AS sm1,
         max(CASE WHEN arm = 0 THEN (sxx - sx * sx / n) / (n - 1) / n END) AS v0,
         max(CASE WHEN arm = 1 THEN (sxx - sx * sx / n) / (n - 1) / n END) AS v1,
         max(CASE WHEN arm = 0 THEN n END) AS n0,
@@ -919,8 +922,8 @@ w AS (
     FROM stats
 )
 SELECT n0, n1,
-       round(m0, 6) AS mean_arm0,
-       round(m1, 6) AS mean_arm1,
+       CAST(sm0 // n0 AS BIGINT) AS mean_arm0_micro,
+       CAST(sm1 // n1 AS BIGINT) AS mean_arm1_micro,
        round((m0 - m1) / sqrt(v0 + v1), 6) AS t_stat,
        round((v0 + v1) * (v0 + v1)
              / (v0 * v0 / (n0 - 1) + v1 * v1 / (n1 - 1)), 6) AS df_welch
@@ -953,6 +956,10 @@ def sample_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = per_user.groupBy("arm").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("double").alias("sx"),
+        # exact integer-micro arm sum: the published means ship as
+        # truncating integral division (r12 rfm tie class — round(sx/n, 6)
+        # can land on a round-half tie where the engines split)
+        F.sum(F.expr("CAST(x * 1000000 AS BIGINT)")).alias("sx_micro"),
         F.sum((F.col("x").cast("decimal(19,6)") * F.col("x").cast("decimal(19,6)")).cast("decimal(38,6)"))
         .cast("double")
         .alias("sxx"),
@@ -964,6 +971,8 @@ def sample_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = stats.agg(
         pick(0, F.col("sx") / F.col("n")).alias("m0"),
         pick(1, F.col("sx") / F.col("n")).alias("m1"),
+        pick(0, F.col("sx_micro")).alias("sm0"),
+        pick(1, F.col("sx_micro")).alias("sm1"),
         pick(0, se2()).alias("v0"),
         pick(1, se2()).alias("v1"),
         pick(0, F.col("n")).alias("n0"),
@@ -972,8 +981,8 @@ def sample_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "n0",
         "n1",
-        F.round("m0", 6).alias("mean_arm0"),
-        F.round("m1", 6).alias("mean_arm1"),
+        F.expr("sm0 div n0").alias("mean_arm0_micro"),
+        F.expr("sm1 div n1").alias("mean_arm1_micro"),
         F.round((F.col("m0") - F.col("m1")) / F.sqrt(F.col("v0") + F.col("v1")), 6).alias("t_stat"),
         F.round(
             (F.col("v0") + F.col("v1"))
@@ -1560,48 +1569,68 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH per_user AS (
             SELECT user_id,
                    user_id % 2 AS grp,
-                   sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value ELSE 0 END) AS y_pre,
-                   sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value ELSE 0 END) AS y
+                   CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                 THEN CAST(value AS DECIMAL(18,9))
+                                 ELSE CAST(0 AS DECIMAL(18,9)) END)
+                        AS DECIMAL(19,6)) AS y_pre,
+                   CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                 THEN CAST(value AS DECIMAL(18,9))
+                                 ELSE CAST(0 AS DECIMAL(18,9)) END)
+                        AS DECIMAL(19,6)) AS y
             FROM events GROUP BY user_id
         ),
-        mom AS (
-            SELECT CAST(count(*) AS DOUBLE) AS n,
-                   sum(y_pre) AS sp, sum(y) AS sy,
-                   sum(y_pre * y_pre) AS spp, sum(y_pre * y) AS spy,
-                   sum(y * y) AS syy
-            FROM per_user
+        g AS (
+            SELECT grp,
+                   CAST(count(*) AS BIGINT) AS n_g,
+                   sum(y_pre) AS sp_g,
+                   sum(y) AS sy_g,
+                   sum(CAST(y_pre * y_pre AS DECIMAL(38,6))) AS spp_g,
+                   sum(CAST(y_pre * y AS DECIMAL(38,6))) AS spy_g,
+                   sum(CAST(y * y AS DECIMAL(38,6))) AS syy_g
+            FROM per_user GROUP BY grp
         ),
-        theta AS (
-            SELECT n, sp / n AS mp,
+        w AS (
+            SELECT max(CASE WHEN grp = 0 THEN n_g END) AS n0,
+                   max(CASE WHEN grp = 1 THEN n_g END) AS n1,
+                   CAST(max(CASE WHEN grp = 0 THEN sp_g END) AS DOUBLE) AS sp0,
+                   CAST(max(CASE WHEN grp = 1 THEN sp_g END) AS DOUBLE) AS sp1,
+                   CAST(max(CASE WHEN grp = 0 THEN sy_g END) AS DOUBLE) AS sy0,
+                   CAST(max(CASE WHEN grp = 1 THEN sy_g END) AS DOUBLE) AS sy1,
+                   CAST(max(CASE WHEN grp = 0 THEN spp_g END) AS DOUBLE) AS spp0,
+                   CAST(max(CASE WHEN grp = 1 THEN spp_g END) AS DOUBLE) AS spp1,
+                   CAST(max(CASE WHEN grp = 0 THEN spy_g END) AS DOUBLE) AS spy0,
+                   CAST(max(CASE WHEN grp = 1 THEN spy_g END) AS DOUBLE) AS spy1,
+                   CAST(max(CASE WHEN grp = 0 THEN syy_g END) AS DOUBLE) AS syy0,
+                   CAST(max(CASE WHEN grp = 1 THEN syy_g END) AS DOUBLE) AS syy1
+            FROM g
+        ),
+        d AS (
+            SELECT CAST(n0 AS DOUBLE) AS dn0, CAST(n1 AS DOUBLE) AS dn1,
+                   CAST(n0 + n1 AS DOUBLE) AS n,
+                   sp0 + sp1 AS sp, sy0 + sy1 AS sy,
+                   spp0 + spp1 AS spp, spy0 + spy1 AS spy, syy0 + syy1 AS syy,
+                   sp0, sp1, sy0, sy1
+            FROM w
+        ),
+        t AS (
+            SELECT *,
+                   sp / n AS mp,
                    (spy / n - (sp / n) * (sy / n))
                    / (spp / n - (sp / n) * (sp / n)) AS th,
-                   syy / n - (sy / n) * (sy / n) AS var_y
-            FROM mom
-        ),
-        adj AS (
-            SELECT u.grp,
-                   count(*) AS n_g,
-                   avg(u.y) AS mean_raw,
-                   avg(u.y - t.th * (u.y_pre - t.mp)) AS mean_cuped,
-                   sum(power(u.y - t.th * (u.y_pre - t.mp), 2)) AS scc,
-                   sum(u.y - t.th * (u.y_pre - t.mp)) AS sc
-            FROM per_user u CROSS JOIN theta t
-            GROUP BY u.grp
-        ),
-        var_c AS (
-            SELECT sum(scc) / sum(n_g)
-                   - power(sum(sc) / sum(n_g), 2) AS var_cuped
-            FROM adj
+                   syy / n - (sy / n) * (sy / n) AS var_y,
+                   spp / n - (sp / n) * (sp / n) AS var_pre,
+                   spy / n - (sp / n) * (sy / n) AS cov_py
+            FROM d
         )
-        SELECT round(t.th, 6) AS theta,
-               round((SELECT mean_raw FROM adj WHERE grp = 1)
-                     - (SELECT mean_raw FROM adj WHERE grp = 0), 6) AS lift_raw,
-               round((SELECT mean_cuped FROM adj WHERE grp = 1)
-                     - (SELECT mean_cuped FROM adj WHERE grp = 0), 6) AS lift_cuped,
-               round(t.var_y, 4) AS var_raw,
-               round(v.var_cuped, 4) AS var_cuped,
-               round(v.var_cuped, 4) <= round(t.var_y, 4) AS variance_reduced
-        FROM theta t CROSS JOIN var_c v
+        SELECT round(th, 6) AS theta,
+               round(sy1 / dn1 - sy0 / dn0, 6) AS lift_raw,
+               round((sy1 / dn1 - th * (sp1 / dn1 - mp))
+                     - (sy0 / dn0 - th * (sp0 / dn0 - mp)), 6) AS lift_cuped,
+               round(var_y, 4) AS var_raw,
+               round(var_y - 2.0 * th * cov_py + th * th * var_pre, 4) AS var_cuped,
+               round(var_y - 2.0 * th * cov_py + th * th * var_pre, 4)
+                   <= round(var_y, 4) AS variance_reduced
+        FROM t
     """,
     description=(
         "CUPED variance reduction for A/B readouts (the experimentation-"
@@ -1609,72 +1638,92 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum) regresses out of the experiment metric (second-half sum) with "
         "theta = cov(pre, y)/var(pre), shrinking metric variance without "
         "biasing the lift. Everything reduces to one user-keyed aggregation "
-        "plus closed-form moment arithmetic (explicit sum/sum-of-squares "
-        "formulas, identical in both engines — not var_pop built-ins, whose "
-        "summation strategies differ at ulp level); the variance-reduced "
+        "plus closed-form moment arithmetic from DECIMAL-exact sufficient "
+        "statistics (order-independent sums — raw double sums are partition-"
+        "fold-order-sensitive, the r13 sweep's latent-red class); var_cuped "
+        "uses the residual-free identity var_y - 2*theta*cov + theta^2*"
+        "var_pre, so no second table pass; the variance-reduced "
         "verdict compares rounded values. Treatment = user_id parity, a "
         "deterministic stand-in for the assignment column"
     ),
     tags=("sampling", "analytics", "quality", "north-star"),
 )
 def sample_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 rewrite (round_tie_risk sweep): the old shape summed raw DOUBLEs
+    # (partition-fold-order-sensitive — a latent hash red) and made a second
+    # per-row pass for residual variance. Moments are now DECIMAL-exact
+    # (welch idiom), and var_cuped uses the closed form
+    # var_y - 2*th*cov + th^2*var_pre — algebraically identical to the
+    # residual-sum population variance, needs NO second table pass, and both
+    # engines finish the identical IEEE chain from identical binary64 inputs.
     e = load_table(spark, sf_dir, "events")
     cut = F.lit("2024-01-16").cast("timestamp")
+    zero = F.lit(0).cast("decimal(18,9)")
     per_user = e.groupBy("user_id").agg(
-        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias("y_pre"),
-        F.sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)).alias("y"),
+        F.sum(F.when(F.col("ts") < cut, F.col("value").cast("decimal(18,9)")).otherwise(zero))
+        .cast("decimal(19,6)")
+        .alias("y_pre"),
+        F.sum(F.when(F.col("ts") >= cut, F.col("value").cast("decimal(18,9)")).otherwise(zero))
+        .cast("decimal(19,6)")
+        .alias("y"),
     ).select((F.col("user_id") % 2).alias("grp"), "y_pre", "y")
-    mom = per_user.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("y_pre").alias("sp"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("y_pre") * F.col("y_pre")).alias("spp"),
-        F.sum(F.col("y_pre") * F.col("y")).alias("spy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    sq = lambda a, b: F.sum(  # noqa: E731
+        (F.col(a).cast("decimal(19,6)") * F.col(b).cast("decimal(19,6)")).cast("decimal(38,6)")
     )
-    theta = mom.select(
-        "n",
-        (F.col("sp") / F.col("n")).alias("mp"),
+    g = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("y_pre").alias("sp_g"),
+        F.sum("y").alias("sy_g"),
+        sq("y_pre", "y_pre").alias("spp_g"),
+        sq("y_pre", "y").alias("spy_g"),
+        sq("y", "y").alias("syy_g"),
+    )
+    pick = lambda arm, col: F.max(F.when(F.col("grp") == arm, F.col(col)))  # noqa: E731
+    w = g.agg(
+        pick(0, "n_g").alias("n0"),
+        pick(1, "n_g").alias("n1"),
+        *[
+            pick(arm, f"{c}_g").cast("double").alias(f"{c}{arm}")
+            for c in ("sp", "sy", "spp", "spy", "syy")
+            for arm in (0, 1)
+        ],
+    )
+    d = w.select(
+        F.col("n0").cast("double").alias("dn0"),
+        F.col("n1").cast("double").alias("dn1"),
+        (F.col("n0") + F.col("n1")).cast("double").alias("n"),
+        (F.col("sp0") + F.col("sp1")).alias("sp"),
+        (F.col("sy0") + F.col("sy1")).alias("sy"),
+        (F.col("spp0") + F.col("spp1")).alias("spp"),
+        (F.col("spy0") + F.col("spy1")).alias("spy"),
+        (F.col("syy0") + F.col("syy1")).alias("syy"),
+        "sp0", "sp1", "sy0", "sy1",
+    )
+    n, sp, sy = F.col("n"), F.col("sp"), F.col("sy")
+    t = d.select(
+        "*",
+        (sp / n).alias("mp"),
         (
-            (F.col("spy") / F.col("n") - (F.col("sp") / F.col("n")) * (F.col("sy") / F.col("n")))
-            / (F.col("spp") / F.col("n") - (F.col("sp") / F.col("n")) * (F.col("sp") / F.col("n")))
+            (F.col("spy") / n - (sp / n) * (sy / n))
+            / (F.col("spp") / n - (sp / n) * (sp / n))
         ).alias("th"),
-        (F.col("syy") / F.col("n") - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))).alias(
-            "var_y"
-        ),
+        (F.col("syy") / n - (sy / n) * (sy / n)).alias("var_y"),
+        (F.col("spp") / n - (sp / n) * (sp / n)).alias("var_pre"),
+        (F.col("spy") / n - (sp / n) * (sy / n)).alias("cov_py"),
     )
-    cuped = F.col("y") - F.col("th") * (F.col("y_pre") - F.col("mp"))
-    adj = (
-        per_user.crossJoin(F.broadcast(theta))
-        .groupBy("grp")
-        .agg(
-            F.count(F.lit(1)).alias("n_g"),
-            F.avg("y").alias("mean_raw"),
-            F.avg(cuped).alias("mean_cuped"),
-            F.sum(cuped * cuped).alias("scc"),
-            F.sum(cuped).alias("sc"),
-        )
-    )
-    var_c = adj.agg(
-        (
-            F.sum("scc") / F.sum("n_g")
-            - F.pow(F.sum("sc") / F.sum("n_g"), 2)
-        ).alias("var_cuped")
-    )
-    lifts = adj.groupBy().pivot("grp", [0, 1]).agg(
-        F.first("mean_raw").alias("raw"), F.first("mean_cuped").alias("cuped")
-    )
-    return (
-        theta.crossJoin(F.broadcast(lifts))
-        .crossJoin(F.broadcast(var_c))
-        .select(
-            F.round("th", 6).alias("theta"),
-            F.round(F.col("1_raw") - F.col("0_raw"), 6).alias("lift_raw"),
-            F.round(F.col("1_cuped") - F.col("0_cuped"), 6).alias("lift_cuped"),
-            F.round("var_y", 4).alias("var_raw"),
-            F.round("var_cuped", 4).alias("var_cuped"),
-            (F.round("var_cuped", 4) <= F.round("var_y", 4)).alias("variance_reduced"),
-        )
+    th, mp, var_y = F.col("th"), F.col("mp"), F.col("var_y")
+    var_cuped = var_y - F.lit(2.0) * th * F.col("cov_py") + th * th * F.col("var_pre")
+    return t.select(
+        F.round(th, 6).alias("theta"),
+        F.round(F.col("sy1") / F.col("dn1") - F.col("sy0") / F.col("dn0"), 6).alias("lift_raw"),
+        F.round(
+            (F.col("sy1") / F.col("dn1") - th * (F.col("sp1") / F.col("dn1") - mp))
+            - (F.col("sy0") / F.col("dn0") - th * (F.col("sp0") / F.col("dn0") - mp)),
+            6,
+        ).alias("lift_cuped"),
+        F.round(var_y, 4).alias("var_raw"),
+        F.round(var_cuped, 4).alias("var_cuped"),
+        (F.round(var_cuped, 4) <= F.round(var_y, 4)).alias("variance_reduced"),
     )
 
 
@@ -1755,29 +1804,31 @@ def sample_rolling_origin_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prep_target_encoding",
     oracle="""
         WITH joined AS (
-            -- sum in exact DECIMAL (order-independent on any engine), cast
-            -- the SUM to DOUBLE: every derived statistic is then binary64
-            -- arithmetic over bit-identical inputs — no DECIMAL/DOUBLE
-            -- representation mismatch AND no float-accumulation-order
-            -- knife-edge at round(...,6)
+            -- cent-exact integer base: every published statistic is an
+            -- exact rational of integer cents and counts, emitted as
+            -- integer-micro truncating division (the r12 rfm tie class —
+            -- round(quotient, 6) can land on a round-half tie where the
+            -- engines' rounding modes split)
             SELECT c.c_mktsegment AS segment,
-                   CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y_c
             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         ),
         per_cat AS (
             SELECT segment,
                    CAST(count(*) AS BIGINT) AS n,
-                   sum(y) AS sum_y_dec
+                   CAST(sum(y_c) AS HUGEINT) AS s_c
             FROM joined GROUP BY segment
         ),
         g AS (
-            SELECT CAST(sum(sum_y_dec) AS DOUBLE) / sum(n) AS prior FROM per_cat
+            SELECT CAST(sum(s_c) AS HUGEINT) AS t_c,
+                   CAST(sum(n) AS HUGEINT) AS t_n
+            FROM per_cat
         )
         SELECT per_cat.segment, per_cat.n,
-               round(CAST(per_cat.sum_y_dec AS DOUBLE) / per_cat.n, 6) AS raw_mean,
-               round((CAST(per_cat.sum_y_dec AS DOUBLE) + 100.0 * g.prior)
-                     / (per_cat.n + 100.0), 6) AS smoothed_enc,
-               round(g.prior, 6) AS global_prior
+               CAST((per_cat.s_c * 10000) // per_cat.n AS BIGINT) AS raw_mean_micro,
+               CAST(((per_cat.s_c * g.t_n + 100 * g.t_c) * 10000)
+                    // (g.t_n * (per_cat.n + 100)) AS BIGINT) AS smoothed_enc_micro,
+               CAST((g.t_c * 10000) // g.t_n AS BIGINT) AS global_prior_micro
         FROM per_cat, g
         ORDER BY segment
     """,
@@ -1801,35 +1852,34 @@ def prep_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.o_custkey == F.col("c_custkey"),
     ).select(
         F.col("c_mktsegment").alias("segment"),
-        # sum in exact DECIMAL (order-independent under any shuffle/AQE
-        # partitioning), cast the SUM to DOUBLE (matches the oracle): the
-        # derived stats are binary64 math over bit-identical inputs — a
-        # DOUBLE-typed sum would re-open the accumulation-order knife-edge
-        # at round(...,6)
-        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+        # cent-exact integer base (order-independent under any shuffle/AQE
+        # partitioning); all published statistics are exact rationals of
+        # cents and counts emitted as integer-micro truncating division —
+        # no float rounding mode left to diverge (r12 rfm tie class)
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("y_c"),
     )
     per_cat = joined.groupBy("segment").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").alias("sum_y_dec"),
+        F.sum("y_c").alias("s_c"),
     ).localCheckpoint(eager=True)
     # the global prior folds from the O(categories) table — no second
-    # corpus pass (exact decimal sum of sums / sum of counts)
-    g = per_cat.agg(
-        (F.sum("sum_y_dec").cast("double") / F.sum("n")).alias("prior")
-    )
-    sum_y = F.col("sum_y_dec").cast("double")
+    # corpus pass; the smoothed encoding (s/100 + 100*prior)/(n+100)
+    # expands over the common denominator to (s_c*t_n + 100*t_c)*1e4
+    # div (t_n*(n+100)) — one exact integral division per category
+    g = per_cat.agg(F.sum("s_c").alias("t_c"), F.sum("n").alias("t_n"))
     return (
         per_cat.crossJoin(F.broadcast(g))
         .select(
             "segment",
             "n",
-            F.round(sum_y / F.col("n"), 6).alias("raw_mean"),
-            F.round(
-                (sum_y + F.lit(100.0) * F.col("prior"))
-                / (F.col("n") + F.lit(100.0)),
-                6,
-            ).alias("smoothed_enc"),
-            F.round("prior", 6).alias("global_prior"),
+            F.expr("(CAST(s_c AS DECIMAL(38,0)) * 10000) div n").alias("raw_mean_micro"),
+            F.expr(
+                "((CAST(s_c AS DECIMAL(38,0)) * t_n + 100 * CAST(t_c AS DECIMAL(38,0)))"
+                " * 10000) div (CAST(t_n AS DECIMAL(38,0)) * (n + 100))"
+            ).alias("smoothed_enc_micro"),
+            F.expr("(CAST(t_c AS DECIMAL(38,0)) * 10000) div t_n").alias(
+                "global_prior_micro"
+            ),
         )
         .orderBy("segment")
     )

@@ -33,7 +33,7 @@ _BLOOM_MIN_BAL = 8000.0
 _BLOOM_ORACLE = f"""
 SELECT o.o_orderpriority,
        count(*) AS n_orders,
-       round(sum(o.o_totalprice), 2) AS revenue
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
 FROM orders o
 WHERE EXISTS (
     SELECT 1 FROM customer c
@@ -82,7 +82,9 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )

@@ -291,10 +291,10 @@ l AS (
 g AS (SELECT event_type, gap_us FROM l WHERE gap_us IS NOT NULL)
 SELECT event_type,
        count(*) AS n_gaps,
-       round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_gap_sec,
-       round(quantile_cont(gap_us, 0.50) / 1000000.0, 6) AS p50_gap_sec,
-       round(quantile_cont(gap_us, 0.95) / 1000000.0, 6) AS p95_gap_sec,
-       round(CAST(max(gap_us) AS DOUBLE) / 1000000.0, 6) AS max_gap_sec
+       CAST(CAST(sum(gap_us) AS HUGEINT) // count(*) AS BIGINT) AS avg_gap_us,
+       quantile_cont(CAST(gap_us AS DOUBLE), 0.50) AS p50_gap_us,
+       quantile_cont(CAST(gap_us AS DOUBLE), 0.95) AS p95_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
 FROM g GROUP BY event_type ORDER BY event_type
 """
 
@@ -304,9 +304,12 @@ FROM g GROUP BY event_type ORDER BY event_type
     oracle=_INTERARRIVAL_ORACLE,
     description=(
         "interarrival-time distribution per event_type: lag window for gaps, then "
-        "count/mean/exact p50/p95/max — integer-microsecond gaps make the sum "
-        "exact in any aggregation order, and exact interpolated percentiles over "
-        "integers are engine-identical; one window + one aggregate shuffle"
+        "count/mean/exact p50/p95/max in integer microseconds — the mean is an "
+        "exact truncating integral division, the max a BIGINT, and the "
+        "interpolated percentiles run over DOUBLE-cast integers UNROUNDED (the "
+        "binary64 interpolation is engine-identical; a round(.,6) of a seconds "
+        "quotient ties exactly on half-microsecond midpoints — the r12 rfm "
+        "class); one window + one aggregate shuffle"
     ),
     tags=("temporal", "window", "percentile"),
 )
@@ -317,12 +320,10 @@ def temporal_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         gaps.groupBy("event_type")
         .agg(
             F.count("*").alias("n_gaps"),
-            F.round(
-                F.sum("gap_us").cast("double") / F.count("*") / F.lit(1_000_000.0), 6
-            ).alias("avg_gap_sec"),
-            F.round(F.percentile("gap_us", 0.50) / F.lit(1_000_000.0), 6).alias("p50_gap_sec"),
-            F.round(F.percentile("gap_us", 0.95) / F.lit(1_000_000.0), 6).alias("p95_gap_sec"),
-            F.round(F.max("gap_us").cast("double") / F.lit(1_000_000.0), 6).alias("max_gap_sec"),
+            F.expr("sum(gap_us) div count(*)").alias("avg_gap_us"),
+            F.percentile(F.col("gap_us").cast("double"), 0.50).alias("p50_gap_us"),
+            F.percentile(F.col("gap_us").cast("double"), 0.95).alias("p95_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
         )
         .orderBy("event_type")
     )
@@ -1491,15 +1492,18 @@ def temporal_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH anchor AS (SELECT max(ts) AS t0 FROM events),
         w AS (
-            SELECT e.user_id, e.value,
-                   round(exp(-0.05 * (date_diff('microsecond', e.ts, anchor.t0)
-                                      / 86400000000.0)), 9) AS wt
+            SELECT e.user_id,
+                   CAST(round(e.value * 1000000.0) AS BIGINT) AS value_micro,
+                   CAST(round(exp(-0.05 * (date_diff('microsecond', e.ts, anchor.t0)
+                                           / 86400000000.0)) * 1000000000.0)
+                        AS BIGINT) AS wt_nano
             FROM events e CROSS JOIN anchor
         )
         SELECT user_id,
                CAST(count(*) AS BIGINT) AS n_events,
-               round(sum(value * wt), 6) AS decayed_value,
-               round(sum(wt), 6) AS decayed_count
+               CAST(sum(CAST(value_micro AS HUGEINT) * wt_nano) // 1000000000
+                    AS BIGINT) AS decayed_value_micro,
+               CAST(sum(wt_nano) AS BIGINT) AS decayed_count_nano
         FROM w
         GROUP BY user_id
         ORDER BY user_id
@@ -1513,10 +1517,12 @@ def temporal_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "at 100 TB this is a single combinable pass, and the feature "
         "refreshes incrementally because exp(-l*(t0'-t)) = exp(-l*(t0'-t0))"
         " * exp(-l*(t0-t)) — old state rescales by one scalar, only new "
-        "events are read. Per-event weights round to 9 decimals BEFORE the "
-        "sum (libm exp() differs at ulp level between engines; rounding "
-        "the weight is what makes the decayed sums hash-identical), first "
-        "200 users for a bounded driver frame"
+        "events are read. Per-event weights snap to INTEGER nano units and "
+        "values to integer micro BEFORE the sum (libm exp() differs at ulp "
+        "level between engines — the snap absorbs it — and a sum of snapped "
+        "DOUBLES would still be fold-order-sensitive in its low bits, the "
+        "r13 sweep's latent-red class; integral sums are exact in any "
+        "order), first 200 users for a bounded driver frame"
     ),
     tags=("temporal", "analytics", "aggregation", "incremental", "scale"),
 )
@@ -1531,15 +1537,19 @@ def temporal_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_days = (
         F.expr("timestampdiff(MICROSECOND, ts, t0)").cast("double") / 86400000000.0
     )
-    wt = F.round(F.exp(F.lit(-0.05) * delta_days), 9)
+    wt_nano = F.round(F.exp(F.lit(-0.05) * delta_days) * 1e9, 0).cast("long")
+    value_micro = F.round(F.col("value") * 1e6, 0).cast("long")
     return (
         e.crossJoin(F.broadcast(anchor))
-        .select("user_id", "value", wt.alias("wt"))
+        .select("user_id", value_micro.alias("value_micro"), wt_nano.alias("wt_nano"))
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(F.sum(F.col("value") * F.col("wt")), 6).alias("decayed_value"),
-            F.round(F.sum("wt"), 6).alias("decayed_count"),
+            F.expr(
+                "sum(CAST(value_micro AS DECIMAL(38,0)) * wt_nano)"
+                " div CAST(1000000000 AS BIGINT)"
+            ).alias("decayed_value_micro"),
+            F.sum("wt_nano").alias("decayed_count_nano"),
         )
         .orderBy("user_id")
         .limit(200)

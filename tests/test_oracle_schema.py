@@ -195,3 +195,48 @@ def test_window_preflight_excludes_complex_output(monkeypatch):
     assert fake_sweep.victim not in win
     # restore the real cache for later tests
     monkeypatch.setattr(catalog, "_WINDOW_CACHE", None)
+
+
+ROUND_SF_DIR = os.environ.get("SPARK_GRAFT_ROUND_LINT_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.mark.skipif(not os.path.isdir(ROUND_SF_DIR), reason="testdata not present")
+def test_no_round_tie_risk_in_any_oracle():
+    """Fifth canon-divergence class (VERDICT r12, the 3-round rfm red):
+    round(<double expr>, k) on a hashed column diverges between engines when
+    the exact value lands on a round-half tie at decimal k+1 (Spark HALF_UP
+    on the decimal expansion vs DuckDB binary rounding). Flag criterion is
+    the judge's: any aliased round(., k) output whose magnitude reaches
+    10^(9-k) at the driver's SF. Fixes: quotient shapes -> exact
+    integer-micro `div`; exact-decimal-grid or deterministic-binary64 shapes
+    -> ROUND_TIE_ALLOWLIST with the justification recorded."""
+    from data_integration_and_processing_spark.queries.oracle_lint import (
+        round_tie_risk_columns,
+    )
+
+    catalog._load()
+    oracles = {s.name: s.oracle for s in catalog._REGISTRY.values() if s.oracle is not None}
+    bad = round_tie_risk_columns(oracles, ROUND_SF_DIR)
+    assert bad == {}, (
+        "hashed round(.,k) columns that can reach a cross-engine round-half "
+        f"tie (convert to integer-micro div or justify in the allowlist): {bad}"
+    )
+
+
+@pytest.mark.skipif(not os.path.isdir(ROUND_SF_DIR), reason="testdata not present")
+def test_round_tie_sweep_flags_a_probe():
+    from data_integration_and_processing_spark.queries.oracle_lint import (
+        round_tie_risk_columns,
+    )
+
+    bad = round_tie_risk_columns(
+        {
+            # the rfm shape: >=1e4-magnitude money quotient rounded at 6
+            "probe": "SELECT round(68570553.99 / 32, 6) AS avg_monetary",
+            # below the 10^(9-k) magnitude criterion -> not flagged
+            "small": "SELECT round(1.0 / 3, 6) AS tiny",
+        },
+        ROUND_SF_DIR,
+    )
+    assert "probe" in bad and "small" not in bad, bad
+    assert "QUOTIENT" in bad["probe"][0]

@@ -84,13 +84,14 @@ def test_target_encoding_shrinks_toward_prior_for_rare_categories(spark, sf_dir)
 
     rows = prep_target_encoding(spark, sf_dir).collect()
     assert len(rows) == 5
-    prior = rows[0]["global_prior"]
+    prior = rows[0]["global_prior_micro"]
     for r in rows:
-        raw_dev = abs(r["raw_mean"] - prior)
-        smooth_dev = abs(r["smoothed_enc"] - prior)
-        assert smooth_dev <= raw_dev + 1e-6, r
+        raw_dev = abs(r["raw_mean_micro"] - prior)
+        smooth_dev = abs(r["smoothed_enc_micro"] - prior)
+        # integer-micro outputs: 2 micro slack covers the truncating div
+        assert smooth_dev <= raw_dev + 2, r
         # with m=100 and n in the thousands the shrink is small but real
-        assert smooth_dev < raw_dev or raw_dev < 1e-6, r
+        assert smooth_dev < raw_dev or raw_dev <= 2, r
 
 
 def test_decayed_engagement_rescale_identity(spark, sf_dir):
