@@ -78,6 +78,7 @@ _ALWAYS: tuple[str, ...] = ("q1_pricing_summary",)
 # completes in r14 per VERDICT item 4).
 _PINNED: tuple[str, ...] = (
     "analytics_rfm_segmentation",
+    "agg_groupby_stats",
     "agg_market_basket_lift",
     "agg_exact_stats_trend",
     "agg_equiwidth_histogram",

@@ -303,36 +303,54 @@ def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_groupby_stats",
     oracle="""
+        WITH per AS (
+            SELECT o_orderpriority, o_orderstatus, o_totalprice,
+                   CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+            FROM orders
+        )
         SELECT o_orderpriority, o_orderstatus,
                count(*) AS n_orders,
                CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
                min(o_totalprice) AS min_price,
                max(o_totalprice) AS max_price,
-               sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)) * CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
-                     - CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
-                       * CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / count(*))
-                    / (count(*) - 1)) AS sd_price
-        FROM orders
+               sqrt(CAST(CAST(count(*) AS HUGEINT) * sum(CAST(c AS HUGEINT) * c)
+                         - CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS HUGEINT) AS DOUBLE)
+                    / CAST(count(*) * (count(*) - 1) * 10000 AS DOUBLE)) AS sd_price
+        FROM per
         GROUP BY o_orderpriority, o_orderstatus
     """,
-    description="multi-key hash aggregate with count/sum/min/max/stddev",
+    description=(
+        "multi-key hash aggregate with count/sum/min/max/stddev; the stddev "
+        "numerator n*sum(c^2) - sum(c)^2 is EXACT integer cents-squared "
+        "arithmetic finished by one cast->divide->sqrt chain — a DECIMAL "
+        "sum-of-squares cast to DOUBLE double-rounds in DuckDB once the "
+        "integer representation exceeds 2^53 (int128 then scale division) "
+        "while Spark rounds the decimal once, a last-ulp divergence the r13 "
+        "round-trip replica canon exposed"
+    ),
     tags=("aggregation",),
 )
 def agg_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    # Exact-decimal sums; stddev from the exact sum/sum-of-squares so both
-    # engines run the identical double formula on identical inputs (built-in
-    # stddev_samp accumulates in engine-specific order => last-ulp drift).
+    # Exact-decimal sums; stddev via EXACT integer cents-squared sufficient
+    # statistics finished by one cast->divide->sqrt chain (built-in
+    # stddev_samp accumulates in engine-specific order, and even a DECIMAL
+    # sum-of-squares cast to DOUBLE double-rounds in DuckDB past 2^53 —
+    # the last-ulp class the r13 round-trip replica canon exposed).
     price = F.col("o_totalprice").cast("decimal(14,2)")
+    per = o.withColumn("c", F.expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
     n = F.count("*")
-    s1 = F.sum(price).cast("double")
-    s2 = F.sum(price * price).cast("double")
-    return o.groupBy("o_orderpriority", "o_orderstatus").agg(
+    num = (
+        n.cast("decimal(38,0)") * F.sum(F.expr("CAST(c * c AS DECIMAL(38,0))"))
+        - F.sum("c").cast("decimal(38,0)") * F.sum("c").cast("decimal(38,0)")
+    )
+    den = (n * (n - F.lit(1)) * F.lit(10000)).cast("double")
+    return per.groupBy("o_orderpriority", "o_orderstatus").agg(
         n.alias("n_orders"),
-        s1.alias("sum_price"),
+        F.sum(price).cast("double").alias("sum_price"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
-        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("sd_price"),
+        F.sqrt(num.cast("double") / den).alias("sd_price"),
     )
 
 

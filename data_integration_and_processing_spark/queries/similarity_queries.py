@@ -2338,3 +2338,289 @@ def sim_ivfpq_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(self_ok))
         .select("vec_id", "cos_sim", "upsert_count_ok", "self_hit_ok", "recall_ok")
     )
+
+
+# ---------------------------------------------------------------------------
+# r13: IVFPQ serving-knob tuning frontier (nprobe x refine recall audit)
+# ---------------------------------------------------------------------------
+
+# The (nprobe, refine) grid an operator sweeps when tuning a served IVFPQ
+# deployment: nprobe buys recall with more cells scanned, refine buys it
+# with more exact rescoring — the two independent latency/recall knobs.
+# sim_ann_recall_audit pins the IVF router's nprobe curve; this pins the
+# PERSISTED compressed index's full serving surface.
+_IVFPQ_FRONTIER_ARMS: tuple[tuple[int, int], ...] = (
+    (1, 4), (2, 4), (4, 4), (8, 4), (4, 1), (4, 16),
+)
+
+# Measured micro-averaged recall@10 floors per arm (fixed seed + fixture =>
+# deterministic per sf; margin against the WORST tier). Measured
+# (sf0.001 / sf0.01 / sf0.1):
+#   (1,4)  0.32 / 0.42 / 0.215     (2,4)  0.56 / 0.60 / 0.29
+#   (4,1)  0.32 / 0.34 / 0.185     (4,4)  0.58 / 0.66 / 0.405
+#   (4,16) 0.78 / 0.82 / 0.61      (8,4)  0.52 / 0.72 / 0.445
+# (note (8,4) < (4,4) at sf0.001: recall is NOT monotone in nprobe at small
+# refine — more ADC candidates can displace true neighbors out of the
+# k*refine cut, which is why the audit pins floors, not monotonicity)
+_IVFPQ_FRONTIER_FLOORS: dict[tuple[int, int], float] = {
+    (1, 4): 0.12,
+    (2, 4): 0.18,
+    (4, 4): 0.25,
+    (8, 4): 0.28,
+    (4, 1): 0.10,
+    (4, 16): 0.40,
+}
+
+_IVFPQ_FRONTIER_VALUES = ", ".join(
+    f"({np}, {rf}, {_IVFPQ_FRONTIER_FLOORS[(np, rf)]})"
+    for np, rf in _IVFPQ_FRONTIER_ARMS
+)
+
+
+def sim_ivfpq_tuning_frontier_raw(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
+    """Recall@10 of the served IVFPQ index across the (nprobe, refine) grid:
+    one persisted index, one exact ground truth, |arms| batched probes.
+    Returns (nprobe, refine, n_queries, mean_recall) — the dashboard frame;
+    the registered audit projects floor booleans from it.
+
+    Scale: the index is built once (hive-partitioned cells); each arm is a
+    partition-pruned batch probe over the SAME broadcast LUT machinery, so
+    the sweep costs |arms| probe plans, never |arms| corpus scans. The
+    exact ground truth is the eval's one all-pairs pass, shared."""
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        ivfpq_probe_batch,
+    )
+
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    path = _eval_index_path(spark, sf_dir)
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    exact = _exact_ranked(
+        _eval_scored(spark, sf_dir, e=e).withColumnRenamed("cos_exact", "s"), "s"
+    )
+    nq = len(qs)
+    out = None
+    for np_, rf in _IVFPQ_FRONTIER_ARMS:
+        served = ivfpq_probe_batch(spark, path, qs, k=10, nprobe=np_, refine=rf).select(
+            "query_id", F.col("vec_id").alias("neighbor_id")
+        )
+        hits = served.join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        arm = hits.agg(F.count("*").alias("n_hits")).select(
+            F.lit(np_).alias("nprobe"),
+            F.lit(rf).alias("refine"),
+            F.lit(nq).cast("long").alias("n_queries"),
+            (F.col("n_hits") / F.lit(10.0 * nq)).alias("mean_recall"),
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
+
+
+@register(
+    "sim_ivfpq_tuning_frontier",
+    # IVFPQ cell assignment/codebooks are engine-specific, so the driver-
+    # checked output is the audit VERDICT per arm (the sim_ann_recall_audit
+    # contract): a routing, LUT, or refine regression anywhere on the
+    # serving surface flips a boolean and fails the value hash.
+    oracle=f"""
+        WITH arms(nprobe, refine, mean_floor) AS (
+            VALUES {_IVFPQ_FRONTIER_VALUES}
+        )
+        SELECT arms.nprobe, arms.refine,
+               (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+                WHERE vec_id % 100 = 0) AS n_queries,
+               CAST(arms.mean_floor AS DOUBLE) AS mean_floor,
+               true AS mean_ok
+        FROM arms ORDER BY arms.nprobe, arms.refine
+    """,
+    description=(
+        "serving-knob tuning frontier for the persisted IVFPQ index: "
+        "recall@10 across the (nprobe, refine) grid — nprobe buys recall "
+        "with more probed cells, refine with more exact rescoring of ADC "
+        "survivors; the latency/recall surface an operator sweeps before "
+        "fixing production knobs (extends sim_ann_recall_audit from the "
+        "IVF router to the compressed index's full serving surface). One "
+        "index build + one shared exact ground-truth pass + |arms| "
+        "partition-pruned batch probes; driver-checked as per-arm "
+        "recall-floor booleans (the audit-verdict contract)"
+    ),
+    tags=("similarity", "ann", "audit", "profiling", "scale"),
+)
+def sim_ivfpq_tuning_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    curve = sim_ivfpq_tuning_frontier_raw(spark, sf_dir)
+    floor = functools.reduce(
+        lambda acc, arm: acc.when(
+            (F.col("nprobe") == arm[0]) & (F.col("refine") == arm[1]),
+            _IVFPQ_FRONTIER_FLOORS[arm],
+        ),
+        _IVFPQ_FRONTIER_ARMS,
+        F.when(F.lit(False), 0.0),
+    ).otherwise(None)
+    return curve.select(
+        "nprobe",
+        "refine",
+        "n_queries",
+        floor.alias("mean_floor"),
+        (F.col("mean_recall") >= floor).alias("mean_ok"),
+    ).orderBy("nprobe", "refine")
+
+
+# ---------------------------------------------------------------------------
+# r13: two-stage retrieval rerank eval (candidate fetch -> exact rerank)
+# ---------------------------------------------------------------------------
+
+# Mean nDCG@10 floors for the two arms (measured, fixed seed + fixture =>
+# deterministic per sf; margin against the worst tier). Measured mean
+# (sf0.001 / sf0.01 / sf0.1): stage1 0.499 / 0.518 / 0.32,
+# rerank 0.759 / 0.818 / 0.591 — the rerank arm beats stage1 at every
+# tier, which is the pattern's point.
+_RERANK_FLOORS: dict[str, float] = {"stage1": 0.20, "rerank": 0.40}
+
+
+def sim_rerank_eval_raw(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
+    """Served results for both arms of the two-stage retrieval pattern:
+
+    - ``stage1``: IVFPQ probe, refine=1 — the top-10 SET is chosen purely
+      by compressed ADC scores (retrieval-only serving).
+    - ``rerank``: same probe, refine=5 — 50 ADC candidates rescored
+      EXACTLY, top-10 kept. The exact rescore stands in for the
+      cross-encoder of a RAG pipeline (deterministic, so the audit is
+      hashable; a model UDF slots into the same position).
+
+    The rerank arm's candidate set is a superset of stage1's (same ADC
+    ordering, deeper cut), and both arms order by exact score — so
+    rerank DCG >= stage1 DCG PER QUERY is a mathematical invariant of a
+    correct implementation, checked as the no_worse boolean."""
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        ivfpq_probe_batch,
+    )
+
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    path = _eval_index_path(spark, sf_dir)
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    stage1 = ivfpq_probe_batch(spark, path, qs, k=10, nprobe=4, refine=1).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "rank",
+        F.lit("stage1").alias("arm"),
+    )
+    rerank = ivfpq_probe_batch(spark, path, qs, k=10, nprobe=4, refine=5).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "rank",
+        F.lit("rerank").alias("arm"),
+    )
+    return stage1.unionByName(rerank)
+
+
+@register(
+    "sim_rerank_eval",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+        ),
+        c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 <> 0),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   greatest(round({_cos_sql('c.embedding', 'q.embedding')}, 6), 0) AS g
+            FROM c, q
+        ),
+        rc AS (
+            SELECT query_id, g,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY g DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ),
+        idcg AS (
+            SELECT query_id,
+                   CAST(sum(CAST(round(g * {_DCG_W_SQL}[rank] * 1e6) AS BIGINT)) AS BIGINT)
+                       AS idcg_micro
+            FROM rc WHERE rank <= 10 GROUP BY query_id
+        )
+        SELECT arms.arm, idcg.query_id, idcg.idcg_micro,
+               true AS ndcg_ok, true AS no_worse_ok
+        FROM (VALUES ('rerank'), ('stage1')) arms(arm), idcg
+        ORDER BY arms.arm, idcg.query_id
+    """,
+    description=(
+        "two-stage retrieval eval — the RAG serving pattern (ANN candidate "
+        "fetch, then rerank): stage1 = IVFPQ top-10 by compressed ADC "
+        "scores only (refine=1); rerank = the same probe's 50 ADC "
+        "candidates rescored exactly (refine=5, the deterministic "
+        "cross-encoder stand-in — a model UDF slots into the same "
+        "position). nDCG@10 of both arms against the exact ground truth, "
+        "plus the per-query invariant rerank-DCG >= stage1-DCG (the rerank "
+        "candidate set is a superset ordered by the true score, so a "
+        "violation can only be an implementation bug). Driver-checked: "
+        "per-(arm, query) exact integer-micro IDCG plus the floor and "
+        "no-worse booleans (the sim_retrieval_ndcg_mrr contract). Scale: "
+        "ground truth is the eval's one bounded all-pairs pass; both arms "
+        "are partition-pruned batch probes of the shared persisted index"
+    ),
+    tags=("similarity", "north-star", "ann", "analytics", "audit", "scale"),
+)
+def sim_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    scored = _eval_scored(spark, sf_dir, e=e).localCheckpoint(eager=True)
+    exact = _exact_ranked(scored.withColumnRenamed("cos_exact", "s"), "s")
+    served = sim_rerank_eval_raw(spark, sf_dir, e=e).localCheckpoint(eager=True)
+
+    w_arr = F.array(*[F.lit(w) for w in _DCG_W])
+    disc = F.element_at(w_arr, F.col("rank"))
+    idcg = exact.groupBy("query_id").agg(
+        F.sum(F.round(F.col("g") * disc * 1e6).cast("long")).alias("idcg_micro"),
+        F.sum(F.col("g") * disc).alias("_idcg"),
+    )
+    gains = served.join(
+        exact.select("query_id", "neighbor_id", F.col("g").alias("_eg")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    per_q = gains.groupBy("arm", "query_id").agg(
+        F.sum(F.coalesce(F.col("_eg"), F.lit(0.0)) * disc).alias("_dcg")
+    )
+    # per-query no-worse invariant across the two arms
+    paired = (
+        per_q.groupBy("query_id")
+        .pivot("arm", ["stage1", "rerank"])
+        .agg(F.first("_dcg"))
+    )
+    no_worse = paired.agg(
+        F.min(
+            F.coalesce(F.col("rerank"), F.lit(0.0))
+            >= F.coalesce(F.col("stage1"), F.lit(0.0)) - F.lit(1e-12)
+        ).alias("no_worse_ok")
+    )
+    floors = F.when(F.col("arm") == "stage1", _RERANK_FLOORS["stage1"]).otherwise(
+        _RERANK_FLOORS["rerank"]
+    )
+    ndcg_q = F.when(
+        F.col("_idcg") > 0, F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg")
+    ).otherwise(F.lit(0.0))
+    verdicts = (
+        per_q.join(idcg, "query_id")
+        .groupBy("arm")
+        .agg((F.avg(ndcg_q) >= F.first(floors)).alias("ndcg_ok"))
+    )
+    arms = spark.createDataFrame([("stage1",), ("rerank",)], "arm string")
+    return (
+        arms.crossJoin(idcg.select("query_id", "idcg_micro"))
+        .join(verdicts, "arm")
+        .crossJoin(F.broadcast(no_worse))  # constant-key: 1 verdict row
+        .select("arm", "query_id", "idcg_micro", "ndcg_ok", "no_worse_ok")
+        .orderBy("arm", "query_id")
+    )

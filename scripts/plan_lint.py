@@ -33,6 +33,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # a row-count-sized input — the rule exists to catch the latter.
 WHITELIST: dict[str, dict[str, str]] = {
     "join_cross": {"CARTESIAN": "deliberate 5x5 region cartesian (constant)"},
+    "sim_rerank_eval": {
+        "CARTESIAN": "2-row arms literal x O(|Q|) idcg rows and a 1-row "
+        "verdict broadcast — both bounded by the %100 query batch, never "
+        "corpus-sized"
+    },
     "curation_quality_classifier": {
         "GLOBAL_WINDOW": "rank-AUC cumulative over the O(distinct probability values) per-score aggregate, not corpus rows"
     },
