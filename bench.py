@@ -131,6 +131,10 @@ HEADLINE = [
     # maintained, not rebuilt, index)
     "sim_retrieval_ndcg_mrr",
     "sim_ivfpq_upsert_raw",
+    # r13 addition (no prior baseline; gate skips unknown keys): the
+    # two-stage retrieval serving path (ANN candidate fetch + exact rerank
+    # — the RAG pattern; registered sim_rerank_eval is its audit form)
+    "sim_rerank_eval_raw",
 ]
 
 
@@ -147,6 +151,7 @@ def _raw_headline_paths():
         sim_ann_join_ivf_raw,
         sim_ivfpq_upsert_raw,
         sim_mips_via_ivf_raw,
+        sim_rerank_eval_raw,
     )
 
     return {
@@ -155,6 +160,7 @@ def _raw_headline_paths():
         "multimodal_cdc_chunks_raw": multimodal_cdc_chunks_raw,
         "sim_mips_via_ivf_raw": sim_mips_via_ivf_raw,
         "sim_ivfpq_upsert_raw": sim_ivfpq_upsert_raw,
+        "sim_rerank_eval_raw": sim_rerank_eval_raw,
     }
 
 

@@ -234,22 +234,38 @@ def test_upserted_index_path_is_idempotent_and_crash_safe(spark, sf_dir, tmp_pat
 
 def test_fixture_index_path_reaps_stale_fingerprints(sf_dir):
     """A regenerated fixture mints a new fingerprint directory; siblings of
-    the same (kind, sf) with a dead fingerprint must be deleted so the
-    scratch dir stays bounded across regenerations."""
+    the same (kind, full-path lineage) with a dead fingerprint must be
+    deleted so the scratch dir stays bounded across regenerations — but
+    only past the grace age (a concurrent process may still be scanning an
+    old-fingerprint index, ADVICE r12), and only within the same full-path
+    lineage (two sf_dirs sharing a basename must not reap each other)."""
+    import hashlib
+    import time
+
     from data_integration_and_processing_spark.queries.similarity_queries import (
         _fixture_index_path,
     )
 
     path = _fixture_index_path("reaptest", sf_dir)
-    base = os.path.basename(sf_dir.rstrip("/"))
-    stale = f"/tmp/diaps_scratch/reaptest_index_{base}_deadbeef"
-    os.makedirs(stale, exist_ok=True)
+    full = os.path.abspath(sf_dir.rstrip("/"))
+    base = f"{os.path.basename(full)}-{hashlib.sha256(full.encode()).hexdigest()[:8]}"
+    assert f"reaptest_index_{base}_" in path  # full-path digest in the key
+    old = f"/tmp/diaps_scratch/reaptest_index_{base}_deadbeef"
+    fresh = f"/tmp/diaps_scratch/reaptest_index_{base}_cafebabe"
     other_kind = f"/tmp/diaps_scratch/reapother_index_{base}_deadbeef"
-    os.makedirs(other_kind, exist_ok=True)
+    other_lineage = f"/tmp/diaps_scratch/reaptest_index_{os.path.basename(full)}-00000000_deadbeef"
+    for d in (old, fresh, other_kind, other_lineage):
+        os.makedirs(d, exist_ok=True)
+    past = time.time() - 7200  # beyond the 1h grace
+    os.utime(old, (past, past))
+    os.utime(other_lineage, (past, past))
     try:
         again = _fixture_index_path("reaptest", sf_dir)
         assert again == path
-        assert not os.path.exists(stale)  # dead sibling reaped
+        assert not os.path.exists(old)  # dead sibling past grace: reaped
+        assert os.path.exists(fresh)  # within grace: survives this pass
         assert os.path.exists(other_kind)  # other kinds untouched
+        assert os.path.exists(other_lineage)  # other full-path lineage untouched
     finally:
-        shutil.rmtree(other_kind, ignore_errors=True)
+        for d in (fresh, other_kind, other_lineage):
+            shutil.rmtree(d, ignore_errors=True)
