@@ -1267,8 +1267,11 @@ def _ivfpq_probe_plan(
     qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
     sim = F.round(cosine(F.col("v"), qcol), round_digits)
     return (
-        spark.read.parquet(f"{path}/data")
-        .filter(F.col("_cell").isin(probe_cells))
+        _tombstone_filter(
+            spark,
+            path,
+            spark.read.parquet(f"{path}/data").filter(F.col("_cell").isin(probe_cells)),
+        )
         .select("id", "v", "codes", F.col("_cell").cast("int").alias("_cell"))
         .select("id", "v", adc.alias("_adc"))
         .orderBy(F.asc("_adc"), F.asc("id"))
@@ -1335,8 +1338,12 @@ def ivfpq_probe_batch(
     w_adc = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("id"))
     w_k = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
-        spark.read.parquet(f"{path}/data")
-        .filter(F.col("_cell").isin(probe_cells))  # partition-pruned scan
+        _tombstone_filter(
+            spark,
+            path,
+            # partition-pruned scan
+            spark.read.parquet(f"{path}/data").filter(F.col("_cell").isin(probe_cells)),
+        )
         .select("id", "v", "codes", F.col("_cell").cast("int").alias("_cell"))
         .join(F.broadcast(luts), "_cell")
         .select("query_id", "id", "v", "_q", adc.alias("_adc"))
@@ -1396,3 +1403,56 @@ def ivfpq_upsert(
         assigned, model["books"], model["centers"], model["m"], model["dsub"]
     ).write.mode("append").partitionBy("_cell").parquet(f"{path}/data")
     return path
+
+
+def ivfpq_delete(
+    spark,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> str:
+    """Logically remove ids from an EXISTING IVFPQ index — the FAISS
+    ``remove_ids`` analog and the operational complement of
+    :func:`ivfpq_upsert`: APPEND the ids to the index's ``tombstones``
+    parquet; every probe path anti-joins the (broadcast) tombstone set
+    before ADC ranking, so deleted vectors neither appear in results NOR
+    consume ``k * refine`` candidate slots. No data file is rewritten —
+    cost is O(|batch|) regardless of index size, and repeated deletes
+    accumulate (append mode).
+
+    At 100 TB this is the takedown/right-to-be-forgotten path: a delete
+    must land in seconds while the 100 TB encoded corpus stays immutable.
+    The tombstone set is bounded by deletes-since-rebuild and broadcast at
+    probe time; when it grows past broadcast scale (or deleted mass drags
+    cell selectivity), COMPACT by rebuilding the index over the survivors —
+    the same recall-driven retrain cadence the upsert contract documents.
+
+    Deleting an id not in the index is a no-op at probe time (anti-join
+    semantics), matching FAISS remove_ids tolerance.
+    """
+    ids.select(F.col(id_col).cast("long").alias("id")).write.mode("append").parquet(
+        f"{path}/tombstones"
+    )
+    return path
+
+
+def load_ivfpq_tombstones(spark, path: str) -> DataFrame | None:
+    """The index's tombstone set as a 1-column (``id``) frame, or None when
+    no delete has ever landed. Bounded metadata plane (like the model
+    state): broadcast by the probe paths."""
+    import os  # noqa: PLC0415
+
+    t = f"{path}/tombstones"
+    if not os.path.exists(t):
+        return None
+    return spark.read.parquet(t).select("id").distinct()
+
+
+def _tombstone_filter(spark, path: str, scan: DataFrame) -> DataFrame:
+    """Drop tombstoned candidates from an index scan BEFORE ADC ranking
+    (deleted rows must not consume refine slots). Broadcast anti-join —
+    the tombstone set is deletes-since-rebuild, not corpus-sized."""
+    tomb = load_ivfpq_tombstones(spark, path)
+    if tomb is None:
+        return scan
+    return scan.join(F.broadcast(tomb), "id", "left_anti")

@@ -2624,3 +2624,140 @@ def sim_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("arm", "query_id", "idcg_micro", "ndcg_ok", "no_worse_ok")
         .orderBy("arm", "query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r13: IVFPQ tombstone deletion (the upsert's operational complement)
+# ---------------------------------------------------------------------------
+
+# Recall@10 floor for query 0 against the SURVIVOR corpus, served entirely
+# through the post-delete index (nprobe=4, refine=16). Measured 0.7 /
+# 0.4 / 0.5 at sf0.001 / sf0.01 / sf0.1; floor 0.3 leaves one-hit margin
+# against the worst tier (the driver's own sf0.01).
+_DELETE_RECALL_FLOOR = 0.3
+
+
+def _deleted_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-then-delete scratch index, keyed by the fixture fingerprint:
+    the full corpus (vec_id != 0) is indexed, then the %10==7 slice is
+    tombstoned via ivfpq_delete. The `deleted` marker parquet lands LAST
+    (the upsert path's crash discipline): a missing marker means rmtree +
+    rebuild, so a crash between the tombstone append and the marker can
+    never leave a double-appended tombstone set behind (dedup at read time
+    also makes tombstones idempotent, belt and suspenders)."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        build_ivfpq_index,
+        ivfpq_delete,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    path = _fixture_index_path("ivfpq_delete", sf_dir)
+    if not os.path.exists(f"{path}/deleted"):
+        shutil.rmtree(path, ignore_errors=True)
+        build_ivfpq_index(e, path, n_cells=8, m=8, nbits=4)
+        doomed = e.filter(F.col("vec_id") % 10 == 7).select("vec_id")
+        del_n = doomed.count()
+        if del_n:  # a re-id'd degenerate fixture may have no %10==7 rows
+            ivfpq_delete(spark, path, doomed)
+        spark.createDataFrame([(del_n,)], "del_n long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/deleted")
+    return path
+
+
+def sim_ivfpq_delete_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw probe of the post-delete index for query 0 (engine-specific
+    ranks; the registered entry wraps this in the audit form)."""
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        ivfpq_probe,
+    )
+
+    path = _deleted_index_path(spark, sf_dir)
+    q = _query_vector(spark, sf_dir, 0)
+    return ivfpq_probe(spark, path, q, k=10, nprobe=4, refine=16)
+
+
+@register(
+    "sim_ivfpq_delete_audit",
+    oracle=f"""
+        SELECT a.vec_id,
+               round({_cos_sql('a.embedding', 'q.embedding')}, 6) AS cos_sim,
+               true AS tombstone_count_ok,
+               true AS no_deleted_served_ok,
+               true AS recall_ok
+        FROM embeddings a,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE a.vec_id <> 0 AND a.vec_id % 10 <> 7
+        ORDER BY cos_sim DESC, a.vec_id
+        LIMIT 10
+    """,
+    description=(
+        "tombstone deletion from the IVFPQ index — the takedown / "
+        "right-to-be-forgotten path and ivfpq_upsert's operational "
+        "complement (FAISS remove_ids semantics): the %10==7 slice of the "
+        "indexed corpus is DELETED by appending its ids to the index's "
+        "tombstone parquet; every probe anti-joins the broadcast tombstone "
+        "set BEFORE ADC ranking, so deleted vectors neither surface nor "
+        "consume k*refine candidate slots, and no data file is rewritten — "
+        "O(batch) per delete at any index size (compaction = the "
+        "recall-cadence rebuild the upsert contract documents). "
+        "Driver-checked in audit form: the exact top-10 over the SURVIVOR "
+        "corpus plus three booleans served through the post-delete index — "
+        "tombstone accounting (set size == deleted-slice size), exclusion "
+        "(an 8-cell exhaustive probe of the full query batch returns no "
+        "tombstoned id), and query-0 recall@10 >= 0.4 against the survivor "
+        "ground truth (raw ranks: sim_ivfpq_delete_raw)"
+    ),
+    tags=("similarity", "north-star", "ann", "incremental", "scale"),
+)
+def sim_ivfpq_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        ivfpq_probe_batch,
+        load_ivfpq_tombstones,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    survivors = corpus.filter(F.col("vec_id") % 10 != 7)
+    path = _deleted_index_path(spark, sf_dir)
+    q = _query_vector(spark, sf_dir, 0)
+    exact = brute_force_topk(survivors, q, k=10)
+    audited = _audited_topk(
+        exact, sim_ivfpq_delete_raw(spark, sf_dir), _DELETE_RECALL_FLOOR
+    )
+    # accounting: the tombstone set is exactly the deleted slice
+    tomb = load_ivfpq_tombstones(spark, path)
+    tomb_n = (
+        tomb.agg(F.count("*").alias("_tomb_n"))
+        if tomb is not None
+        else spark.range(1).select(F.lit(0).cast("long").alias("_tomb_n"))
+    )
+    count_ok = tomb_n.crossJoin(
+        corpus.filter(F.col("vec_id") % 10 == 7).agg(F.count("*").alias("_del_n"))
+    ).select((F.col("_tomb_n") == F.col("_del_n")).alias("tombstone_count_ok"))
+    # exclusion: an exhaustive (all-cells) probe of the full %100 query
+    # batch must never serve a tombstoned id — the strongest probe-side
+    # statement, since every surviving candidate is reachable at nprobe=8
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    served = ivfpq_probe_batch(spark, path, qs, k=10, nprobe=8, refine=16)
+    no_deleted = served.agg(
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("vec_id") % 10 == 7, 1).otherwise(0)), F.lit(0)
+            )
+            == 0
+        ).alias("no_deleted_served_ok")
+    )
+    return (
+        audited.crossJoin(F.broadcast(count_ok))  # constant-key: 1-row verdicts
+        .crossJoin(F.broadcast(no_deleted))
+        .select("vec_id", "cos_sim", "tombstone_count_ok", "no_deleted_served_ok", "recall_ok")
+    )

@@ -90,3 +90,69 @@ def test_rerank_never_worse_per_query_and_audit_true(spark, sf_dir):
     for r in out:
         by_q.setdefault(r["query_id"], set()).add(r["idcg_micro"])
     assert all(len(v) == 1 for v in by_q.values())
+
+
+def test_ivfpq_delete_tombstone_semantics(spark, sf_dir, tmp_path):
+    """FAISS remove_ids semantics on the tombstone path: deleted ids are
+    never served (single probe AND batch probe — the bit-for-bit parity
+    contract must hold WITH tombstones), deletes compose with upserts,
+    repeated deletes are idempotent at read time, and deleting an unknown
+    id is a no-op."""
+    import pyspark.sql.functions as F
+
+    from data_integration_and_processing_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_delete,
+        ivfpq_probe,
+        ivfpq_probe_batch,
+        ivfpq_upsert,
+        load_ivfpq_tombstones,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "delidx")
+    build_ivfpq_index(e.filter(F.col("vec_id") % 10 != 3), path, n_cells=4, m=8, nbits=4)
+    ivfpq_upsert(e.filter(F.col("vec_id") % 10 == 3), path)
+
+    q_row = e.filter(F.col("vec_id") == 1).select("embedding").first()
+    q = [float(x) for x in q_row["embedding"]]
+    before = {r["vec_id"] for r in ivfpq_probe(spark, path, q, k=10, nprobe=4, refine=16).collect()}
+    assert before, "probe must return candidates before any delete"
+
+    # delete everything the probe just served, including upserted (%10==3)
+    # ids if any — composition with upsert
+    doomed = sorted(before)
+    ivfpq_delete(spark, path, spark.createDataFrame([(i,) for i in doomed], "vec_id long"))
+    after = {r["vec_id"] for r in ivfpq_probe(spark, path, q, k=10, nprobe=4, refine=16).collect()}
+    assert after.isdisjoint(before), (before, after)
+    assert after, "survivors must backfill the k slots"
+
+    # batch path applies the same tombstone filter (parity contract)
+    batch = ivfpq_probe_batch(spark, path, [(1, q)], k=10, nprobe=4, refine=16)
+    batch_ids = {r["vec_id"] for r in batch.collect()}
+    assert batch_ids == after, (batch_ids, after)
+
+    # idempotent: re-deleting the same ids and deleting an unknown id
+    # changes nothing served; the distinct tombstone set stays the same
+    ivfpq_delete(
+        spark, path, spark.createDataFrame([(i,) for i in doomed] + [(10**9,)], "vec_id long")
+    )
+    again = {r["vec_id"] for r in ivfpq_probe(spark, path, q, k=10, nprobe=4, refine=16).collect()}
+    assert again == after
+    tomb = load_ivfpq_tombstones(spark, path)
+    assert tomb.count() == len(doomed) + 1  # distinct ids (unknown id included)
+
+
+def test_ivfpq_delete_audit_booleans_true(spark, sf_dir):
+    from data_integration_and_processing_spark.queries.similarity_queries import (
+        sim_ivfpq_delete_audit,
+    )
+
+    rows = sim_ivfpq_delete_audit(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(
+        r["tombstone_count_ok"] and r["no_deleted_served_ok"] and r["recall_ok"]
+        for r in rows
+    ), rows
+    # the exact ground truth itself must contain no deleted id
+    assert all(r["vec_id"] % 10 != 7 for r in rows)
