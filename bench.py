@@ -297,7 +297,33 @@ def _run_canaries(spark, sf_dir: str) -> dict[str, float]:
             .write.format("noop").mode("overwrite").save()
         )
         arrow_best = min(arrow_best, time.time() - t0)
-    return {"jvm_sec": round(jvm_best, 3), "arrow_sec": round(arrow_best, 3)}
+
+    # Third canary, RECORDED ONLY (the drift gate stays on the frozen pair
+    # for cross-round continuity): a many-stage shuffle job measuring the
+    # box's parallel shuffle + task-scheduling character. Motivation
+    # (r13): a box whose jvm/arrow canaries read FASTER than baseline ran
+    # the 61-query common subset +12% SLOWER — the single-query canaries
+    # under-model shuffle/scheduling throughput, and this column gives
+    # future rounds the diagnostic they were missing. Code-frozen from r13.
+    shuffle_best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(3_000_000, numPartitions=n)
+            .select((F.col("id") % 9973).alias("k"), F.col("id").alias("v"))
+            .repartition(64, "k")
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+            .groupBy((F.col("k") % 64).alias("b"))
+            .agg(F.sum("s").alias("s2"), F.sum("c").alias("c2"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        shuffle_best = min(shuffle_best, time.time() - t0)
+    return {
+        "jvm_sec": round(jvm_best, 3),
+        "arrow_sec": round(arrow_best, 3),
+        "shuffle_sec": round(shuffle_best, 3),
+    }
 
 
 def _dedup_scale_probe(spark, sf_dir: str) -> dict[str, float | int]:

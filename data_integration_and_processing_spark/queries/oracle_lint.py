@@ -344,12 +344,15 @@ _QUOTIENT_RE = re.compile(r"/|\bavg\s*\(|\bmean\s*\(", re.IGNORECASE)
 #           exist (e.g. a DECIMAL(18,2)-exact cents sum rounded at k=2: the
 #           exact value has 2 decimals, the nearest tie is ~10^-2 away —
 #           ~1e10 double ulps at any magnitude).
-#   det64 — both engines compute the IDENTICAL binary64 (exact DECIMAL
-#           sufficient statistics finished by the same spelled-out IEEE
-#           chain, no libm); Spark HALF_UP on that double's decimal
-#           expansion and DuckDB's binary rounding then only disagree if
-#           the dyadic expansion terminates with '5' exactly at digit k+1
-#           (~2^-40 per cell — the accepted residual class).
+#   det64 — both engines compute the same binary64 to within at most a few
+#           ulps (exact DECIMAL sufficient statistics finished by the same
+#           spelled-out IEEE chain, no libm; DuckDB's DECIMAL->DOUBLE cast
+#           can double-round once the integer representation exceeds 2^53
+#           — the agg_groupby_stats r13 finding — so "identical" is only
+#           ulp-exact below that). The residual risk is the value landing
+#           within that ulp noise (~1e-16 relative) of a half point on the
+#           10^-k grid — noise/grid ~ 1e-7 per cell for the allowlisted
+#           columns, the accepted residual class.
 # A quotient over data-dependent exact values (avg, count ratios, money/n)
 # may NOT be allowlisted — convert it to integer-micro div instead.
 ROUND_TIE_ALLOWLIST: dict[str, dict[str, str]] = {
