@@ -2411,8 +2411,10 @@ def sim_ivfpq_tuning_frontier_raw(
         served = ivfpq_probe_batch(spark, path, qs, k=10, nprobe=np_, refine=rf).select(
             "query_id", F.col("vec_id").alias("neighbor_id")
         )
+        # both sides are O(10 * |Q|) rows; broadcast the shared checkpointed
+        # ground truth so each arm's hit check is a map-side semi join
         hits = served.join(
-            exact.select("query_id", "neighbor_id"),
+            F.broadcast(exact.select("query_id", "neighbor_id")),
             ["query_id", "neighbor_id"],
             "left_semi",
         )
@@ -2586,7 +2588,9 @@ def sim_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("g") * disc).alias("_idcg"),
     )
     gains = served.join(
-        exact.select("query_id", "neighbor_id", F.col("g").alias("_eg")),
+        # O(10 * |Q|) rows: broadcast the checkpointed ground truth so the
+        # gain lookup is a map-side join
+        F.broadcast(exact.select("query_id", "neighbor_id", F.col("g").alias("_eg"))),
         ["query_id", "neighbor_id"],
         "left",
     )

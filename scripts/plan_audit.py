@@ -135,6 +135,12 @@ DELIBERATE_NESTED_LOOP = {
     # truth all-pairs) + 1-row per-path nDCG/MRR verdict crosses (r12)
     "sim_ivfpq_upsert_audit",  # 1-row query vector + 1-row accounting /
     # self-hit / recall verdict crosses (r12)
+    "sim_ivfpq_delete_audit",  # 1-row query vector + 1-row tombstone-
+    # accounting / exclusion / recall verdict crosses (r13)
+    "sim_ivfpq_tuning_frontier",  # broadcast %100 query batch inside the
+    # shared exact ground truth; per-arm 1-row recall aggregates (r13)
+    "sim_rerank_eval",  # broadcast %100 query batch (ground truth) +
+    # 2-row arms literal x O(|Q|) idcg cross + 1-row verdict crosses (r13)
     "sim_ann_recall_audit",  # query-batch crosses in the exact ground truth
     "sim_hard_negatives",  # broadcast anchor/positive batch
     "sim_sample_diversity",  # broadcast k-row sample
