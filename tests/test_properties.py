@@ -98,3 +98,41 @@ def test_hash_bucket_sql_twin_matches_spark(spark, ddb):
         assert got == {k: int(v) for k, v in want.items()}
 
     check()
+
+
+def test_integral_div_twin_matches_duckdb(spark, ddb):
+    """The r13 tie-sweep's load-bearing cross-engine assumption: Spark's
+    `a div b` and DuckDB's BIGINT `a // b` are BOTH truncation toward zero
+    for every sign combination (NOT floor division — they agree on -7//2 =
+    -3). Every integer-micro/nano quotient contract in the catalog rests on
+    this; pin it over arbitrary signed pairs. (DuckDB's DECIMAL `//` does
+    NOT truncate — the sweep keeps integral types on the DuckDB side, so
+    only the BIGINT/HUGEINT semantics are load-bearing.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    nums = st.integers(min_value=-(2**62), max_value=2**62)
+    dens = st.integers(min_value=-(2**31), max_value=2**31).filter(lambda d: d != 0)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.tuples(nums, dens), min_size=1, max_size=40))
+    def check(pairs):
+        sdf = spark.createDataFrame(pairs, "a long, b long")
+        got = {
+            (r["a"], r["b"]): r["q"]
+            for r in sdf.selectExpr("a", "b", "a div b AS q").collect()
+        }
+        vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+        want = {
+            (a, b): int(q)
+            for a, b, q in ddb.sql(
+                f"SELECT a, b, a // b FROM (VALUES {vals}) t(a, b)"
+            ).fetchall()
+        }
+        assert got == want
+        # and both equal Python's truncation toward zero
+        for (a, b), q in got.items():
+            trunc = abs(a) // abs(b) * (1 if (a >= 0) == (b >= 0) else -1)
+            assert q == trunc, (a, b, q, trunc)
+
+    check()
