@@ -90,6 +90,7 @@ _PINNED: tuple[str, ...] = (
     "prep_target_encoding",
     "temporal_interarrival_stats",
     "temporal_decayed_engagement",
+    "temporal_stl_lite",
     "window_distribution_functions",
 )
 

@@ -910,23 +910,25 @@ def stream_ohlc_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH hourly AS (
             SELECT event_type,
                    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
-                   round(sum(value), 4) AS y
+                   CAST(round(sum(value) * 10000) AS BIGINT) AS y_e4
             FROM events GROUP BY event_type, floor(epoch(ts) / 3600)
         ),
         trended AS (
-            SELECT event_type, hr, y,
-                   round(avg(y) OVER (PARTITION BY event_type ORDER BY hr
-                                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING), 6)
-                       AS trend
+            SELECT event_type, hr, y_e4,
+                   CAST((sum(y_e4) OVER win * 100) // (count(*) OVER win)
+                        AS BIGINT) AS trend_micro
             FROM hourly
+            WINDOW win AS (PARTITION BY event_type ORDER BY hr
+                           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
         ),
         seasonal AS (
             SELECT event_type, hr % 24 AS hour_of_day,
-                   round(avg(y - trend), 6) AS seasonal
+                   CAST(sum(y_e4 * 100 - trend_micro) // count(*)
+                        AS BIGINT) AS seasonal_micro
             FROM trended GROUP BY event_type, hr % 24
         )
-        SELECT t.event_type, t.hr, t.y, t.trend, s.seasonal,
-               round(t.y - t.trend - s.seasonal, 6) AS residual
+        SELECT t.event_type, t.hr, t.y_e4, t.trend_micro, s.seasonal_micro,
+               t.y_e4 * 100 - t.trend_micro - s.seasonal_micro AS residual_micro
         FROM trended t JOIN seasonal s
           ON t.event_type = s.event_type AND t.hr % 24 = s.hour_of_day
         ORDER BY t.event_type, t.hr
@@ -936,8 +938,12 @@ def stream_ohlc_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trend = 25-hour centered moving average, seasonal = per-hour-of-day "
         "mean of the detrended series, residual = the anomaly signal left "
         "over — the decomposition every seasonal anomaly detector runs "
-        "before thresholding residuals. Hourly sums rounded before the MA "
-        "so float fold order is engine-identical; everything after the "
+        "before thresholding residuals. The whole chain runs in INTEGER "
+        "units (hourly sums snapped to 1e-4, trend/seasonal as exact "
+        "integer-micro truncating division, residual pure integer "
+        "arithmetic): the sf0.001 tier proved round(avg(.),6) lands on "
+        "live round-half ties BELOW the tie lint's 10^(9-k) magnitude bar "
+        "— the mechanism is magnitude-independent. Everything after the "
         "hourly pre-aggregation runs on the O(hours) table"
     ),
     tags=("temporal", "window", "analytics", "aggregation"),
@@ -949,17 +955,28 @@ def temporal_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy(
         "event_type",
         F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr"),
-    ).agg(F.round(F.sum("value"), 4).alias("y"))
+    ).agg(F.round(F.sum("value") * 10000, 0).cast("long").alias("y_e4"))
     w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-12, 12)
-    trended = hourly.withColumn("trend", F.round(F.avg("y").over(w), 6))
+    trended = (
+        hourly.withColumn("_sw", F.sum("y_e4").over(w))
+        .withColumn("_cw", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "trend_micro", F.expr("(_sw * CAST(100 AS BIGINT)) div _cw")
+        )
+        .drop("_sw", "_cw")
+    )
     seasonal = trended.groupBy(
         "event_type", (F.col("hr") % 24).alias("hour_of_day")
-    ).agg(F.round(F.avg(F.col("y") - F.col("trend")), 6).alias("seasonal"))
+    ).agg(
+        F.expr(
+            "sum(y_e4 * CAST(100 AS BIGINT) - trend_micro) div count(*)"
+        ).alias("seasonal_micro")
+    )
     t = trended.alias("t")
     s = seasonal.select(
         F.col("event_type").alias("s_event_type"),
         "hour_of_day",
-        "seasonal",
+        "seasonal_micro",
     )
     return (
         t.join(
@@ -970,10 +987,14 @@ def temporal_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("t.event_type").alias("event_type"),
             "hr",
-            "y",
-            "trend",
-            "seasonal",
-            F.round(F.col("y") - F.col("trend") - F.col("seasonal"), 6).alias("residual"),
+            "y_e4",
+            "trend_micro",
+            "seasonal_micro",
+            (
+                F.col("y_e4") * F.lit(100).cast("long")
+                - F.col("trend_micro")
+                - F.col("seasonal_micro")
+            ).alias("residual_micro"),
         )
         .orderBy("event_type", "hr")
     )
