@@ -1456,3 +1456,74 @@ def _tombstone_filter(spark, path: str, scan: DataFrame) -> DataFrame:
     if tomb is None:
         return scan
     return scan.join(F.broadcast(tomb), "id", "left_anti")
+
+
+def ivfpq_compact(
+    spark,
+    path: str,
+    out_path: str | None = None,
+    train_cap: int = 100_000,
+) -> str:
+    """Compact an IVFPQ index: rebuild the data plane over the SURVIVOR
+    rows (tombstones dropped), retraining fresh coarse cells and PQ
+    codebooks from the stored originals — the operational closer of the
+    upsert/delete lifecycle (FAISS has no in-place compaction either: the
+    documented pattern is ``remove_ids`` tombstoning followed by a rebuild
+    once deleted mass drags selectivity, which is exactly this call).
+
+    Guarantees:
+
+    - **ids preserved**: the survivor (id, v) rows are the rebuild's
+      corpus, so every non-tombstoned id remains servable and no new id
+      appears;
+    - **tombstones retired**: the compacted index has NO tombstone set —
+      probes skip the anti-join entirely;
+    - **rebuild equivalence**: the stored originals round-trip exactly
+      (``array<float>`` in, ``array<float>`` out) and every training
+      collect is hash-deterministic on id, so compaction is bit-equal to
+      :func:`build_ivfpq_index` over the same survivor rows — the audit
+      pins probe-equality against a from-scratch rebuild.
+
+    With ``out_path`` the source index is left untouched (non-destructive
+    mode — what the audit fixture uses so the delete fixture keeps its
+    tombstones). Without it the rebuild lands in-place via a sibling tmp
+    dir and two renames: the old index stays readable until the new one is
+    fully written, and a crash leaves either the old index intact or the
+    new one installed — never a half-written hybrid (the ``.old`` leftover
+    is reaped on the next compact).
+
+    At 100 TB: one distributed survivor scan + encode + partitioned write,
+    bounded driver state (the same 64k-row training collects as the
+    build). Upserts/deletes landing DURING a compact are lost to the new
+    index — quiesce maintenance for the swap window, the standard
+    rebuild-cadence contract documented on :func:`ivfpq_delete`.
+    """
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    survivors = _tombstone_filter(spark, path, spark.read.parquet(f"{path}/data")).select(
+        "id", "v"
+    )
+    in_place = out_path is None
+    dest = f"{path}.__compact_tmp" if in_place else out_path
+    shutil.rmtree(dest, ignore_errors=True)
+    build_ivfpq_index(
+        survivors,
+        dest,
+        n_cells=int(meta["n_cells"]),
+        m=int(meta["m"]),
+        nbits=int(meta["nbits"]),
+        vec_col="v",
+        id_col="id",
+        seed=int(meta["seed"]),
+        train_cap=train_cap,
+    )
+    if not in_place:
+        return dest
+    old = f"{path}.__compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(dest, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return path

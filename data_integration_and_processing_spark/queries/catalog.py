@@ -64,35 +64,15 @@ _WINDOW_SIZE = 50
 _ALWAYS: tuple[str, ...] = ("q1_pricing_summary",)
 
 # Round-specific pins: entries that MUST re-verify under the driver this
-# round. r13 (VERDICT r12 items 1-3): every query whose OUTPUT CONTRACT
-# changed in the round-half-tie sweep — the rfm integer-micro averages
-# (ending the 3-round red), and the twelve other flagged queries whose
-# quotient columns converted to exact integer-micro/nano truncating
-# division (renamed columns and/or new values, so their old driver greens
-# no longer attest the current contract). The value-preserving
-# DECIMAL-exact sum conversions (agg_having, join_range_band,
-# join_bloom_prefilter, sql_text_parity, etl_manifest_skipping,
-# etl_incremental_agg_maintenance) keep identical hashes — replica-proven
-# — and need no pin. Window math: 13 pins + q1 leaves ~36 slots of
-# stalest-first fill for the 52 remaining r4/r5 greens (rotation
-# completes in r14 per VERDICT item 4).
-_PINNED: tuple[str, ...] = (
-    "analytics_rfm_segmentation",
-    "agg_groupby_stats",
-    "agg_market_basket_lift",
-    "agg_exact_stats_trend",
-    "agg_equiwidth_histogram",
-    "events_cohort_ltv",
-    "events_time_to_convert",
-    "quality_order_total_reconcile",
-    "sample_ab_welch_ttest",
-    "sample_ab_cuped_adjustment",
-    "prep_target_encoding",
-    "temporal_interarrival_stats",
-    "temporal_decayed_engagement",
-    "temporal_stl_lite",
-    "window_distribution_functions",
-)
+# round. r14 (VERDICT r13 items 1+3): queries whose OUTPUT CONTRACT changes
+# in this round's proactive rational-quotient conversion sweep (the
+# strengthened no-magnitude-bar tie lint) are appended here as they are
+# converted — a converted query's old driver green no longer attests its
+# new hash. The 22 r5-stale greens need NO pin: with every other entry
+# green r6+ they are exactly the stalest-first fill, and the window math
+# (1 always + pins + family slots + fill) keeps all 22 inside as long as
+# pins stay <= ~20.
+_PINNED: tuple[str, ...] = ()
 
 # Every family that must keep an oracle-checked row inside the window
 # (tests/test_catalog_window.py holds an independent copy as the gate).

@@ -2765,3 +2765,143 @@ def sim_ivfpq_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(no_deleted))
         .select("vec_id", "cos_sim", "tombstone_count_ok", "no_deleted_served_ok", "recall_ok")
     )
+
+
+# ---------------------------------------------------------------------------
+# r14: IVFPQ compaction (closes the build -> upsert -> delete lifecycle)
+# ---------------------------------------------------------------------------
+
+# Post-compaction recall floor for query 0 against the survivor corpus.
+# Compaction must be at least as good as the tombstoned index it replaces,
+# so the floor is the SAME contract the delete audit pins (and the
+# probe-equality boolean pins the much stronger statement: the compacted
+# index IS the from-scratch rebuild).
+_COMPACT_RECALL_FLOOR = _DELETE_RECALL_FLOOR
+
+
+def _compacted_index_path(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(compacted, from-scratch-rebuild) index pair for the compaction
+    audit, keyed by the fixture fingerprint. The compacted index is built
+    NON-destructively (out_path mode) from the delete fixture — the delete
+    audit must keep its tombstones — and the rebuild indexes the survivor
+    slice straight from the corpus with the same params/seed; the audit's
+    probe-equality boolean is exactly "these two are the same index".
+    Marker parquet lands last (the lifecycle fixtures' crash discipline)."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        build_ivfpq_index,
+        ivfpq_compact,
+    )
+
+    src = _deleted_index_path(spark, sf_dir)
+    cpath = _fixture_index_path("ivfpq_compact", sf_dir)
+    rpath = _fixture_index_path("ivfpq_rebuild", sf_dir)
+    if not os.path.exists(f"{cpath}/compacted"):
+        shutil.rmtree(cpath, ignore_errors=True)
+        shutil.rmtree(rpath, ignore_errors=True)
+        ivfpq_compact(spark, src, out_path=cpath)
+        survivors = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter((F.col("vec_id") != 0) & (F.col("vec_id") % 10 != 7))
+        )
+        build_ivfpq_index(survivors, rpath, n_cells=8, m=8, nbits=4)
+        spark.range(1).coalesce(1).write.mode("overwrite").parquet(f"{cpath}/compacted")
+    return cpath, rpath
+
+
+def sim_ivfpq_compact_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw probe of the COMPACTED index for query 0 (engine-specific ranks;
+    the registered entry wraps this in the audit form)."""
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        ivfpq_probe,
+    )
+
+    cpath, _ = _compacted_index_path(spark, sf_dir)
+    q = _query_vector(spark, sf_dir, 0)
+    return ivfpq_probe(spark, cpath, q, k=10, nprobe=4, refine=16)
+
+
+@register(
+    "sim_ivfpq_compact_audit",
+    oracle=f"""
+        SELECT a.vec_id,
+               round({_cos_sql('a.embedding', 'q.embedding')}, 6) AS cos_sim,
+               true AS compact_rows_ok,
+               true AS rebuild_probe_equal_ok,
+               true AS recall_ok
+        FROM embeddings a,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE a.vec_id <> 0 AND a.vec_id % 10 <> 7
+        ORDER BY cos_sim DESC, a.vec_id
+        LIMIT 10
+    """,
+    description=(
+        "IVFPQ compaction — the lifecycle closer the upsert (r12) and "
+        "tombstone-delete (r13) contracts both point at: once deleted mass "
+        "drags cell selectivity, the index is REBUILT over the survivor "
+        "rows from its own stored originals (fresh coarse cells + fresh "
+        "codebooks, ids preserved, tombstones retired — FAISS remove_ids + "
+        "rebuild semantics). Every training collect is hash-deterministic "
+        "on id and the stored vectors round-trip exactly, so compaction is "
+        "bit-equal to a from-scratch build over the survivors. "
+        "Driver-checked in audit form: the exact top-10 over the SURVIVOR "
+        "corpus plus three booleans — accounting (compacted rows == "
+        "survivor rows AND the tombstone set is gone), probe-equality "
+        "(query-0 top-10 ids+scores through the compacted index == through "
+        "an independent from-scratch survivor rebuild), and query-0 "
+        "recall@10 >= the tombstoned index's own floor, served entirely "
+        "through the compacted index (raw ranks: sim_ivfpq_compact_raw)"
+    ),
+    tags=("similarity", "north-star", "ann", "incremental", "scale"),
+)
+def sim_ivfpq_compact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        ivfpq_probe,
+        load_ivfpq_tombstones,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    survivors = e.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 10 != 7))
+    cpath, rpath = _compacted_index_path(spark, sf_dir)
+    q = _query_vector(spark, sf_dir, 0)
+    exact = brute_force_topk(survivors, q, k=10)
+    audited = _audited_topk(
+        exact, sim_ivfpq_compact_raw(spark, sf_dir), _COMPACT_RECALL_FLOOR
+    )
+    # accounting: every survivor row (and nothing else) is in the compacted
+    # data plane, and the tombstone set did not survive the rebuild
+    tomb_gone = load_ivfpq_tombstones(spark, cpath) is None
+    rows_ok = (
+        spark.read.parquet(f"{cpath}/data")
+        .agg(F.count("*").alias("_idx_n"))
+        .crossJoin(survivors.agg(F.count("*").alias("_surv_n")))
+        .select(
+            ((F.col("_idx_n") == F.col("_surv_n")) & F.lit(tomb_gone)).alias(
+                "compact_rows_ok"
+            )
+        )
+    )
+    # probe-equality: the compacted index and the from-scratch survivor
+    # rebuild serve IDENTICAL (id, score) top-10s for query 0 — both sides
+    # are k rows, so the full-outer null check is O(k)
+    cp = ivfpq_probe(spark, cpath, q, k=10, nprobe=4, refine=16)
+    rp = ivfpq_probe(spark, rpath, q, k=10, nprobe=4, refine=16)
+    probe_eq = (
+        cp.select("vec_id", "cos_sim")
+        .exceptAll(rp.select("vec_id", "cos_sim"))
+        .unionAll(rp.select("vec_id", "cos_sim").exceptAll(cp.select("vec_id", "cos_sim")))
+        .agg((F.count("*") == 0).alias("rebuild_probe_equal_ok"))
+    )
+    return (
+        audited.crossJoin(F.broadcast(rows_ok))  # constant-key: 1-row verdicts
+        .crossJoin(F.broadcast(probe_eq))
+        .select(
+            "vec_id",
+            "cos_sim",
+            "compact_rows_ok",
+            "rebuild_probe_equal_ok",
+            "recall_ok",
+        )
+    )
