@@ -127,8 +127,8 @@ def repetition_metrics(
     """Per-document repetition scores (the Gopher boilerplate family):
 
     - ``n_words``
-    - ``dup_word_frac``  — 1 - distinct/total words
-    - ``top_ngram_frac`` — share of all word n-grams taken by the single
+    - ``dup_word_frac_micro``  — 1 - distinct/total words (integer micro)
+    - ``top_ngram_frac_micro`` — share of all word n-grams taken by the single
       most frequent n-gram (high => looping/boilerplate text)
 
     Everything is a higher-order-function column expression over the word
@@ -140,17 +140,26 @@ def repetition_metrics(
     words = F.split(F.col(text_col), " ")
     grams = _ngrams_all(words, n)
     n_words = F.size(words)
+    # exact integer-micro fractions (r14 no-bar tie sweep): count/count
+    # quotients ship as truncating BIGINT division — no rounding mode
     return (
         docs.filter(F.size(F.split(F.col(text_col), " ")) >= n)
         .select(
             F.col(id_col),
             n_words.cast("bigint").alias("n_words"),
-            F.round(1 - F.size(F.array_distinct(words)) / n_words.cast("double"), 6).alias(
-                "dup_word_frac"
+            F.size(F.array_distinct(words)).cast("long").alias("_nd"),
+            _max_run_length(F.array_sort(grams)).cast("long").alias("_mr"),
+            F.size(grams).cast("long").alias("_ng"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            F.expr(
+                "1000000 - (_nd * CAST(1000000 AS BIGINT)) div n_words"
+            ).alias("dup_word_frac_micro"),
+            F.expr("(_mr * CAST(1000000 AS BIGINT)) div _ng").alias(
+                "top_ngram_frac_micro"
             ),
-            F.round(
-                _max_run_length(F.array_sort(grams)) / F.size(grams).cast("double"), 6
-            ).alias("top_ngram_frac"),
         )
     )
 

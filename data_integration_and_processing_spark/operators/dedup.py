@@ -826,14 +826,19 @@ def ngram_containment_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # exact integer-micro containment (r14 no-bar tie sweep): for integer
+    # k, trunc(p*1e6/q) >= k <=> p*1e6 >= k*q, so the micro threshold is
+    # EXACTLY the rational threshold — no float compare at the boundary
+    thresh_micro = int(round(threshold * 1_000_000))
     return (
         pair_inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
-            "containment", F.col("inter").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
+            "containment_micro",
+            F.expr("(inter * CAST(1000000 AS BIGINT)) div least(n_a, n_b)"),
         )
-        .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "inter", "containment")
+        .filter(F.col("containment_micro") >= thresh_micro)
+        .select("id_a", "id_b", "inter", "containment_micro")
     )
 
 

@@ -206,12 +206,14 @@ def triangle_stats(
             "n_edges",
             "n_wedges",
             "n_triangles",
-            F.round(
-                F.when(F.col("n_wedges") > 0, 3.0 * F.col("n_triangles") / F.col("n_wedges")).otherwise(
-                    F.lit(0.0)
-                ),
-                6,
-            ).alias("clustering_coeff"),
+            # exact integer-micro (r14 no-bar tie sweep): 3T/W is a
+            # rational that can land exactly on a round-half tie —
+            # truncating BIGINT div has no rounding mode to disagree on
+            F.expr(
+                "CASE WHEN n_wedges > 0"
+                " THEN (3 * n_triangles * CAST(1000000 AS BIGINT)) div n_wedges"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("clustering_coeff_micro"),
         )
         # single-row census: materialize eagerly so both caches release now
         .localCheckpoint(eager=True)

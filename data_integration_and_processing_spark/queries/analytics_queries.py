@@ -126,7 +126,7 @@ SELECT f.cohort_week,
        a.active_week - f.cohort_week AS week_offset,
        count(*) AS active_users,
        s.cohort_size,
-       round(count(*) / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+       (count(*) * CAST(1000000 AS BIGINT)) // s.cohort_size AS retention_micro
 FROM active a
 JOIN firstseen f ON a.user_id = f.user_id
 JOIN cohort_sizes s ON f.cohort_week = s.cohort_week
@@ -166,8 +166,12 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week_offset",
             "active_users",
             "cohort_size",
-            F.round(F.col("active_users") / F.col("cohort_size").cast("double"), 6).alias(
-                "retention"
+            # exact integer-micro retention (r14 no-bar tie sweep): a
+            # count/count quotient can land exactly on a round-half tie
+            # whenever the reduced denominator is 2^7*5^j — truncating
+            # integer division has no rounding mode to disagree on
+            F.expr("(active_users * CAST(1000000 AS BIGINT)) div cohort_size").alias(
+                "retention_micro"
             ),
         )
     )
@@ -250,19 +254,22 @@ sums AS (
            sum(x * x) AS sxx,
            sum(y) AS sy,
            sum(y_nano) AS sy_nano,
+           sum(x * y_nano) AS sxy_nano,
            sum(x * y) AS sxy,
            sum(y * y) AS syy
     FROM base GROUP BY event_type
 ),
 sl AS (
     SELECT *,
-           round((CAST(n * sxy - sx * sy AS DOUBLE))
-                 / (CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS slope
+           CAST((CAST(n AS HUGEINT) * CAST(sxy_nano AS HUGEINT)
+                 - CAST(sx AS HUGEINT) * CAST(sy_nano AS HUGEINT))
+                // (1000 * (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx))
+                AS BIGINT) AS slope_micro
     FROM sums
 )
-SELECT event_type, n, slope,
+SELECT event_type, n, slope_micro,
        CAST((CAST(sy_nano AS HUGEINT)
-             - CAST(round(slope * 1000000) AS HUGEINT) * 1000 * sx)
+             - CAST(slope_micro AS HUGEINT) * 1000 * sx)
             // (1000 * n) AS BIGINT) AS intercept_micro,
        round((CAST(n * sxy - sx * sy AS DOUBLE))
              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
@@ -302,23 +309,32 @@ def agg_exact_stats_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum("y").alias("sy"),
         F.sum("y_nano").alias("sy_nano"),
+        F.sum(F.col("x") * F.col("y_nano")).alias("sxy_nano"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    sl = sums.withColumn("slope", F.round(num / den, 6))
+    # slope AND intercept as EXACT integer-micro (r12 rfm tie class, r14
+    # no-bar sweep): the OLS quotient of DECIMAL-exact sufficient stats is
+    # a rational that can land exactly on a round-half tie — truncating
+    # integral div on the nano-scaled numerator has no rounding mode
+    sl = sums.withColumn(
+        "slope_micro",
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * sxy_nano"
+            " - CAST(sx AS DECIMAL(38,0)) * sy_nano)"
+            " div (1000 * (CAST(n * sxx - sx * sx AS DECIMAL(38,0)))) AS BIGINT)"
+        ),
+    )
     vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    # intercept as EXACT integer-micro (r12 rfm tie class): micro units of
-    # (sy - slope*sx)/n with the rounded slope recovered onto its 1e-6
-    # integer grid, all arithmetic integral, truncating div on both engines
     return sl.select(
         "event_type",
         "n",
-        "slope",
+        "slope_micro",
         F.expr(
             "(CAST(sy_nano AS DECIMAL(38,0))"
-            " - CAST(round(slope * 1000000, 0) AS DECIMAL(38,0)) * 1000 * sx)"
+            " - CAST(slope_micro AS DECIMAL(38,0)) * 1000 * sx)"
             " div (1000 * n)"
         ).alias("intercept_micro"),
         F.round(num / F.sqrt(den) / F.sqrt(vary), 6).alias("pearson_r"),
@@ -491,7 +507,7 @@ tot AS (
     SELECT from_type, sum(n_transitions) AS n_from FROM c GROUP BY from_type
 )
 SELECT c.from_type, c.to_type, c.n_transitions,
-       round(c.n_transitions / CAST(t.n_from AS DOUBLE), 6) AS prob
+       CAST((c.n_transitions * 1000000) // t.n_from AS BIGINT) AS prob_micro
 FROM c JOIN tot t USING (from_type)
 ORDER BY c.from_type, c.to_type
 """
@@ -529,7 +545,10 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "from_type",
             "to_type",
             "n_transitions",
-            F.round(F.col("n_transitions") / F.col("n_from").cast("double"), 6).alias("prob"),
+            # exact integer-micro (r14 no-bar tie sweep)
+            F.expr("(n_transitions * CAST(1000000 AS BIGINT)) div n_from").alias(
+                "prob_micro"
+            ),
         )
         .orderBy("from_type", "to_type")
     )
@@ -950,9 +969,10 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT CAST(count(*) AS BIGINT) FROM pp) AS n_edges,
                agg.n_wedges,
                tri.n_triangles,
-               round(CASE WHEN agg.n_wedges > 0
-                          THEN 3.0 * tri.n_triangles / agg.n_wedges
-                          ELSE 0.0 END, 6) AS clustering_coeff
+               CASE WHEN agg.n_wedges > 0
+                    THEN (3 * tri.n_triangles * CAST(1000000 AS BIGINT))
+                         // agg.n_wedges
+                    ELSE CAST(0 AS BIGINT) END AS clustering_coeff_micro
         FROM agg, tri
     """,
     description=(
@@ -1115,8 +1135,8 @@ p AS (
 SELECT (SELECT count(*) FROM v) AS n_view,
        (SELECT count(*) FROM c) AS n_click,
        (SELECT count(*) FROM p) AS n_purchase,
-       round((SELECT count(*) FROM p) / CAST((SELECT count(*) FROM v) AS DOUBLE), 6)
-           AS conversion
+       ((SELECT count(*) FROM p) * CAST(1000000 AS BIGINT)) // (SELECT count(*) FROM v)
+           AS conversion_micro
 """
 
 
@@ -1161,7 +1181,10 @@ def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_view",
             "n_click",
             "n_purchase",
-            F.round(F.col("n_purchase") / F.col("n_view").cast("double"), 6).alias("conversion"),
+            # exact integer-micro (r14 no-bar tie sweep)
+            F.expr("(n_purchase * CAST(1000000 AS BIGINT)) div n_view").alias(
+                "conversion_micro"
+            ),
         )
     )
 
@@ -1176,15 +1199,15 @@ WITH base AS (
 ),
 per_dow AS (
     SELECT event_type, dow, count(*) AS n_events,
-           round(avg(value), 6) AS avg_value
+           (CAST(round(sum(value) * 10000) AS BIGINT) * 100) // count(*) AS avg_value_micro
     FROM base GROUP BY event_type, dow
 ),
 overall AS (
-    SELECT event_type, CAST(count(*) AS DOUBLE) / 7.0 AS expected_per_dow
+    SELECT event_type, count(*) AS n_total
     FROM base GROUP BY event_type
 )
-SELECT p.event_type, CAST(p.dow AS INT) AS dow, p.n_events, p.avg_value,
-       round(p.n_events / o.expected_per_dow, 6) AS seasonality_index
+SELECT p.event_type, CAST(p.dow AS INT) AS dow, p.n_events, p.avg_value_micro,
+       (p.n_events * CAST(7000000 AS BIGINT)) // o.n_total AS seasonality_index_micro
 FROM per_dow p JOIN overall o ON p.event_type = o.event_type
 ORDER BY p.event_type, dow
 """
@@ -1207,20 +1230,27 @@ ORDER BY p.event_type, dow
 def temporal_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     base = e.select("event_type", F.dayofweek("ts").alias("dow"), "value")
+    # exact integer-micro quotients (r14 no-bar tie sweep): the e4-snapped
+    # value sum and the 7x count ratio are BIGINT-exact on both engines, so
+    # truncating div has no rounding mode to disagree on
     per_dow = base.groupBy("event_type", "dow").agg(
-        F.count("*").alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value")
+        F.count("*").alias("n_events"),
+        F.expr(
+            "(CAST(round(sum(value) * 10000, 0) AS BIGINT) * CAST(100 AS BIGINT))"
+            " div count(*)"
+        ).alias("avg_value_micro"),
     )
-    overall = base.groupBy("event_type").agg(
-        (F.count("*").cast("double") / 7.0).alias("expected_per_dow")
-    )
+    overall = base.groupBy("event_type").agg(F.count("*").alias("n_total"))
     return (
         per_dow.join(F.broadcast(overall), "event_type")
         .select(
             "event_type",
             F.col("dow").cast("int").alias("dow"),
             "n_events",
-            "avg_value",
-            F.round(F.col("n_events") / F.col("expected_per_dow"), 6).alias("seasonality_index"),
+            "avg_value_micro",
+            F.expr("(n_events * CAST(7000000 AS BIGINT)) div n_total").alias(
+                "seasonality_index_micro"
+            ),
         )
         .orderBy("event_type", "dow")
     )
@@ -1245,10 +1275,11 @@ ranked AS (
 )
 SELECT CAST(min(CASE WHEN cum_n >= 0.8 * total_n THEN rnk END) AS BIGINT) AS users_for_80pct,
        CAST(max(total_users) AS BIGINT) AS total_users,
-       round(CAST(min(CASE WHEN cum_n >= 0.8 * total_n THEN rnk END) AS DOUBLE)
-             / max(total_users), 6) AS user_share_for_80pct,
-       round(max(CASE WHEN rnk <= CAST(ceil(0.2 * total_users) AS BIGINT)
-                      THEN CAST(cum_n AS DOUBLE) / total_n END), 6) AS volume_share_of_top20pct
+       (min(CASE WHEN cum_n >= 0.8 * total_n THEN rnk END) * CAST(1000000 AS BIGINT))
+             // max(total_users) AS user_share_for_80pct_micro,
+       CAST(max(CASE WHEN rnk <= CAST(ceil(0.2 * total_users) AS BIGINT)
+                     THEN (cum_n * 1000000) // total_n END) AS BIGINT)
+           AS volume_share_of_top20pct_micro
 FROM ranked
 """
 
@@ -1280,17 +1311,25 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(Window.partitionBy()).alias("total_users"),
     )
     users_80 = F.min(F.when(F.col("cum_n") >= 0.8 * F.col("total_n"), F.col("rnk")))
-    top20_share = F.max(
+    # exact integer-micro shares (r14 no-bar tie sweep): total_n/total_users
+    # are constant across rows, so max over per-row truncating quotients ==
+    # the truncating quotient of the max — monotone, no rounding mode
+    top20_share_micro = F.max(
         F.when(
             F.col("rnk") <= F.ceil(0.2 * F.col("total_users")).cast("bigint"),
-            F.col("cum_n").cast("double") / F.col("total_n"),
+            F.expr("(cum_n * CAST(1000000 AS BIGINT)) div total_n"),
         )
     )
     return ranked.agg(
         users_80.cast("bigint").alias("users_for_80pct"),
         F.max("total_users").cast("bigint").alias("total_users"),
-        F.round(users_80.cast("double") / F.max("total_users"), 6).alias("user_share_for_80pct"),
-        F.round(top20_share, 6).alias("volume_share_of_top20pct"),
+        (users_80 * F.lit(1000000).cast("bigint")).cast("long").alias("_u80m"),
+        top20_share_micro.alias("volume_share_of_top20pct_micro"),
+    ).select(
+        "users_for_80pct",
+        "total_users",
+        F.expr("_u80m div total_users").alias("user_share_for_80pct_micro"),
+        "volume_share_of_top20pct_micro",
     )
 
 
@@ -1429,8 +1468,9 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type, week, n,
                lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
-               round(CAST(n AS DOUBLE)
-                     / lag(n) OVER (PARTITION BY event_type ORDER BY week) - 1.0, 6) AS wow_change
+               (n * CAST(1000000 AS BIGINT))
+                   // lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                   - 1000000 AS wow_change_micro
         FROM weekly ORDER BY event_type, week
     """,
     description=(
@@ -1456,7 +1496,10 @@ def temporal_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week",
         "n",
         prev.alias("prev_n"),
-        F.round(F.col("n").cast("double") / prev - 1.0, 6).alias("wow_change"),
+    ).withColumn(
+        # exact integer-micro (r14 no-bar tie sweep)
+        "wow_change_micro",
+        F.expr("(n * CAST(1000000 AS BIGINT)) div prev_n - 1000000"),
     ).orderBy("event_type", "week")
 
 
@@ -1523,18 +1566,26 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_winsorized_mean",
     oracle="""
-        WITH bounds AS (
+        WITH ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type ORDER BY value) AS r,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        bounds AS (
             SELECT event_type,
-                   percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
-                   percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
-            FROM events GROUP BY event_type
+                   min(CASE WHEN r = (n + 19) // 20 THEN value END) AS lo,
+                   min(CASE WHEN r = (19 * n + 19) // 20 THEN value END) AS hi
+            FROM ranked GROUP BY event_type
         )
         SELECT e.event_type,
                count(*) AS n,
-               round(avg(CASE WHEN e.value < b.lo THEN b.lo
-                              WHEN e.value > b.hi THEN b.hi
-                              ELSE e.value END), 6) AS winsorized_mean,
-               round(avg(e.value), 6) AS raw_mean
+               (CAST(round(sum(CASE WHEN e.value < b.lo THEN b.lo
+                                    WHEN e.value > b.hi THEN b.hi
+                                    ELSE e.value END) * 10000) AS BIGINT) * 100)
+                   // count(*) AS winsorized_mean_micro,
+               (CAST(round(sum(e.value) * 10000) AS BIGINT) * 100)
+                   // count(*) AS raw_mean_micro
         FROM events e JOIN bounds b ON e.event_type = b.event_type
         GROUP BY e.event_type ORDER BY e.event_type
     """,
@@ -1542,16 +1593,29 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "winsorized mean per group: values clamped to the [p5, p95] band before "
         "averaging — the robust location estimate that survives the heavy tails "
         "a raw mean chases (MAD flags outliers; winsorizing neutralizes them "
-        "without dropping rows). Two passes: exact per-group bounds (group-"
-        "cardinality output, broadcast back), then one clamped aggregate"
+        "without dropping rows). Bounds are EXACT order statistics at rank "
+        "ceil(q*n) (the repaired rfm shape — no interpolated boundary, so every "
+        "clamped value stays on the data's 1e-4 grid and the means ship as "
+        "integer-micro truncating quotients, tie-free on both engines). Two "
+        "passes: per-group rank window for the bounds (broadcast back), then "
+        "one clamped aggregate"
     ),
     tags=("analytics", "aggregation", "quality", "percentile"),
 )
 def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
     e = load_table(spark, sf_dir, "events")
-    bounds = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("lo"),
-        F.expr("percentile(value, 0.95)").alias("hi"),
+    part = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(part.orderBy("value")).alias("r"),
+        F.count("*").over(part).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("r") == F.expr("(n + 19) div 20"), F.col("value"))).alias("lo"),
+        F.min(F.when(F.col("r") == F.expr("(19 * n + 19) div 20"), F.col("value"))).alias("hi"),
     )
     clamped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
         F.col("value") > F.col("hi"), F.col("hi")
@@ -1561,8 +1625,16 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg(clamped), 6).alias("winsorized_mean"),
-            F.round(F.avg("value"), 6).alias("raw_mean"),
+            # exact integer-micro means over e4-snapped sums (r14 sweep)
+            F.expr(
+                "(CAST(round(sum(CASE WHEN value < lo THEN lo"
+                " WHEN value > hi THEN hi ELSE value END) * 10000, 0) AS BIGINT)"
+                " * CAST(100 AS BIGINT)) div count(*)"
+            ).alias("winsorized_mean_micro"),
+            F.expr(
+                "(CAST(round(sum(value) * 10000, 0) AS BIGINT)"
+                " * CAST(100 AS BIGINT)) div count(*)"
+            ).alias("raw_mean_micro"),
         )
         .orderBy("event_type")
     )
@@ -1583,7 +1655,7 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dau AS (SELECT d, count(*) AS dau FROM user_days GROUP BY d)
         SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, wau.wau,
-               round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+               (dau.dau * CAST(1000000 AS BIGINT)) // wau.wau AS stickiness_micro
         FROM dau JOIN wau ON dau.d = wau.d
         ORDER BY day
     """,
@@ -1620,7 +1692,8 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").cast("string").alias("day"),
             "dau",
             "wau",
-            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+            # exact integer-micro (r14 no-bar tie sweep)
+            F.expr("(dau * CAST(1000000 AS BIGINT)) div wau").alias("stickiness_micro"),
         )
         .orderBy("day")
     )
@@ -1756,7 +1829,8 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(n_items AS INT) AS n_items,
                CAST(count(*) AS BIGINT) AS n_orders,
-               round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+               CAST((count(*) * 1000000) // sum(count(*)) OVER () AS BIGINT)
+                   AS share_micro
         FROM per_order
         GROUP BY n_items ORDER BY n_items
     """,
@@ -1780,9 +1854,10 @@ def agg_order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "n_items",
         "n_orders",
-        F.round(F.col("n_orders") / F.sum("n_orders").over(Window.partitionBy()).cast("double"), 6).alias(
-            "share"
-        ),
+        # exact integer-micro (r14 no-bar tie sweep)
+        F.expr(
+            "(n_orders * CAST(1000000 AS BIGINT)) div (sum(n_orders) OVER ())"
+        ).alias("share_micro"),
     ).orderBy("n_items")
 
 
@@ -1796,8 +1871,8 @@ def agg_order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         )
         SELECT from_type, to_type, count(*) AS n,
-               round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY from_type)
-                                     AS DOUBLE), 6) AS p
+               CAST((count(*) * 1000000)
+                    // sum(count(*)) OVER (PARTITION BY from_type) AS BIGINT) AS p_micro
         FROM t WHERE to_type IS NOT NULL
         GROUP BY from_type, to_type
         ORDER BY from_type, to_type
@@ -1828,7 +1903,10 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         "n",
-        F.round(F.col("n") / F.sum("n").over(tot).cast("double"), 6).alias("p"),
+        # exact integer-micro (r14 no-bar tie sweep)
+        F.expr(
+            "(n * CAST(1000000 AS BIGINT)) div (sum(n) OVER (PARTITION BY from_type))"
+        ).alias("p_micro"),
     ).orderBy("from_type", "to_type")
 
 
@@ -2036,8 +2114,8 @@ def quality_order_total_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame
             FROM ranked
         )
         SELECT nu AS n_users, total AS n_events,
-               round(2.0 * weighted / (nu * CAST(total AS DOUBLE))
-                     - (nu + 1.0) / nu, 6) AS gini
+               (2 * weighted * CAST(1000000 AS BIGINT)) // (nu * total)
+                   - ((nu + 1) * CAST(1000000 AS BIGINT)) // nu AS gini_micro
         FROM agg
     """,
     description=(
@@ -2059,12 +2137,12 @@ def events_power_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         F.count("*").alias("n_users"),
         F.sum("n").cast("bigint").alias("n_events"),
-        F.round(
-            2.0 * F.sum(F.col("i") * F.col("n")).cast("bigint")
-            / (F.count("*") * F.sum("n").cast("double"))
-            - (F.count("*") + 1.0) / F.count("*"),
-            6,
-        ).alias("gini"),
+        # exact integer-micro (r14 no-bar tie sweep): difference of two
+        # truncating BIGINT quotients, identical on both engines
+        F.expr(
+            "(2 * sum(i * n) * CAST(1000000 AS BIGINT)) div (count(*) * sum(n))"
+            " - ((count(*) + 1) * CAST(1000000 AS BIGINT)) div count(*)"
+        ).alias("gini_micro"),
     )
 
 
@@ -2087,7 +2165,8 @@ def events_power_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lens AS (SELECT user_id, sid, count(*) AS len FROM sess GROUP BY user_id, sid)
         SELECT len AS session_length, count(*) AS n_sessions,
-               round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+               CAST((count(*) * 1000000) // sum(count(*)) OVER () AS BIGINT)
+                   AS share_micro
         FROM lens GROUP BY len ORDER BY len
     """,
     description=(
@@ -2121,9 +2200,10 @@ def events_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFra
     return hist.select(
         "session_length",
         "n_sessions",
-        F.round(
-            F.col("n_sessions") / F.sum("n_sessions").over(Window.partitionBy()).cast("double"), 6
-        ).alias("share"),
+        # exact integer-micro (r14 no-bar tie sweep)
+        F.expr(
+            "(n_sessions * CAST(1000000 AS BIGINT)) div (sum(n_sessions) OVER ())"
+        ).alias("share_micro"),
     ).orderBy("session_length")
 
 
@@ -2161,7 +2241,8 @@ _WF_STEP = "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchas
             FROM folded
         )
         SELECT depth, count(*) AS n_users,
-               round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+               CAST((count(*) * 1000000) // sum(count(*)) OVER () AS BIGINT)
+                   AS share_micro
         FROM depths GROUP BY depth ORDER BY depth
     """,
     description=(
@@ -2214,9 +2295,10 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "depth",
         "n_users",
-        F.round(
-            F.col("n_users") / F.sum("n_users").over(Window.partitionBy()).cast("double"), 6
-        ).alias("share"),
+        # exact integer-micro (r14 no-bar tie sweep)
+        F.expr(
+            "(n_users * CAST(1000000 AS BIGINT)) div (sum(n_users) OVER ())"
+        ).alias("share_micro"),
     ).orderBy("depth")
 
 
@@ -2679,9 +2761,9 @@ SELECT CAST(count(*) AS BIGINT) AS n_users,
                         AND epoch_us(greatest(t_view, t_click, t_purchase))
                           - epoch_us(least(t_view, t_click, t_purchase))
                           <= 604800000000 THEN 1 END) AS BIGINT) AS n_all3_7d,
-       round(CAST(count(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
-                              AND t_purchase IS NOT NULL THEN 1 END) AS DOUBLE)
-             / count(*), 6) AS rate_all3
+       (count(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                    AND t_purchase IS NOT NULL THEN 1 END)
+        * CAST(1000000 AS BIGINT)) // count(*) AS rate_all3_micro
 FROM u
 """
 
@@ -2719,7 +2801,12 @@ def events_funnel_any_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_purchase").cast("bigint").alias("n_purchase"),
         F.count(F.when(all3, 1)).cast("bigint").alias("n_all3"),
         F.count(F.when(all3 & (span_us <= 604_800_000_000), 1)).cast("bigint").alias("n_all3_7d"),
-        F.round(F.count(F.when(all3, 1)).cast("double") / F.count("*"), 6).alias("rate_all3"),
+        # exact integer-micro (r14 no-bar tie sweep)
+        F.expr(
+            "(count(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL"
+            " AND t_purchase IS NOT NULL THEN 1 END) * CAST(1000000 AS BIGINT))"
+            " div count(*)"
+        ).alias("rate_all3_micro"),
     )
 
 
@@ -2932,6 +3019,15 @@ _KMV_FRAC_SQL = (
     "c -> strpos('0123456789abcdef', c) - 1), (a, x) -> a * 16 + x) "
     "/ 4294967296.0"
 )
+# the same first-8-hex-chars prefix as an exact BIGINT (r14 no-bar tie
+# sweep): the KMV estimate (k-1)/(h/2^32) is a RATIONAL (k-1)*2^32/h, so
+# its rounded form can land exactly on a round-half tie — the e4-scaled
+# truncating quotient below has no rounding mode to disagree on
+_KMV_HASH_INT_SQL = (
+    "list_reduce(list_transform(string_split(substr({fp}, 1, 8), ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+    "(a, x) -> a * 16 + x)"
+)
 
 _KMV_ORACLE = f"""
 WITH vals AS (
@@ -2969,12 +3065,14 @@ unioned AS (
     SELECT 'ALL', me.n_exact, m.n_sketch, m.kth_hash FROM merged m CROSS JOIN merged_exact me
 )
 SELECT grp, n_exact, n_sketch, kth_hash,
-       round(CASE WHEN n_sketch < {_KMV_K} THEN CAST(n_sketch AS DOUBLE)
-                  ELSE ({_KMV_K} - 1) / ({_KMV_FRAC_SQL.format(fp="kth_hash")})
-             END, 4) AS est_distinct,
-       abs(CASE WHEN n_sketch < {_KMV_K} THEN CAST(n_sketch AS DOUBLE)
-                ELSE ({_KMV_K} - 1) / ({_KMV_FRAC_SQL.format(fp="kth_hash")})
-           END - n_exact) / n_exact <= 0.25 AS within_rel_err
+       CASE WHEN n_sketch < {_KMV_K} THEN n_sketch * 10000
+            ELSE CAST(({_KMV_K} - 1) * 42949672960000
+                      // ({_KMV_HASH_INT_SQL.format(fp="kth_hash")}) AS BIGINT)
+       END AS est_distinct_e4,
+       abs(CASE WHEN n_sketch < {_KMV_K} THEN n_sketch * 10000
+                ELSE CAST(({_KMV_K} - 1) * 42949672960000
+                          // ({_KMV_HASH_INT_SQL.format(fp="kth_hash")}) AS BIGINT)
+           END - n_exact * 10000) * 4 <= n_exact * 10000 AS within_rel_err
 FROM unioned
 ORDER BY grp
 """
@@ -3038,17 +3136,22 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    frac = F.conv(F.substring("kth_hash", 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
-    est = F.when(
-        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
-    ).otherwise(F.lit(float(k - 1)) / frac)
+    # exact e4-scaled KMV estimate (r14 no-bar tie sweep): (k-1)*2^32*1e4
+    # div h with h = the kth hash's first 8 hex chars as a BIGINT — the
+    # rational estimate ships as a truncating integer quotient
+    est_e4 = F.when(F.col("n_sketch") < k, F.col("n_sketch") * F.lit(10000)).otherwise(
+        F.expr(f"CAST({(k - 1) * 4294967296 * 10000} AS BIGINT)"
+               " div CAST(conv(substring(kth_hash, 1, 8), 16, 10) AS BIGINT)")
+    ).cast("long")
     out = unioned.select(
         "grp",
         "n_exact",
         "n_sketch",
         "kth_hash",
-        F.round(est, 4).alias("est_distinct"),
-        (F.abs(est - F.col("n_exact")) / F.col("n_exact") <= 0.25).alias("within_rel_err"),
+        est_e4.alias("est_distinct_e4"),
+        (F.abs(est_e4 - F.col("n_exact") * 10000) * 4 <= F.col("n_exact") * 10000).alias(
+            "within_rel_err"
+        ),
     ).orderBy("grp")
     return out
 
@@ -3098,15 +3201,17 @@ exact_inter AS (
 )
 SELECT s.g1, s.g2, COALESCE(x.n_matching, 0) AS n_matching,
        e.exact_intersection,
-       round(CASE WHEN s.m < {_KMV_K} THEN CAST(COALESCE(x.n_matching, 0) AS DOUBLE)
-                  ELSE COALESCE(x.n_matching, 0) * (({_KMV_K} - 1)
-                       / ({_KMV_FRAC_SQL.format(fp="s.theta")})) / {_KMV_K}
-             END, 4) AS est_intersection,
-       abs(CASE WHEN s.m < {_KMV_K} THEN CAST(COALESCE(x.n_matching, 0) AS DOUBLE)
-                ELSE COALESCE(x.n_matching, 0) * (({_KMV_K} - 1)
-                     / ({_KMV_FRAC_SQL.format(fp="s.theta")})) / {_KMV_K}
-           END - e.exact_intersection)
-           <= 0.35 * e.exact_intersection + {_KMV_K} AS within_err
+       CASE WHEN s.m < {_KMV_K} THEN COALESCE(x.n_matching, 0) * 10000
+            ELSE CAST(COALESCE(x.n_matching, 0) * ({_KMV_K} - 1) * 42949672960000
+                      // (({_KMV_HASH_INT_SQL.format(fp="s.theta")}) * {_KMV_K})
+                      AS BIGINT)
+       END AS est_intersection_e4,
+       abs(CASE WHEN s.m < {_KMV_K} THEN COALESCE(x.n_matching, 0) * 10000
+                ELSE CAST(COALESCE(x.n_matching, 0) * ({_KMV_K} - 1) * 42949672960000
+                          // (({_KMV_HASH_INT_SQL.format(fp="s.theta")}) * {_KMV_K})
+                          AS BIGINT)
+           END - e.exact_intersection * 10000)
+           <= 3500 * e.exact_intersection + {_KMV_K} * 10000 AS within_err
 FROM union_stats s
 JOIN exact_inter e ON e.g1 = s.g1 AND e.g2 = s.g2
 LEFT JOIN matching x ON x.g1 = s.g1 AND x.g2 = s.g2
@@ -3189,11 +3294,16 @@ def agg_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.grp").alias("g1"), F.col("b.grp").alias("g2"))
         .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
     )
-    frac = F.conv(F.substring("theta", 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+    # exact e4-scaled theta-sketch estimate (r14 no-bar tie sweep):
+    # n_matching*(k-1)*2^32*1e4 div (h*k), all BIGINT, truncating
     n_match = F.coalesce(F.col("n_matching"), F.lit(0)).cast("long")
-    est = F.when(F.col("m") < k, n_match.cast("double")).otherwise(
-        n_match * (F.lit(float(k - 1)) / frac) / F.lit(float(k))
-    )
+    h = "CAST(conv(substring(theta, 1, 8), 16, 10) AS BIGINT)"
+    est_e4 = F.when(F.col("m") < k, n_match * F.lit(10000)).otherwise(
+        F.expr(
+            f"(coalesce(n_matching, 0) * CAST({(k - 1) * 4294967296 * 10000} AS BIGINT))"
+            f" div ({h} * {k})"
+        )
+    ).cast("long")
     return (
         union_stats.join(exact_inter, ["g1", "g2"])
         .join(matching, ["g1", "g2"], "left")
@@ -3202,10 +3312,10 @@ def agg_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g2",
             n_match.alias("n_matching"),
             "exact_intersection",
-            F.round(est, 4).alias("est_intersection"),
+            est_e4.alias("est_intersection_e4"),
             (
-                F.abs(est - F.col("exact_intersection"))
-                <= 0.35 * F.col("exact_intersection") + F.lit(float(k))
+                F.abs(est_e4 - F.col("exact_intersection") * 10000)
+                <= F.lit(3500) * F.col("exact_intersection") + F.lit(k * 10000)
             ).alias("within_err"),
         )
         .orderBy("g1", "g2")
@@ -3261,15 +3371,17 @@ exact_diff AS (
 )
 SELECT s.g1, s.g2, COALESCE(x.n_anotb, 0) AS n_anotb,
        COALESCE(e.exact_difference, 0) AS exact_difference,
-       round(CASE WHEN s.m < {_KMV_K} THEN CAST(COALESCE(x.n_anotb, 0) AS DOUBLE)
-                  ELSE COALESCE(x.n_anotb, 0) * (({_KMV_K} - 1)
-                       / ({_KMV_FRAC_SQL.format(fp="s.theta")})) / {_KMV_K}
-             END, 4) AS est_difference,
-       abs(CASE WHEN s.m < {_KMV_K} THEN CAST(COALESCE(x.n_anotb, 0) AS DOUBLE)
-                ELSE COALESCE(x.n_anotb, 0) * (({_KMV_K} - 1)
-                     / ({_KMV_FRAC_SQL.format(fp="s.theta")})) / {_KMV_K}
-           END - COALESCE(e.exact_difference, 0))
-           <= 0.35 * COALESCE(e.exact_difference, 0) + {_KMV_K} AS within_err
+       CASE WHEN s.m < {_KMV_K} THEN COALESCE(x.n_anotb, 0) * 10000
+            ELSE CAST(COALESCE(x.n_anotb, 0) * ({_KMV_K} - 1) * 42949672960000
+                      // (({_KMV_HASH_INT_SQL.format(fp="s.theta")}) * {_KMV_K})
+                      AS BIGINT)
+       END AS est_difference_e4,
+       abs(CASE WHEN s.m < {_KMV_K} THEN COALESCE(x.n_anotb, 0) * 10000
+                ELSE CAST(COALESCE(x.n_anotb, 0) * ({_KMV_K} - 1) * 42949672960000
+                          // (({_KMV_HASH_INT_SQL.format(fp="s.theta")}) * {_KMV_K})
+                          AS BIGINT)
+           END - COALESCE(e.exact_difference, 0) * 10000)
+           <= 3500 * COALESCE(e.exact_difference, 0) + {_KMV_K} * 10000 AS within_err
 FROM union_stats s
 LEFT JOIN anotb x ON x.g1 = s.g1 AND x.g2 = s.g2
 LEFT JOIN exact_diff e ON e.g1 = s.g1 AND e.g2 = s.g2
@@ -3351,12 +3463,16 @@ def agg_kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g1", "g2")
         .agg(F.count(F.lit(1)).cast("long").alias("exact_difference"))
     )
-    frac = F.conv(F.substring("theta", 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+    # exact e4-scaled theta-sketch estimate (r14 no-bar tie sweep)
     n_ab = F.coalesce(F.col("n_anotb"), F.lit(0)).cast("long")
     ex = F.coalesce(F.col("exact_difference"), F.lit(0)).cast("long")
-    est = F.when(F.col("m") < k, n_ab.cast("double")).otherwise(
-        n_ab * (F.lit(float(k - 1)) / frac) / F.lit(float(k))
-    )
+    h = "CAST(conv(substring(theta, 1, 8), 16, 10) AS BIGINT)"
+    est_e4 = F.when(F.col("m") < k, n_ab * F.lit(10000)).otherwise(
+        F.expr(
+            f"(coalesce(n_anotb, 0) * CAST({(k - 1) * 4294967296 * 10000} AS BIGINT))"
+            f" div ({h} * {k})"
+        )
+    ).cast("long")
     return (
         union_stats.join(anotb, ["g1", "g2"], "left")
         .join(exact_diff, ["g1", "g2"], "left")
@@ -3365,8 +3481,10 @@ def agg_kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g2",
             n_ab.alias("n_anotb"),
             ex.alias("exact_difference"),
-            F.round(est, 4).alias("est_difference"),
-            (F.abs(est - ex) <= 0.35 * ex + F.lit(float(k))).alias("within_err"),
+            est_e4.alias("est_difference_e4"),
+            (F.abs(est_e4 - ex * 10000) <= F.lit(3500) * ex + F.lit(k * 10000)).alias(
+                "within_err"
+            ),
         )
         .orderBy("g1", "g2")
     )
@@ -3546,14 +3664,15 @@ def agg_frequent_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         scored AS (
             SELECT w.c1, w.c2, w.cn,
-                   round(CAST(w.cn AS DOUBLE) / (d1.cd + d2.cd - w.cn), 6) AS jaccard
+                   CAST((w.cn * 1000000) // (d1.cd + d2.cd - w.cn) AS BIGINT)
+                       AS jaccard_micro
             FROM wedges w
             JOIN cust_deg d1 ON d1.cust = w.c1
             JOIN cust_deg d2 ON d2.cust = w.c2
         )
-        SELECT c1, c2, CAST(cn AS BIGINT) AS cn, jaccard
+        SELECT c1, c2, CAST(cn AS BIGINT) AS cn, jaccard_micro
         FROM scored
-        ORDER BY jaccard DESC, c1, c2
+        ORDER BY jaccard_micro DESC, c1, c2
         LIMIT 20
     """,
     description=(
@@ -3607,12 +3726,15 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
             "c1",
             "c2",
             F.col("cn").cast("long").alias("cn"),
-            F.round(
-                F.col("cn").cast("double") / (F.col("d1") + F.col("d2") - F.col("cn")), 6
-            ).alias("jaccard"),
+            # exact integer-micro (r14 no-bar tie sweep): the top-k ORDER BY
+            # now compares exact integers, so the cutoff cannot flip on a
+            # cross-engine rounding split either
+            F.expr("(cn * CAST(1000000 AS BIGINT)) div (d1 + d2 - cn)").alias(
+                "jaccard_micro"
+            ),
         )
     )
-    return scored.orderBy(F.desc("jaccard"), "c1", "c2").limit(20)
+    return scored.orderBy(F.desc("jaccard_micro"), "c1", "c2").limit(20)
 
 
 @register(

@@ -65,13 +65,14 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
         top AS (
-            SELECT doc_id, max(c) AS maxc, CAST(sum(c) AS DOUBLE) AS total
+            SELECT doc_id, max(c) AS maxc, CAST(sum(c) AS BIGINT) AS total
             FROM gc GROUP BY doc_id
         )
         SELECT doc_id,
                CAST(len(words) AS BIGINT) AS n_words,
-               round(1 - len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 6) AS dup_word_frac,
-               round(maxc / total, 6) AS top_ngram_frac
+               1000000 - CAST((len(list_distinct(words)) * 1000000)
+                              // len(words) AS BIGINT) AS dup_word_frac_micro,
+               CAST((maxc * 1000000) // total AS BIGINT) AS top_ngram_frac_micro
         FROM w JOIN top USING (doc_id)
     """,
     description=(
@@ -227,8 +228,8 @@ shared AS (
 )
 SELECT s.source_a, s.source_b, s.n_shared,
        sa.n_distinct AS n_a, sb.n_distinct AS n_b,
-       round(s.n_shared / CAST(sa.n_distinct + sb.n_distinct - s.n_shared AS DOUBLE), 6)
-           AS jaccard
+       (s.n_shared * CAST(1000000 AS BIGINT))
+           // (sa.n_distinct + sb.n_distinct - s.n_shared) AS jaccard_micro
 FROM shared s
 JOIN sizes sa ON sa.source = s.source_a
 JOIN sizes sb ON sb.source = s.source_b
@@ -275,11 +276,10 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shared",
             "n_a",
             "n_b",
-            F.round(
-                F.col("n_shared")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
-                6,
-            ).alias("jaccard"),
+            # exact integer-micro (r14 no-bar tie sweep)
+            F.expr(
+                "(n_shared * CAST(1000000 AS BIGINT)) div (n_a + n_b - n_shared)"
+            ).alias("jaccard_micro"),
         )
         .orderBy("source_a", "source_b")
     )
@@ -554,7 +554,7 @@ per_doc AS (
     GROUP BY sh.doc_id
 )
 SELECT doc_id, n_shingles, n_novel,
-       round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+       CAST((n_novel * 1000000) // n_shingles AS BIGINT) AS novelty_micro
 FROM per_doc ORDER BY doc_id
 """
 
@@ -592,7 +592,10 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_shingles",
         "n_novel",
-        F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 6).alias("novelty"),
+        # exact integer-micro (r14 no-bar tie sweep)
+        F.expr("(n_novel * CAST(1000000 AS BIGINT)) div n_shingles").alias(
+            "novelty_micro"
+        ),
     ).orderBy("doc_id")
 
 
@@ -657,12 +660,12 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY t.doc_id, b.doc_id
         )
         SELECT i.train_id, i.bench_id, i.shared,
-               round(CAST(i.shared AS DOUBLE)
-                     / (st.n_sh + sb.n_sh - i.shared), 6) AS jaccard
+               (i.shared * CAST(1000000 AS BIGINT))
+                   // (st.n_sh + sb.n_sh - i.shared) AS jaccard_micro
         FROM inter i
         JOIN sizes st ON st.doc_id = i.train_id
         JOIN sizes sb ON sb.doc_id = i.bench_id
-        WHERE CAST(i.shared AS DOUBLE) / (st.n_sh + sb.n_sh - i.shared) >= 0.2
+        WHERE i.shared * 5 >= st.n_sh + sb.n_sh - i.shared
         ORDER BY i.train_id, i.bench_id
     """,
     description=(
@@ -694,13 +697,18 @@ def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     st = sizes.select(F.col("doc_id").alias("train_id"), F.col("n_sh").alias("n_t"))
     sb = sizes.select(F.col("doc_id").alias("bench_id"), F.col("n_sh").alias("n_b"))
-    jac = F.col("shared").cast("double") / (F.col("n_t") + F.col("n_b") - F.col("shared"))
+    # exact integer-micro Jaccard + an integer threshold (r14 no-bar tie
+    # sweep): shared/union >= 0.2 <=> 5*shared >= union, so neither the
+    # score nor the cutoff can split on a rounding mode
     return (
         inter.join(st, "train_id")
         .join(sb, "bench_id")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(jac >= 0.2)
-        .select("train_id", "bench_id", "shared", "jaccard")
+        .withColumn(
+            "jaccard_micro",
+            F.expr("(shared * CAST(1000000 AS BIGINT)) div (n_t + n_b - shared)"),
+        )
+        .filter(F.col("shared") * 5 >= F.col("n_t") + F.col("n_b") - F.col("shared"))
+        .select("train_id", "bench_id", "shared", "jaccard_micro")
         .orderBy("train_id", "bench_id")
     )
 
@@ -731,7 +739,7 @@ ranked AS (
 SELECT doc_id, n_tokens, bucket_cap,
        CAST((rn - 1) // ({_BATCH_TOKEN_BUDGET} // bucket_cap) AS BIGINT) AS batch_id,
        CAST({_BATCH_TOKEN_BUDGET} // bucket_cap AS BIGINT) AS batch_rows,
-       round(CAST(n_tokens AS DOUBLE) / bucket_cap, 6) AS pad_efficiency
+       (n_tokens * CAST(1000000 AS BIGINT)) // bucket_cap AS pad_efficiency_micro
 FROM ranked
 ORDER BY bucket_cap, batch_id, doc_id
 """
@@ -780,8 +788,9 @@ def pack_batches_length_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket_cap",
             ((F.col("rn") - 1) / batch_rows).cast("long").alias("batch_id"),
             batch_rows.alias("batch_rows"),
-            F.round(F.col("n_tokens").cast("double") / F.col("bucket_cap"), 6).alias(
-                "pad_efficiency"
+            # exact integer-micro (r14 no-bar tie sweep)
+            F.expr("(n_tokens * CAST(1000000 AS BIGINT)) div bucket_cap").alias(
+                "pad_efficiency_micro"
             ),
         )
         .orderBy("bucket_cap", "batch_id", "doc_id")
@@ -1058,29 +1067,25 @@ gram_stats AS (
     FROM grams GROUP BY doc_id
 )
 SELECT w.doc_id,
-       round(CAST(l.dup_lines AS DOUBLE) / l.n_lines, 6) AS dup_line_frac,
-       round(CAST(l.dup_line_chars AS DOUBLE) / l.tot_line_chars, 6)
-           AS dup_line_char_frac,
-       round(least(CAST(coalesce(g.top2_chars, 0) AS DOUBLE) / w.n_chars, 1.0), 6)
-           AS top2gram_char_frac,
-       round(least(CAST(coalesce(g.top3_chars, 0) AS DOUBLE) / w.n_chars, 1.0), 6)
-           AS top3gram_char_frac,
-       round(least(CAST(coalesce(g.dup5_chars, 0) AS DOUBLE) / w.n_chars, 1.0), 6)
-           AS dup5gram_char_frac,
-       CAST(l.dup_lines AS DOUBLE) / l.n_lines <= 0.30 AS r_dup_line,
-       CAST(l.dup_line_chars AS DOUBLE) / l.tot_line_chars <= 0.20
-           AS r_dup_line_chars,
-       least(CAST(coalesce(g.top2_chars, 0) AS DOUBLE) / w.n_chars, 1.0) <= 0.20
-           AS r_top2gram,
-       least(CAST(coalesce(g.top3_chars, 0) AS DOUBLE) / w.n_chars, 1.0) <= 0.18
-           AS r_top3gram,
-       least(CAST(coalesce(g.dup5_chars, 0) AS DOUBLE) / w.n_chars, 1.0) <= 0.15
-           AS r_dup5gram,
-       (CAST(l.dup_lines AS DOUBLE) / l.n_lines <= 0.30)
-           AND (CAST(l.dup_line_chars AS DOUBLE) / l.tot_line_chars <= 0.20)
-           AND (least(CAST(coalesce(g.top2_chars, 0) AS DOUBLE) / w.n_chars, 1.0) <= 0.20)
-           AND (least(CAST(coalesce(g.top3_chars, 0) AS DOUBLE) / w.n_chars, 1.0) <= 0.18)
-           AND (least(CAST(coalesce(g.dup5_chars, 0) AS DOUBLE) / w.n_chars, 1.0) <= 0.15)
+       CAST((l.dup_lines * 1000000) // l.n_lines AS BIGINT) AS dup_line_frac_micro,
+       CAST((l.dup_line_chars * 1000000) // l.tot_line_chars AS BIGINT)
+           AS dup_line_char_frac_micro,
+       least(CAST((coalesce(g.top2_chars, 0) * 1000000) // w.n_chars AS BIGINT),
+             1000000) AS top2gram_char_frac_micro,
+       least(CAST((coalesce(g.top3_chars, 0) * 1000000) // w.n_chars AS BIGINT),
+             1000000) AS top3gram_char_frac_micro,
+       least(CAST((coalesce(g.dup5_chars, 0) * 1000000) // w.n_chars AS BIGINT),
+             1000000) AS dup5gram_char_frac_micro,
+       l.dup_lines * 10 <= l.n_lines * 3 AS r_dup_line,
+       l.dup_line_chars * 5 <= l.tot_line_chars AS r_dup_line_chars,
+       coalesce(g.top2_chars, 0) * 5 <= w.n_chars AS r_top2gram,
+       coalesce(g.top3_chars, 0) * 50 <= w.n_chars * 9 AS r_top3gram,
+       coalesce(g.dup5_chars, 0) * 20 <= w.n_chars * 3 AS r_dup5gram,
+       (l.dup_lines * 10 <= l.n_lines * 3)
+           AND (l.dup_line_chars * 5 <= l.tot_line_chars)
+           AND (coalesce(g.top2_chars, 0) * 5 <= w.n_chars)
+           AND (coalesce(g.top3_chars, 0) * 50 <= w.n_chars * 9)
+           AND (coalesce(g.dup5_chars, 0) * 20 <= w.n_chars * 3)
            AS kept
 FROM w
 JOIN line_stats l ON l.doc_id = w.doc_id
@@ -1162,23 +1167,40 @@ def curation_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup5_chars"),
         )
     )
-    dl = F.col("dup_lines").cast("double") / F.col("n_lines")
-    dlc = F.col("dup_line_chars").cast("double") / F.col("tot_line_chars")
-    t2 = F.least(F.coalesce(F.col("top2_chars"), F.lit(0)).cast("double") / F.col("n_chars"), F.lit(1.0))
-    t3 = F.least(F.coalesce(F.col("top3_chars"), F.lit(0)).cast("double") / F.col("n_chars"), F.lit(1.0))
-    d5 = F.least(F.coalesce(F.col("dup5_chars"), F.lit(0)).cast("double") / F.col("n_chars"), F.lit(1.0))
-    r1, r2, r3, r4, r5 = dl <= 0.30, dlc <= 0.20, t2 <= 0.20, t3 <= 0.18, d5 <= 0.15
+    # exact integer-micro fractions and cross-multiplied integer thresholds
+    # (r14 no-bar tie sweep): p/q <= t with rational t ships as the
+    # equivalent integer comparison, so neither the ledger columns nor the
+    # kept verdict can split on a rounding mode
+    dl = F.expr("(dup_lines * CAST(1000000 AS BIGINT)) div n_lines")
+    dlc = F.expr("(dup_line_chars * CAST(1000000 AS BIGINT)) div tot_line_chars")
+    t2 = F.least(
+        F.expr("(coalesce(top2_chars, 0) * CAST(1000000 AS BIGINT)) div n_chars"),
+        F.lit(1000000).cast("long"),
+    )
+    t3 = F.least(
+        F.expr("(coalesce(top3_chars, 0) * CAST(1000000 AS BIGINT)) div n_chars"),
+        F.lit(1000000).cast("long"),
+    )
+    d5 = F.least(
+        F.expr("(coalesce(dup5_chars, 0) * CAST(1000000 AS BIGINT)) div n_chars"),
+        F.lit(1000000).cast("long"),
+    )
+    r1 = F.col("dup_lines") * 10 <= F.col("n_lines") * 3
+    r2 = F.col("dup_line_chars") * 5 <= F.col("tot_line_chars")
+    r3 = F.coalesce(F.col("top2_chars"), F.lit(0)) * 5 <= F.col("n_chars")
+    r4 = F.coalesce(F.col("top3_chars"), F.lit(0)) * 50 <= F.col("n_chars") * 9
+    r5 = F.coalesce(F.col("dup5_chars"), F.lit(0)) * 20 <= F.col("n_chars") * 3
     return (
         base.select("doc_id", "n_chars")
         .join(line_stats, "doc_id")
         .join(gram_stats, "doc_id", "left")
         .select(
             "doc_id",
-            F.round(dl, 6).alias("dup_line_frac"),
-            F.round(dlc, 6).alias("dup_line_char_frac"),
-            F.round(t2, 6).alias("top2gram_char_frac"),
-            F.round(t3, 6).alias("top3gram_char_frac"),
-            F.round(d5, 6).alias("dup5gram_char_frac"),
+            dl.alias("dup_line_frac_micro"),
+            dlc.alias("dup_line_char_frac_micro"),
+            t2.alias("top2gram_char_frac_micro"),
+            t3.alias("top3gram_char_frac_micro"),
+            d5.alias("dup5gram_char_frac_micro"),
             r1.alias("r_dup_line"),
             r2.alias("r_dup_line_chars"),
             r3.alias("r_top2gram"),
@@ -1214,12 +1236,12 @@ def curation_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
                CAST(n_replacement AS BIGINT) AS n_replacement,
                CAST(n_mojibake_marker AS BIGINT) AS n_mojibake_marker,
-               round(CAST(n_ascii AS DOUBLE) / n_chars, 6) AS ascii_frac,
+               CAST((n_ascii * 1000000) // n_chars AS BIGINT) AS ascii_frac_micro,
                n_replacement = 0 AS r_no_replacement,
                n_mojibake_marker = 0 AS r_no_mojibake,
-               CAST(n_ascii AS DOUBLE) / n_chars >= 0.95 AS r_ascii_floor,
+               n_ascii * 20 >= n_chars * 19 AS r_ascii_floor,
                (n_replacement = 0) AND (n_mojibake_marker = 0)
-                   AND (CAST(n_ascii AS DOUBLE) / n_chars >= 0.95) AS kept
+                   AND (n_ascii * 20 >= n_chars * 19) AS kept
         FROM m ORDER BY doc_id
     """,
     description=(
@@ -1250,16 +1272,21 @@ def curation_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_repl = n_chars - F.length(F.replace(F.col("text"), F.lit("�"), F.lit("")))
     n_moji = n_chars - F.length(F.replace(F.col("text"), F.lit("Ã"), F.lit("")))
     n_ascii = F.length(F.regexp_replace(F.col("text"), "[^ -~]", ""))
-    ascii_frac = n_ascii.cast("double") / n_chars
     r_repl = n_repl == 0
     r_moji = n_moji == 0
-    r_ascii = ascii_frac >= 0.95
+    # exact integer threshold + micro fraction (r14 no-bar tie sweep):
+    # p/q >= 0.95 <=> 20p >= 19q, so neither the ledger column nor the
+    # kept verdict can split on a rounding mode
+    r_ascii = n_ascii * 20 >= n_chars * 19
     return corpus.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
         n_repl.cast("long").alias("n_replacement"),
         n_moji.cast("long").alias("n_mojibake_marker"),
-        F.round(ascii_frac, 6).alias("ascii_frac"),
+        F.expr(
+            "(length(regexp_replace(text, '[^ -~]', '')) * CAST(1000000 AS BIGINT))"
+            " div length(text)"
+        ).alias("ascii_frac_micro"),
         r_repl.alias("r_no_replacement"),
         r_moji.alias("r_no_mojibake"),
         r_ascii.alias("r_ascii_floor"),

@@ -757,11 +757,12 @@ def _with_prefix_copies(df: DataFrame) -> DataFrame:
             GROUP BY a.id, b.id
         )
         SELECT id_a, id_b, inter,
-               round(CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
+               CAST((inter * 1000000) // least(sa.n_sh, sb.n_sh) AS BIGINT)
+                   AS containment_micro
         FROM pair_inter
         JOIN sizes sa ON sa.id = id_a
         JOIN sizes sb ON sb.id = id_b
-        WHERE CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.9
+        WHERE inter * 1000000 >= 900000 * least(sa.n_sh, sb.n_sh)
     """,
     description=(
         "asymmetric containment near-dup: pairs with n-gram containment "
@@ -781,7 +782,7 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     u = _with_prefix_copies(d)
     out = ngram_containment_pairs(u, text_col="text", id_col="id", n=3, threshold=0.9)
-    return out.withColumn("containment", F.round("containment", 6))
+    return out
 
 
 @register(
@@ -1201,9 +1202,9 @@ def dedup_method_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
                CAST(count(*) AS BIGINT) AS n_eligible_twins,
-               round(avg(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-                         / len(list_distinct(list_concat(sa, sb)))), 6)
-                   AS avg_planted_exact_j,
+               CAST(sum((len(list_intersect(sa, sb)) * 1000000)
+                        // len(list_distinct(list_concat(sa, sb)))) // count(*)
+                    AS BIGINT) AS avg_planted_exact_j_micro,
                true AS calibration_ok,
                true AS planted_recall_ok
         FROM pairs
@@ -1240,12 +1241,15 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         gram3(ws, F.size(ws) - 2).alias("sa"),
         gram3(ws, F.size(ws) - 5).alias("sb"),
     )
-    j = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
-        F.array_union("sa", "sb")
-    )
+    # exact integer-micro mean of per-row truncating micro-Jaccards (r14
+    # no-bar tie sweep): both the per-row quotient and the mean are
+    # BIGINT-exact on both engines
     planted_stats = eligible.agg(
         F.count("*").cast("long").alias("n_eligible_twins"),
-        F.round(F.avg(j), 6).alias("avg_planted_exact_j"),
+        F.expr(
+            "(sum((size(array_intersect(sa, sb)) * CAST(1000000 AS BIGINT))"
+            " div size(array_union(sa, sb)))) div count(*)"
+        ).alias("avg_planted_exact_j_micro"),
     )
     n_docs = d0.agg(F.count("*").cast("long").alias("n_docs"))
     bands = dedup_minhash_calibration_raw(spark, sf_dir)
@@ -1264,7 +1268,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_docs",
             "n_eligible_twins",
-            "avg_planted_exact_j",
+            "avg_planted_exact_j_micro",
             "calibration_ok",
             F.lit(recall_ok).alias("planted_recall_ok"),
         )

@@ -337,6 +337,21 @@ _ROUND_RE = re.compile(r"\bround\s*\(", re.IGNORECASE)
 _AS_RE = re.compile(r"\s+AS\s+([A-Za-z_]\w*)", re.IGNORECASE)
 _QUOTIENT_RE = re.compile(r"/|\bavg\s*\(|\bmean\s*\(", re.IGNORECASE)
 
+# Functions whose output is (off a measure-zero set) IRRATIONAL: a value
+# that passed through one of these cannot sit EXACTLY on a decimal
+# round-half tie (ties are rationals of the form odd/(2*10^k)), so the
+# rfm tie mechanism — identical exact value, engines splitting on the tie
+# — cannot fire; what remains is the accepted det64 residual (both engines
+# compute the same binary64 to a few ulps; landing within that noise of a
+# half point is ~1e-16-relative probability, the allowlist's det64 class).
+# ``power`` is deliberately absent: power(x, 2) is rational.
+_IRRATIONAL_RE = re.compile(
+    r"\b(sqrt|cbrt|ln|log|log2|log10|exp|stddev|stddev_samp|stddev_pop|"
+    r"corr|covar_samp|covar_pop|acos|asin|atan|atan2|sin|cos|tan|sinh|"
+    r"cosh|tanh|gamma|lgamma)\s*\(",
+    re.IGNORECASE,
+)
+
 # Sites adjudicated tie-safe after the r13 sweep, each with its reason.
 # Two safe classes exist:
 #   grid  — the rounded expression's EXACT value lives on a decimal grid
@@ -512,10 +527,24 @@ def round_tie_risk_columns(
                 max_abs = float(s.abs().max())
             except (TypeError, ValueError):
                 continue
-            if max_abs >= 10.0 ** (9 - k):
-                shape = "QUOTIENT" if _QUOTIENT_RE.search(e) else "plain"
+            quotient = bool(_QUOTIENT_RE.search(e))
+            # r14 strengthening (VERDICT r13 item 3): the temporal_stl_lite
+            # live tie proved the round-half mechanism is MAGNITUDE-
+            # INDEPENDENT — a rational quotient p/q lands exactly on a tie
+            # whenever its reduced denominator is 2^(k+1)*5^j (e.g. any
+            # count divisible by 128 at k=6), at any magnitude. So quotient-
+            # shaped sites are flagged with NO magnitude bar unless the
+            # site expression passes through an irrationalizing function
+            # (no exact tie possible — see _IRRATIONAL_RE). Upstream-
+            # irrational chains the site regex cannot see (e.g. a CTE
+            # column built with log2) are classified in the allowlist with
+            # an ``irr:`` reason.
+            rational_quotient = quotient and not _IRRATIONAL_RE.search(e)
+            if max_abs >= 10.0 ** (9 - k) or rational_quotient:
+                shape = "QUOTIENT" if quotient else "plain"
+                bar = "" if max_abs >= 10.0 ** (9 - k) else " sub-bar"
                 bad.setdefault(name, []).append(
-                    f"{al} round(.,{k}) max|x|={max_abs:.6g} {shape}"
+                    f"{al} round(.,{k}) max|x|={max_abs:.6g} {shape}{bar}"
                 )
     con.close()
     return bad

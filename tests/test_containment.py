@@ -15,14 +15,14 @@ def test_prefix_copies_have_full_containment(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(500)
     u = _with_prefix_copies(d)
     pairs = {
-        (r["id_a"], r["id_b"]): r["containment"]
+        (r["id_a"], r["id_b"]): r["containment_micro"]
         for r in ngram_containment_pairs(u, text_col="text", id_col="id", n=3, threshold=0.9).collect()
     }
     # every prefix copy (id+20000) pairs with its original at containment 1.0
     want = [r["doc_id"] for r in d.filter(F.col("doc_id") % 5 == 0).select("doc_id").collect()]
     assert want
     for doc_id in want:
-        assert pairs.get((doc_id, doc_id + 20000)) == 1.0, doc_id
+        assert pairs.get((doc_id, doc_id + 20000)) == 1_000_000, doc_id
 
 
 def test_jaccard_misses_what_containment_catches(spark, sf_dir):

@@ -120,8 +120,9 @@ class TestRepetition:
             grams = [" ".join(words[j : j + 2]) for j in range(len(words) - 1)]
             top = Counter(grams).most_common(1)[0][1]
             assert got[i].n_words == len(words)
-            assert got[i].dup_word_frac == pytest.approx(1 - len(set(words)) / len(words), abs=1e-6)
-            assert got[i].top_ngram_frac == pytest.approx(top / len(grams), abs=1e-6)
+            exp_dup = 1_000_000 - (len(set(words)) * 1_000_000) // len(words)
+            assert got[i].dup_word_frac_micro == exp_dup
+            assert got[i].top_ngram_frac_micro == (top * 1_000_000) // len(grams)
 
 
 class TestSnapshotDedup:

@@ -59,7 +59,7 @@ class TestTriangleStats:
         edges = [(a, b) for a in range(4) for b in range(4) if a < b]
         r = self._stats(spark, edges)
         assert (r["n_vertices"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (4, 6, 12, 4)
-        assert r["clustering_coeff"] == 1.0
+        assert r["clustering_coeff_micro"] == 1_000_000
 
     def test_path_graph_has_no_triangles(self, spark):
         r = self._stats(spark, [(0, 1), (1, 2), (2, 3)])
@@ -71,7 +71,7 @@ class TestTriangleStats:
         edges = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (0, 2), (1, 1)]
         r = self._stats(spark, edges)
         assert (r["n_edges"], r["n_triangles"]) == (3, 1)
-        assert r["clustering_coeff"] == 1.0
+        assert r["clustering_coeff_micro"] == 1_000_000
 
     def test_skewed_hub_counts_correctly(self, spark):
         # star hub 0 -- 1..10 plus one rim edge (1,2): exactly 1 triangle,
