@@ -53,7 +53,7 @@ _FK_ORACLE = " UNION ALL ".join(
 _FK_ORACLE = f"""
 WITH audit AS ({_FK_ORACLE})
 SELECT fk_name, child_rows, orphan_rows,
-       round(orphan_rows / CAST(child_rows AS DOUBLE), 6) AS orphan_ratio
+       (orphan_rows * CAST(1000000 AS BIGINT)) // child_rows AS orphan_ratio_micro
 FROM audit ORDER BY fk_name
 """
 
@@ -85,8 +85,9 @@ def quality_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(label).alias("fk_name"),
                 "child_rows",
                 "orphan_rows",
-                F.round(F.col("orphan_rows") / F.col("child_rows").cast("double"), 6).alias(
-                    "orphan_ratio"
+                # exact integer-micro (r14 no-bar tie sweep)
+                F.expr("(orphan_rows * CAST(1000000 AS BIGINT)) div child_rows").alias(
+                    "orphan_ratio_micro"
                 ),
             )
         )
@@ -214,7 +215,7 @@ counts AS (
 ),
 total AS (SELECT sum(n_occurrences) AS n_total FROM counts)
 SELECT token, n_occurrences,
-       round(n_occurrences / CAST(n_total AS DOUBLE), 6) AS support
+       CAST((n_occurrences * 1000000) // n_total AS BIGINT) AS support_micro
 FROM counts, total
 WHERE n_occurrences * {_HH_SUPPORT_DENOM} >= n_total
 ORDER BY n_occurrences DESC, token
@@ -248,7 +249,10 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "token",
             "n_occurrences",
-            F.round(F.col("n_occurrences") / F.col("n_total").cast("double"), 6).alias("support"),
+            # exact integer-micro (r14 no-bar tie sweep)
+            F.expr("(n_occurrences * CAST(1000000 AS BIGINT)) div n_total").alias(
+                "support_micro"
+            ),
         )
         .orderBy(F.col("n_occurrences").desc(), "token")
     )
@@ -277,7 +281,7 @@ counts AS (
 ),
 tot AS (SELECT metric, sum(n) AS n_total FROM counts GROUP BY metric)
 SELECT c.metric, c.digit, c.n,
-       round(c.n / CAST(t.n_total AS DOUBLE), 6) AS observed_freq,
+       CAST((c.n * 1000000) // t.n_total AS BIGINT) AS observed_freq_micro,
        round(log10(1.0 + 1.0 / c.digit), 6) AS benford_freq
 FROM counts c JOIN tot t USING (metric)
 ORDER BY c.metric, c.digit
@@ -320,7 +324,11 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "metric",
             "digit",
             "n",
-            F.round(F.col("n") / F.col("n_total").cast("double"), 6).alias("observed_freq"),
+            # exact integer-micro (r14 no-bar tie sweep); benford_freq keeps
+            # round() — log10 output is irrational, no exact decimal tie
+            F.expr("(n * CAST(1000000 AS BIGINT)) div n_total").alias(
+                "observed_freq_micro"
+            ),
             F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_freq"),
         )
         .orderBy("metric", "digit")
@@ -359,7 +367,8 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(bin AS INT) AS bin,
                CAST(n_ref AS BIGINT) AS n_ref,
                CAST(n_cur AS BIGINT) AS n_cur,
-               round((n_cur + 1.0) / (t_cur + 10.0) - (n_ref + 1.0) / (t_ref + 10.0), 6) AS p_delta,
+               CAST(((n_cur + 1) * (t_ref + 10) - (n_ref + 1) * (t_cur + 10)) * 1000000
+                    // ((t_cur + 10) * (t_ref + 10)) AS BIGINT) AS p_delta_micro,
                round(((n_cur + 1.0) / (t_cur + 10.0) - (n_ref + 1.0) / (t_ref + 10.0))
                      * ln(((n_cur + 1.0) / (t_cur + 10.0)) / ((n_ref + 1.0) / (t_ref + 10.0))), 6)
                    AS psi_term
@@ -413,7 +422,13 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         "n_ref",
         "n_cur",
-        F.round(p_cur - p_ref, 6).alias("p_delta"),
+        # exact integer-micro cross-multiplied delta (r14 no-bar tie sweep);
+        # psi_term keeps round() — the ln factor is irrational, no exact tie
+        F.expr(
+            f"(((n_cur + 1) * CAST({t_ref + 10} AS BIGINT)"
+            f" - (n_ref + 1) * CAST({t_cur + 10} AS BIGINT)) * 1000000)"
+            f" div (CAST({t_cur + 10} AS BIGINT) * {t_ref + 10})"
+        ).alias("p_delta_micro"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
     ).orderBy("bin")
 
@@ -479,7 +494,7 @@ _SKEW_ORACLE = " UNION ALL ".join(
            CAST(max(n) AS BIGINT) AS max_group,
            percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(n AS DOUBLE)) AS p50_group,
            percentile_cont(0.99) WITHIN GROUP (ORDER BY CAST(n AS DOUBLE)) AS p99_group,
-           round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6) AS skew_factor
+           CAST((max(n) * count(*) * 1000000) // sum(n) AS BIGINT) AS skew_factor_micro
     FROM (SELECT {col} AS k, count(*) AS n FROM {table} GROUP BY {col}) g
     """
     for label, table, col in _SKEW_KEYS
@@ -516,9 +531,10 @@ def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (the rfm class, VERDICT r11 item 2)
             F.expr("percentile(CAST(n AS DOUBLE), 0.5)").alias("p50_group"),
             F.expr("percentile(CAST(n AS DOUBLE), 0.99)").alias("p99_group"),
-            F.round(F.max("n").cast("double") * F.count("*") / F.sum("n"), 6).alias(
-                "skew_factor"
-            ),
+            # exact integer-micro (r14 no-bar tie sweep)
+            F.expr(
+                "(max(n) * count(*) * CAST(1000000 AS BIGINT)) div sum(n)"
+            ).alias("skew_factor_micro"),
         )
         out = summary if out is None else out.unionByName(summary)
     return out.orderBy("join_key")
@@ -733,7 +749,7 @@ agg AS (
     FROM j
 )
 SELECT rule, n_checked, n_violations,
-       round(CAST(n_violations AS DOUBLE) / n_checked, 6) AS violation_rate
+       (n_violations * CAST(1000000 AS BIGINT)) // n_checked AS violation_rate_micro
 FROM (
     SELECT 'finished_order_has_open_lineitem' AS rule, n_f AS n_checked, v_f_open AS n_violations FROM agg
     UNION ALL
@@ -793,8 +809,9 @@ def quality_conditional_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule",
         "n_checked",
         "n_violations",
-        F.round(F.col("n_violations").cast("double") / F.col("n_checked"), 6).alias(
-            "violation_rate"
+        # exact integer-micro (r14 no-bar tie sweep)
+        F.expr("(n_violations * CAST(1000000 AS BIGINT)) div n_checked").alias(
+            "violation_rate_micro"
         ),
     ).orderBy("rule")
 
@@ -814,8 +831,8 @@ def quality_conditional_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         by_score AS (
             SELECT score,
-                   CAST(sum(y) AS DOUBLE) AS np_s,
-                   CAST(sum(1 - y) AS DOUBLE) AS nn_s
+                   CAST(sum(y) AS BIGINT) AS np_s,
+                   CAST(sum(1 - y) AS BIGINT) AS nn_s
             FROM s GROUP BY score
         ),
         cum AS (
@@ -832,8 +849,8 @@ def quality_conditional_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM s
         )
         SELECT tot.n_pos, tot.n_neg,
-               round(sum(np_s * (cum_nn + 0.5 * nn_s))
-                     / (tot.n_pos * tot.n_neg), 6) AS auc
+               CAST((sum(np_s * (2 * cum_nn + nn_s)) * 500000)
+                    // (tot.n_pos * tot.n_neg) AS BIGINT) AS auc_micro
         FROM cum, tot
         GROUP BY tot.n_pos, tot.n_neg
     """,
@@ -853,8 +870,8 @@ def quality_auc_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("int").alias("y"),
     )
     by_score = d.groupBy("score").agg(
-        F.sum("y").cast("double").alias("np_s"),
-        F.sum(1 - F.col("y")).cast("double").alias("nn_s"),
+        F.sum("y").cast("long").alias("np_s"),
+        F.sum(1 - F.col("y")).cast("long").alias("nn_s"),
     )
     cum = by_score.withColumn(
         "cum_nn",
@@ -862,7 +879,7 @@ def quality_auc_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nn_s").over(
                 Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
         ),
     )
     tot = d.agg(
@@ -873,11 +890,13 @@ def quality_auc_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.crossJoin(tot)  # 1-row totals frame
         .groupBy("n_pos", "n_neg")
         .agg(
-            F.round(
-                F.sum(F.col("np_s") * (F.col("cum_nn") + 0.5 * F.col("nn_s")))
-                / (F.col("n_pos") * F.col("n_neg")),
-                6,
-            ).alias("auc")
+            # exact integer-micro Mann-Whitney (r14 no-bar tie sweep): the
+            # tie-aware U statistic is integral after doubling, so the AUC
+            # ships as a truncating quotient at half-micro scale
+            F.expr(
+                "(sum(np_s * (2 * cum_nn + nn_s)) * CAST(500000 AS BIGINT))"
+                " div (n_pos * n_neg)"
+            ).alias("auc_micro")
         )
     )
 
@@ -897,17 +916,15 @@ def quality_auc_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY event_type
         ),
         tot AS (
-            SELECT CAST(sum(n_a) AS DOUBLE) AS na,
-                   CAST(sum(n_b) AS DOUBLE) AS nb
+            SELECT CAST(sum(n_a) AS BIGINT) AS na,
+                   CAST(sum(n_b) AS BIGINT) AS nb
             FROM halves
         )
         SELECT h.event_type, h.n_a, h.n_b,
-               round(
-                   pow(h.n_a - (h.n_a + h.n_b) * t.na / (t.na + t.nb), 2)
-                       / ((h.n_a + h.n_b) * t.na / (t.na + t.nb))
-                 + pow(h.n_b - (h.n_a + h.n_b) * t.nb / (t.na + t.nb), 2)
-                       / ((h.n_a + h.n_b) * t.nb / (t.na + t.nb)),
-               6) AS chi2_term
+               CAST((CAST(h.n_a * t.nb - h.n_b * t.na AS HUGEINT)
+                     * (h.n_a * t.nb - h.n_b * t.na) * 1000000)
+                    // (CAST(h.n_a + h.n_b AS HUGEINT) * t.na * t.nb)
+                    AS BIGINT) AS chi2_term_micro
         FROM halves h, tot t
         ORDER BY h.event_type
     """,
@@ -927,15 +944,20 @@ def quality_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_id") % 2 == 1, 1)).cast("long").alias("n_b"),
     )
     tot = halves.agg(
-        F.sum("n_a").cast("double").alias("na"), F.sum("n_b").cast("double").alias("nb")
+        F.sum("n_a").cast("long").alias("na"), F.sum("n_b").cast("long").alias("nb")
     )
-    r = F.col("n_a") + F.col("n_b")
-    e_a = r * F.col("na") / (F.col("na") + F.col("nb"))
-    e_b = r * F.col("nb") / (F.col("na") + F.col("nb"))
-    term = F.pow(F.col("n_a") - e_a, 2) / e_a + F.pow(F.col("n_b") - e_b, 2) / e_b
+    # exact integer-micro chi2 contribution (r14 no-bar tie sweep): the
+    # two-cell term collapses algebraically to D^2 / ((n_a+n_b)*ta*tb)
+    # with D = n_a*tb - n_b*ta — one truncating quotient over DECIMAL(38)
+    # integers (D^2 exceeds BIGINT at bench scale; 38 digits hold to sf1+)
+    term_micro = F.expr(
+        "CAST((CAST(n_a * nb - n_b * na AS DECIMAL(38,0))"
+        " * (n_a * nb - n_b * na) * 1000000)"
+        " div (CAST(n_a + n_b AS DECIMAL(38,0)) * na * nb) AS BIGINT)"
+    )
     return (
         halves.crossJoin(tot)  # 1-row totals frame
-        .select("event_type", "n_a", "n_b", F.round(term, 6).alias("chi2_term"))
+        .select("event_type", "n_a", "n_b", term_micro.alias("chi2_term_micro"))
         .orderBy("event_type")
     )
 

@@ -288,8 +288,13 @@ WITH stats AS (
 SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
        round(l.l_extendedprice, 6) AS price,
        round((l.l_extendedprice - s.mu) / s.sigma, 6) AS zscore,
-       round((l.l_extendedprice - s.vmin) / (s.vmax - s.vmin), 6) AS minmax,
-       round((l.l_extendedprice - s.med) / s.iqr, 6) AS robust
+       (CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        - CAST(round(s.vmin * 100) AS BIGINT)) * 1000000
+           // (CAST(round(s.vmax * 100) AS BIGINT)
+               - CAST(round(s.vmin * 100) AS BIGINT)) AS minmax_micro,
+       (CAST(round(l.l_extendedprice * 400) AS BIGINT)
+        - CAST(round(s.med * 400) AS BIGINT)) * 1000000
+           // (CAST(round(s.iqr * 400) AS BIGINT)) AS robust_micro
 FROM lineitem l JOIN stats s USING (l_returnflag)
 WHERE l.l_orderkey % 100 = 0
 ORDER BY l.l_orderkey, l.l_linenumber
@@ -338,11 +343,25 @@ def prep_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             "l_returnflag",
             F.round(price, 6).alias("price"),
+            # zscore keeps round(): sigma is a sqrt (irrational a.e., no
+            # exact decimal tie — det64 residual only). minmax/robust are
+            # rational over the cents / quarter-cent grid, so they ship as
+            # exact integer-micro truncating quotients (r14 no-bar sweep):
+            # min/max are cents-exact; the interpolated median/IQR land on
+            # the 1/400-dollar grid (quartile fractions), recovered exactly
+            # by round(x*400) from the det64 double both engines share
             F.round((price - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
-            F.round((price - F.col("vmin")) / (F.col("vmax") - F.col("vmin")), 6).alias(
-                "minmax"
-            ),
-            F.round((price - F.col("med")) / F.col("iqr"), 6).alias("robust"),
+            F.expr(
+                "((CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+                " - CAST(round(vmin * 100, 0) AS BIGINT)) * 1000000)"
+                " div (CAST(round(vmax * 100, 0) AS BIGINT)"
+                " - CAST(round(vmin * 100, 0) AS BIGINT))"
+            ).alias("minmax_micro"),
+            F.expr(
+                "((CAST(round(l_extendedprice * 400, 0) AS BIGINT)"
+                " - CAST(round(med * 400, 0) AS BIGINT)) * 1000000)"
+                " div CAST(round(iqr * 400, 0) AS BIGINT)"
+            ).alias("robust_micro"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
@@ -530,9 +549,9 @@ _AB_BUCKET = hash_bucket_sql(["user_id"], 2, seed=7)
         ),
         counts AS (SELECT arm, count(*) AS n FROM assign GROUP BY arm),
         tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
-        SELECT c.arm, c.n, round(t.total / 2.0, 1) AS expected,
-               round(power(c.n - t.total / 2.0, 2) / (t.total / 2.0), 6)
-                   AS chisq_term
+        SELECT c.arm, c.n, t.total * 5 AS expected_x10,
+               ((2 * c.n - t.total) * (2 * c.n - t.total)
+                * CAST(500000 AS BIGINT)) // t.total AS chisq_term_micro
         FROM counts c, tot t
         ORDER BY c.arm
     """,
@@ -558,10 +577,14 @@ def sample_ab_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "arm",
             "n",
-            F.round(F.col("total") / 2.0, 1).alias("expected"),
-            F.round(
-                F.pow(F.col("n") - F.col("total") / 2.0, 2) / (F.col("total") / 2.0), 6
-            ).alias("chisq_term"),
+            # exact integer forms (r14 no-bar tie sweep): expected ships in
+            # tenths (total*5 == 10*(total/2)); the chi2 term collapses to
+            # (2n - total)^2 / (2*total), a truncating micro quotient
+            (F.col("total") * 5).alias("expected_x10"),
+            F.expr(
+                "((2 * n - total) * (2 * n - total) * CAST(500000 AS BIGINT))"
+                " div total"
+            ).alias("chisq_term_micro"),
         )
         .orderBy("arm")
     )
@@ -614,12 +637,13 @@ def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH per_source AS (
             SELECT source,
                    count(*) AS n_avail,
-                   round(avg(least(CAST(n_chars AS DOUBLE) / 400.0, 1.0)), 6) AS quality
+                   CAST(sum(least(n_chars * 2500, 1000000)) // count(*) AS BIGINT)
+                       AS quality_micro
             FROM documents GROUP BY source
         ),
         ranked AS (
-            SELECT source, n_avail, quality,
-                   row_number() OVER (ORDER BY quality DESC, source) AS rnk,
+            SELECT source, n_avail, quality_micro,
+                   row_number() OVER (ORDER BY quality_micro DESC, source) AS rnk,
                    least(n_avail, 150) AS want
             FROM per_source
         ),
@@ -630,7 +654,7 @@ def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS BIGINT) AS cum_before
             FROM ranked
         )
-        SELECT source, rnk, n_avail, quality,
+        SELECT source, rnk, n_avail, quality_micro,
                CAST(greatest(least(want, 400 - cum_before), 0) AS BIGINT) AS alloc
         FROM cum ORDER BY rnk
     """,
@@ -651,15 +675,21 @@ def sample_mix_greedy_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     per_source = d.groupBy("source").agg(
         F.count("*").alias("n_avail"),
-        F.round(F.avg(F.least(F.col("n_chars").cast("double") / 400.0, F.lit(1.0))), 6).alias(
-            "quality"
-        ),
+        # exact integer-micro mean of per-row capped micro scores (r14
+        # no-bar tie sweep): n_chars/400 capped at 1 == least(n_chars*2500,
+        # 1e6) in micro units, and the greedy rank orders by the SAME
+        # exact integers on both engines
+        F.expr(
+            "sum(least(n_chars * 2500, 1000000)) div count(*)"
+        ).alias("quality_micro"),
     )
     ranked = per_source.select(
         "source",
         "n_avail",
-        "quality",
-        F.row_number().over(Window.orderBy(F.desc("quality"), F.asc("source"))).alias("rnk"),
+        "quality_micro",
+        F.row_number().over(
+            Window.orderBy(F.desc("quality_micro"), F.asc("source"))
+        ).alias("rnk"),
         F.least("n_avail", F.lit(150)).alias("want"),
     )
     w = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, -1)
@@ -670,7 +700,7 @@ def sample_mix_greedy_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "rnk",
         "n_avail",
-        "quality",
+        "quality_micro",
         F.greatest(F.least(F.col("want"), 400 - F.col("cum_before")), F.lit(0))
         .cast("bigint")
         .alias("alloc"),
@@ -756,14 +786,17 @@ def _pois_k_sql(u: str) -> str:
             FROM reps GROUP BY event_type, b
         ),
         raw AS (
-            SELECT event_type, round(avg(value), 6) AS mean_value FROM events GROUP BY event_type
+            SELECT event_type,
+                   (CAST(round(sum(value) * 10000) AS BIGINT) * 100) // count(*)
+                       AS mean_value_micro
+            FROM events GROUP BY event_type
         )
         SELECT m.event_type,
-               raw.mean_value,
+               raw.mean_value_micro,
                round(percentile_cont(0.025) WITHIN GROUP (ORDER BY mean_b), 6) AS ci_lo,
                round(percentile_cont(0.975) WITHIN GROUP (ORDER BY mean_b), 6) AS ci_hi
         FROM means m JOIN raw ON m.event_type = raw.event_type
-        GROUP BY m.event_type, raw.mean_value
+        GROUP BY m.event_type, raw.mean_value_micro
         ORDER BY m.event_type
     """,
     description=(
@@ -797,10 +830,18 @@ def sample_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "b")
         .agg((F.sum(F.col("k") * F.col("value")) / F.sum("k")).alias("mean_b"))
     )
-    raw = e.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("mean_value"))
+    # exact integer-micro corpus mean (r14 no-bar tie sweep); the CI
+    # bounds stay round()ed — bootstrap-replicate percentiles interpolate
+    # det64 doubles, not a single data-dependent rational
+    raw = e.groupBy("event_type").agg(
+        F.expr(
+            "(CAST(round(sum(value) * 10000, 0) AS BIGINT) * CAST(100 AS BIGINT))"
+            " div count(*)"
+        ).alias("mean_value_micro")
+    )
     return (
         means.join(F.broadcast(raw), "event_type")
-        .groupBy("event_type", "mean_value")
+        .groupBy("event_type", "mean_value_micro")
         .agg(
             F.round(F.expr("percentile(mean_b, 0.025)"), 6).alias("ci_lo"),
             F.round(F.expr("percentile(mean_b, 0.975)"), 6).alias("ci_hi"),
@@ -822,6 +863,8 @@ stats AS (
     SELECT arm,
            CAST(count(*) AS BIGINT) AS n_users,
            CAST(sum(x) AS DOUBLE) AS sx,
+           CAST(sum(x) * 1000000 AS HUGEINT) AS sx_micro,
+           CAST(sum(y) AS BIGINT) AS sy_int,
            CAST(sum(y) AS DOUBLE) AS sy,
            CAST(sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
                           AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
@@ -831,7 +874,7 @@ stats AS (
     FROM per_user GROUP BY arm
 )
 SELECT arm, n_users,
-       round((sx / n_users) / (sy / n_users), 6) AS ratio,
+       CAST((sx_micro * 1000000) // sy_int AS BIGINT) AS ratio_micro,
        round(sqrt((
                  (sxx / n_users - (sx / n_users) * (sx / n_users))
                - 2.0 * ((sx / n_users) / (sy / n_users))
@@ -875,6 +918,8 @@ def sample_ab_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = per_user.groupBy("arm").agg(
         F.count("*").cast("bigint").alias("n_users"),
         F.sum("x").cast("double").alias("sx"),
+        (F.sum("x") * 1000000).cast("decimal(38,0)").alias("sx_micro"),
+        F.sum("y").cast("long").alias("sy_int"),
         F.sum("y").cast("double").alias("sy"),
         F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)")).cast("double").alias("sxx"),
         F.sum((F.col("x") * F.col("y").cast("decimal(19,0)")).cast("decimal(38,6)"))
@@ -890,7 +935,15 @@ def sample_ab_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_y = F.col("syy") / F.col("n_users") - my * my
     se = F.sqrt((var_x - F.lit(2.0) * r * cov + r * r * var_y) / F.col("n_users")) / my
     return stats.select(
-        "arm", "n_users", F.round(r, 6).alias("ratio"), F.round(se, 6).alias("se_delta")
+        "arm",
+        "n_users",
+        # exact integer-micro ratio (r14 no-bar tie sweep): X/Y == sx/sy of
+        # DECIMAL-exact sums, shipped as one truncating DECIMAL(38) div;
+        # se_delta keeps round() — its sqrt makes the value irrational a.e.
+        F.expr("CAST((sx_micro * 1000000) div sy_int AS BIGINT)").alias(
+            "ratio_micro"
+        ),
+        F.round(se, 6).alias("se_delta"),
     ).orderBy("arm")
 
 
@@ -1023,7 +1076,7 @@ cum AS (
 tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1 FROM grid)
 SELECT n0, n1,
        CAST(bin AS INT) AS ks_bin,
-       round(CAST(abs(k0 * n1 - k1 * n0) AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1), 9) AS ks_d
+       CAST((abs(k0 * n1 - k1 * n0) * 1000000) // (n0 * n1) AS BIGINT) AS ks_d_micro
 FROM cum CROSS JOIN tot
 ORDER BY abs(k0 * n1 - k1 * n0) DESC, bin
 LIMIT 1
@@ -1078,9 +1131,10 @@ def quality_ks_drift_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n0",
             "n1",
             F.col("bin").cast("int").alias("ks_bin"),
-            F.round(num.cast("double") / (F.col("n0").cast("double") * F.col("n1")), 9).alias(
-                "ks_d"
-            ),
+            # exact integer-micro KS statistic (r14 no-bar tie sweep)
+            F.expr(
+                "(abs(k0 * n1 - k1 * n0) * CAST(1000000 AS BIGINT)) div (n0 * n1)"
+            ).alias("ks_d_micro"),
             num.alias("_num"),
         )
         .orderBy(F.desc("_num"), "bin")
@@ -1601,11 +1655,16 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(max(CASE WHEN grp = 0 THEN spy_g END) AS DOUBLE) AS spy0,
                    CAST(max(CASE WHEN grp = 1 THEN spy_g END) AS DOUBLE) AS spy1,
                    CAST(max(CASE WHEN grp = 0 THEN syy_g END) AS DOUBLE) AS syy0,
-                   CAST(max(CASE WHEN grp = 1 THEN syy_g END) AS DOUBLE) AS syy1
+                   CAST(max(CASE WHEN grp = 1 THEN syy_g END) AS DOUBLE) AS syy1,
+                   CAST(max(CASE WHEN grp = 0 THEN sy_g END) * 1000000 AS HUGEINT)
+                       AS symi0,
+                   CAST(max(CASE WHEN grp = 1 THEN sy_g END) * 1000000 AS HUGEINT)
+                       AS symi1
             FROM g
         ),
         d AS (
             SELECT CAST(n0 AS DOUBLE) AS dn0, CAST(n1 AS DOUBLE) AS dn1,
+                   n0, n1, symi0, symi1,
                    CAST(n0 + n1 AS DOUBLE) AS n,
                    sp0 + sp1 AS sp, sy0 + sy1 AS sy,
                    spp0 + spp1 AS spp, spy0 + spy1 AS spy, syy0 + syy1 AS syy,
@@ -1623,7 +1682,8 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM d
         )
         SELECT round(th, 6) AS theta,
-               round(sy1 / dn1 - sy0 / dn0, 6) AS lift_raw,
+               CAST((symi1 * n0 - symi0 * n1) // (CAST(n0 AS HUGEINT) * n1)
+                    AS BIGINT) AS lift_raw_micro,
                round((sy1 / dn1 - th * (sp1 / dn1 - mp))
                      - (sy0 / dn0 - th * (sp0 / dn0 - mp)), 6) AS lift_cuped,
                round(var_y, 4) AS var_raw,
@@ -1682,6 +1742,8 @@ def sample_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = g.agg(
         pick(0, "n_g").alias("n0"),
         pick(1, "n_g").alias("n1"),
+        (pick(0, "sy_g") * 1000000).cast("decimal(38,0)").alias("symi0"),
+        (pick(1, "sy_g") * 1000000).cast("decimal(38,0)").alias("symi1"),
         *[
             pick(arm, f"{c}_g").cast("double").alias(f"{c}{arm}")
             for c in ("sp", "sy", "spp", "spy", "syy")
@@ -1691,6 +1753,10 @@ def sample_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = w.select(
         F.col("n0").cast("double").alias("dn0"),
         F.col("n1").cast("double").alias("dn1"),
+        "n0",
+        "n1",
+        "symi0",
+        "symi1",
         (F.col("n0") + F.col("n1")).cast("double").alias("n"),
         (F.col("sp0") + F.col("sp1")).alias("sp"),
         (F.col("sy0") + F.col("sy1")).alias("sy"),
@@ -1715,7 +1781,15 @@ def sample_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_cuped = var_y - F.lit(2.0) * th * F.col("cov_py") + th * th * F.col("var_pre")
     return t.select(
         F.round(th, 6).alias("theta"),
-        F.round(F.col("sy1") / F.col("dn1") - F.col("sy0") / F.col("dn0"), 6).alias("lift_raw"),
+        # exact integer-micro raw lift (r14 no-bar tie sweep): a difference
+        # of two DECIMAL-exact means ships as one cross-multiplied
+        # truncating DECIMAL(38) div; lift_cuped keeps round() — theta is a
+        # rational-COMPOSITE factor whose exact integer form exceeds the
+        # 38-digit headroom (see ROUND_TIE_ALLOWLIST classification)
+        F.expr(
+            "CAST((symi1 * n0 - symi0 * n1)"
+            " div (CAST(n0 AS DECIMAL(38,0)) * n1) AS BIGINT)"
+        ).alias("lift_raw_micro"),
         F.round(
             (F.col("sy1") / F.col("dn1") - th * (F.col("sp1") / F.col("dn1") - mp))
             - (F.col("sy0") / F.col("dn0") - th * (F.col("sp0") / F.col("dn0") - mp)),

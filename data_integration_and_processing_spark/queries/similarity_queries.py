@@ -843,8 +843,8 @@ def _centroid_oracle() -> str:
         SELECT true_label AS label,
                count(*) AS n_vecs,
                CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-               round(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
-                     / CAST(count(*) AS DOUBLE), 6) AS accuracy
+               CAST((sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                     * 1000000) // count(*) AS BIGINT) AS accuracy_micro
         FROM best WHERE rn = 1
         GROUP BY true_label ORDER BY true_label
     """
@@ -897,11 +897,11 @@ def sim_centroid_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("c_label") == F.col("true_label"), 1).otherwise(0)).alias(
                 "n_correct"
             ),
-            F.round(
-                F.sum(F.when(F.col("c_label") == F.col("true_label"), 1).otherwise(0))
-                / F.count("*").cast("double"),
-                6,
-            ).alias("accuracy"),
+            # exact integer-micro (r14 no-bar tie sweep)
+            F.expr(
+                "(sum(CASE WHEN c_label = true_label THEN 1 ELSE 0 END)"
+                " * CAST(1000000 AS BIGINT)) div count(*)"
+            ).alias("accuracy_micro"),
         )
         .orderBy("label")
     )
@@ -1270,8 +1270,8 @@ topk AS (SELECT dim, qid, cid FROM ranked WHERE rk <= {_MRL_K}),
 base AS (SELECT qid, cid FROM topk WHERE dim = 64)
 SELECT t.dim,
        CAST(count(DISTINCT t.qid) AS BIGINT) AS n_queries,
-       round(CAST(count(b.cid) AS DOUBLE)
-             / (count(DISTINCT t.qid) * {_MRL_K}), 6) AS recall_at_{_MRL_K}
+       (count(b.cid) * CAST(1000000 AS BIGINT))
+           // (count(DISTINCT t.qid) * {_MRL_K}) AS recall_at_{_MRL_K}_micro
 FROM topk t LEFT JOIN base b ON t.qid = b.qid AND t.cid = b.cid
 GROUP BY t.dim
 ORDER BY t.dim
@@ -1338,11 +1338,11 @@ def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("dim")
         .agg(
             F.countDistinct("qid").cast("bigint").alias("n_queries"),
-            F.round(
-                F.count("b_cid").cast("double")
-                / (F.countDistinct("qid") * F.lit(_MRL_K)),
-                6,
-            ).alias(f"recall_at_{_MRL_K}"),
+            # exact integer-micro (r14 no-bar tie sweep)
+            F.expr(
+                f"(count(b_cid) * CAST(1000000 AS BIGINT))"
+                f" div (count(DISTINCT qid) * {_MRL_K})"
+            ).alias(f"recall_at_{_MRL_K}_micro"),
         )
         .orderBy("dim")
     )
@@ -1356,11 +1356,12 @@ pairs AS (
 )
 SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_sampled,
        CAST(count(*) AS BIGINT) AS n_pairs,
-       round(avg(sim), 6) AS mean_cos,
+       CAST(sum(CAST(round(sim * 1000000) AS BIGINT)) // count(*) AS BIGINT)
+           AS mean_cos_micro,
        round(min(sim), 6) AS min_cos,
        round(max(sim), 6) AS max_cos,
-       round(CAST(count(CASE WHEN sim >= 0.3 THEN 1 END) AS DOUBLE) / count(*), 6)
-           AS frac_similar
+       CAST((count(CASE WHEN round(sim * 1000000) >= 300000 THEN 1 END)
+             * 1000000) // count(*) AS BIGINT) AS frac_similar_micro
 FROM pairs
 """
 
@@ -1394,12 +1395,19 @@ def sim_sample_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.agg(
         F.lit(n_sampled).cast("bigint").alias("n_sampled"),
         F.count("*").cast("bigint").alias("n_pairs"),
-        F.round(F.avg("sim"), 6).alias("mean_cos"),
+        # exact integer-micro mean + share (r14 no-bar tie sweep): sim is
+        # already on the 1e-6 grid (rounded cosine), so round(sim*1e6)
+        # recovers each pair's exact integer and the mean/threshold are
+        # BIGINT-exact on both engines
+        F.expr(
+            "sum(CAST(round(sim * 1000000, 0) AS BIGINT)) div count(*)"
+        ).alias("mean_cos_micro"),
         F.round(F.min("sim"), 6).alias("min_cos"),
         F.round(F.max("sim"), 6).alias("max_cos"),
-        F.round(
-            F.count(F.when(F.col("sim") >= 0.3, 1)).cast("double") / F.count("*"), 6
-        ).alias("frac_similar"),
+        F.expr(
+            "(count(CASE WHEN round(sim * 1000000, 0) >= 300000 THEN 1 END)"
+            " * CAST(1000000 AS BIGINT)) div count(*)"
+        ).alias("frac_similar_micro"),
     )
 
 
@@ -1544,8 +1552,8 @@ ideal AS (
 )
 SELECT m.query_id,
        round(m.dcg / i.idcg, 6) AS ndcg10,
-       round(coalesce(1.0 / m.first_rel_rank, 0.0), 6) AS mrr,
-       round(m.n_hits / {_EVAL_K}.0, 6) AS prec10
+       coalesce(CAST(1000000 AS BIGINT) // m.first_rel_rank, 0) AS mrr_micro,
+       m.n_hits * CAST({1000000 // _EVAL_K} AS BIGINT) AS prec10_micro
 FROM metrics m JOIN ideal i ON i.query_id = m.query_id
 ORDER BY m.query_id
 """
@@ -1618,9 +1626,16 @@ def sim_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         metrics.join(ideal, "query_id")
         .select(
             "query_id",
+            # ndcg10 keeps round(): the log2 DCG weights are irrational,
+            # no exact decimal tie (det64 residual only). mrr/prec10 are
+            # rationals — exact integer-micro (r14 no-bar tie sweep)
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg10"),
-            F.round(F.coalesce(1.0 / F.col("first_rel_rank"), F.lit(0.0)), 6).alias("mrr"),
-            F.round(F.col("n_hits") / F.lit(float(_EVAL_K)), 6).alias("prec10"),
+            F.coalesce(
+                F.expr("CAST(1000000 AS BIGINT) div first_rel_rank"), F.lit(0).cast("long")
+            ).alias("mrr_micro"),
+            (F.col("n_hits") * F.lit(1000000 // _EVAL_K)).cast("long").alias(
+                "prec10_micro"
+            ),
         )
         .orderBy("query_id")
     )

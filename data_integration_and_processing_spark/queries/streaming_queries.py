@@ -974,10 +974,13 @@ def stream_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 _KMV_STREAM_K = 64
-_KMV_STREAM_FRAC = (
+# the kth hash's first 8 hex chars as an exact BIGINT (r14 no-bar tie
+# sweep: the KMV estimate is a rational — see _KMV_HASH_INT_SQL in
+# analytics_queries for the class note)
+_KMV_STREAM_HASH_INT = (
     "list_reduce(list_transform(string_split(substr(kth_hash, 1, 8), ''), "
-    "c -> strpos('0123456789abcdef', c) - 1), (a, x) -> a * 16 + x) "
-    "/ 4294967296.0"
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+    "(a, x) -> a * 16 + x)"
 )
 
 
@@ -1007,9 +1010,10 @@ _KMV_STREAM_FRAC = (
             FROM events GROUP BY event_type
         )
         SELECT s.event_type, e.exact_distinct_users, s.n_sketch, s.kth_hash,
-               round(CASE WHEN s.n_sketch < {_KMV_STREAM_K} THEN CAST(s.n_sketch AS DOUBLE)
-                          ELSE ({_KMV_STREAM_K} - 1) / ({_KMV_STREAM_FRAC})
-                     END, 4) AS est_distinct_users
+               CASE WHEN s.n_sketch < {_KMV_STREAM_K} THEN s.n_sketch * 10000
+                    ELSE CAST(({_KMV_STREAM_K} - 1) * 42949672960000
+                              // ({_KMV_STREAM_HASH_INT}) AS BIGINT)
+               END AS est_distinct_users_e4
         FROM sk s JOIN exact e ON e.event_type = s.event_type
         ORDER BY s.event_type
     """,
@@ -1043,7 +1047,7 @@ def stream_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct_users",
             "n_sketch",
             "kth_hash",
-            "est_distinct_users",
+            "est_distinct_users_e4",
         )
         .orderBy("event_type")
     )
@@ -1159,7 +1163,8 @@ def stream_bitmap_distinct_incremental(spark: SparkSession, sf_dir: str) -> Data
         ),
         c AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY w1, w2)
         SELECT w1, w2, n,
-               round(n / CAST(sum(n) OVER (PARTITION BY w1) AS DOUBLE), 6) AS p
+               CAST((n * 1000000) // sum(n) OVER (PARTITION BY w1) AS BIGINT)
+                   AS p_micro
         FROM c
         ORDER BY n DESC, w1, w2
         LIMIT 100

@@ -1167,7 +1167,8 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         c AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY w1, w2)
         SELECT w1, w2, n,
-               round(n / CAST(sum(n) OVER (PARTITION BY w1) AS DOUBLE), 6) AS p
+               CAST((n * 1000000) // sum(n) OVER (PARTITION BY w1) AS BIGINT)
+                   AS p_micro
         FROM c
         ORDER BY n DESC, w1, w2
         LIMIT 100
@@ -1204,7 +1205,11 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.select(
             "w1", "w2", "n",
-            F.round(F.col("n") / F.sum("n").over(tot).cast("double"), 6).alias("p"),
+            # exact integer-micro (r14 no-bar tie sweep)
+            F.expr(
+                "(n * CAST(1000000 AS BIGINT))"
+                " div (sum(n) OVER (PARTITION BY w1))"
+            ).alias("p_micro"),
         )
         .orderBy(F.desc("n"), "w1", "w2")
         .limit(100)

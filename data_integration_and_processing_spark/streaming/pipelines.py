@@ -1819,20 +1819,25 @@ def run_streaming_kmv_distinct(
         .start()
         .awaitTermination(300)
     )
-    frac = F.conv(F.substring("kth_hash", 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
     state = read_state_version(spark, sink).groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_sketch"), F.max("fp").alias("kth_hash")
     )
+    # exact e4-scaled KMV estimate (r14 no-bar tie sweep): (k-1)*2^32*1e4
+    # div h with h = the kth hash's first 8 hex chars as a BIGINT — the
+    # rational estimate ships as a truncating integer quotient
+    est_e4 = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch") * F.lit(10000)
+    ).otherwise(
+        F.expr(
+            f"CAST({(k - 1) * 4294967296 * 10000} AS BIGINT)"
+            " div CAST(conv(substring(kth_hash, 1, 8), 16, 10) AS BIGINT)"
+        )
+    ).cast("long")
     return state.select(
         "event_type",
         "n_sketch",
         "kth_hash",
-        F.round(
-            F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double")).otherwise(
-                F.lit(float(k - 1)) / frac
-            ),
-            4,
-        ).alias("est_distinct_users"),
+        est_e4.alias("est_distinct_users_e4"),
     ).orderBy("event_type")
 
 
@@ -2037,7 +2042,11 @@ def run_streaming_bigram_lm(
             "w1",
             "w2",
             F.col("n").cast("long").alias("n"),
-            F.round(F.col("n") / F.sum("n").over(tot).cast("double"), 6).alias("p"),
+            # exact integer-micro (r14 no-bar tie sweep)
+            F.expr(
+                "(CAST(n AS BIGINT) * 1000000)"
+                " div (sum(CAST(n AS BIGINT)) OVER (PARTITION BY w1))"
+            ).alias("p_micro"),
         )
         .orderBy(F.desc("n"), "w1", "w2")
         .limit(top_n)

@@ -54,7 +54,7 @@ def test_small_set_branch_is_exact(spark):
     got = run_streaming_kmv_distinct(spark, e, k=16).collect()
     assert len(got) == 1
     assert got[0]["n_sketch"] == 5
-    assert got[0]["est_distinct_users"] == 5.0
+    assert got[0]["est_distinct_users_e4"] == 50_000
 
 
 def test_kmv_difference_identities(spark, sf_dir):
