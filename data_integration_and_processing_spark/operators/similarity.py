@@ -1312,6 +1312,34 @@ def ivfpq_probe_batch(
         raise ValueError("empty query batch")
     from pyspark.sql.window import Window  # noqa: PLC0415
 
+    short = _adc_shortlist(spark, path, queries, k * refine, nprobe)
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        short.select(
+            "query_id",
+            F.col("id").alias(id_col),
+            F.round(cosine(F.col("v"), F.col("_q")), round_digits).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _adc_shortlist(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    n_candidates: int,
+    nprobe: int,
+) -> DataFrame:
+    """The batch probe's STAGE-1: per query, the ``n_candidates`` best ADC
+    candidates of an IVFPQ index, with both vectors attached —
+    ``(query_id, id, v, _q)``. Shared by :func:`ivfpq_probe_batch`
+    (stage-2 = exact cosine) and :func:`model_rerank_batch` (stage-2 = a
+    pluggable scorer), so the two serving paths are the SAME plan up to
+    the rescorer."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
     model = load_ivfpq_model(spark, path)
     m = model["m"]
     lut_rows = []
@@ -1336,7 +1364,6 @@ def ivfpq_probe_batch(
         + F.element_at(F.element_at("_lut", j), F.element_at("codes", j) + F.lit(1)),
     )
     w_adc = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("id"))
-    w_k = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         _tombstone_filter(
             spark,
@@ -1348,11 +1375,69 @@ def ivfpq_probe_batch(
         .join(F.broadcast(luts), "_cell")
         .select("query_id", "id", "v", "_q", adc.alias("_adc"))
         .withColumn("_r", F.row_number().over(w_adc))
-        .filter(F.col("_r") <= k * refine)
-        .select(
+        .filter(F.col("_r") <= n_candidates)
+        .select("query_id", "id", "v", "_q")
+    )
+
+
+def model_rerank_batch(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    scorer,
+    k: int = 10,
+    nprobe: int = 4,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-stage retrieval with a PLUGGABLE stage-2 model (the RAG serving
+    pattern `sim_rerank_eval` stands in for with an exact rescore): the
+    IVFPQ ADC shortlist fans out ``n_candidates`` per query, then
+    ``scorer`` — an Arrow-batched pandas function
+    ``(q: np.ndarray[n,d], c: np.ndarray[n,d]) -> np.ndarray[n]`` — scores
+    every (query, candidate) pair, and a per-query window keeps the top-k
+    by (rounded score, id). Swapping the model = passing a different
+    ``scorer``; the plan (pruned scan -> broadcast-LUT join -> ADC window
+    -> mapInPandas -> top-k window) is identical for any model.
+
+    At 100 TB: stage-1 is the index's partition-pruned candidate plan;
+    stage-2 touches batch * n_candidates rows only, Arrow-batched — the
+    model cost is decoupled from corpus size, which is the point of
+    candidate-generation architectures. Returns
+    ``(query_id, id_col, model_score, rank)``.
+    """
+    import pandas as pd  # noqa: PLC0415 — keep pandas off the import hot path
+
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    short = _adc_shortlist(spark, path, queries, n_candidates, nprobe)
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array([np.asarray(x, dtype=np.float64) for x in pdf["_q"]])
+            c = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "id": pdf["id"],
+                    "model_score": np.asarray(scorer(q, c), dtype=np.float64),
+                }
+            )
+
+    scored = short.mapInPandas(
+        _score, schema="query_id long, id long, model_score double"
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.desc("model_score"), F.asc(id_col)
+    )
+    return (
+        scored.select(
             "query_id",
             F.col("id").alias(id_col),
-            F.round(cosine(F.col("v"), F.col("_q")), round_digits).alias("cos_sim"),
+            F.round("model_score", round_digits).alias("model_score"),
         )
         .withColumn("rank", F.row_number().over(w_k))
         .filter(F.col("rank") <= k)

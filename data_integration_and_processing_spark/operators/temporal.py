@@ -91,11 +91,13 @@ def time_weighted_avg(
             *group_cols,
             "n_obs",
             "span_us",
-            F.round(
-                F.col("_wsum").cast("double")
-                / F.when(F.col("span_us") > 0, F.col("span_us").cast("double")),
-                6,
-            ).alias("time_weighted_avg"),
+            # exact integer-micro (r14 no-bar tie sweep): wsum*1e6 is an
+            # integer (6-decimal DECIMAL x integer microseconds), so the
+            # average ships as one truncating DECIMAL(38) quotient
+            F.expr(
+                "CAST((CAST(_wsum * 1000000 AS DECIMAL(38,0)))"
+                " div (CASE WHEN span_us > 0 THEN span_us END) AS BIGINT)"
+            ).alias("time_weighted_avg_micro"),
         )
     )
 
@@ -268,11 +270,12 @@ def event_deltas(
             F.col(tiebreak_col),
             (F.col("_us") - F.col("_prev_us")).alias("gap_us"),
             F.round(F.col("_v") - F.col("_prev_v"), 6).alias("delta_value"),
-            F.round(
-                (F.col("_v") - F.col("_prev_v"))
-                / (F.col("_us") - F.col("_prev_us")).cast("double")
-                * F.lit(1_000_000.0),
-                6,
-            ).alias("rate_per_sec"),
+            # exact integer-micro rate (r14 no-bar tie sweep): the e4-grid
+            # value delta times 1e8 over integer microseconds, truncating
+            F.expr(
+                "((CAST(round(_v * 10000, 0) AS BIGINT)"
+                " - CAST(round(_prev_v * 10000, 0) AS BIGINT))"
+                " * CAST(100000000 AS BIGINT)) div (_us - _prev_us)"
+            ).alias("rate_per_sec_micro"),
         )
     )

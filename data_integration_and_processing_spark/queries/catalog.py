@@ -64,15 +64,67 @@ _WINDOW_SIZE = 50
 _ALWAYS: tuple[str, ...] = ("q1_pricing_summary",)
 
 # Round-specific pins: entries that MUST re-verify under the driver this
-# round. r14 (VERDICT r13 items 1+3): queries whose OUTPUT CONTRACT changes
-# in this round's proactive rational-quotient conversion sweep (the
-# strengthened no-magnitude-bar tie lint) are appended here as they are
-# converted — a converted query's old driver green no longer attests its
-# new hash. The 22 r5-stale greens need NO pin: with every other entry
-# green r6+ they are exactly the stalest-first fill, and the window math
-# (1 always + pins + family slots + fill) keeps all 22 inside as long as
-# pins stay <= ~20.
-_PINNED: tuple[str, ...] = ()
+# round. r14 (VERDICT r13 items 1+3): the proactive rational-quotient
+# conversion sweep (strengthened no-magnitude-bar tie lint) changed 67
+# queries' output contracts — a converted query's old driver green no
+# longer attests its new hash. The window holds 1 always + the two new
+# never-green entries (sim_ivfpq_compact_audit, sim_model_rerank_eval —
+# they rank first in the fill) + 6 family slots + 22 r5-stale fills
+# (VERDICT item 1, completing the rotation), leaving 18 pin slots: the
+# pins below are the 18 STALEST converted queries outside the r5 set (4
+# converted queries ride in the r5 fill for free); the remaining 45
+# (_CONVERTED_R14_PIN_LATER) are replica-verified at two tiers this round
+# and scheduled as r15/r16 pins.
+_PINNED: tuple[str, ...] = (
+    "agg_heavy_hitters",
+    "corpus_source_overlap",
+    "dedup_ngram_containment",
+    "q8_market_share",
+    "quality_benford_audit",
+    "quality_psi_drift",
+    "events_pareto_concentration",
+    "events_transition_matrix",
+    "prep_feature_scaling",
+    "q14_promo_revenue",
+    "sim_retrieval_eval_ndcg",
+    "temporal_event_deltas",
+    "text_decontaminate_fuzzy",
+    "text_duplicate_ngram_spans",
+    "text_tfidf_topterms",
+    "pack_batches_length_bucketed",
+    "sample_ab_srm_audit",
+    "temporal_resample_linear",
+)
+
+# Converted in r14 (contract changed, two-tier replica-verified) but not
+# pinnable this round without evicting the r5-stale rotation: pin these in
+# r15/r16 (stalest-first; ~20-27 slots per round after the always-entry,
+# family slots and never-green fills).
+_CONVERTED_R14_PIN_LATER: tuple[str, ...] = (
+    "agg_kmv_distinct_sketch", "agg_kmv_set_intersection",
+    "dedup_minhash_calibration", "events_funnel_time_bounded",
+    "quality_auc_separability", "quality_chi2_drift",
+    "quality_conditional_rules", "quality_ks_drift_bucketed",
+    "sample_ab_delta_method",
+    "sample_mix_greedy_budget", "sample_poisson_bootstrap_ci",
+    "search_hybrid_rrf", "stream_kmv_incremental",
+    "temporal_backtest_seasonal_naive", "temporal_seasonality_profile",
+    "text_readability_scores", "agg_order_size_distribution",
+    "agg_winsorized_mean", "curation_encoding_audit",
+    "curation_gopher_repetition", "events_dau_wau",
+    "events_funnel_any_order", "events_markov_transitions",
+    "events_power_user_gini", "events_session_length_histogram",
+    "events_window_funnel", "sim_matryoshka_prefix_recall",
+    "sim_sample_diversity", "temporal_week_over_week", "text_bigram_lm",
+    "text_langid_confusion", "text_lexical_diversity",
+    "text_tokenizer_fertility", "text_vocab_coverage_curve",
+    "agg_kmv_set_difference", "graph_link_prediction_jaccard",
+    "stream_bigram_lm_incremental", "temporal_mann_kendall_trend",
+    "profile_join_key_skew", "agg_exact_stats_trend",
+    "events_cohort_retention", "quality_fk_orphan_audit",
+    "sample_ab_cuped_adjustment", "temporal_time_weighted_avg",
+    "text_repetition_metrics",
+)
 
 # Every family that must keep an oracle-checked row inside the window
 # (tests/test_catalog_window.py holds an independent copy as the gate).

@@ -369,8 +369,36 @@ _IRRATIONAL_RE = re.compile(
 #           10^-k grid — noise/grid ~ 1e-7 per cell for the allowlisted
 #           columns, the accepted residual class.
 # A quotient over data-dependent exact values (avg, count ratios, money/n)
-# may NOT be allowlisted — convert it to integer-micro div instead.
+# may NOT be allowlisted — convert it to integer-micro div instead. The r14
+# no-bar sweep adds two surviving classes, each requiring the written
+# classification below (VERDICT r13 item 3):
+#   irr  — the site's value passes through an irrational transform UPSTREAM
+#          of the site expression (the regex can't see it): sqrt/log output
+#          is irrational a.e., so no exact decimal round-half tie exists;
+#          residual risk is the already-accepted det64 ulp-noise class.
+#   rational-composite — the value IS rational, but its exact integer form
+#          exceeds the 38-digit DECIMAL/HUGEINT headroom both engines share
+#          (e.g. squared second moments). A tie needs the REDUCED
+#          denominator of a multi-factor data-dependent product to be
+#          exactly 2^(k+1)*5^j — measure-tiny, and covered empirically by
+#          the two-tier replica gate each round. These are the only
+#          rational survivors; everything representable was converted.
 ROUND_TIE_ALLOWLIST: dict[str, dict[str, str]] = {
+    "events_error_burst_detection": {
+        "z_score": "irr: sigma is stddev_samp (sqrt) upstream of the site; quotient irrational a.e., no exact tie",
+    },
+    "sample_neyman_allocation": {
+        "alloc_neyman": "irr: sd and tot.z are stddev (sqrt) terms upstream; value irrational a.e., no exact tie",
+    },
+    "sample_weighted_reservoir": {
+        "res_key": "irr: pow(u, 1/w) with non-integer exponent; value irrational a.e., no exact tie",
+    },
+    "sim_retrieval_eval_ndcg": {
+        "ndcg10": "irr: DCG weights 1/log2(rank+1) upstream; value irrational a.e., no exact tie",
+    },
+    "sample_ab_welch_ttest": {
+        "df_welch": "rational-composite: exact form (P*Q)^2 with P ~ n*sum(x^2) at e6 scale needs ~73 digits > DECIMAL(38); tie needs a 4-factor reduced denominator = 2^7*5^j — negligible, two-tier replica cover",
+    },
     "agg_approx_percentile": {
         "p50_exact": "grid: interpolation of cents values at fraction grid 0.05 -> 5e-4 grid; no digit-7 tie",
         "p95_exact": "grid: interpolation of cents values at fraction grid 0.05 -> 5e-4 grid; no digit-7 tie",
@@ -400,6 +428,7 @@ ROUND_TIE_ALLOWLIST: dict[str, dict[str, str]] = {
     },
     "prep_feature_scaling": {
         "price": "grid: raw cents-grid data value rounded at k=6; no digit-7 tie",
+        "zscore": "irr: sigma is a sqrt of rational moments upstream; quotient irrational a.e., no exact tie",
     },
     "quality_order_total_reconcile": {
         "p50_abs_delta": "grid: interpolation midpoint of cents-grid deltas -> 5e-3 grid; no digit-5 tie",
@@ -408,6 +437,7 @@ ROUND_TIE_ALLOWLIST: dict[str, dict[str, str]] = {
     "sample_ab_cuped_adjustment": {
         "var_raw": "det64: identical binary64 from DECIMAL-exact moments through the same IEEE chain",
         "var_cuped": "det64: identical binary64 from DECIMAL-exact moments through the same IEEE chain",
+        "lift_cuped": "rational-composite: theta = cov/var of e6-scale second moments exceeds 38-digit exact headroom when cross-multiplied; tie needs the composite reduced denominator = 2^7*5^j — negligible, two-tier replica cover (lift_raw and theta's var columns are converted/det64)",
     },
     "stream_ohlc_continuous": {
         "sum_value": "grid: DECIMAL(14,6)-exact sum cast to DOUBLE; 1e-6 grid has no digit-7 tie",

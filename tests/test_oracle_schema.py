@@ -233,10 +233,18 @@ def test_round_tie_sweep_flags_a_probe():
         {
             # the rfm shape: >=1e4-magnitude money quotient rounded at 6
             "probe": "SELECT round(68570553.99 / 32, 6) AS avg_monetary",
-            # below the 10^(9-k) magnitude criterion -> not flagged
+            # r14 strengthening (temporal_stl_lite live tie): a rational
+            # quotient is flagged at ANY magnitude — no bar
             "small": "SELECT round(1.0 / 3, 6) AS tiny",
+            # ... but a site whose value passes through an irrationalizing
+            # function cannot sit exactly on a decimal tie -> not flagged
+            "irr": "SELECT round(sqrt(2.0) / 3, 6) AS root",
+            # and a non-quotient below the magnitude bar stays clean
+            "plain": "SELECT round(1.5 + 0.25, 6) AS s",
         },
         ROUND_SF_DIR,
     )
-    assert "probe" in bad and "small" not in bad, bad
+    assert "probe" in bad and "small" in bad, bad
+    assert "irr" not in bad and "plain" not in bad, bad
     assert "QUOTIENT" in bad["probe"][0]
+    assert "sub-bar" in bad["small"][0]

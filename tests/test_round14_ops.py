@@ -95,3 +95,53 @@ def test_compact_audit_booleans_all_true(spark, sf_dir):
     assert len(rows) == 10
     for col in ("compact_rows_ok", "rebuild_probe_equal_ok", "recall_ok"):
         assert all(r[col] for r in rows), (col, rows)
+
+
+def test_model_rerank_slot_parity_and_recall(spark, sf_dir):
+    """The pluggable stage-2 slot: audit booleans hold, served ranks are
+    dense 1..10 per query, and the pandas scorer's outputs agree with the
+    JVM weighted-dot fold (<= 2e-6 after rounding — numpy pairwise vs
+    sequential accumulation)."""
+    from data_integration_and_processing_spark.queries.similarity_queries import (
+        sim_model_rerank_eval,
+        sim_model_rerank_raw,
+    )
+
+    rows = sim_model_rerank_eval(spark, sf_dir).collect()
+    assert rows and len(rows) % 10 == 0
+    assert all(r["recall_ok"] for r in rows)
+    assert all(r["slot_parity_ok"] for r in rows)
+    served = sim_model_rerank_raw(spark, sf_dir).collect()
+    per_q = {}
+    for r in served:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, 11)), (q, ranks)
+
+
+def test_model_rerank_swappable_scorer(spark, tmp_path):
+    """Swapping the model = passing a different callable: a constant scorer
+    must rank purely by id tiebreak, proving stage-2 is genuinely pluggable
+    (no hidden dependence on the default bilinear head)."""
+    from data_integration_and_processing_spark.operators.similarity import (
+        build_ivfpq_index,
+        model_rerank_batch,
+    )
+
+    corpus = _tiny_corpus(spark)
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(corpus, path, n_cells=2, m=4, nbits=2)
+    q = corpus.filter(F.col("vec_id") == 0).first()
+    qs = [(0, [float(x) for x in q["embedding"]])]
+
+    def constant(qm, cm):
+        import numpy as np
+
+        return np.zeros(len(qm))
+
+    top = model_rerank_batch(
+        spark, path, qs, constant, k=5, nprobe=2, n_candidates=16
+    ).collect()
+    ids = [r["vec_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert ids == sorted(ids), ids  # constant scores -> pure id tiebreak
+    assert all(r["model_score"] == 0.0 for r in top)

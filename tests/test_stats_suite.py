@@ -31,14 +31,14 @@ def test_ks_aa_drift_is_small_and_bounded(spark, sf_dir, specs):
     """A/A split: bucketed KS distance must be small; and D is a valid
     distance (in [0, 1])."""
     row = specs["quality_ks_drift_bucketed"].spark(spark, sf_dir).collect()[0]
-    assert 0.0 <= row["ks_d"] <= 1.0
-    assert row["ks_d"] < 0.1, row  # same-population split
+    assert 0 <= row["ks_d_micro"] <= 1_000_000
+    assert row["ks_d_micro"] < 100_000, row  # same-population split
 
 
 def test_bootstrap_ci_contains_raw_mean(spark, sf_dir, specs):
     """Poisson-bootstrap percentile CI must bracket the point estimate."""
     for r in specs["sample_poisson_bootstrap_ci"].spark(spark, sf_dir).collect():
-        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"], r
+        assert r["ci_lo"] <= r["mean_value_micro"] / 1e6 <= r["ci_hi"], r
         assert r["ci_lo"] < r["ci_hi"]
 
 

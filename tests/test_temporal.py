@@ -64,9 +64,9 @@ def test_time_weighted_avg_locf_semantics(spark):
     ]
     df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
     out = {r["g"]: r for r in time_weighted_avg(df, ["g"], "ts", "value").collect()}
-    assert out["a"]["time_weighted_avg"] == 12.5
+    assert out["a"]["time_weighted_avg_micro"] == 12_500_000
     assert out["a"]["span_us"] == 40_000_000
-    assert out["single"]["time_weighted_avg"] is None
+    assert out["single"]["time_weighted_avg_micro"] is None
     assert out["single"]["n_obs"] == 1
 
 
@@ -125,7 +125,7 @@ def test_event_deltas_gap_and_rate(spark):
     assert len(out) == 1  # first observation has no predecessor
     assert out[0]["gap_us"] == 4_000_000
     assert out[0]["delta_value"] == 8.0
-    assert out[0]["rate_per_sec"] == 2.0
+    assert out[0]["rate_per_sec_micro"] == 2_000_000
 
 
 def _plan(df) -> str:
