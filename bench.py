@@ -992,8 +992,15 @@ def main() -> int:
     # the larger of the two. First canary round: drift = 1.
     drift = 1.0
     drift_detail = {}
-    for k in ("jvm_sec", "arrow_sec"):
-        if base_canary.get(k):
+    # shuffle_sec joined the drift model in r14 (VERDICT r13 item 2): the
+    # r13-recorded shuffle canary (0.84s) read ~2x on the r14 box while the
+    # jvm canary read only ~1.17x, and the flagged "regressions" were
+    # exactly the shuffle/iterative shapes — the single-stage pair
+    # under-models parallel shuffle + task-scheduling throughput, which is
+    # what most of the catalog's heavy queries are bound by. All three
+    # workloads are code-frozen; the cap below still bounds the widening.
+    for k in ("jvm_sec", "arrow_sec", "shuffle_sec"):
+        if base_canary.get(k) and canary.get(k):
             r = canary[k] / base_canary[k]
             drift_detail[k] = round(r, 3)
             drift = max(drift, r)

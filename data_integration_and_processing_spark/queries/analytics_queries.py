@@ -2436,7 +2436,13 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recency_days"
             ),
             F.count("*").alias("frequency"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+            # monetary in integer CENTS longs (r14 exactness-cost probe):
+            # order statistics and score comparisons are scale-invariant,
+            # the micro average divides out the 100, and long sums beat
+            # DECIMAL128 — values identical, arithmetic cheaper
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "monetary"
+            ),
         )
     )
     def disc_bounds(col: str, prefix: str) -> DataFrame:
@@ -2509,9 +2515,9 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(_sum_rec * CAST(1000000 AS BIGINT)) div n_customers").alias(
                 "avg_recency_micro"
             ),
-            F.expr(
-                "(CAST(_sum_mon * 100 AS DECIMAL(38,0)) * 10000) div n_customers"
-            ).alias("avg_monetary_micro"),
+            F.expr("(_sum_mon * CAST(10000 AS BIGINT)) div n_customers").alias(
+                "avg_monetary_micro"
+            ),
         )
         .orderBy("r_score", "f_score", "m_score")
     )

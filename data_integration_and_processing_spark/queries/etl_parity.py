@@ -1014,12 +1014,17 @@ def etl_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     inserts = li.filter(F.col("l_orderkey") % 5 == 0)
     keys = ["l_returnflag", "l_linestatus"]
     sums = ["l_quantity", "l_extendedprice"]
-    # maintained sums in DECIMAL: the merge arithmetic (snapshot + insert
-    # delta - delete delta) is then exact and order-independent, so
-    # incremental == recompute holds bit-for-bit, not just to cents
-    base = base.withColumns({c: F.col(c).cast("decimal(18,2)") for c in sums})
-    inserts = inserts.withColumns({c: F.col(c).cast("decimal(18,2)") for c in sums})
-    deletes = deletes.withColumns({c: F.col(c).cast("decimal(18,2)") for c in sums})
+    # maintained sums as integer CENTS longs (r14 exactness-cost probe,
+    # scripts/probe_exactness_cost.py: 1.4x cheaper than DECIMAL128 at
+    # sf0.1 with IDENTICAL output): the merge arithmetic (snapshot +
+    # insert delta - delete delta) stays exact and order-independent, and
+    # cents/100.0 is the correctly-rounded double of the exact cents
+    # rational — the SAME binary64 the DECIMAL->DOUBLE cast produced, so
+    # incremental == recompute still holds bit-for-bit
+    to_cents = {c: F.round(F.col(c) * 100, 0).cast("long") for c in sums}
+    base = base.withColumns(to_cents)
+    inserts = inserts.withColumns(to_cents)
+    deletes = deletes.withColumns(to_cents)
     snapshot = base.groupBy(*keys).agg(
         F.count("*").alias("n_rows"),
         *[F.sum(c).alias(f"sum_{c}") for c in sums],
@@ -1028,8 +1033,10 @@ def etl_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     return merged.select(
         *keys,
         "n_rows",
-        F.round(F.col("sum_l_quantity").cast("double"), 2).alias("sum_l_quantity"),
-        F.round(F.col("sum_l_extendedprice").cast("double"), 2).alias("sum_l_extendedprice"),
+        F.round(F.col("sum_l_quantity") / F.lit(100.0), 2).alias("sum_l_quantity"),
+        F.round(F.col("sum_l_extendedprice") / F.lit(100.0), 2).alias(
+            "sum_l_extendedprice"
+        ),
     ).orderBy(*keys)
 
 

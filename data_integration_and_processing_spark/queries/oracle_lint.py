@@ -411,8 +411,8 @@ ROUND_TIE_ALLOWLIST: dict[str, dict[str, str]] = {
         "total": "grid: DECIMAL-exact cents sum cast to DOUBLE after aggregation; no digit-3 tie",
     },
     "etl_incremental_agg_maintenance": {
-        "sum_l_quantity": "grid: DECIMAL-exact cents sum; no digit-3 tie",
-        "sum_l_extendedprice": "grid: DECIMAL-exact cents sum; no digit-3 tie",
+        "sum_l_quantity": "grid: exact cents sum (long cents / 100.0 == the DECIMAL->DOUBLE cast's binary64); value on the 1e-2 grid, no digit-3 tie",
+        "sum_l_extendedprice": "grid: exact cents sum (long cents / 100.0); value on the 1e-2 grid, no digit-3 tie",
     },
     "etl_manifest_skipping": {
         "revenue": "grid: DECIMAL-exact cents sum; no digit-3 tie",

