@@ -136,3 +136,70 @@ def test_integral_div_twin_matches_duckdb(spark, ddb):
             assert q == trunc, (a, b, q, trunc)
 
     check()
+
+
+def test_micro_quotient_idioms_match_duckdb(spark, ddb):
+    """The r14 no-bar sweep's conversion idioms, pinned as cross-engine
+    properties over arbitrary data (not just the fixtures the replica
+    samples):
+
+    - share:   Spark `(n * 1e6) div (sum(n) OVER ())` == DuckDB
+               `CAST((n * 1000000) // sum(n) OVER () AS BIGINT)` — the
+               window-sum form, where DuckDB's sum() is HUGEINT and the
+               BIGINT cast is load-bearing for the driver canon;
+    - delta:   a SIGNED numerator (the wow/gini/psi class) through the
+               same grouped quotient — truncation toward zero both sides;
+    - mean:    per-row truncating micro then an exact integer mean (the
+               mape/calibration/greedy-mix class).
+    """
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rows = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # group
+            st.integers(min_value=-(2**31), max_value=2**31),  # signed n
+            st.integers(min_value=1, max_value=2**31),  # positive d
+        ),
+        min_size=1,
+        max_size=50,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(rows)
+    def check(data):
+        sdf = spark.createDataFrame(data, "g int, n long, d long")
+        got = {
+            (r["g"], r["n"], r["d"]): (r["share"], r["mean_q"])
+            for r in sdf.selectExpr(
+                "g",
+                "n",
+                "d",
+                "(n * CAST(1000000 AS BIGINT)) div (sum(d) OVER (PARTITION BY g))"
+                " AS share",
+                "(sum((n * CAST(1000000 AS BIGINT)) div d) OVER (PARTITION BY g))"
+                " div (count(*) OVER (PARTITION BY g)) AS mean_q",
+            ).collect()
+        }
+        vals = ", ".join(f"({g}, {n}, {d})" for g, n, d in data)
+        want = {
+            (g, n, d): (int(s), int(m))
+            for g, n, d, s, m in ddb.sql(
+                f"""
+
+                -- VALUES literals type as INT32; the real oracles' counts
+                -- are BIGINT already, so widen here to match their shape
+                SELECT g, n, d,
+                       CAST((CAST(n AS BIGINT) * 1000000)
+                            // sum(CAST(d AS BIGINT)) OVER (PARTITION BY g)
+                            AS BIGINT),
+                       CAST(sum((CAST(n AS BIGINT) * 1000000)
+                                // CAST(d AS BIGINT)) OVER (PARTITION BY g)
+                            // count(*) OVER (PARTITION BY g) AS BIGINT)
+                FROM (VALUES {vals}) t(g, n, d)
+                """
+            ).fetchall()
+        }
+        assert got == want
+
+    check()
