@@ -1154,7 +1154,8 @@ def build_ivfpq_index(
         "subspace int, code int, center array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     spark.createDataFrame(
-        [(n_cells, m, nbits, dim, seed)], "n_cells int, m int, nbits int, dim int, seed int"
+        [(n_cells, m, nbits, dim, seed, train_cap)],
+        "n_cells int, m int, nbits int, dim int, seed int, train_cap int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     return path
 
@@ -1308,8 +1309,6 @@ def ivfpq_probe_batch(
     :func:`ann_join_ivf`, which shuffles queries to cells instead of
     broadcasting LUTs.
     """
-    if not queries:
-        raise ValueError("empty query batch")
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     short = _adc_shortlist(spark, path, queries, k * refine, nprobe)
@@ -1338,6 +1337,10 @@ def _adc_shortlist(
     (stage-2 = exact cosine) and :func:`model_rerank_batch` (stage-2 = a
     pluggable scorer), so the two serving paths are the SAME plan up to
     the rescorer."""
+    if not queries:
+        # guard here so BOTH callers fail explicitly instead of dying
+        # inside createDataFrame on an empty lut_rows list (ADVICE r14)
+        raise ValueError("empty query batch")
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     model = load_ivfpq_model(spark, path)
@@ -1547,7 +1550,7 @@ def ivfpq_compact(
     spark,
     path: str,
     out_path: str | None = None,
-    train_cap: int = 100_000,
+    train_cap: int | None = None,
 ) -> str:
     """Compact an IVFPQ index: rebuild the data plane over the SURVIVOR
     rows (tombstones dropped), retraining fresh coarse cells and PQ
@@ -1573,9 +1576,20 @@ def ivfpq_compact(
     mode — what the audit fixture uses so the delete fixture keeps its
     tombstones). Without it the rebuild lands in-place via a sibling tmp
     dir and two renames: the old index stays readable until the new one is
-    fully written, and a crash leaves either the old index intact or the
-    new one installed — never a half-written hybrid (the ``.old`` leftover
-    is reaped on the next compact).
+    fully written and no crash ever leaves a half-written hybrid at
+    ``path``. The swap is NOT atomic, though: a crash between the two
+    renames leaves ``path`` absent, with the old index intact at
+    ``path.__compact_old`` and the finished rebuild at
+    ``path.__compact_tmp`` — the next compact call recovers by renaming
+    the ``.old`` back before rebuilding, but a concurrent probe inside
+    that two-rename window sees ENOENT. Quiesce probes for the swap, or
+    use ``out_path`` + a reader-side pointer flip if probes can't pause.
+    The rename/rmtree swap assumes ``path`` is a LOCAL filesystem path;
+    on an object store, use ``out_path`` mode and swap via the catalog.
+
+    ``train_cap=None`` (default) reuses the cap recorded in the index's
+    meta at build time, so a compact reproduces non-default builds
+    without the caller re-supplying the knob.
 
     At 100 TB: one distributed survivor scan + encode + partitioned write,
     bounded driver state (the same 64k-row training collects as the
@@ -1586,7 +1600,20 @@ def ivfpq_compact(
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
 
+    old = f"{path}.__compact_old"
+    # crash recovery: a previous in-place compact that died between its two
+    # renames left the intact old index at .__compact_old and nothing at
+    # path — restore it before rebuilding
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
     meta = spark.read.parquet(f"{path}/meta").first()
+    if train_cap is None:
+        train_cap = (
+            int(meta["train_cap"])
+            if "train_cap" in meta.asDict() and meta["train_cap"] is not None
+            else 100_000
+        )
     survivors = _tombstone_filter(spark, path, spark.read.parquet(f"{path}/data")).select(
         "id", "v"
     )
@@ -1606,7 +1633,6 @@ def ivfpq_compact(
     )
     if not in_place:
         return dest
-    old = f"{path}.__compact_old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(dest, path)

@@ -314,7 +314,14 @@ def agg_exact_stats_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # den in DECIMAL(38,0): x is epoch-day (~2e4), so n*sxx ≈ n²·4e8 wraps
+    # int64 once a group passes ~1.5e5 rows; DuckDB computes the same term
+    # in HUGEINT, so a LONG wrap here is a silent value divergence at
+    # larger scale factors (ADVICE r14)
+    den = F.expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        " AS DOUBLE)"
+    )
     # slope AND intercept as EXACT integer-micro (r12 rfm tie class, r14
     # no-bar sweep): the OLS quotient of DECIMAL-exact sufficient stats is
     # a rational that can land exactly on a round-half tie — truncating
@@ -324,7 +331,8 @@ def agg_exact_stats_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST((CAST(n AS DECIMAL(38,0)) * sxy_nano"
             " - CAST(sx AS DECIMAL(38,0)) * sy_nano)"
-            " div (1000 * (CAST(n * sxx - sx * sx AS DECIMAL(38,0)))) AS BIGINT)"
+            " div (1000 * (CAST(n AS DECIMAL(38,0)) * sxx"
+            " - CAST(sx AS DECIMAL(38,0)) * sx)) AS BIGINT)"
         ),
     )
     vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")

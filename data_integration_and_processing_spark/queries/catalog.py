@@ -64,57 +64,49 @@ _WINDOW_SIZE = 50
 _ALWAYS: tuple[str, ...] = ("q1_pricing_summary",)
 
 # Round-specific pins: entries that MUST re-verify under the driver this
-# round. r14 (VERDICT r13 items 1+3): the proactive rational-quotient
-# conversion sweep (strengthened no-magnitude-bar tie lint) changed 67
-# queries' output contracts — a converted query's old driver green no
-# longer attests its new hash. The window holds 1 always + the two new
-# never-green entries (sim_ivfpq_compact_audit, sim_model_rerank_eval —
-# they rank first in the fill) + 6 family slots + 22 r5-stale fills
-# (VERDICT item 1, completing the rotation), leaving 18 pin slots: the
-# pins below are the 18 STALEST converted queries outside the r5 set (4
-# converted queries ride in the r5 fill for free); the remaining 45
-# (_CONVERTED_R14_PIN_LATER) are replica-verified at two tiers this round
-# and scheduled as r15/r16 pins.
+# round. r15 (VERDICT r14 item 1): the r14 rational-quotient sweep changed
+# 67 queries' output contracts; 22 were driver-attested in r14, leaving 45
+# (_CONVERTED_R14_PIN_LATER at r14 close) whose new hashes are
+# replica-verified but never driver-hashed. The pins below are the 27
+# STALEST of those 45 (all 16 r9-greens + the 11 alphabetically-first
+# r10-greens); the remaining 18 stay in _CONVERTED_R14_PIN_LATER as the
+# r16 pin set. Window budget: 1 always + 27 pins + family slots for any
+# family not green since r13 + never-green fills (this round's new
+# queries) + stalest-first r6 fill.
 _PINNED: tuple[str, ...] = (
-    "agg_heavy_hitters",
-    "corpus_source_overlap",
-    "dedup_ngram_containment",
-    "q8_market_share",
-    "quality_benford_audit",
-    "quality_psi_drift",
-    "events_pareto_concentration",
-    "events_transition_matrix",
-    "prep_feature_scaling",
-    "q14_promo_revenue",
-    "sim_retrieval_eval_ndcg",
-    "temporal_event_deltas",
-    "text_decontaminate_fuzzy",
-    "text_duplicate_ngram_spans",
-    "text_tfidf_topterms",
-    "pack_batches_length_bucketed",
-    "sample_ab_srm_audit",
-    "temporal_resample_linear",
+    "agg_kmv_distinct_sketch",
+    "agg_kmv_set_intersection",
+    "dedup_minhash_calibration",
+    "events_funnel_time_bounded",
+    "quality_auc_separability",
+    "quality_chi2_drift",
+    "quality_conditional_rules",
+    "quality_ks_drift_bucketed",
+    "sample_ab_delta_method",
+    "sample_mix_greedy_budget",
+    "sample_poisson_bootstrap_ci",
+    "search_hybrid_rrf",
+    "stream_kmv_incremental",
+    "temporal_backtest_seasonal_naive",
+    "temporal_seasonality_profile",
+    "text_readability_scores",
+    "agg_order_size_distribution",
+    "agg_winsorized_mean",
+    "curation_encoding_audit",
+    "curation_gopher_repetition",
+    "events_dau_wau",
+    "events_funnel_any_order",
+    "events_markov_transitions",
+    "events_power_user_gini",
+    "events_session_length_histogram",
+    "events_window_funnel",
+    "sim_matryoshka_prefix_recall",
 )
 
-# Converted in r14 (contract changed, two-tier replica-verified) but not
-# pinnable this round without evicting the r5-stale rotation: pin these in
-# r15/r16 (stalest-first; ~20-27 slots per round after the always-entry,
-# family slots and never-green fills).
+# Converted in r14 (contract changed, two-tier replica-verified), driver
+# attestation still pending: these 18 are the r16 pin set (the 27 stalest
+# of the original 45 are this round's _PINNED above).
 _CONVERTED_R14_PIN_LATER: tuple[str, ...] = (
-    "agg_kmv_distinct_sketch", "agg_kmv_set_intersection",
-    "dedup_minhash_calibration", "events_funnel_time_bounded",
-    "quality_auc_separability", "quality_chi2_drift",
-    "quality_conditional_rules", "quality_ks_drift_bucketed",
-    "sample_ab_delta_method",
-    "sample_mix_greedy_budget", "sample_poisson_bootstrap_ci",
-    "search_hybrid_rrf", "stream_kmv_incremental",
-    "temporal_backtest_seasonal_naive", "temporal_seasonality_profile",
-    "text_readability_scores", "agg_order_size_distribution",
-    "agg_winsorized_mean", "curation_encoding_audit",
-    "curation_gopher_repetition", "events_dau_wau",
-    "events_funnel_any_order", "events_markov_transitions",
-    "events_power_user_gini", "events_session_length_histogram",
-    "events_window_funnel", "sim_matryoshka_prefix_recall",
     "sim_sample_diversity", "temporal_week_over_week", "text_bigram_lm",
     "text_langid_confusion", "text_lexical_diversity",
     "text_tokenizer_fertility", "text_vocab_coverage_curve",

@@ -874,7 +874,7 @@ stats AS (
     FROM per_user GROUP BY arm
 )
 SELECT arm, n_users,
-       CAST((sx_micro * 1000000) // sy_int AS BIGINT) AS ratio_micro,
+       CAST(sx_micro // sy_int AS BIGINT) AS ratio_micro,
        round(sqrt((
                  (sxx / n_users - (sx / n_users) * (sx / n_users))
                - 2.0 * ((sx / n_users) / (sy / n_users))
@@ -938,11 +938,11 @@ def sample_ab_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arm",
         "n_users",
         # exact integer-micro ratio (r14 no-bar tie sweep): X/Y == sx/sy of
-        # DECIMAL-exact sums, shipped as one truncating DECIMAL(38) div;
+        # DECIMAL-exact sums, shipped as one truncating DECIMAL(38) div at
+        # the 1e-6 scale every other *_micro column uses (ADVICE r14: the
+        # earlier form multiplied by an extra 1e6, making it a 1e-12 value);
         # se_delta keeps round() — its sqrt makes the value irrational a.e.
-        F.expr("CAST((sx_micro * 1000000) div sy_int AS BIGINT)").alias(
-            "ratio_micro"
-        ),
+        F.expr("CAST(sx_micro div sy_int AS BIGINT)").alias("ratio_micro"),
         F.round(se, 6).alias("se_delta"),
     ).orderBy("arm")
 

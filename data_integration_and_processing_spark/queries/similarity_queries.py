@@ -3035,9 +3035,10 @@ def sim_model_rerank_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the stand-in model is SQL-expressible) plus two booleans from the "
         "served path — mean recall@10 >= floor through the index+model "
         "pipeline, and SLOT PARITY: the pandas scorer's outputs equal the "
-        "JVM weighted-dot expression on every served row (<= 1e-9, numpy "
-        "pairwise vs sequential fold), pinning that the Arrow slot computes "
-        "the model it was handed (raw ranks: sim_model_rerank_raw)"
+        "JVM weighted-dot expression on every served row (<= 2e-6 after "
+        "both sides round to 6 digits — numpy pairwise vs sequential-fold "
+        "summation differ in the last ulps), pinning that the Arrow slot "
+        "computes the model it was handed (raw ranks: sim_model_rerank_raw)"
     ),
     tags=("similarity", "north-star", "ann", "pandas-udf", "udf"),
 )
