@@ -397,7 +397,19 @@ ROUND_TIE_ALLOWLIST: dict[str, dict[str, str]] = {
         "ndcg10": "irr: DCG weights 1/log2(rank+1) upstream; value irrational a.e., no exact tie",
     },
     "sample_ab_welch_ttest": {
-        "df_welch": "rational-composite: exact form (P*Q)^2 with P ~ n*sum(x^2) at e6 scale needs ~73 digits > DECIMAL(38); tie needs a 4-factor reduced denominator = 2^7*5^j — negligible, two-tier replica cover",
+        "df_welch": (
+            "rational-composite, conversion attempted and IMPOSSIBLE in 38 digits "
+            "(r15, VERDICT r14 item 5): df = (a0*d1 + a1*d0)^2*(n0-1)(n1-1) / "
+            "(p^2(n1-1) + q^2(n0-1)) with a_i = n*sxx - sx^2, d_i = n^2(n-1). Even "
+            "at the minimal cents grid a_i ~ 1e19 and p = a0*d1 ~ 1e28 at sf0.1, so "
+            "the squares need ~56 digits (e6 scale: ~73) — beyond DECIMAL(38)/"
+            "HUGEINT by 18+, and gcd(p, q) is data-dependent (no structural common "
+            "factor). DuckDB 1.0.0 has no VARINT, so no exact oracle exists; a "
+            "4-limb long-division in SQL would have to be duplicated bug-for-bug in "
+            "both engines. Stays float: tie needs the reduced denominator of a "
+            "4-factor data-dependent product to be exactly 2^7*5^j — measure-"
+            "negligible, two-tier replica cover each round"
+        ),
     },
     "agg_approx_percentile": {
         "p50_exact": "grid: interpolation of cents values at fraction grid 0.05 -> 5e-4 grid; no digit-7 tie",
@@ -437,7 +449,18 @@ ROUND_TIE_ALLOWLIST: dict[str, dict[str, str]] = {
     "sample_ab_cuped_adjustment": {
         "var_raw": "det64: identical binary64 from DECIMAL-exact moments through the same IEEE chain",
         "var_cuped": "det64: identical binary64 from DECIMAL-exact moments through the same IEEE chain",
-        "lift_cuped": "rational-composite: theta = cov/var of e6-scale second moments exceeds 38-digit exact headroom when cross-multiplied; tie needs the composite reduced denominator = 2^7*5^j — negligible, two-tier replica cover (lift_raw and theta's var columns are converted/det64)",
+        "lift_cuped": (
+            "rational-composite, conversion attempted and IMPOSSIBLE in 38 digits "
+            "(r15, VERDICT r14 item 5): lift = dy - theta*dp over a common "
+            "denominator is (dy_num*B - A*dp_num) / (n0*n1*B) with A,B ~ 1e19-20 "
+            "at the cents grid (sf0.1) and dy_num ~ 1e13, so the numerator needs "
+            "~33 digits and grows ~n^3*cents^4 — breaches DECIMAL(38) within ~1.5 "
+            "orders of magnitude of fixture scale, and gcd(B, dp_num) has no "
+            "structural common factor. theta ITSELF converted to exact "
+            "theta_micro in r15 (~19 digits — see the query); only this composite "
+            "stays float. Tie needs the reduced denominator = 2^7*5^j — "
+            "negligible, two-tier replica cover"
+        ),
     },
     "stream_ohlc_continuous": {
         "sum_value": "grid: DECIMAL(14,6)-exact sum cast to DOUBLE; 1e-6 grid has no digit-7 tie",

@@ -1659,12 +1659,24 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(max(CASE WHEN grp = 0 THEN sy_g END) * 1000000 AS HUGEINT)
                        AS symi0,
                    CAST(max(CASE WHEN grp = 1 THEN sy_g END) * 1000000 AS HUGEINT)
-                       AS symi1
+                       AS symi1,
+                   CAST((max(CASE WHEN grp = 0 THEN sp_g END)
+                         + max(CASE WHEN grp = 1 THEN sp_g END)) * 100
+                        AS HUGEINT) AS spe2,
+                   CAST((max(CASE WHEN grp = 0 THEN sy_g END)
+                         + max(CASE WHEN grp = 1 THEN sy_g END)) * 100
+                        AS HUGEINT) AS sye2,
+                   CAST((max(CASE WHEN grp = 0 THEN spp_g END)
+                         + max(CASE WHEN grp = 1 THEN spp_g END)) * 10000
+                        AS HUGEINT) AS sppe4,
+                   CAST((max(CASE WHEN grp = 0 THEN spy_g END)
+                         + max(CASE WHEN grp = 1 THEN spy_g END)) * 10000
+                        AS HUGEINT) AS spye4
             FROM g
         ),
         d AS (
             SELECT CAST(n0 AS DOUBLE) AS dn0, CAST(n1 AS DOUBLE) AS dn1,
-                   n0, n1, symi0, symi1,
+                   n0, n1, symi0, symi1, spe2, sye2, sppe4, spye4,
                    CAST(n0 + n1 AS DOUBLE) AS n,
                    sp0 + sp1 AS sp, sy0 + sy1 AS sy,
                    spp0 + spp1 AS spp, spy0 + spy1 AS spy, syy0 + syy1 AS syy,
@@ -1681,7 +1693,9 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                    spy / n - (sp / n) * (sy / n) AS cov_py
             FROM d
         )
-        SELECT round(th, 6) AS theta,
+        SELECT CAST(((CAST(n0 AS HUGEINT) + n1) * spye4 - spe2 * sye2) * 1000000
+                    // ((CAST(n0 AS HUGEINT) + n1) * sppe4 - spe2 * spe2)
+                    AS BIGINT) AS theta_micro,
                CAST((symi1 * n0 - symi0 * n1) // (CAST(n0 AS HUGEINT) * n1)
                     AS BIGINT) AS lift_raw_micro,
                round((sy1 / dn1 - th * (sp1 / dn1 - mp))
@@ -1700,7 +1714,12 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "biasing the lift. Everything reduces to one user-keyed aggregation "
         "plus closed-form moment arithmetic from DECIMAL-exact sufficient "
         "statistics (order-independent sums — raw double sums are partition-"
-        "fold-order-sensitive, the r13 sweep's latent-red class); var_cuped "
+        "fold-order-sensitive, the r13 sweep's latent-red class); theta "
+        "ships EXACT as theta_micro — one truncating integer div over "
+        "cents-grid moments kept at e2/e4 scale (r15; ~19 digits at sf0.1, "
+        "inside DECIMAL(38)) — while lift_cuped stays round()ed float "
+        "(its cross product needs ~33 digits, the allowlisted "
+        "rational-composite); var_cuped "
         "uses the residual-free identity var_y - 2*theta*cov + theta^2*"
         "var_pre, so no second table pass; the variance-reduced "
         "verdict compares rounded values. Treatment = user_id parity, a "
@@ -1744,6 +1763,18 @@ def sample_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(1, "n_g").alias("n1"),
         (pick(0, "sy_g") * 1000000).cast("decimal(38,0)").alias("symi0"),
         (pick(1, "sy_g") * 1000000).cast("decimal(38,0)").alias("symi1"),
+        # exact integer sufficient stats for theta (r15): first moments at
+        # cents scale, second moments at the 1e-4 product grid — value
+        # lives on the cents grid so these casts are exact; keeping the
+        # e2/e4 (not micro) scale buys ~16 digits of DECIMAL(38) headroom
+        ((pick(0, "sp_g") + pick(1, "sp_g")) * 100).cast("decimal(38,0)").alias("spe2"),
+        ((pick(0, "sy_g") + pick(1, "sy_g")) * 100).cast("decimal(38,0)").alias("sye2"),
+        ((pick(0, "spp_g") + pick(1, "spp_g")) * 10000)
+        .cast("decimal(38,0)")
+        .alias("sppe4"),
+        ((pick(0, "spy_g") + pick(1, "spy_g")) * 10000)
+        .cast("decimal(38,0)")
+        .alias("spye4"),
         *[
             pick(arm, f"{c}_g").cast("double").alias(f"{c}{arm}")
             for c in ("sp", "sy", "spp", "spy", "syy")
@@ -1757,6 +1788,10 @@ def sample_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "symi0",
         "symi1",
+        "spe2",
+        "sye2",
+        "sppe4",
+        "spye4",
         (F.col("n0") + F.col("n1")).cast("double").alias("n"),
         (F.col("sp0") + F.col("sp1")).alias("sp"),
         (F.col("sy0") + F.col("sy1")).alias("sy"),
@@ -1780,12 +1815,23 @@ def sample_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     th, mp, var_y = F.col("th"), F.col("mp"), F.col("var_y")
     var_cuped = var_y - F.lit(2.0) * th * F.col("cov_py") + th * th * F.col("var_pre")
     return t.select(
-        F.round(th, 6).alias("theta"),
+        # exact integer-micro theta (r15, VERDICT r14 item 5): theta =
+        # (n*spy - sp*sy)/(n*spp - sp^2) over cents-grid sums needs only
+        # ~19 digits at sf0.1 (~25 at 1000x) when the moments stay at the
+        # e2/e4 grid scale, so the former round(th, 6) rational-composite
+        # survivor converts to one truncating DECIMAL(38) div after all.
+        # lift_cuped below is the one that genuinely can't: its cross
+        # product (dy*B - A*dp) needs ~33 digits at sf0.1 growing ~n^3.
+        F.expr(
+            "CAST(((CAST(n0 AS DECIMAL(38,0)) + n1) * spye4 - spe2 * sye2)"
+            " * 1000000"
+            " div ((CAST(n0 AS DECIMAL(38,0)) + n1) * sppe4 - spe2 * spe2)"
+            " AS BIGINT)"
+        ).alias("theta_micro"),
         # exact integer-micro raw lift (r14 no-bar tie sweep): a difference
         # of two DECIMAL-exact means ships as one cross-multiplied
-        # truncating DECIMAL(38) div; lift_cuped keeps round() — theta is a
-        # rational-COMPOSITE factor whose exact integer form exceeds the
-        # 38-digit headroom (see ROUND_TIE_ALLOWLIST classification)
+        # truncating DECIMAL(38) div; lift_cuped keeps round() — see the
+        # quantified ROUND_TIE_ALLOWLIST classification
         F.expr(
             "CAST((symi1 * n0 - symi0 * n1)"
             " div (CAST(n0 AS DECIMAL(38,0)) * n1) AS BIGINT)"
