@@ -878,6 +878,117 @@ def _ivfpq_upsert_probe(spark, sf_dir: str) -> dict[str, float | int | bool]:
     }
 
 
+def _model_rerank_probe(spark, sf_dir: str) -> dict:
+    """Model-rerank serving-cost probe (VERDICT r14 item 6): the 100 TB
+    claim on model_rerank_batch — stage-2 model cost ∝ batch *
+    n_candidates, DECOUPLED from corpus size — was argued from the plan
+    shape, not measured. Here the same 200-query batch reranks against a
+    20k AND a 40k IVFPQ corpus sweeping n_candidates ∈ {50, 200, 800};
+    stage2_sec times _model_rescore (the factored-out scorer + top-k
+    stage) over a CHECKPOINTED shortlist, so candidate-generation noise
+    can't leak into the model-cost series. The claim holds if stage2_sec
+    tracks n_candidates and is flat across the corpus doubling (stage-1
+    is the part that's allowed to grow with corpus size)."""
+    import shutil  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        _adc_shortlist,
+        _model_rescore,
+        build_ivfpq_index,
+        model_rerank_batch,
+    )
+
+    d, n_queries = 64, 200
+    w = np.linspace(0.5, 1.5, d)
+
+    def _scorer(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+        return (q * c * w).sum(axis=1)
+
+    def _vecs(n: int):
+        return (
+            spark.range(n)
+            .repartition(32)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(d)),
+                    lambda j: F.sin(
+                        F.col("id").cast("double") * 0.37 + j.cast("double")
+                    ).cast("float"),
+                ).alias("embedding"),
+            )
+        )
+
+    queries = [
+        (i, [float(np.sin(i * 0.53 + j)) for j in range(1, d + 1)])
+        for i in range(n_queries)
+    ]
+    root = "/tmp/diaps_probe/model_rerank"
+    shutil.rmtree(root, ignore_errors=True)
+    out: dict[str, dict] = {}
+    def _best2(fn) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    for n_corpus in (20_000, 40_000):
+        path = f"{root}/ivfpq_{n_corpus}"
+        build_ivfpq_index(_vecs(n_corpus), path, n_cells=16, m=8, nbits=4)
+        # warm the index scan + LUT-join + scorer paths once so cold-start
+        # doesn't land on whichever sweep cell runs first
+        model_rerank_batch(
+            spark, path, queries, _scorer, k=10, n_candidates=50, nprobe=4
+        ).count()
+        per_cand: dict[str, dict] = {}
+        for n_cand in (50, 200, 800):
+            stage1_sec = _best2(
+                lambda: _adc_shortlist(spark, path, queries, n_cand, nprobe=4).count()
+            )
+            short = _adc_shortlist(spark, path, queries, n_cand, nprobe=4).localCheckpoint(
+                eager=True
+            )
+            stage2_sec = _best2(lambda: _model_rescore(short, _scorer, k=10).count())
+            total_sec = _best2(
+                lambda: model_rerank_batch(
+                    spark, path, queries, _scorer, k=10, n_candidates=n_cand, nprobe=4
+                ).count()
+            )
+            short.unpersist()
+            per_cand[str(n_cand)] = {
+                "stage1_sec": round(stage1_sec, 3),
+                "stage2_sec": round(stage2_sec, 3),
+                "total_sec": round(total_sec, 3),
+                "shortlist_rows": n_queries * n_cand,
+            }
+        out[str(n_corpus)] = per_cand
+    shutil.rmtree(root, ignore_errors=True)
+    s20, s40 = out["20000"], out["40000"]
+    return {
+        # headline sec = the serving config the registered query uses
+        "sec": s20["50"]["total_sec"],
+        "corpora": out,
+        "queries": n_queries,
+        "dim": d,
+        # the two booleans the 100 TB claim rests on: stage-2 grows with
+        # n_candidates (16x candidates should cost visibly more)...
+        "stage2_tracks_candidates": bool(
+            s20["800"]["stage2_sec"] > s20["50"]["stage2_sec"]
+        ),
+        # ...and is corpus-flat: doubling the corpus moves stage-2 by less
+        # than 50% at the widest fan-out (generous bound — scheduling noise
+        # on sub-second stages; stage-1 is where corpus growth may land)
+        "stage2_corpus_flat": bool(
+            s40["800"]["stage2_sec"] <= s20["800"]["stage2_sec"] * 1.5 + 0.3
+        ),
+    }
+
+
 def _probe_canary_units(obj, jvm_sec: float):
     """Annotate every probe timing with canary-normalized seconds (VERDICT
     r10 item 5): probes are single-shot and previously carried no drift
@@ -985,6 +1096,9 @@ def main() -> int:
     upsert_probe = _ivfpq_upsert_probe(spark, sf_dir)
     print(f"# ivfpq_upsert_probe_50k: {upsert_probe}", file=sys.stderr)
 
+    rerank_probe = _model_rerank_probe(spark, sf_dir)
+    print(f"# model_rerank_probe_20k40k: {rerank_probe}", file=sys.stderr)
+
     baseline_name, baseline, base_canary = _baseline_queries(sf)
     # Host drift this round = how much the code-frozen canary pair moved vs
     # the previous round's recording; the regression threshold widens (or
@@ -1060,6 +1174,7 @@ def main() -> int:
         "classifier_width_probe_d8192": _probe_canary_units(classifier_probe, canary["jvm_sec"]),
         "fd_fold_probe_p256": _probe_canary_units(fd_probe, canary["jvm_sec"]),
         "ivfpq_upsert_probe_50k": _probe_canary_units(upsert_probe, canary["jvm_sec"]),
+        "model_rerank_probe_20k40k": _probe_canary_units(rerank_probe, canary["jvm_sec"]),
         "baseline": baseline_name,
         "regressions": regressions,
     }

@@ -1410,11 +1410,27 @@ def model_rerank_batch(
     candidate-generation architectures. Returns
     ``(query_id, id_col, model_score, rank)``.
     """
+    short = _adc_shortlist(spark, path, queries, n_candidates, nprobe)
+    return _model_rescore(short, scorer, k=k, id_col=id_col, round_digits=round_digits)
+
+
+def _model_rescore(
+    short: DataFrame,
+    scorer,
+    k: int = 10,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """STAGE-2 of :func:`model_rerank_batch`, factored out so it can run
+    over any ``(query_id, id, v, _q)`` candidate set — the serving path
+    composes it with :func:`_adc_shortlist`; the bench probe times it over
+    a checkpointed shortlist to isolate model cost from candidate
+    generation. Arrow-batched scorer + per-query top-k window; cost is
+    rows(short) scorer evaluations regardless of where the candidates
+    came from."""
     import pandas as pd  # noqa: PLC0415 — keep pandas off the import hot path
 
     from pyspark.sql.window import Window  # noqa: PLC0415
-
-    short = _adc_shortlist(spark, path, queries, n_candidates, nprobe)
 
     def _score(batches):
         for pdf in batches:
