@@ -29,14 +29,16 @@ def _cos_sql(a: str, b: str) -> str:
     return f"{dot} / ({na} * {nb})"
 
 
-def _fixture_index_path(kind: str, sf_dir: str) -> str:
+def _fixture_index_path(kind: str, sf_dir: str, src_file: str = "embeddings.parquet") -> str:
     """Scratch path for a persisted ANN index, keyed by a FINGERPRINT of the
-    embeddings fixture (mtime_ns + size), not just the sf_dir basename — a
+    source fixture (mtime_ns + size), not just the sf_dir basename — a
     regenerated fixture must never be probed through a stale cached index
-    (the recall-verdict boolean the driver checks would be meaningless)."""
+    (the recall-verdict boolean the driver checks would be meaningless).
+    ``src_file`` names the fixture the index derives from (default the
+    embeddings table; the RAG-ingest pipeline keys off documents)."""
     import os  # noqa: PLC0415
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
+    src = os.path.join(sf_dir, src_file)
     if os.path.isdir(src):  # multi-file layout: fold every part's stat
         parts = sorted(
             os.path.join(src, f) for f in os.listdir(src) if not f.startswith(".")
@@ -3102,3 +3104,516 @@ def sim_model_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(parity_ok))
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# r15: IVFPQ serving-COST model audit (work units vs the nprobe/refine knobs)
+# ---------------------------------------------------------------------------
+
+# The frontier audit (sim_ivfpq_tuning_frontier) pins what the knobs BUY
+# (recall); this pins what they COST. Serving cost has two deterministic
+# work-unit drivers: ADC candidates scored (= rows in the probed cells, the
+# partition-pruned scan + LUT folds) and exact-rescore rows (= the k*refine
+# cut of those candidates). Both are exactly computable from O(model) driver
+# state — cell sizes + the same stable cell routing every probe uses — which
+# is the point: an operator prices a knob change WITHOUT running the probe.
+_SERVING_COST_ARMS = _IVFPQ_FRONTIER_ARMS
+
+# ADC-cost model: candidates ~= n_queries * corpus * nprobe / n_cells if the
+# coarse cells were balanced. KMeans cells are NOT balanced and queries
+# route to their nearest cells, so the measured ratio drifts off 1 — mildly
+# above at small nprobe on the small tiers (queries land in slightly-large
+# cells), mildly below at sf0.1 — and is exactly 1 at nprobe = n_cells
+# (every cell scanned). Measured adc_rows / (nq * N * nprobe / n_cells),
+# sf0.001 / 0.01 / 0.1:
+#   (1,4) 1.063 / 1.057 / 0.996   (2,4) 1.042 / 1.015 / 0.994
+#   (4,*) 1.023 / 1.023 / 0.996   (8,4) 1.000 / 1.000 / 1.000
+# Band [0.9, 1.3): a routing bug (wrong cells, tombstone leak, dead cells)
+# moves the ratio far more than fixture drift does.
+_SERVING_COST_BAND = (0.9, 1.3)
+
+
+def sim_ivfpq_serving_cost_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact serving work units per (nprobe, refine) arm of the persisted
+    eval index: for every held-out query, route to its nprobe nearest cells
+    with the SAME stable ranking the probe uses (`_query_luts`
+    operators/similarity.py), then price the arm from the per-cell row
+    counts — adc_rows = sum of probed-cell sizes, refine_rows = sum of
+    min(k*refine, candidates) per query. Returns one row per arm:
+    (nprobe, refine, n_queries, adc_rows, refine_rows, model_ratio_micro)
+    where model_ratio_micro is the exact integer-micro quotient
+    adc_rows * n_cells * 1e6 div (nq * corpus * nprobe) — the balance
+    factor of the ADC cost model.
+
+    Scale: O(model) driver math (n_cells sizes + |Q| routings); the corpus
+    is touched once for the per-cell counts, which the index layout serves
+    as a partition-pruned metadata scan."""
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        _query_luts,
+        load_ivfpq_model,
+    )
+
+    path = _eval_index_path(spark, sf_dir)
+    model = load_ivfpq_model(spark, path)
+    n_cells = model["n_cells"]
+    sizes = {
+        int(r["_cell"]): int(r["n"])
+        for r in spark.read.parquet(f"{path}/data")
+        .groupBy("_cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    corpus_n = sum(sizes.values())
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") % 100 == 0).select("embedding").collect()
+    ]
+    nq, k = len(qs), 10
+    max_probe = max(np_ for np_, _ in _SERVING_COST_ARMS)
+    routed = [
+        [c for c, _ in _query_luts(model, q, max_probe)] for q in qs
+    ]
+    rows = []
+    for np_, rf in _SERVING_COST_ARMS:
+        adc = 0
+        refine_rows = 0
+        for cells in routed:
+            cand = sum(sizes.get(c, 0) for c in cells[:np_])
+            adc += cand
+            refine_rows += min(k * rf, cand)
+        ratio_micro = (adc * n_cells * 1_000_000) // (nq * corpus_n * np_)
+        rows.append((np_, rf, nq, adc, refine_rows, ratio_micro))
+    return spark.createDataFrame(
+        rows,
+        "nprobe int, refine int, n_queries long, adc_rows long,"
+        " refine_rows long, model_ratio_micro long",
+    )
+
+
+@register(
+    "sim_ivfpq_serving_cost",
+    # Cell routing (and therefore the exact work-unit integers) is
+    # engine-specific, so the driver-checked contract is the audit-verdict
+    # form: per-arm booleans over the cost model that hold at every fixture
+    # tier. A routing or accounting regression anywhere flips one.
+    oracle=f"""
+        WITH arms(nprobe, refine) AS (
+            VALUES {", ".join(f"({np_}, {rf})" for np_, rf in _IVFPQ_FRONTIER_ARMS)}
+        )
+        SELECT arms.nprobe, arms.refine,
+               (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+                WHERE vec_id % 100 = 0) AS n_queries,
+               true AS adc_model_ok,
+               true AS adc_monotone_ok,
+               true AS refine_capped_ok,
+               true AS full_scan_exact_ok
+        FROM arms ORDER BY arms.nprobe, arms.refine
+    """,
+    description=(
+        "IVFPQ serving-COST model audit — the price side of the "
+        "sim_ivfpq_tuning_frontier recall curve (VERDICT r14 item 7a): "
+        "work units per (nprobe, refine) arm computed EXACTLY from O(model) "
+        "driver state (per-cell row counts + the probe's own stable cell "
+        "routing), no probe execution needed. Pins four facts of a correct "
+        "cost model per arm: adc_model_ok (candidates vs the balanced-cell "
+        "prediction nq*N*nprobe/n_cells lands in the "
+        f"[{_SERVING_COST_BAND[0]}, {_SERVING_COST_BAND[1]}) band around "
+        "the measured 0.994-1.064 — a routing bug moves it far more than "
+        "fixture drift), adc_monotone_ok (ADC work strictly grows with "
+        "nprobe at fixed refine), refine_capped_ok (rescore rows never "
+        "exceed k*refine per query — the refine knob bounds stage-2 cost "
+        "by construction), and full_scan_exact_ok (at nprobe = n_cells the "
+        "model is exact: ratio == 1). Work-unit integers: "
+        "sim_ivfpq_serving_cost_raw"
+    ),
+    tags=("similarity", "ann", "audit", "profiling", "scale"),
+)
+def sim_ivfpq_serving_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = sim_ivfpq_serving_cost_raw(spark, sf_dir)
+    lo, hi = _SERVING_COST_BAND
+    # adc monotonicity in nprobe at fixed refine, computed over the arm
+    # frame itself (6 rows — driver-bounded by the arm grid)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("refine").orderBy("nprobe")
+    mono = raw.withColumn("_prev", F.lag("adc_rows").over(w)).agg(
+        F.min(
+            F.when(F.col("_prev").isNull(), True).otherwise(
+                F.col("adc_rows") > F.col("_prev")
+            )
+        ).alias("adc_monotone_ok")
+    )
+    full = raw.filter(F.col("nprobe") == 8).agg(
+        F.min(F.col("model_ratio_micro") == 1_000_000).alias("full_scan_exact_ok")
+    )
+    return (
+        raw.select(
+            "nprobe",
+            "refine",
+            "n_queries",
+            (
+                (F.col("model_ratio_micro") >= int(lo * 1_000_000))
+                & (F.col("model_ratio_micro") < int(hi * 1_000_000))
+            ).alias("adc_model_ok"),
+            (F.col("refine_rows") <= F.col("n_queries") * 10 * F.col("refine")).alias(
+                "refine_capped_ok"
+            ),
+        )
+        .crossJoin(F.broadcast(mono))  # constant-key: 1-row verdicts
+        .crossJoin(F.broadcast(full))
+        .select(
+            "nprobe", "refine", "n_queries",
+            "adc_model_ok", "adc_monotone_ok", "refine_capped_ok",
+            "full_scan_exact_ok",
+        )
+        .orderBy("nprobe", "refine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r15: end-to-end RAG ingest pipeline (model-UDF embed -> index -> serve ->
+# eval) — the retrieval twin of pipeline_training_corpus
+# ---------------------------------------------------------------------------
+
+_RAG_DIM = 32
+_RAG_K = 10
+_RAG_RECALL_FLOOR = 0.55  # measured micro recall@10: see registration note
+
+
+def _hash_embed(df: DataFrame) -> DataFrame:
+    """Deterministic stand-in embedder in the MODEL-UDF position: hashed
+    bag-of-words (signed feature hashing, crc32 buckets) -> unit vector,
+    Arrow-batched via mapInPandas — the exact slot a sentence-transformer
+    occupies (any ``texts -> np.ndarray[n, d]`` model drops in; crc32 keeps
+    the audit hashable where a learned model would not be). Input
+    (doc_id, text); output (doc_id, embedding array<float>)."""
+
+    def _embed(batches):
+        import re  # noqa: PLC0415
+        import zlib  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415 — resolves inside the Arrow worker
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = []
+            for t in pdf["text"]:
+                v = np.zeros(_RAG_DIM)
+                for tok in re.findall(r"[a-z0-9]+", (t or "").lower()):
+                    h = zlib.crc32(tok.encode())
+                    v[h % _RAG_DIM] += 1.0 if (h >> 8) & 1 else -1.0
+                n = float(np.linalg.norm(v))
+                if n:
+                    v = v / n
+                vecs.append([float(x) for x in v])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
+
+    return df.select("doc_id", "text").mapInPandas(
+        _embed, schema="doc_id long, embedding array<float>"
+    )
+
+
+def _rag_index_path(spark: SparkSession, sf_dir: str, corpus_emb: DataFrame) -> str:
+    """Build-once IVFPQ index over the embedded documents corpus, keyed by
+    the DOCUMENTS fixture fingerprint (the embedder is code-frozen, so the
+    fixture is the only variable input)."""
+    import os  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        build_ivfpq_index,
+    )
+
+    path = _fixture_index_path("ragivfpq", sf_dir, src_file="documents.parquet")
+    if not os.path.exists(f"{path}/meta/_SUCCESS"):
+        import shutil  # noqa: PLC0415
+
+        shutil.rmtree(path, ignore_errors=True)
+        build_ivfpq_index(
+            corpus_emb, path, n_cells=8, m=8, nbits=4, vec_col="embedding",
+            id_col="doc_id",
+        )
+    return path
+
+
+def pipeline_rag_ingest_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Served (query doc_id, neighbor doc_id, cos_sim, rank) of the
+    end-to-end pipeline — embed ALL documents with the model-UDF slot,
+    index the corpus slice (doc_id % 53 != 0), batch-probe the held-out
+    query slice. Engine-specific ranks; the registered entry wraps this in
+    the per-source audit form."""
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        ivfpq_probe_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = _hash_embed(docs).localCheckpoint(eager=True)
+    corpus_emb = emb.filter(F.col("doc_id") % 53 != 0)
+    path = _rag_index_path(spark, sf_dir, corpus_emb)
+    qs = [
+        (int(r["doc_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("doc_id") % 53 == 0).collect()
+    ]
+    return ivfpq_probe_batch(
+        spark, path, qs, k=_RAG_K, nprobe=4, refine=8, id_col="doc_id"
+    )
+
+
+@register(
+    "pipeline_rag_ingest",
+    oracle="""
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(count(*) * 10 AS BIGINT) AS n_served,
+               true AS recall_ok
+        FROM documents d
+        WHERE d.doc_id % 53 = 0
+        GROUP BY d.source
+        ORDER BY d.source
+    """,
+    description=(
+        "end-to-end RAG ingest pipeline (VERDICT r14 item 7b — the "
+        "retrieval twin of pipeline_training_corpus): documents are "
+        "embedded by a model-UDF (Arrow-batched mapInPandas; a "
+        "deterministic crc32 feature-hashing embedder stands in the slot "
+        "any texts->vectors model occupies), the corpus slice is built "
+        "into a persisted IVFPQ index, the held-out query slice "
+        "(doc_id % 53 = 0) is served through the batched probe, and the "
+        "served results are audited against the exact brute-force top-10 "
+        "over the SAME embeddings. Driver-checked per query-source: "
+        "serving completeness (every query returns exactly k rows — "
+        "n_served = 10 * n_queries) plus the global recall@10 >= "
+        f"{_RAG_RECALL_FLOOR} floor boolean (measured 0.94/0.90/0.90 at "
+        "sf0.001/0.01/0.1). Raw ranks: pipeline_rag_ingest_raw"
+    ),
+    tags=("similarity", "north-star", "ann", "pandas-udf", "pipeline", "scale"),
+)
+def pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = _hash_embed(docs).localCheckpoint(eager=True)
+    corpus_emb = emb.filter(F.col("doc_id") % 53 != 0)
+    q_emb = emb.filter(F.col("doc_id") % 53 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    served = pipeline_rag_ingest_raw(spark, sf_dir).localCheckpoint(eager=True)
+    # exact ground truth over the same embedder output: broadcast the small
+    # query side, score the corpus once, window top-k per query
+    scored = corpus_emb.join(F.broadcast(q_emb)).select(
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        cosine(F.col("embedding"), F.col("q_emb")).alias("s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RAG_K)
+        .select("query_id", "neighbor_id")
+    )
+    nq = q_emb.count()
+    hits = served.select(
+        "query_id", F.col("doc_id").alias("neighbor_id")
+    ).join(F.broadcast(exact), ["query_id", "neighbor_id"], "left_semi")
+    recall_ok = hits.agg(
+        (F.count("*") >= F.lit(_RAG_RECALL_FLOOR * _RAG_K * nq)).alias("recall_ok")
+    )
+    src = docs.filter(F.col("doc_id") % 53 == 0).select(
+        F.col("doc_id").alias("query_id"), "source"
+    )
+    return (
+        served.join(F.broadcast(src), "query_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count("*").alias("n_served"),
+        )
+        .crossJoin(F.broadcast(recall_ok))  # constant-key: 1-row verdict
+        .select("source", "n_queries", "n_served", "recall_ok")
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r15: streaming ANN ingest (foreachBatch upsert into a served IVFPQ index,
+# recall audited per micro-batch)
+# ---------------------------------------------------------------------------
+
+_STREAM_INGEST_BATCHES = 3
+_STREAM_INGEST_RECALL_FLOOR = 0.3  # measured per-batch minimum: see note
+
+
+def stream_ivfpq_ingest_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the streaming ingest and return the per-batch ledger with the
+    measured recall fractions (engine-specific; the registered entry
+    projects the audit booleans). Composition of three proven pieces:
+    the staged file stream (ordered micro-batches), ivfpq_upsert
+    (O(batch) ingest), and the batched probe recall audit.
+
+    The base index (vec_id %% 8 < 5, held-out %% 100 == 0 queries never
+    indexed) is fixture-cached; each run copies it to a fresh scratch dir
+    because ingest MUTATES the index — the cache must stay pristine."""
+    import glob as _glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import time as _time  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
+        build_ivfpq_index,
+        ivfpq_probe_batch,
+        ivfpq_upsert,
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings")
+    held_out = F.col("vec_id") % 100 == 0
+    base_pred = (F.col("vec_id") % 8 < 5) & ~held_out
+
+    base_cache = _fixture_index_path("ivfpq_ingest_base", sf_dir)
+    if not os.path.exists(f"{base_cache}/meta/_SUCCESS"):
+        shutil.rmtree(base_cache, ignore_errors=True)
+        build_ivfpq_index(e.filter(base_pred), base_cache, n_cells=8, m=8, nbits=4)
+
+    scratch = f"/tmp/diaps_stream_ingest_{uuid.uuid4().hex[:8]}"
+    path = f"{scratch}/index"
+    os.makedirs(scratch, exist_ok=True)
+    shutil.copytree(base_cache, path)
+
+    # stage the ingest slices as one parquet file per micro-batch with
+    # strictly ascending mtimes: FileStreamSource replays oldest-first, so
+    # batch i == (vec_id % 8 == 5 + i) deterministically on any fs (the
+    # _staged_stream order_col discipline, with EXPLICIT slice predicates
+    # so the oracle can recompute every batch's membership in SQL)
+    src = f"{scratch}/src"
+    os.makedirs(src)
+    now = _time.time()
+    for i in range(_STREAM_INGEST_BATCHES):
+        part_dir = f"{scratch}/stage_{i}"
+        e.filter((F.col("vec_id") % 8 == 5 + i) & ~held_out).select(
+            "vec_id", "embedding"
+        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = next(iter(_glob.glob(f"{part_dir}/part-*.parquet")))
+        dest = f"{src}/batch_{i}.parquet"
+        shutil.move(part, dest)
+        os.utime(dest, (now + 2 * i, now + 2 * i))
+
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(held_out).select("vec_id", "embedding").collect()
+    ]
+    nq = len(qs)
+    exact_base = e.filter(~held_out)
+    ledger: list[tuple[int, int, int, float]] = []
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        n_in = batch_df.count()
+        if n_in == 0:
+            return
+        ivfpq_upsert(batch_df, path)
+        b = batch_df.sparkSession
+        total = b.read.parquet(f"{path}/data").count()
+        # per-batch recall audit of the LIVE index: served top-10 vs the
+        # exact top-10 over everything indexed so far (base + batches <= i)
+        seq = len(ledger)
+        indexed_pred = (F.col("vec_id") % 8 < 5) | (
+            F.col("vec_id") % 8 <= 5 + seq
+        )
+        corpus = exact_base.filter(indexed_pred)
+        q_df = b.createDataFrame(
+            [(q, v) for q, v in qs], "query_id long, q_emb array<float>"
+        )
+        scored = corpus.join(F.broadcast(q_df)).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("embedding"), F.col("q_emb")).alias("s"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+        exact = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "neighbor_id")
+        )
+        served = ivfpq_probe_batch(b, path, qs, k=10, nprobe=4, refine=8).select(
+            "query_id", F.col("vec_id").alias("neighbor_id")
+        )
+        n_hits = served.join(
+            F.broadcast(exact), ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+        ledger.append((seq, n_in, total, n_hits / (10.0 * nq)))
+
+    (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.option("checkpointLocation", f"{scratch}/ckpt")
+        .foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        ledger, "batch_seq int, n_ingested long, total_indexed long, recall double"
+    )
+
+
+@register(
+    "stream_ivfpq_ingest",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(count(*) AS BIGINT) AS b FROM embeddings
+            WHERE vec_id % 100 <> 0 AND vec_id % 8 < 5
+        ),
+        ing AS (
+            SELECT CAST(vec_id % 8 - 5 AS INT) AS batch_seq,
+                   CAST(count(*) AS BIGINT) AS n_ingested
+            FROM embeddings
+            WHERE vec_id % 100 <> 0 AND vec_id % 8 >= 5
+            GROUP BY 1
+        )
+        SELECT i.batch_seq, i.n_ingested,
+               CAST(b.b + sum(i.n_ingested) OVER (ORDER BY i.batch_seq)
+                    AS BIGINT) AS total_indexed,
+               true AS count_ok,
+               true AS recall_ok
+        FROM ing i CROSS JOIN base b
+        ORDER BY i.batch_seq
+    """,
+    description=(
+        "streaming ANN ingest (VERDICT r14 item 7c — composes three proven "
+        "pieces): ordered micro-batches (vec_id % 8 slices staged as an "
+        "mtime-ordered file stream, maxFilesPerTrigger=1, availableNow) "
+        "land in a LIVE IVFPQ index via foreachBatch + ivfpq_upsert "
+        "(O(batch) — frozen cells/codebooks, per-cell appends), and every "
+        "batch is audited in-flight: accounting (index rows == base + "
+        "ingested so far, exact integers the oracle recomputes in SQL) and "
+        "recall@10 of the held-out query batch served through the LIVE "
+        "index vs the exact top-10 over everything indexed so far >= "
+        f"{_STREAM_INGEST_RECALL_FLOOR} (measured per-batch minimum "
+        "0.54/0.68/0.53 at sf0.001/0.01/0.1). The streaming twin of "
+        "sim_ivfpq_upsert_audit. Raw recalls: stream_ivfpq_ingest_raw"
+    ),
+    tags=("similarity", "streaming", "ann", "incremental", "north-star", "scale"),
+)
+def stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    base_n = e.filter((F.col("vec_id") % 100 != 0) & (F.col("vec_id") % 8 < 5)).count()
+    raw = stream_ivfpq_ingest_raw(spark, sf_dir)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.orderBy("batch_seq").rowsBetween(Window.unboundedPreceding, 0)
+    # 3-row ledger: the global window is bounded by the batch count, not
+    # the data (same class as the whitelisted 1-row verdict crosses)
+    return raw.select(
+        "batch_seq",
+        "n_ingested",
+        "total_indexed",
+        (
+            F.col("total_indexed")
+            == F.lit(base_n) + F.sum("n_ingested").over(w)
+        ).alias("count_ok"),
+        (F.col("recall") >= F.lit(_STREAM_INGEST_RECALL_FLOOR)).alias("recall_ok"),
+    ).orderBy("batch_seq")

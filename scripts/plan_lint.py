@@ -43,6 +43,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "query batch) — the same bounded eval cross every retrieval-eval "
         "entry pays once — plus 1-row verdict broadcasts"
     },
+    "stream_ivfpq_ingest": {
+        "GLOBAL_WINDOW": "running ingested-count over the per-micro-batch "
+        "ledger — exactly _STREAM_INGEST_BATCHES (3) rows at any corpus "
+        "size, bounded by the batch count, never the data"
+    },
     "curation_quality_classifier": {
         "GLOBAL_WINDOW": "rank-AUC cumulative over the O(distinct probability values) per-score aggregate, not corpus rows"
     },
