@@ -135,6 +135,11 @@ HEADLINE = [
     # two-stage retrieval serving path (ANN candidate fetch + exact rerank
     # — the RAG pattern; registered sim_rerank_eval is its audit form)
     "sim_rerank_eval_raw",
+    # r15 addition (no prior baseline; gate skips unknown keys): the
+    # end-to-end RAG ingest production path (model-UDF embed -> IVFPQ
+    # serve; registered pipeline_rag_ingest is its audit form — the same
+    # plan plus the exact-ground-truth recall join)
+    "pipeline_rag_ingest_raw",
 ]
 
 
@@ -148,6 +153,7 @@ def _raw_headline_paths():
         multimodal_cdc_chunks_raw,
     )
     from data_integration_and_processing_spark.queries.similarity_queries import (  # noqa: PLC0415
+        pipeline_rag_ingest_raw,
         sim_ann_join_ivf_raw,
         sim_ivfpq_upsert_raw,
         sim_mips_via_ivf_raw,
@@ -161,6 +167,7 @@ def _raw_headline_paths():
         "sim_mips_via_ivf_raw": sim_mips_via_ivf_raw,
         "sim_ivfpq_upsert_raw": sim_ivfpq_upsert_raw,
         "sim_rerank_eval_raw": sim_rerank_eval_raw,
+        "pipeline_rag_ingest_raw": pipeline_rag_ingest_raw,
     }
 
 
@@ -1155,6 +1162,20 @@ def main() -> int:
         # timings in units of the same-session JVM canary: comparable across
         # rounds even when the host itself speeds up or slows down
         "queries_normalized": {n: round(s / canary["jvm_sec"], 2) for n, s in timings.items()},
+        # ... and in units of the shuffle canary (FIRST-CLASS since r15,
+        # VERDICT r14 item 4): the shuffle canary read ~2x its r13
+        # recording for the THIRD consecutive round (r13 0.84 -> r14
+        # 1.32-1.99 -> r15 ~2.0s) while the single-stage jvm canary moved
+        # only ~1.2x, and the queries that flip regression flags between
+        # same-code runs are exactly the shuffle/iterative shapes. For
+        # those shapes THIS is the comparable cross-round unit; for
+        # scan-dominated queries use queries_normalized. BENCH_DETAIL was
+        # re-baselined once at r15 under the elevated-shuffle environment
+        # (per-query min of two runs), so future drift ratios are measured
+        # against a recording made in the same regime.
+        "queries_normalized_shuffle": {
+            n: round(s / canary["shuffle_sec"], 2) for n, s in timings.items()
+        },
         "canary": canary,
         "canary_drift": drift_detail or None,
         "drift_factor": round(drift, 3),

@@ -3518,10 +3518,7 @@ def stream_ivfpq_ingest_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-batch recall audit of the LIVE index: served top-10 vs the
         # exact top-10 over everything indexed so far (base + batches <= i)
         seq = len(ledger)
-        indexed_pred = (F.col("vec_id") % 8 < 5) | (
-            F.col("vec_id") % 8 <= 5 + seq
-        )
-        corpus = exact_base.filter(indexed_pred)
+        corpus = exact_base.filter(F.col("vec_id") % 8 <= 5 + seq)
         q_df = b.createDataFrame(
             [(q, v) for q, v in qs], "query_id long, q_emb array<float>"
         )
