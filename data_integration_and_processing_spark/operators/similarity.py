@@ -715,12 +715,18 @@ def _train_centroids(
     def one(run_seed: int) -> tuple[float, np.ndarray]:
         rs = np.random.RandomState(run_seed)
         centers = [sample[rs.randint(n)]]
+        # incremental kmeans++ (r15, guide §1.2 per-task work): keep the
+        # running elementwise min-distance and fold in ONLY the newest
+        # center each step — elementwise min is associative and exact, so
+        # this is bit-identical to re-minimizing over every center (the
+        # O(k^2) form it replaces) while doing O(k) distance passes
+        d2 = ((sample - centers[0]) ** 2).sum(axis=1)
         for _ in range(min(k, n) - 1):
-            d2 = np.min([((sample - c) ** 2).sum(axis=1) for c in centers], axis=0)
             total = float(d2.sum())
             centers.append(
                 sample[rs.randint(n)] if total <= 0 else sample[rs.choice(n, p=d2 / total)]
             )
+            d2 = np.minimum(d2, ((sample - centers[-1]) ** 2).sum(axis=1))
         cb = np.array(centers, dtype=np.float64)
         for _ in range(n_iter):
             d2 = ((sample[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)

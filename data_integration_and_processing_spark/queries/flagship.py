@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_integration_and_processing_spark.operators.parallelism import fan_out_scan
 from data_integration_and_processing_spark.queries.catalog import register
 from data_integration_and_processing_spark.sources.tables import load_table
 
@@ -55,9 +56,18 @@ ORDER BY l_returnflag, l_linestatus
     tags=("flagship", "aggregation"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(12,2)")
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    # r15 (guide §2.5/§2.3): the fixture is one parquet row group, so the
+    # partial DECIMAL aggregation — ~1.2s of the query's 1.45s serial —
+    # ran inside the single scan task; fan_out_scan spreads it (no-op on
+    # any scan already wider than the core count). The money casts narrow
+    # to the columns' actual domains (quantity in [1, 50] -> DECIMAL(4,2),
+    # extendedprice < 1e6 -> DECIMAL(8,2)): sums of <= 18-digit decimals
+    # run on Spark's unscaled-long fast path instead of the Decimal128
+    # one, values bit-identical (no representable overflow; ANSI mode
+    # would throw loudly, never wrap, if the domain assumption broke).
+    l = fan_out_scan(load_table(spark, sf_dir, "lineitem"))
+    qty = F.col("l_quantity").cast("decimal(4,2)")
+    price = F.col("l_extendedprice").cast("decimal(8,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
     tax = F.col("l_tax").cast("decimal(4,2)")
     disc_price = price * (F.lit(1) - disc)

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_integration_and_processing_spark.operators.parallelism import fan_out_scan
 from data_integration_and_processing_spark.operators.bloomfilter import (
     bloom_build,
     bloom_prefilter,
@@ -151,9 +152,15 @@ def _bucket_digests(df: DataFrame) -> DataFrame:
     fold) over a canonical rendering; summed per bucket — map-side
     combinable, output is bucket-count-sized.
     """
+    from data_integration_and_processing_spark.operators.parallelism import fan_out_scan  # noqa: PLC0415
     from data_integration_and_processing_spark.operators.validation import row_checksum  # noqa: PLC0415
 
-    canon = df.select(
+    # r15 (guide §2.5): the char-level digest fold is the heavy map stage
+    # of this query (~40 array-lambda evals per row), and the one-row-group
+    # fixture scanned as a single task — both snapshot digests ran serially
+    # on one core. fan_out_scan spreads the fold; the per-bucket DECIMAL
+    # digest sum is order-independent, so values are unchanged.
+    canon = fan_out_scan(df).select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("_c0"),
         F.col("o_custkey").cast("string").alias("_c1"),

@@ -7,6 +7,7 @@ import functools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_integration_and_processing_spark.operators.parallelism import fan_out_scan
 from data_integration_and_processing_spark.operators.similarity import (
     brute_force_topk,
     cosine,
@@ -538,7 +539,11 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < _KNN_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    c = e.filter(F.col("vec_id") >= _KNN_NQ).select(
+    # r15 (guide §2.5): the |Q| x corpus cosine folds after the broadcast
+    # join ran inside the fixture's single-row-group scan task; fan_out_scan
+    # spreads them (no-op at scale). Per-pair values are row-local, so the
+    # result multiset is unchanged.
+    c = fan_out_scan(e.filter(F.col("vec_id") >= _KNN_NQ)).select(
         F.col("vec_id").alias("neighbor_id"), "embedding"
     )
     scored = c.join(F.broadcast(q)).select(
@@ -711,7 +716,10 @@ def sim_ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = e.filter(F.col("vec_id") % 25 != 0)
-    scored = c.select(F.col("vec_id").alias("neighbor_id"), "embedding").join(
+    # r15 (guide §2.5): fan out the exact side's |Q| x corpus cosine folds
+    # (single-row-group scan = one task otherwise); per-pair values are
+    # row-local, result multiset unchanged
+    scored = fan_out_scan(c.select(F.col("vec_id").alias("neighbor_id"), "embedding")).join(
         F.broadcast(q.select("query_id", F.col("embedding").alias("q_emb")))
     ).select(
         "query_id",
@@ -794,7 +802,9 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("q_label"),
     )
-    c = e.filter(F.col("vec_id") % 50 != 0).select(
+    # r15 (guide §2.5): fan out the corpus-side cosine folds — see
+    # sim_knn_join; per-pair values are row-local, multiset unchanged
+    c = fan_out_scan(e.filter(F.col("vec_id") % 50 != 0)).select(
         F.col("vec_id").alias("negative_id"), "embedding", "label"
     )
     scored = (
@@ -884,7 +894,10 @@ def sim_centroid_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("c_label"), "centroid")
     )
-    scored = e.crossJoin(F.broadcast(cent)).select(
+    # r15 (guide §2.5): fan out the vectors x centroids cosine folds (the
+    # cent subtree is untouched — its float avg partials keep their exact
+    # pre-r15 partition layout); per-pair sims are row-local
+    scored = fan_out_scan(e).crossJoin(F.broadcast(cent)).select(
         "vec_id",
         F.col("label").alias("true_label"),
         "c_label",
@@ -1088,7 +1101,11 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build once, probe three times: the nprobe sweep shares one quantizer
     centers = train_ivf_centers(c, n_cells=8)
 
-    scored = c.select(F.col("vec_id").alias("neighbor_id"), "embedding").join(
+    # r15 (guide §2.5): fan out the exact side's cosine folds — see
+    # sim_knn_join; per-pair values are row-local, multiset unchanged
+    scored = fan_out_scan(
+        c.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    ).join(
         F.broadcast(q.select("query_id", F.col("embedding").alias("q_emb")))
     ).select(
         "query_id",
@@ -1207,7 +1224,9 @@ def sim_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c")
     )
     scored = (
-        e.select("vec_id", "embedding")
+        # r15 (guide §2.5): fan out the vectors x centroids cosine folds
+        # (cent subtree untouched); per-pair sims are row-local
+        fan_out_scan(e.select("vec_id", "embedding"))
         .crossJoin(F.broadcast(cent.select(F.col("label"), F.col("c"))))
         .select(
             "vec_id",
@@ -1592,7 +1611,10 @@ def sim_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.filter(F.col("vec_id") % 25 != 1).select(
         F.col("vec_id").alias("neighbor_id"), "label", "embedding"
     )
-    scored = c.crossJoin(F.broadcast(q)).select(
+    # r15 (guide §2.5): fan out the corpus-side cosine folds — see
+    # sim_knn_join; the downstream per-query window re-sorts its partition,
+    # so every aggregate sees the identical row order as before
+    scored = fan_out_scan(c).crossJoin(F.broadcast(q)).select(
         "query_id",
         "q_label",
         (F.col("label") == F.col("q_label")).cast("int").alias("rel"),
@@ -1889,8 +1911,10 @@ def sim_mips_via_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # r15 (guide §2.5): fan out the exact side's dot folds — see
+    # sim_knn_join; per-pair values are row-local, multiset unchanged
     scored = (
-        c.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        fan_out_scan(c.select(F.col("vec_id").alias("neighbor_id"), "embedding"))
         .join(F.broadcast(q))
         .select("query_id", "neighbor_id", dot.alias("dot_exact"))
     )
@@ -2054,7 +2078,11 @@ def _eval_scored(
         F.col("embedding").alias("q_emb"),
         F.sqrt(sq).alias("q_norm"),
     )
-    c = e.filter(F.col("vec_id") % 100 != 0).select(
+    # r15 (guide §2.5): fan out the corpus side — the |Q| x corpus dot/cos
+    # folds below otherwise run inside the checkpointed frame's partition
+    # count (1 at the fixture's single-row-group scale); per-pair values
+    # are row-local, multiset unchanged
+    c = fan_out_scan(e.filter(F.col("vec_id") % 100 != 0)).select(
         F.col("vec_id").alias("neighbor_id"),
         "embedding",
         F.sqrt(sq).alias("n_norm"),
