@@ -377,6 +377,17 @@ def label_propagation(
         .sortWithinPartitions("src")
         .persist()
     )
+    # Materialize the cache BEFORE any superstep is physically planned:
+    # physical plans are built at action time, and an InMemoryRelation whose
+    # build plan is an unfinished AdaptiveSparkPlan reports
+    # UnknownPartitioning/no stats — every superstep then bakes in a fresh
+    # Exchange+Sort of the O(E) edge side (measured: the whole 4-superstep
+    # chain re-shuffled e each round despite the persist; pagerank avoids
+    # this only by accident via its n_v = vertices.count()). One count()
+    # runs the cache-build pass that the first superstep needed anyway, and
+    # afterwards the cache advertises hashpartitioning(src)+ordering, so
+    # the per-round join truly reuses the one edge shuffle.
+    e.count()
     # symmetrized input => every vertex occurs as src; its first label is id
     labels = e.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
@@ -468,6 +479,10 @@ def kcore_peel(
         )
     n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     e0 = directed.repartition(n_part, F.col("src")).persist()
+    # materialize before round-1 planning (see label_propagation: an
+    # unmaterialized cache reports UnknownPartitioning, so round 1 would
+    # re-exchange e0 for its groupBy(src) instead of riding the repartition)
+    e0.count()
 
     def _alive_edges(alive: DataFrame | None) -> DataFrame:
         if alive is None:

@@ -683,6 +683,22 @@ LIMIT 25"""
     )
 
 
+def _symmetrize_bipartite(pairs: DataFrame) -> DataFrame:
+    """Both orientations of each (cust_v, part_v) co-purchase pair from ONE
+    pass over the pair lineage: the previous union-of-two-selects planned
+    the orders><lineitem join + distinct subtree TWICE (Spark does not merge
+    common subtrees across union branches); a 2-element array explode fans
+    out in-task instead — same edge multiset, half the upstream work."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("cust_v").alias("src"), F.col("part_v").alias("dst")),
+                F.struct(F.col("part_v").alias("src"), F.col("cust_v").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
 @register(
     "graph_pagerank",
     # Unrolled power method (10 chained GROUP-BY CTEs — no recursion
@@ -716,9 +732,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("cust_v").alias("src"), F.col("part_v").alias("dst")).unionByName(
-        pairs.select(F.col("part_v").alias("src"), F.col("cust_v").alias("dst"))
-    )
+    edges = _symmetrize_bipartite(pairs)
     ranks = pagerank(edges, damping=0.85, n_iter=10)
     return (
         ranks.select(
@@ -1053,13 +1067,21 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_integration_and_processing_spark.operators.graph import bfs_distances  # noqa: PLC0415
 
     li = load_table(spark, sf_dir, "lineitem")
-    fwd = li.select(
-        (F.col("l_partkey") * 2).alias("src"), (F.col("l_suppkey") * 2 + 1).alias("dst")
-    )
-    rev = li.select(
-        (F.col("l_suppkey") * 2 + 1).alias("src"), (F.col("l_partkey") * 2).alias("dst")
-    )
-    edges = fwd.unionByName(rev)
+    # both orientations from one lineitem scan (the union form scanned twice)
+    edges = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("l_partkey") * 2).alias("src"),
+                    (F.col("l_suppkey") * 2 + 1).alias("dst"),
+                ),
+                F.struct(
+                    (F.col("l_suppkey") * 2 + 1).alias("src"),
+                    (F.col("l_partkey") * 2).alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return bfs_distances(edges, [2], max_depth=_BFS_MAX_DEPTH).orderBy("id")
 
 
@@ -2025,9 +2047,9 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    verts = pairs.select(F.col("cust_v").alias("v")).unionByName(
-        pairs.select(F.col("part_v").alias("v"))
-    )
+    # one pass over the pair lineage (see _symmetrize_bipartite): the
+    # union-of-two-selects form planned the join+distinct subtree twice
+    verts = pairs.select(F.explode(F.array("cust_v", "part_v")).alias("v"))
     deg = verts.groupBy("v").agg(F.count("*").alias("degree"))
     return (
         deg.groupBy("degree")
@@ -2731,12 +2753,27 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
-    a = items.select("ok", F.col("pk").alias("part_a"))
-    b = items.select(F.col("ok").alias("ok_b"), F.col("pk").alias("part_b"))
+    # co-occurrence pairs via ONE order-keyed aggregation + in-task i<j
+    # expansion (the pairs_within_buckets pattern) instead of a distinct +
+    # self-join on l_orderkey: collect_set dedupes (ok, pk) inside the
+    # aggregate, so the old plan's 4 exchanges (distinct, both join sides,
+    # pair count) become 2, and the pair fan-out never crosses the wire.
+    # array_sort + slice-from-i+1 keeps the part_a < part_b contract.
+    grouped = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("pks")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("pks"),
+            lambda a, i: F.transform(
+                F.slice(F.col("pks"), i + 2, F.size(F.col("pks"))),
+                lambda b: F.struct(a.alias("part_a"), b.alias("part_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")))
-        .groupBy("part_a", "part_b")
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 2)
         .select("part_a", "part_b")
@@ -3005,9 +3042,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("cust_v").alias("src"), F.col("part_v").alias("dst")).unionByName(
-        pairs.select(F.col("part_v").alias("src"), F.col("cust_v").alias("dst"))
-    )
+    edges = _symmetrize_bipartite(pairs)
     labels = label_propagation(edges, n_iter=4)
     return (
         labels.select(
@@ -3573,9 +3608,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("cust_v").alias("src"), F.col("part_v").alias("dst")).unionByName(
-        pairs.select(F.col("part_v").alias("src"), F.col("cust_v").alias("dst"))
-    )
+    edges = _symmetrize_bipartite(pairs)
     cores = kcore_peel(edges, k=3, n_iter=4)
     return cores.select(
         "id",
