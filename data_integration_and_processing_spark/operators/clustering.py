@@ -36,6 +36,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .expr_sql import double_array_col
+
 
 @dataclass(frozen=True)
 class KMeansModel:
@@ -49,7 +51,7 @@ def _d2_fold(vec: Column, center: tuple[float, ...]) -> Column:
     return F.aggregate(
         F.zip_with(
             vec,
-            F.array(*[F.lit(float(x)) for x in center]),
+            double_array_col(center),
             lambda a, b: (a - b) * (a - b),
         ),
         F.lit(0.0),

@@ -19,6 +19,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .expr_sql import double_array_col, float_array_col
 from .parallelism import fan_out_scan
 
 
@@ -57,7 +58,7 @@ def brute_force_topk(
     The similarity is rounded before ranking so ordering is stable across
     engines/runs; ties break on id.
     """
-    q = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    q = float_array_col(query_vec)
     sim = F.round(cosine(F.col(vec_col), q), round_digits)
     return (
         fan_out_scan(df).select(F.col(id_col), sim.alias("cos_sim"))
@@ -79,7 +80,7 @@ def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[F.lit(float(w)) for w in plane]),
+                double_array_col(plane),
                 lambda x, w: x.cast("double") * w,
             ),
             F.lit(0.0),
@@ -126,7 +127,7 @@ def lsh_topk(
             else F.bit_count(sig.bitwiseXOR(F.lit(q_sig).cast("long"))) <= max_probe_hamming
         )
         cond = hit if cond is None else (cond | hit)
-    qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    qcol = float_array_col(query_vec)
     sim = F.round(cosine(F.col(vec_col), qcol), 6)
     return (
         fan_out_scan(df).filter(cond)
@@ -197,7 +198,7 @@ def ivf_probe(
     )
     probe_cells = [int(r["cell"]) for r in by_dist[:nprobe]]
 
-    qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    qcol = float_array_col(query_vec)
     sim = F.round(cosine(F.col(vec_col), qcol), round_digits)
     return (
         spark.read.parquet(f"{path}/data")
@@ -292,7 +293,7 @@ def lsh_probe(
         q_sig = int(((tp @ q) > 0).astype(np.int64) @ (1 << np.arange(meta["n_planes"])))
         hit = (F.col("table") == t) & (F.col("bucket") == q_sig)
         cond = hit if cond is None else (cond | hit)
-    qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    qcol = float_array_col(query_vec)
     sim = F.round(cosine(F.col("v"), qcol), round_digits)
     return (
         spark.read.parquet(f"{path}/data")
@@ -686,10 +687,10 @@ def pq_probe(
 
     adc = None
     for j in range(m):
-        lut_j = F.array(*[F.lit(float(x)) for x in lut[j]])
+        lut_j = double_array_col(lut[j])
         term = F.element_at(lut_j, F.element_at("codes", j + 1) + F.lit(1))
         adc = term if adc is None else adc + term
-    qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    qcol = float_array_col(query_vec)
     sim = F.round(cosine(F.col("v"), qcol), round_digits)
     return (
         spark.read.parquet(f"{path}/data")
@@ -841,7 +842,7 @@ def ann_join_ivf(
         F.aggregate(
             F.zip_with(
                 F.col(vec_col).cast("array<double>"),
-                F.array(*[F.lit(float(x)) for x in c]),
+                double_array_col(c),
                 lambda a, b: (a - b) * (a - b),
             ),
             F.lit(0.0),
@@ -962,7 +963,7 @@ def mips_topk(
     serve recommendation-style MIPS queries unchanged; the registered audit
     gates it as a measured boolean.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = double_array_col(query_vec)
     dot = F.aggregate(
         F.zip_with(F.col(vec_col), q, lambda x, w: x.cast("double") * w),
         F.lit(0.0),
@@ -1021,7 +1022,7 @@ def _nearest_cell_expr(centers: "np.ndarray") -> Column:
         F.aggregate(
             F.zip_with(
                 F.col("u"),
-                F.array(*[F.lit(float(x)) for x in c]),
+                double_array_col(c),
                 lambda a, b: (a - b) * (a - b),
             ),
             F.lit(0.0),
@@ -1262,7 +1263,7 @@ def _ivfpq_probe_plan(
     for c, lut in cell_luts:
         cell_adc = None
         for j in range(m):
-            lut_j = F.array(*[F.lit(float(x)) for x in lut[j]])
+            lut_j = double_array_col(lut[j])
             term = F.element_at(lut_j, F.element_at("codes", j + 1) + F.lit(1))
             cell_adc = term if cell_adc is None else cell_adc + term
         adc = (
@@ -1271,7 +1272,7 @@ def _ivfpq_probe_plan(
             else adc.when(F.col("_cell") == c, cell_adc)
         )
 
-    qcol = F.array(*[F.lit(float(x)).cast("float") for x in query_vec])
+    qcol = float_array_col(query_vec)
     sim = F.round(cosine(F.col("v"), qcol), round_digits)
     return (
         _tombstone_filter(

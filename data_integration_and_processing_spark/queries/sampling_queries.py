@@ -1275,7 +1275,11 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def d2_to(vec) -> F.Column:
-        arr = F.array(*[F.lit(float(x)) for x in vec])
+        from data_integration_and_processing_spark.operators.expr_sql import (  # noqa: PLC0415
+            double_array_col,
+        )
+
+        arr = double_array_col(vec)
         return F.aggregate(
             F.zip_with(
                 F.col("embedding").cast("array<double>"), arr, lambda x, y: (x - y) * (x - y)

@@ -7,6 +7,10 @@ import functools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_integration_and_processing_spark.operators.expr_sql import (
+    double_array_col,
+    float_array_col,
+)
 from data_integration_and_processing_spark.operators.parallelism import fan_out_scan
 from data_integration_and_processing_spark.operators.similarity import (
     brute_force_topk,
@@ -273,7 +277,7 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
-    qcol = F.array(*[F.lit(float(x)).cast("float") for x in q])
+    qcol = float_array_col(q)
     sim = F.round(cosine(F.col("embedding"), qcol), 6)
     return (
         e.filter(F.col("vec_id") != 0)
@@ -345,7 +349,7 @@ def sim_vector_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir, 0)
-    q = F.array(*[F.lit(v) for v in qv])
+    q = double_array_col(qv)
     a = F.col("embedding")
     return e.filter(F.col("vec_id") != 0).select(
         "vec_id",

@@ -49,6 +49,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE merges post-shuffle partitions up to this floor BY BYTES; the
+        # engine's hot reduce stages carry compute-dense array rows (hashed
+        # shingle sets, embeddings, candidate-pair verify) whose per-row cost
+        # is orders of magnitude above their byte size, and the default 1m
+        # floor was measured collapsing those stages to 1-10 tasks at bench
+        # scale (4.4s of dedup_chunk_neardup's 5.9s ran single-task). 64k
+        # keeps small-byte/high-compute stages wide; at production volumes
+        # partitions sit at the advisory size and the floor never binds.
+        # Env-tunable so a deployment with byte-bound stages can restore 1m.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python UDTFs evaluate via Arrow batches (ArrowEvalPythonUDTF)
