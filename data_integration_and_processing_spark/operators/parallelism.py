@@ -11,6 +11,8 @@ compute" case, where one tiny shuffle buys full-cluster fan-out.
 
 from __future__ import annotations
 
+from concurrent.futures import Future, ThreadPoolExecutor
+
 from pyspark.sql import DataFrame
 
 
@@ -26,3 +28,19 @@ def fan_out_scan(df: DataFrame, min_factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def background_checkpoint(df: DataFrame) -> "Future[DataFrame]":
+    """Materialize ``df`` (eager ``localCheckpoint``) on a driver worker
+    thread and return the Future, so the caller can keep building/driving
+    the OTHER arm of a multi-arm plan meanwhile — the guide-§2.6
+    overlap-independent-jobs pattern applied inside one query. Spark's
+    scheduler runs concurrent jobs FIFO, so the background job backfills
+    executor slots the foreground's driver-side stretches (model training,
+    index loads, plan construction) leave idle. Call ``.result()`` before
+    composing the checkpointed frame onward; exceptions re-raise there."""
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        return pool.submit(lambda: df.localCheckpoint(eager=True))
+    finally:
+        pool.shutdown(wait=False)

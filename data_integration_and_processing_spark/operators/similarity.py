@@ -192,7 +192,7 @@ def ivf_probe(
     The probed scan reuses the exact JVM cosine, so scores match the
     brute-force path."""
     q = np.asarray(query_vec, dtype=np.float64)
-    centers = spark.read.parquet(f"{path}/centroids").collect()
+    centers = _driver_read_parquet_rows(f"{path}/centroids")
     by_dist = sorted(
         centers, key=lambda r: float(np.linalg.norm(np.asarray(r["center"]) - q))
     )
@@ -284,7 +284,7 @@ def lsh_probe(
     across tables, and rank by the exact JVM cosine. Expected scanned
     fraction ~ n_tables / 2**n_planes of the corpus, as partition-pruned
     I/O rather than a post-scan filter."""
-    meta = spark.read.parquet(f"{path}/meta").first()
+    meta = _driver_read_parquet_rows(f"{path}/meta")[0]
     planes = random_hyperplanes(int(meta["dim"]), meta["n_planes"] * meta["n_tables"], int(meta["seed"]))
     q = np.asarray(query_vec, dtype=np.float64)
     cond = None
@@ -672,11 +672,11 @@ def pq_probe(
     no shuffle). The top ``k * refine`` ADC candidates get the exact
     zip_with/aggregate cosine on their stored originals; output is the
     exact-scored top-k of that refined set."""
-    meta = spark.read.parquet(f"{path}/meta").first()
+    meta = _driver_read_parquet_rows(f"{path}/meta")[0]
     m, nbits = int(meta["m"]), int(meta["nbits"])
     dsub = int(meta["dim"]) // m
     books = np.zeros((m, 2**nbits, dsub))
-    for r in spark.read.parquet(f"{path}/codebooks").collect():
+    for r in _driver_read_parquet_rows(f"{path}/codebooks"):
         books[int(r["subspace"]), int(r["code"])] = np.asarray(r["center"])
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q)
@@ -1192,19 +1192,38 @@ def ivfpq_probe(
     )
 
 
+def _driver_read_parquet_rows(path: str) -> list[dict]:
+    """Driver-side pyarrow read of a tiny Spark-written parquet directory
+    (the O(KB) index model plane: meta/centroids/codebooks). Each
+    ``spark.read.parquet(...).collect()`` of these costs ~2 Spark jobs
+    (footer inference + collect) — measured 6 jobs per model load, pure
+    fixed overhead for data this small. The persisted-index store is
+    documented local-FS-only (see :func:`ivfpq_compact`), so a local read
+    is already the contract. Values are the same binary64/int64 the Spark
+    read returns (both decode the identical parquet pages)."""
+    import glob as _glob  # noqa: PLC0415
+
+    import pyarrow.parquet as _pq  # noqa: PLC0415
+
+    files = sorted(_glob.glob(f"{path}/*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet part files under {path}")
+    return _pq.read_table(files).to_pylist()
+
+
 def load_ivfpq_model(spark, path: str) -> dict:
     """Fetch an IVFPQ index's model state (meta + centers + codebooks) to the
     driver ONCE — O(n_cells*dim + m*2**nbits*dim/m) bytes, the bounded
     metadata plane every probe shares. Multi-query callers load once and
     pass the model to each probe instead of re-reading per query."""
-    meta = spark.read.parquet(f"{path}/meta").first()
+    meta = _driver_read_parquet_rows(f"{path}/meta")[0]
     m, nbits = int(meta["m"]), int(meta["nbits"])
     dsub = int(meta["dim"]) // m
     centers = np.zeros((int(meta["n_cells"]), int(meta["dim"])))
-    for r in spark.read.parquet(f"{path}/centroids").collect():
+    for r in _driver_read_parquet_rows(f"{path}/centroids"):
         centers[int(r["cell"])] = np.asarray(r["center"])
     books = np.zeros((m, 2**nbits, dsub))
-    for r in spark.read.parquet(f"{path}/codebooks").collect():
+    for r in _driver_read_parquet_rows(f"{path}/codebooks"):
         books[int(r["subspace"]), int(r["code"])] = np.asarray(r["center"])
     return {
         "m": m,
@@ -1630,11 +1649,11 @@ def ivfpq_compact(
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
 
-    meta = spark.read.parquet(f"{path}/meta").first()
+    meta = _driver_read_parquet_rows(f"{path}/meta")[0]
     if train_cap is None:
         train_cap = (
             int(meta["train_cap"])
-            if "train_cap" in meta.asDict() and meta["train_cap"] is not None
+            if "train_cap" in meta and meta["train_cap"] is not None
             else 100_000
         )
     survivors = _tombstone_filter(spark, path, spark.read.parquet(f"{path}/data")).select(

@@ -11,7 +11,10 @@ from data_integration_and_processing_spark.operators.expr_sql import (
     double_array_col,
     float_array_col,
 )
-from data_integration_and_processing_spark.operators.parallelism import fan_out_scan
+from data_integration_and_processing_spark.operators.parallelism import (
+    background_checkpoint,
+    fan_out_scan,
+)
 from data_integration_and_processing_spark.operators.similarity import (
     brute_force_topk,
     cosine,
@@ -733,11 +736,19 @@ def sim_ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
-    exact = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
-
+    # r15 (guide §2.6 + §5): the exact arm previously re-planned (and
+    # re-computed) 3x inside the one action — as `exact`, as `caught`'s
+    # left side and as the verdict count, with no exchange reuse in the
+    # final plan. Materialize its tiny top-10 result ONCE on a background
+    # thread, overlapped with the approx arm's driver-side work (IVF
+    # trainer sample collect + numpy Lloyd + plan build).
+    exact_f = background_checkpoint(
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    )
     approx = sim_ann_join_ivf_raw(spark, sf_dir).select(
         F.col("query_id").alias("a_q"), F.col("neighbor_id").alias("a_n")
     )
+    exact = exact_f.result()
     caught = exact.join(
         approx, (exact.query_id == approx.a_q) & (exact.neighbor_id == approx.a_n), "left_semi"
     )
@@ -1925,14 +1936,15 @@ def sim_mips_via_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot_exact").desc(), F.col("neighbor_id").asc()
     )
-    exact = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .localCheckpoint(eager=True)
+    # r15 (guide §2.6): materialize the exact arm on a background thread,
+    # overlapped with the approx arm's driver-side trainer + plan build
+    exact_f = background_checkpoint(
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
     )
     approx = sim_mips_via_ivf_raw(spark, sf_dir).select(
         F.col("query_id").alias("a_q"), F.col("neighbor_id").alias("a_n")
     )
+    exact = exact_f.result()
     caught = exact.join(
         approx,
         (exact.query_id == approx.a_q) & (exact.neighbor_id == approx.a_n),
@@ -2229,11 +2241,16 @@ def sim_retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scanned once instead of once per stage (VERDICT r12 item 6)
     e = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
     # bounded materialization (query-batch x corpus rows): both paths'
-    # ground truths rank the SAME all-pairs pass — score once, rank twice
-    scored = _eval_scored(spark, sf_dir, e=e).localCheckpoint(eager=True)
+    # ground truths rank the SAME all-pairs pass — score once, rank twice.
+    # r15 (guide §2.6): build it on a background thread, overlapped with
+    # the served arm's driver-heavy path (index-model load, query-batch
+    # collect, probe-plan construction) — the two arms only meet in
+    # _ndcg_mrr_path.
+    scored_f = background_checkpoint(_eval_scored(spark, sf_dir, e=e))
+    ann = sim_retrieval_ndcg_mrr_raw(spark, sf_dir, e=e).localCheckpoint(eager=True)
+    scored = scored_f.result()
     exact_cos = _exact_ranked(scored.withColumnRenamed("cos_exact", "s"), "s")
     exact_dot = _exact_ranked(scored.withColumnRenamed("dot_exact", "s"), "s")
-    ann = sim_retrieval_ndcg_mrr_raw(spark, sf_dir, e=e).localCheckpoint(eager=True)
     rows_cos = _ndcg_mrr_path(
         exact_cos, ann.filter(F.col("path") == "ivfpq").drop("path"), "ivfpq"
     )
