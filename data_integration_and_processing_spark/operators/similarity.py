@@ -833,30 +833,42 @@ def ann_join_ivf(
         corpus, n_cells, vec_col, id_col, seed
     )
 
-    cent = queries.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers_np)],
-        "cell int, center array<double>",
+    # r15 (guide §1.2 driver/plan cost): the centroid table and the
+    # assignment expression are built as ONE parsed SQL string each —
+    # createDataFrame of the 8-row centroid table alone cost 0.35s of
+    # py4j/conversion, and the old per-center Column build produced a
+    # 2*k-fold tree (the d2 array was duplicated inside argmin) that cost
+    # ~0.74s to build+analyze and evaluated 16 folds per row. The matrix
+    # literal + posexplode and the two-step projection below build in
+    # ~5ms, analyze a 2-lambda tree, and evaluate k folds per row — the
+    # fold arithmetic (zip_with/aggregate, same order) is unchanged, so
+    # distances and the argmin tiebreak are bit-identical.
+    from .expr_sql import double_array_sql  # noqa: PLC0415
+
+    mat_sql = "array(" + ",".join(double_array_sql(c) for c in centers_np) + ")"
+    cent = queries.sparkSession.sql(
+        f"SELECT CAST(cell AS int) AS cell, center"
+        f" FROM (SELECT posexplode({mat_sql}) AS (cell, center))"
     )
-    # assignment: argmin over n_cells squared distances, all JVM expressions
-    d2_cols = [
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"),
-                double_array_col(c),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    d2arr = (
+        f"transform({mat_sql}, c -> aggregate(zip_with("
+        f"CAST(`{vec_col}` AS array<double>), c, (a, b) -> (a - b) * (a - b)),"
+        f" 0.0D, (acc, x) -> acc + x))"
+    )
+    corpus_cells = (
+        fan_out_scan(corpus)
+        .select(
+            F.col(id_col).alias("_nbr_id"),
+            F.col(vec_col).alias("_nbr_vec"),
+            F.expr(d2arr).alias("_darr"),
         )
-        for c in centers_np
-    ]
-    assign = F.array_position(
-        F.array(*d2_cols), F.array_min(F.array(*d2_cols))
-    ) - 1
-    corpus_cells = fan_out_scan(corpus).select(
-        F.col(id_col).alias("_nbr_id"),
-        F.col(vec_col).alias("_nbr_vec"),
-        assign.cast("int").alias("_cell"),
+        .select(
+            "_nbr_id",
+            "_nbr_vec",
+            (F.array_position(F.col("_darr"), F.array_min("_darr")) - 1)
+            .cast("int")
+            .alias("_cell"),
+        )
     )
     # squared L2 distance query->centroid, JVM fold — no UDF
     d2 = F.aggregate(

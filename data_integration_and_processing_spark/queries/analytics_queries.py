@@ -3462,13 +3462,20 @@ def agg_kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _KMV_K
     o = load_table(spark, sf_dir, "orders")
     fp = F.md5(F.col("o_custkey").cast("string").cast("binary"))
-    vals = o.select(
-        F.col("o_orderpriority").alias("grp"), F.col("o_custkey"), fp.alias("fp")
-    ).distinct()
+    # r15 (guide §2.4): the sketch table and the exact-audit key table both
+    # start from the same distinct projection — materialize it once instead
+    # of re-scanning + re-distincting orders for each arm (fp is a function
+    # of o_custkey, so (grp, fp)-distinct == (grp, custkey)-distinct and
+    # both arms are plain projections of this one frame).
+    vals = (
+        o.select(F.col("o_orderpriority").alias("grp"), F.col("o_custkey"), fp.alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     w = Window.partitionBy("grp").orderBy("fp")
     sk = (
         vals.select("grp", "fp")
-        .distinct()
+        .distinct()  # oracle parity: collision-proof (grp, fp) dedup
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("grp", "fp")
@@ -3500,8 +3507,9 @@ def agg_kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_anotb"))
     )
     # exact audit column: per ordered pair, g1 members absent from g2 —
-    # bounded O(n_groups * distinct_keys), the audit path not the sketch path
-    pk = vals.select("grp", "o_custkey").distinct().localCheckpoint(eager=True)
+    # bounded O(n_groups * distinct_keys), the audit path not the sketch
+    # path; a plain projection of the checkpointed vals (no third scan)
+    pk = vals.select("grp", "o_custkey")
     g1_members = F.broadcast(prs).join(
         pk.select(F.col("grp").alias("g1"), "o_custkey"), "g1"
     )
