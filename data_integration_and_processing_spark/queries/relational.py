@@ -117,12 +117,18 @@ def join_inner_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "aggregation"),
 )
 def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.parallelism import fan_out_scan  # noqa: PLC0415
+
     l, p = load_tables(spark, sf_dir, "lineitem", "part")
     # part is ~1/30 of lineitem at TPC-H ratios: explicit broadcast keeps the
     # 100 TB fact table unshuffled for the join (only the agg shuffles, on 25
     # groups after map-side partial aggregation).
+    # r15 (guide §2.5): the broadcast probe + DECIMAL partial aggregation ran
+    # inside the effectively-single-split fixture scan (1.03s stage on 3
+    # tasks); fan_out_scan spreads it — q1's fix, same order-independent
+    # decimal sums, no-op on any scan already wider than the core count.
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        fan_out_scan(l).join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(_revenue().alias("revenue"), F.count("*").alias("n_items"))
         .orderBy("p_brand")

@@ -815,8 +815,18 @@ def _pois_k_sql(u: str) -> str:
     tags=("sampling", "statistics", "scale"),
 )
 def sample_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_integration_and_processing_spark.operators.parallelism import (  # noqa: PLC0415
+        fan_out_scan,
+    )
+
     e = load_table(spark, sf_dir, "events")
-    rep = e.select(
+    # r15 (guide §2.5): the B-way explode + Poisson inverse-CDF case chain
+    # + partial aggregation all ran inside the single-split fixture scan
+    # (0.92s single-task stage). Fan out BEFORE the explode so the added
+    # shuffle moves the 1x rows, not the Bx exploded rows. Replicate means
+    # are round()ed det64 doubles (the registered tie argument); partial
+    # sums of k (int) stay exact in any order.
+    rep = fan_out_scan(e.select("event_type", "event_id", "value")).select(
         "event_type", "event_id", "value", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
     )
     u = (hash_bucket(["event_id", "b"], _BOOT_M, seed=11).cast("double") + F.lit(0.5)) / F.lit(
