@@ -394,8 +394,19 @@ def label_propagation(
     )
     cached: list[DataFrame] = []
     for i in range(n_iter):
+        # ONE exchange per superstep (r15, guide §2.4): hash the joined
+        # (dst, label) rows on dst BEFORE counting — hashpartitioning(dst)
+        # satisfies BOTH the (dst, label) count and the dst argmax, so the
+        # two aggregations run back-to-back in one post-shuffle stage
+        # instead of paying a second (dst, label)->(dst) exchange of the
+        # counts. The trade is the map-side combine of the old
+        # groupBy(dst, label) exchange — worth little while neighbor labels
+        # are distinct (early supersteps, where the volume is) — against a
+        # full O(E) exchange removed. Counts and the struct-argmax are
+        # unchanged, so labels are identical.
         counts = (
             e.join(labels, e.src == labels.id)
+            .repartition(n_part, F.col("dst"))
             .groupBy("dst", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )

@@ -729,16 +729,27 @@ def _train_centroids(
             )
             d2 = np.minimum(d2, ((sample - centers[-1]) ** 2).sum(axis=1))
         cb = np.array(centers, dtype=np.float64)
+
+        # distances per center instead of one (n, k, dim) broadcast temp
+        # (r15, guide §1.2 driver work): summing axis=1 of the contiguous
+        # (n, dim) slice is the same pairwise reduction over the same
+        # values as axis=2 of the 3-d temp, so assignments (and therefore
+        # centers) are bit-identical — at ~half the memory traffic
+        def _d2_matrix(cb_: np.ndarray) -> np.ndarray:
+            d2m = np.empty((n, len(cb_)))
+            for c in range(len(cb_)):
+                d2m[:, c] = ((sample - cb_[c]) ** 2).sum(axis=1)
+            return d2m
+
         for _ in range(n_iter):
-            d2 = ((sample[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
+            assign = np.argmin(_d2_matrix(cb), axis=1)
             for c in range(len(cb)):
                 members = sample[assign == c]
                 if len(members):
                     cb[c] = members.mean(axis=0)
-        inertia = float(((sample - cb[np.argmin(
-            ((sample[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2), axis=1
-        )]) ** 2).sum())
+        inertia = float(
+            ((sample - cb[np.argmin(_d2_matrix(cb), axis=1)]) ** 2).sum()
+        )
         if len(cb) < k:
             cb = np.vstack([cb, np.repeat(cb[-1:], k - len(cb), axis=0)])
         return inertia, cb
@@ -759,15 +770,34 @@ def train_ivf_centers(
     multi-probe sweep (e.g. the recall audit's nprobe curve) trains ONCE
     and shares the centers across calls — the build-once, probe-many
     production pattern."""
-    sample_rows = (
-        fan_out_scan(corpus)
+    # r15 (guide §6 "Arrow for driver transfers"): fetch the sample as ONE
+    # Arrow table instead of pickled Rows — the row path measured 0.18-0.7s
+    # of pure driver deserialization for the same bytes; Arrow float32 ->
+    # numpy float64 widening is exact, and the plan (and therefore the row
+    # order the trainer sees) is unchanged.
+    # No fan_out_scan here (r15): the per-row work is one xxhash64 + a
+    # sort key — featherweight — and the orderBy(_b, _sid) total order makes
+    # the sample independent of input partitioning, so the guard's only
+    # bench-scale effect was an extra exchange stage ahead of the
+    # TakeOrdered; at production scale the scan is already wide.
+    sample_tbl = (
+        corpus
         .select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_svec"))
         .withColumn("_b", F.pmod(F.xxhash64("_sid", F.lit(seed)), F.lit(1024)))
         .orderBy("_b", "_sid")
         .limit(65536)
-        .collect()
+        .select("_svec")
+        .toArrow()
     )
-    sample = np.array([r["_svec"] for r in sample_rows], dtype=np.float64)
+    vec_chunks = sample_tbl.column("_svec").combine_chunks()
+    flat = vec_chunks.flatten().to_numpy(zero_copy_only=False)
+    n_rows = len(vec_chunks)
+    if n_rows and len(flat) % n_rows == 0:
+        sample = np.asarray(flat, dtype=np.float64).reshape(n_rows, -1)
+    else:  # ragged row lengths: fall back to the row loop (never the fixture)
+        sample = np.array(
+            [list(v) for v in vec_chunks.to_pylist()], dtype=np.float64
+        )
     if len(sample) < n_cells:
         sample = np.array(
             [r[vec_col] for r in corpus.select(vec_col).limit(max(n_cells, 64)).collect()],
@@ -1362,12 +1392,54 @@ def ivfpq_probe_batch(
     )
 
 
+def ivfpq_probe_batch_arms(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    refines: tuple[int, ...] = (1, 5),
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> dict[int, DataFrame]:
+    """Several refine depths of ONE probe batch from a SINGLE shared ADC
+    shortlist (r15, guide §2.4): a shallower arm's candidate set is exactly
+    the ``_r <= k*refine`` prefix of the deepest arm's ADC ranking (same
+    LUTs, same (_adc, id) tiebreak), so running the scan -> broadcast-LUT
+    join -> ADC window once and slicing it per arm returns results
+    IDENTICAL to per-arm :func:`ivfpq_probe_batch` calls at a fraction of
+    the plan: the deepest shortlist's exchange is built once and reused by
+    every arm's exact-rescore window (both windows key on query_id, so no
+    further exchange is added)."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    deepest = k * max(refines)
+    short = _adc_shortlist(spark, path, queries, deepest, nprobe, keep_rank=True)
+    scored = short.select(
+        "query_id",
+        "_r",
+        F.col("id").alias(id_col),
+        F.round(cosine(F.col("v"), F.col("_q")), round_digits).alias("cos_sim"),
+    )
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    out: dict[int, DataFrame] = {}
+    for r in refines:
+        arm = scored if r == max(refines) else scored.filter(F.col("_r") <= k * r)
+        out[r] = (
+            arm.withColumn("rank", F.row_number().over(w_k))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "cos_sim", "rank")
+        )
+    return out
+
+
 def _adc_shortlist(
     spark,
     path: str,
     queries: list[tuple[int, list[float]]],
     n_candidates: int,
     nprobe: int,
+    keep_rank: bool = False,
 ) -> DataFrame:
     """The batch probe's STAGE-1: per query, the ``n_candidates`` best ADC
     candidates of an IVFPQ index, with both vectors attached —
@@ -1417,7 +1489,7 @@ def _adc_shortlist(
         .select("query_id", "id", "v", "_q", adc.alias("_adc"))
         .withColumn("_r", F.row_number().over(w_adc))
         .filter(F.col("_r") <= n_candidates)
-        .select("query_id", "id", "v", "_q")
+        .select("query_id", "id", "v", "_q", *(["_r"] if keep_rank else []))
     )
 
 

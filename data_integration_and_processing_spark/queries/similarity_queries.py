@@ -2168,14 +2168,21 @@ def sim_retrieval_ndcg_mrr_raw(
         .select("vec_id", "embedding")
         .collect()
     ]
-    ivfpq = ivfpq_probe_batch(spark, path, qs, k=10, nprobe=4, refine=16).select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), "rank",
-        F.lit("ivfpq").alias("path"),
+    # r15 (guide §2.6): the mips arm's plan construction is driver-heavy
+    # (IVF trainer sample + numpy Lloyd + augmented-join build) — start the
+    # ivfpq probe's EXECUTION on a background thread first, so its cluster
+    # work fills the cores the mips build leaves idle; the two arms only
+    # meet in the final union (same rows either way).
+    ivfpq_f = background_checkpoint(
+        ivfpq_probe_batch(spark, path, qs, k=10, nprobe=4, refine=16).select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "rank",
+            F.lit("ivfpq").alias("path"),
+        )
     )
     mips = sim_mips_via_ivf_raw(spark, sf_dir, e=e).select(
         "query_id", "neighbor_id", "rank", F.lit("mips_ivf").alias("path")
     )
-    return ivfpq.unionByName(mips)
+    return ivfpq_f.result().unionByName(mips)
 
 
 @register(
@@ -2572,7 +2579,7 @@ def sim_rerank_eval_raw(
     rerank DCG >= stage1 DCG PER QUERY is a mathematical invariant of a
     correct implementation, checked as the no_worse boolean."""
     from data_integration_and_processing_spark.operators.similarity import (  # noqa: PLC0415
-        ivfpq_probe_batch,
+        ivfpq_probe_batch_arms,
     )
 
     if e is None:
@@ -2584,11 +2591,17 @@ def sim_rerank_eval_raw(
         .select("vec_id", "embedding")
         .collect()
     ]
-    stage1 = ivfpq_probe_batch(spark, path, qs, k=10, nprobe=4, refine=1).select(
+    # r15 (guide §2.4): both arms probe the SAME index with the SAME LUTs —
+    # stage1's 10 ADC candidates are exactly the _r <= 10 prefix of the
+    # rerank arm's 50 — so one shared shortlist serves both (identical
+    # results to the two separate probes it replaces; the duplicated
+    # scan -> LUT join -> ADC window pipeline is gone).
+    arms = ivfpq_probe_batch_arms(spark, path, qs, k=10, nprobe=4, refines=(1, 5))
+    stage1 = arms[1].select(
         "query_id", F.col("vec_id").alias("neighbor_id"), "rank",
         F.lit("stage1").alias("arm"),
     )
-    rerank = ivfpq_probe_batch(spark, path, qs, k=10, nprobe=4, refine=5).select(
+    rerank = arms[5].select(
         "query_id", F.col("vec_id").alias("neighbor_id"), "rank",
         F.lit("rerank").alias("arm"),
     )
@@ -3360,7 +3373,11 @@ def _hash_embed(df: DataFrame) -> DataFrame:
                 vecs.append([float(x) for x in v])
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
 
-    return df.select("doc_id", "text").mapInPandas(
+    # r15 (guide §2.5 + §4): the documents fixture scans as ONE task, so the
+    # whole model-UDF embed ran on one Python worker of 32 — fan out BEFORE
+    # the Python boundary (no-op on any scan already wider than the cores).
+    # Per-row outputs are row-local, so the multiset is unchanged.
+    return fan_out_scan(df.select("doc_id", "text")).mapInPandas(
         _embed, schema="doc_id long, embedding array<float>"
     )
 
