@@ -30,6 +30,21 @@ def fan_out_scan(df: DataFrame, min_factor: int = 1) -> DataFrame:
     return df
 
 
+def background_materialize(build) -> "Future[DataFrame]":
+    """Run ``build()`` (plan construction INCLUDING any driver-side work —
+    index model loads, bounded collects, numpy training) and its eager
+    ``localCheckpoint`` on a driver worker thread. The §2.6 overlap pattern
+    one level up from :func:`background_checkpoint`: use it when the arm's
+    CONSTRUCTION is itself driver-heavy, so that work too runs while the
+    foreground arm's jobs occupy the cluster. py4j is thread-safe (each
+    thread gets its own gateway connection); concurrent jobs schedule FIFO."""
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        return pool.submit(lambda: build().localCheckpoint(eager=True))
+    finally:
+        pool.shutdown(wait=False)
+
+
 def background_checkpoint(df: DataFrame) -> "Future[DataFrame]":
     """Materialize ``df`` (eager ``localCheckpoint``) on a driver worker
     thread and return the Future, so the caller can keep building/driving

@@ -60,8 +60,13 @@ def brute_force_topk(
     """
     q = float_array_col(query_vec)
     sim = F.round(cosine(F.col(vec_col), q), round_digits)
+    # no fan_out_scan (r15): one cosine fold per row is light — the guard's
+    # round-robin exchange measured +0.46s on the benched fixture while the
+    # serial fold costs ~25ms; at production scale the scan is already wide
+    # and the guard would be a no-op anyway. TakeOrdered keeps the shuffle
+    # at k rows per partition regardless.
     return (
-        fan_out_scan(df).select(F.col(id_col), sim.alias("cos_sim"))
+        df.select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
@@ -376,9 +381,14 @@ def embedding_neardup_pairs(
     if path is None:
         # size up the un-repartitioned plan: parquet-backed stats are exact
         path = "broadcast" if _estimated_bytes(raw) <= broadcast_max_bytes else "lsh"
-    # both candidate stages are per-row compute (matmul / signatures) — fan
-    # the narrow fixture scan out before the Arrow boundary
-    ids_vecs = fan_out_scan(raw)
+    # no fan_out_scan (r15): the broadcast candidate stage is one numpy
+    # block-matmul per partition (~50ms serial at fixture scale) and the
+    # guard's round-robin exchange + 32-way Arrow worker round-trips
+    # measured +0.64s net on the benched fixture; at production scale the
+    # scan is already wide and the guard would be a no-op anyway. The pair
+    # set is partition-independent (each block compares against the full
+    # broadcast matrix, i<j canonicalization).
+    ids_vecs = raw
     if path == "broadcast":
         # the candidate stage already holds both vectors of every pair, so
         # it emits the EXACT verified cosine in-stage (bit-identical

@@ -13,6 +13,7 @@ from data_integration_and_processing_spark.operators.expr_sql import (
 )
 from data_integration_and_processing_spark.operators.parallelism import (
     background_checkpoint,
+    background_materialize,
     fan_out_scan,
 )
 from data_integration_and_processing_spark.operators.similarity import (
@@ -2074,6 +2075,38 @@ def _ndcg_mrr_path(
     )
 
 
+def _exact_ranked_both(scored: DataFrame) -> DataFrame:
+    """Both ground truths (cosine AND dot) of the shared all-pairs pass in
+    ONE window pass (r15, guide §2.4): explode each scored row into a
+    (_m, s) pair and rank within (query_id, _m) — hashpartitioning on
+    query_id satisfies the two-key clustering, so this is one exchange +
+    one sort + one checkpoint where :func:`_exact_ranked` twice paid two
+    of each. Ranking within the (query_id, _m) partition is identical to
+    per-metric ranking within query_id (same rounded-gain ordering, same
+    id tiebreak), so each metric's slice is row-for-row the frame
+    `_exact_ranked` would have produced."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    both = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("cos").alias("m"), F.col("cos_exact").alias("s")),
+                F.struct(F.lit("dot").alias("m"), F.col("dot_exact").alias("s")),
+            )
+        ).alias("x"),
+    ).select(
+        "query_id", "neighbor_id", F.col("x.m").alias("_m"), _gain(F.col("x.s")).alias("g")
+    )
+    w = Window.partitionBy("query_id", "_m").orderBy(F.desc("g"), F.asc("neighbor_id"))
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .localCheckpoint(eager=True)  # <= 20 rows/query; reused by 4 consumers
+    )
+
+
 def _eval_scored(
     spark: SparkSession, sf_dir: str, e: DataFrame | None = None
 ) -> DataFrame:
@@ -2254,10 +2287,19 @@ def sim_retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect, probe-plan construction) — the two arms only meet in
     # _ndcg_mrr_path.
     scored_f = background_checkpoint(_eval_scored(spark, sf_dir, e=e))
-    ann = sim_retrieval_ndcg_mrr_raw(spark, sf_dir, e=e).localCheckpoint(eager=True)
-    scored = scored_f.result()
-    exact_cos = _exact_ranked(scored.withColumnRenamed("cos_exact", "s"), "s")
-    exact_dot = _exact_ranked(scored.withColumnRenamed("dot_exact", "s"), "s")
+    # r15 (guide §2.6, one level up): the served arm's CONSTRUCTION is
+    # itself driver-heavy (index model load, query-batch collect, IVF
+    # trainer) — build AND materialize it on a worker thread so that
+    # driver work overlaps the ground-truth jobs; both ground truths then
+    # rank in ONE window pass over the shared scored frame
+    # (_exact_ranked_both) instead of two sequential checkpoints.
+    ann_f = background_materialize(
+        lambda: sim_retrieval_ndcg_mrr_raw(spark, sf_dir, e=e)
+    )
+    ranked = _exact_ranked_both(scored_f.result())
+    exact_cos = ranked.filter(F.col("_m") == "cos").drop("_m")
+    exact_dot = ranked.filter(F.col("_m") == "dot").drop("_m")
+    ann = ann_f.result()
     rows_cos = _ndcg_mrr_path(
         exact_cos, ann.filter(F.col("path") == "ivfpq").drop("path"), "ivfpq"
     )
@@ -2656,9 +2698,13 @@ def sim_rerank_eval_raw(
 )
 def sim_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    # r15 (guide §2.6): the served arm's construction is driver-heavy
+    # (index model load + LUT build) — build AND materialize it on a worker
+    # thread while the ground-truth scoring jobs run (same rows either way)
+    served_f = background_materialize(lambda: sim_rerank_eval_raw(spark, sf_dir, e=e))
     scored = _eval_scored(spark, sf_dir, e=e).localCheckpoint(eager=True)
     exact = _exact_ranked(scored.withColumnRenamed("cos_exact", "s"), "s")
-    served = sim_rerank_eval_raw(spark, sf_dir, e=e).localCheckpoint(eager=True)
+    served = served_f.result()
 
     w_arr = F.array(*[F.lit(w) for w in _DCG_W])
     disc = F.element_at(w_arr, F.col("rank"))
@@ -3465,7 +3511,10 @@ def pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_emb = emb.filter(F.col("doc_id") % 53 == 0).select(
         F.col("doc_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    served = pipeline_rag_ingest_raw(spark, sf_dir).localCheckpoint(eager=True)
+    # r15 (guide §2.6): the served arm re-embeds + loads the index model
+    # driver-side — build AND materialize it on a worker thread while the
+    # exact ground-truth join runs on the cluster (same rows either way)
+    served_f = background_materialize(lambda: pipeline_rag_ingest_raw(spark, sf_dir))
     # exact ground truth over the same embedder output: broadcast the small
     # query side, score the corpus once, window top-k per query
     scored = corpus_emb.join(F.broadcast(q_emb)).select(
@@ -3480,6 +3529,7 @@ def pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     nq = q_emb.count()
+    served = served_f.result()
     hits = served.select(
         "query_id", F.col("doc_id").alias("neighbor_id")
     ).join(F.broadcast(exact), ["query_id", "neighbor_id"], "left_semi")
