@@ -1418,9 +1418,12 @@ def ivfpq_probe_batch_arms(
     LUTs, same (_adc, id) tiebreak), so running the scan -> broadcast-LUT
     join -> ADC window once and slicing it per arm returns results
     IDENTICAL to per-arm :func:`ivfpq_probe_batch` calls at a fraction of
-    the plan: the deepest shortlist's exchange is built once and reused by
-    every arm's exact-rescore window (both windows key on query_id, so no
-    further exchange is added)."""
+    the plan. The deepest shortlist is MATERIALIZED (eager localCheckpoint
+    of <= batch * k * max(refines) scored rows — bounded by construction):
+    leaving it lazy re-runs the whole scan -> join -> ADC pipeline per arm,
+    because the per-arm rank filters push DIFFERENT WindowGroupLimit bounds
+    (k*refine) into each union branch and the no-longer-identical subtrees
+    defeat exchange reuse (observed in the r15 plan capture)."""
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     deepest = k * max(refines)
@@ -1430,7 +1433,7 @@ def ivfpq_probe_batch_arms(
         "_r",
         F.col("id").alias(id_col),
         F.round(cosine(F.col("v"), F.col("_q")), round_digits).alias("cos_sim"),
-    )
+    ).localCheckpoint(eager=True)
     w_k = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
     out: dict[int, DataFrame] = {}
     for r in refines:
