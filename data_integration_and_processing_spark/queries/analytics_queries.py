@@ -3467,10 +3467,16 @@ def agg_kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of re-scanning + re-distincting orders for each arm (fp is a function
     # of o_custkey, so (grp, fp)-distinct == (grp, custkey)-distinct and
     # both arms are plain projections of this one frame).
+    # persist (lazy), not an eager localCheckpoint (r15, guide §5): both
+    # frames are multi-consumer so they must materialize ONCE, but an eager
+    # checkpoint is a sequential job barrier on the driver — two of them
+    # serialized ~0.4s of idle gap ahead of the single real action. A lazy
+    # cache materializes inside that action at first use and is shared by
+    # the other consumers in the same job.
     vals = (
         o.select(F.col("o_orderpriority").alias("grp"), F.col("o_custkey"), fp.alias("fp"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
     w = Window.partitionBy("grp").orderBy("fp")
     sk = (
@@ -3479,7 +3485,7 @@ def agg_kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("grp", "fp")
-        .localCheckpoint(eager=True)
+        .persist()
     )
     grps = sk.select("grp").distinct()
     prs = (
