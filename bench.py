@@ -1050,13 +1050,43 @@ def main() -> int:
     canary = _run_canaries(spark, sf_dir)
     print(f"# canary: {canary}", file=sys.stderr)
 
+    # r16 (VERDICT r15 "What's wrong" #1): the ANN serve-path entries probe a
+    # fingerprint-keyed index cache under /tmp/diaps_scratch that survives
+    # bench invocations, so their best-of-3 numbers time a WARM-INDEX probe,
+    # never the build. Make the policy explicit instead of implicit: wipe the
+    # index caches once, then time ONE scratch-cold invocation per index KIND
+    # (build + probe, through the same noop sink) as an ADDED `<name>_cold`
+    # entry — one representative query per kind; sim_rerank_eval_raw shares
+    # the eval index with sim_retrieval_ndcg_mrr so it has no cold twin. The
+    # warm best-of-3 loop below then times exactly what r14/r15 timed, so
+    # existing entries stay round-over-round comparable, and the build cost
+    # finally has its own tracked number at fixture scale (the at-volume
+    # build cost is separately tracked by ivfpq_upsert_probe_50k's rebuild
+    # arm).
+    import shutil  # noqa: PLC0415
+
+    for stale in glob.glob("/tmp/diaps_scratch/*_index_*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    raw_paths = _raw_headline_paths()
+    cold_timings: dict[str, float] = {}
+    for name in (
+        "sim_topk_ivf",            # kind: ivf
+        "sim_retrieval_ndcg_mrr",  # kind: ivfpq_eval (also serves sim_rerank_eval_raw)
+        "sim_ivfpq_upsert_raw",    # kind: ivfpq_upsert (base build + batch upsert)
+        "pipeline_rag_ingest_raw", # kind: ragivfpq (embed + build + probe)
+    ):
+        fn = raw_paths[name] if name in raw_paths else specs[name].spark
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold_timings[f"{name}_cold"] = round(time.time() - t0, 3)
+        print(f"# {name}_cold: {cold_timings[f'{name}_cold']}s", file=sys.stderr)
+
     # best-of-3 per query: in-session drift (GC pauses, executor-thread
     # scheduling, Python-worker pool warm-up, page-cache state) adds
     # ~±20-35% to single runs — pandas-UDF queries drift hardest while the
     # worker pool warms — which false-alarms the regression gate; the min
     # of three runs is a stable noise floor for a fixed plan on a warm JVM
     timings: dict[str, float] = {}
-    raw_paths = _raw_headline_paths()
     for name in HEADLINE:
         fn = raw_paths[name] if name in raw_paths else specs[name].spark
         best = float("inf")
@@ -1066,6 +1096,9 @@ def main() -> int:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    # cold-build twins join the reported queries AFTER the warm loop so the
+    # dict reads warm-first; they are additions, never replacements
+    timings.update(cold_timings)
 
     probe = _dedup_scale_probe(spark, sf_dir)
     print(f"# dedup_scale_probe_50k: {probe}", file=sys.stderr)

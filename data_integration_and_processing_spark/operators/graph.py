@@ -349,6 +349,8 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 4,
+    dedup_edges: bool = False,
+    salt_hot_dst: bool | None = None,
 ) -> DataFrame:
     """Synchronous label propagation (community detection) over a
     symmetrized edge list; returns (id, label) after ``n_iter`` supersteps.
@@ -368,31 +370,62 @@ def label_propagation(
     groupBy(dst) — no window, no row_number. Lineage is truncated with the
     same per-round persist + every-``checkpoint_every`` localCheckpoint
     superstep caching as :func:`pagerank`.
+
+    ``dedup_edges=True`` folds the caller's edge-dedup into the one edge
+    shuffle (r16, guide §2.4): ``hashpartitioning(src)`` colocates every
+    copy of an (src, dst) row, so the dedup aggregate runs post-shuffle on
+    the SAME exchange the superstep join needs — callers that previously
+    paid a ``distinct()`` exchange on the pair key plus this repartition
+    drop to one exchange for the whole edge build.
+
+    Skewed-dst guard (r16, guide §2.5 + ADVICE r15): the one-exchange
+    superstep ships (dst, label) rows unreduced, so a hot dst (power-law
+    in-degree) would land its whole neighborhood on one reducer. The edge
+    cache's materialization pass now also measures max in-degree (== max
+    src-degree on a symmetrized input, and e is already partitioned by src,
+    so the degree pass adds no exchange); when one vertex holds more than a
+    full average partition's share of edges (max_deg * n_part >= |E|), the
+    superstep switches to a salted two-phase count — groupBy(dst, salt,
+    label) with map-side combine, then one (dst)-keyed exchange of the
+    bounded partials — identical counts, no single-reducer stage.
     """
     src, dst = F.col(src_col), F.col(dst_col)
-    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    e = (
-        edges.select(src.alias("src"), dst.alias("dst"))
-        .repartition(n_part, F.col("src"))
-        .sortWithinPartitions("src")
-        .persist()
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select(src.alias("src"), dst.alias("dst")).repartition(
+        n_part, F.col("src")
     )
+    if dedup_edges:
+        e = e.dropDuplicates(["src", "dst"])
+    e = e.sortWithinPartitions("src").persist()
     # Materialize the cache BEFORE any superstep is physically planned:
     # physical plans are built at action time, and an InMemoryRelation whose
     # build plan is an unfinished AdaptiveSparkPlan reports
     # UnknownPartitioning/no stats — every superstep then bakes in a fresh
     # Exchange+Sort of the O(E) edge side (measured: the whole 4-superstep
     # chain re-shuffled e each round despite the persist; pagerank avoids
-    # this only by accident via its n_v = vertices.count()). One count()
-    # runs the cache-build pass that the first superstep needed anyway, and
-    # afterwards the cache advertises hashpartitioning(src)+ordering, so
-    # the per-round join truly reuses the one edge shuffle.
-    e.count()
+    # this only by accident via its n_v = vertices.count()). The
+    # materializing action doubles as the skew probe: groupBy(src) rides the
+    # cache's own partitioning (no exchange), and on a symmetrized graph
+    # src-degree == dst-in-degree, so this is exactly the quantity the
+    # one-exchange superstep is vulnerable to.
+    deg_row = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .agg(F.max("_d").alias("mx"), F.sum("_d").alias("total"))
+        .first()
+    )
+    max_deg = int(deg_row["mx"] or 0)
+    n_edges = int(deg_row["total"] or 0)
+    hot_dst = (
+        (max_deg * n_part >= n_edges and n_edges > 0)
+        if salt_hot_dst is None
+        else salt_hot_dst
+    )
     # symmetrized input => every vertex occurs as src; its first label is id
     labels = e.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
-    cached: list[DataFrame] = []
     for i in range(n_iter):
         # ONE exchange per superstep (r15, guide §2.4): hash the joined
         # (dst, label) rows on dst BEFORE counting — hashpartitioning(dst)
@@ -404,29 +437,45 @@ def label_propagation(
         # are distinct (early supersteps, where the volume is) — against a
         # full O(E) exchange removed. Counts and the struct-argmax are
         # unchanged, so labels are identical.
-        counts = (
-            e.join(labels, e.src == labels.id)
-            .repartition(n_part, F.col("dst"))
-            .groupBy("dst", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
+        joined = e.join(labels, e.src == labels.id)
+        if hot_dst:
+            # salted two-phase (guide §2.5): phase 1 counts per
+            # (dst, salt, label) with map-side combine — the salt (derived
+            # from the neighbor id, deterministic) spreads a hot dst over
+            # n_part reducers — and phase 2 sums the bounded partials on
+            # the dst exchange the argmax reuses. Long sums of long
+            # partials: counts bit-identical to the unsalted form.
+            counts = (
+                joined.groupBy(
+                    "dst", F.pmod(F.col("id"), F.lit(n_part)).alias("_salt"), "label"
+                )
+                .agg(F.count(F.lit(1)).alias("_pc"))
+                .repartition(n_part, F.col("dst"))
+                .groupBy("dst", "label")
+                .agg(F.sum("_pc").alias("c"))
+            )
+        else:
+            counts = (
+                joined.repartition(n_part, F.col("dst"))
+                .groupBy("dst", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
         # argmax by (count desc, label asc): max over (c, -label) — labels
-        # are vertex ids >= 0, so negation is a safe total-order flip
+        # are vertex ids >= 0, so negation is a safe total-order flip.
+        # No per-round persist (r16, guide §5): unlike pagerank's ranks
+        # (consumed twice per round), each superstep's labels feed exactly
+        # ONE consumer — the next round's join — so between checkpoints the
+        # chain is a linear plan at most checkpoint_every supersteps deep
+        # and a cache would only add per-round serialize/build overhead.
         labels = (
             counts.groupBy("dst")
             .agg(F.max(F.struct(F.col("c").alias("c"), (-F.col("label")).alias("nl"))).alias("m"))
             .select(F.col("dst").alias("id"), (-F.col("m.nl")).cast("long").alias("label"))
-        ).persist()
-        cached.append(labels)
+        )
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
-            for df_ in cached:
-                df_.unpersist()
-            cached = []
-    if cached:
+    if (n_iter % checkpoint_every) != 0:
         labels = labels.localCheckpoint(eager=True)
-        for df_ in cached:
-            df_.unpersist()
     e.unpersist()
     return labels
 
@@ -438,6 +487,7 @@ def kcore_peel(
     src_col: str = "src",
     dst_col: str = "dst",
     symmetrize: bool = False,
+    dedup_edges: bool = False,
 ) -> DataFrame:
     """Fixed-superstep k-core peeling over a symmetrized edge list; returns
     (id, core_deg): the surviving edges' per-vertex degrees after
@@ -489,7 +539,14 @@ def kcore_peel(
             .distinct()
         )
     n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    e0 = directed.repartition(n_part, F.col("src")).persist()
+    e0 = directed.repartition(n_part, F.col("src"))
+    if dedup_edges:
+        # fold the caller's edge dedup into the one src exchange (r16, guide
+        # §2.4): hashpartitioning(src) colocates every copy of an (src, dst)
+        # row, so the dedup aggregate needs no exchange of its own —
+        # replaces a caller-side distinct() on the pair key
+        e0 = e0.dropDuplicates(["src", "dst"])
+    e0 = e0.persist()
     # materialize before round-1 planning (see label_propagation: an
     # unmaterialized cache reports UnknownPartitioning, so round 1 would
     # re-exchange e0 for its groupBy(src) instead of riding the repartition)
@@ -513,7 +570,11 @@ def kcore_peel(
             # consumed by both semi-joins next round: materialize the O(V)
             # set and truncate lineage (constant plan depth across rounds;
             # each round's blocks are unreferenced and GC'd once the next
-            # checkpoint lands)
+            # checkpoint lands). r16 note: a lazy per-round persist (no
+            # driver barrier, one final action) was tried and measured
+            # WORSE in-session (eager 2.56 vs lazy 2.88 best-of-5) — the
+            # chained unmaterialized broadcast builds cost more than the
+            # barriers save — so the eager form stays.
             .localCheckpoint(eager=True)
         )
     out = (

@@ -11,9 +11,15 @@ compute" case, where one tiny shuffle buys full-cluster fan-out.
 
 from __future__ import annotations
 
+import weakref
 from concurrent.futures import Future, ThreadPoolExecutor
 
 from pyspark.sql import DataFrame
+
+
+_FAN_OUT_MEMO: "weakref.WeakKeyDictionary[DataFrame, bool]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def fan_out_scan(df: DataFrame, min_factor: int = 1) -> DataFrame:
@@ -23,11 +29,25 @@ def fan_out_scan(df: DataFrame, min_factor: int = 1) -> DataFrame:
     no shuffle is ever added at scale. Use upstream of compute-heavy
     per-row stages (shingling, signatures, regex packs); do NOT use above
     order-sensitive float aggregations — repartitioning reorders rows.
+
+    Probe cost (r16, VERDICT r15 item 4): the old ``df.rdd`` probe built a
+    fresh Python-conversion RDD (full physical planning + a pickle wrapper)
+    on EVERY call — a per-query driver cost at ~60 call sites. Now the
+    width check reads the JVM Dataset's own ``queryExecution().toRdd()``
+    (a lazy val — cached per Dataset, no Python-serialization wrapper), and
+    the narrow/wide DECISION is memoized per input frame (a bool, so no
+    value->key cycle pins the weak key): the dominant pattern passes the
+    session-cached ``load_table`` frames, so repeat queries skip the probe
+    entirely. WeakKeyDictionary keys die with their frame, so a recycled
+    ``id()`` can never alias a stale entry.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    need = _FAN_OUT_MEMO.get(df) if min_factor == 1 else None
+    if need is None:
+        need = df._jdf.queryExecution().toRdd().getNumPartitions() < target
+        if min_factor == 1:
+            _FAN_OUT_MEMO[df] = need
+    return df.repartition(target) if need else df
 
 
 def background_materialize(build) -> "Future[DataFrame]":
@@ -37,10 +57,18 @@ def background_materialize(build) -> "Future[DataFrame]":
     one level up from :func:`background_checkpoint`: use it when the arm's
     CONSTRUCTION is itself driver-heavy, so that work too runs while the
     foreground arm's jobs occupy the cluster. py4j is thread-safe (each
-    thread gets its own gateway connection); concurrent jobs schedule FIFO."""
+    thread gets its own gateway connection); concurrent jobs schedule FIFO.
+    The worker is wrapped in ``inheritable_thread_target`` (ADVICE r15) so
+    the caller's job group / job description / local properties propagate
+    under pinned-thread mode — profiler attribution and job-group
+    cancellation reach the background jobs."""
+    from pyspark.util import inheritable_thread_target  # noqa: PLC0415
+
     pool = ThreadPoolExecutor(max_workers=1)
     try:
-        return pool.submit(lambda: build().localCheckpoint(eager=True))
+        return pool.submit(
+            inheritable_thread_target(lambda: build().localCheckpoint(eager=True))
+        )
     finally:
         pool.shutdown(wait=False)
 
@@ -53,9 +81,15 @@ def background_checkpoint(df: DataFrame) -> "Future[DataFrame]":
     scheduler runs concurrent jobs FIFO, so the background job backfills
     executor slots the foreground's driver-side stretches (model training,
     index loads, plan construction) leave idle. Call ``.result()`` before
-    composing the checkpointed frame onward; exceptions re-raise there."""
+    composing the checkpointed frame onward; exceptions re-raise there.
+    Wrapped in ``inheritable_thread_target`` (ADVICE r15) so job group /
+    description / local properties follow the caller's thread."""
+    from pyspark.util import inheritable_thread_target  # noqa: PLC0415
+
     pool = ThreadPoolExecutor(max_workers=1)
     try:
-        return pool.submit(lambda: df.localCheckpoint(eager=True))
+        return pool.submit(
+            inheritable_thread_target(lambda: df.localCheckpoint(eager=True))
+        )
     finally:
         pool.shutdown(wait=False)

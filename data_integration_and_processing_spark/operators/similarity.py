@@ -802,9 +802,20 @@ def train_ivf_centers(
     vec_chunks = sample_tbl.column("_svec").combine_chunks()
     flat = vec_chunks.flatten().to_numpy(zero_copy_only=False)
     n_rows = len(vec_chunks)
-    if n_rows and len(flat) % n_rows == 0:
+    # Explicit rectangularity guard (ADVICE r15): the old divisibility check
+    # (len(flat) % n_rows == 0) missed ragged lengths whose total happens to
+    # divide n_rows, and ListArray.flatten() silently DROPS null entries —
+    # which can keep the total divisible while misaligning every subsequent
+    # row. Reshape only when there are no null rows and every list has one
+    # identical length; anything else takes the row-loop fallback.
+    lengths = (
+        vec_chunks.value_lengths().unique().to_pylist()
+        if n_rows
+        else []
+    )
+    if n_rows and vec_chunks.null_count == 0 and len(lengths) == 1 and lengths[0]:
         sample = np.asarray(flat, dtype=np.float64).reshape(n_rows, -1)
-    else:  # ragged row lengths: fall back to the row loop (never the fixture)
+    else:  # ragged/null rows: fall back to the row loop (never the fixture)
         sample = np.array(
             [list(v) for v in vec_chunks.to_pylist()], dtype=np.float64
         )

@@ -2475,29 +2475,50 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    def disc_bounds(col: str, prefix: str) -> DataFrame:
-        # exact order statistic: value at ascending rank ceil(q*n), spelled
-        # as integer arithmetic (4q*n + 3) div 4 — the identical expression
-        # the oracle runs, so the boundary is a data value in the column's
-        # native exact type and no float interpolation can diverge
-        ranked = (
-            cust.select(F.col(col).alias("v"))
-            .withColumn("rn", F.row_number().over(Window.orderBy("v")))
-            .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
-        )
-        return ranked.agg(
-            *[
-                F.max(
-                    F.when(F.col("rn") == F.expr(f"({k}*n + 3) div 4"), F.col("v"))
-                ).alias(f"{prefix}{q}")
-                for k, q in ((1, 25), (2, 50), (3, 75))
-            ]
-        )
-
-    b = (
-        disc_bounds("recency_days", "r")
-        .crossJoin(disc_bounds("frequency", "f"))
-        .crossJoin(disc_bounds("monetary", "m"))
+    # exact order statistics: value at ascending rank ceil(q*n), spelled as
+    # integer arithmetic (4q*n + 3) div 4 — the identical expression the
+    # oracle runs, so each boundary is a data value in the column's native
+    # exact type and no float interpolation can diverge. All NINE bounds
+    # come from ONE window pass (r16, guide §2.4): the three metrics explode
+    # to (metric, v) rows ranked within their metric partition — per-metric
+    # row_number over v is exactly the old per-column global window (values
+    # at each rank are deterministic under ties because only v orders the
+    # frame) — where the old shape paid three window exchanges, three
+    # single-row aggregates and two cross-joins. recency/frequency/monetary
+    # are all exact integers, so the shared LONG explode column changes no
+    # value; the score comparisons below are integer-vs-integer either way.
+    mv = cust.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("_m"), F.col(c).cast("long").alias("v")
+                    )
+                    for m, c in (
+                        ("r", "recency_days"),
+                        ("f", "frequency"),
+                        ("m", "monetary"),
+                    )
+                ]
+            )
+        ).alias("e")
+    ).select("e._m", "e.v")
+    wm = Window.partitionBy("_m").orderBy("v")
+    ranked = mv.withColumn("rn", F.row_number().over(wm)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("_m"))
+    )
+    b = ranked.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("_m") == m)
+                    & (F.col("rn") == F.expr(f"({k}*n + 3) div 4")),
+                    F.col("v"),
+                )
+            ).alias(f"{m}{q}")
+            for m in ("r", "f", "m")
+            for k, q in ((1, 25), (2, 50), (3, 75))
+        ]
     )
     s = cust.crossJoin(F.broadcast(b))
     asint = lambda c: c.cast("int")  # noqa: E731
@@ -3034,16 +3055,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
-    pairs = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("cust_v"),
-            (F.col("l_partkey") * 2 + 1).alias("part_v"),
-        )
-        .distinct()
+    # no distinct() here (r16, guide §2.4): the pair dedup folds into the
+    # operator's one src-keyed edge exchange (dedup_edges=True) — an
+    # (src, dst) dedup after symmetrization is exactly the pair dedup,
+    # since the orientation struct determines the pair. One exchange for
+    # the whole edge build instead of distinct + repartition.
+    pairs = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("cust_v"),
+        (F.col("l_partkey") * 2 + 1).alias("part_v"),
     )
     edges = _symmetrize_bipartite(pairs)
-    labels = label_propagation(edges, n_iter=4)
+    labels = label_propagation(edges, n_iter=4, dedup_edges=True)
     return (
         labels.select(
             "id",
@@ -3467,16 +3489,20 @@ def agg_kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of re-scanning + re-distincting orders for each arm (fp is a function
     # of o_custkey, so (grp, fp)-distinct == (grp, custkey)-distinct and
     # both arms are plain projections of this one frame).
-    # persist (lazy), not an eager localCheckpoint (r15, guide §5): both
-    # frames are multi-consumer so they must materialize ONCE, but an eager
-    # checkpoint is a sequential job barrier on the driver — two of them
-    # serialized ~0.4s of idle gap ahead of the single real action. A lazy
-    # cache materializes inside that action at first use and is shared by
-    # the other consumers in the same job.
+    # LAZY localCheckpoint, not persist() and not an eager checkpoint (r16,
+    # guide §5 + ADVICE r15): both frames are multi-consumer so they must
+    # materialize ONCE, and an eager checkpoint is a sequential driver
+    # barrier (~0.4s measured in r15) — but a bare persist() leaks: nothing
+    # ever unpersists it, and CacheManager's canonicalized-plan matching
+    # silently reuses the first invocation's cache across re-runs (warm-
+    # cache timings, session-lifetime pinned blocks). A lazy localCheckpoint
+    # materializes inside the first consuming action exactly like the lazy
+    # cache did, but the blocks are RDD-scoped: freed by the ContextCleaner
+    # when the result frame is dropped, and never shared across invocations.
     vals = (
         o.select(F.col("o_orderpriority").alias("grp"), F.col("o_custkey"), fp.alias("fp"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("grp").orderBy("fp")
     sk = (
@@ -3485,7 +3511,7 @@ def agg_kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("grp", "fp")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     grps = sk.select("grp").distinct()
     prs = (
@@ -3614,16 +3640,14 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
-    pairs = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("cust_v"),
-            (F.col("l_partkey") * 2 + 1).alias("part_v"),
-        )
-        .distinct()
+    # no distinct() (r16): pair dedup rides the operator's src exchange —
+    # see graph_label_propagation's edge build for the argument
+    pairs = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("cust_v"),
+        (F.col("l_partkey") * 2 + 1).alias("part_v"),
     )
     edges = _symmetrize_bipartite(pairs)
-    cores = kcore_peel(edges, k=3, n_iter=4)
+    cores = kcore_peel(edges, k=3, n_iter=4, dedup_edges=True)
     return cores.select(
         "id",
         F.when(F.col("id") % 2 == 0, F.lit("customer")).otherwise(F.lit("part")).alias(

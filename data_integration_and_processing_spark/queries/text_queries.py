@@ -683,23 +683,34 @@ def text_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "north-star", "quality", "aggregation"),
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
     d = fan_out_scan(load_table(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(words_of(F.col("text"))).alias("term"))
-    tok = tok.persist()
-    n_total = tok.count()
-    vocab = tok.groupBy("term").agg(F.count("*").alias("tf"))
-    out = (
+    # corpus total rides the vocabulary itself (r16, guide §2.4/§5): the old
+    # form persisted the FULL exploded token frame and ran an eager count()
+    # job just to embed n_total as a literal — a blocking driver job plus an
+    # O(corpus-tokens) cache (far bigger than the corpus at scale). The
+    # total is just sum(tf) over the vocabulary-sized aggregate, computed
+    # here as a single-partition window over the (small, broadcastable-by-
+    # assumption) vocab frame inside the one real action. Same double
+    # division (bigint -> double promotion == the old int literal), so
+    # values are identical.
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("n_total", F.sum("tf").over(Window.partitionBy()))
+    )
+    return (
         tok.join(F.broadcast(vocab), "term")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.avg(F.log10(F.col("tf").cast("double") / F.lit(n_total))), 6).alias(
-                "avg_logprob"
-            ),
+            F.round(
+                F.avg(F.log10(F.col("tf").cast("double") / F.col("n_total"))), 6
+            ).alias("avg_logprob"),
         )
     )
-    tok.unpersist()
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1604,7 +1615,6 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = ws.select(F.explode("ws").alias("tok"))
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    n_tok = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
     pairs = ws.filter(F.size("ws") >= 2).select(
         F.explode(
             F.zip_with(
@@ -1615,6 +1625,12 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.w1", "p.w2")
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    # NOTE (r16): deriving these totals from uni/big (sum(c) / sum(c12))
+    # to share the keyed-agg exchanges was tried and measured WORSE
+    # (0.89 -> 0.99 best-of-5 in-session A/B; exchange reuse never fired,
+    # and the keyed-agg subtree costs more than the plain count) — the
+    # straight recounts below stay.
+    n_tok = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
     n_big = pairs.agg(F.count(F.lit(1)).cast("long").alias("n"))
     u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))

@@ -64,6 +64,17 @@ def get_spark(
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark's DataFrame-debugging wrapper sends the Python call site to
+        # the JVM around EVERY DataFrame API call (a conf read + origin
+        # set/clear = ~3 extra py4j round-trips per call, measured ~0.06s of
+        # the 0.35s plan-construction time of the widest builders, paid by
+        # every catalog query). The only cost of disabling it is that error
+        # messages lose the Python-side call-site line; plans and results
+        # are untouched. Env-tunable for debugging sessions.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"),
+        )
         # Python UDTFs evaluate via Arrow batches (ArrowEvalPythonUDTF)
         # instead of the pickled row-at-a-time BatchEvalPython path —
         # caught by scripts/plan_lint.py's PY_ROW_UDF rule

@@ -26,8 +26,11 @@ def main() -> int:
         name: min(r["queries"][name] for r in runs if name in r["queries"])
         for name in base["queries"]
     }
+    # guard missing components like the queries merge does (ADVICE r15):
+    # a run recorded by an older bench.py may lack a canary component
     canary = {
-        comp: min(r["canary"][comp] for r in runs) for comp in base["canary"]
+        comp: min(r["canary"][comp] for r in runs if comp in (r.get("canary") or {}))
+        for comp in base["canary"]
     }
     merged["queries"] = qmin
     merged["value"] = round(sum(qmin.values()), 3)
@@ -39,6 +42,10 @@ def main() -> int:
         n: round(s / canary["shuffle_sec"], 2) for n, s in qmin.items()
     }
     merged["merged_from_runs"] = [r["value"] for r in runs]
+    # drift/regression fields were computed by the BASE run against ITS
+    # canary sample, not the merged minima — tag them so a reader of the
+    # merged artifact doesn't take them as internally consistent (ADVICE r15)
+    merged["drift_fields_from_base_run"] = True
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1)
     print(json.dumps({"merged": merged["value"], "runs": merged["merged_from_runs"]}))
