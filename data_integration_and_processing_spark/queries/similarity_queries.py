@@ -675,7 +675,17 @@ def sim_ann_join_ivf_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = e.filter(F.col("vec_id") % 25 != 0)
-    return ann_join_ivf(q, c, k=10, n_cells=8, nprobe=2).orderBy("query_id", "rank")
+    # lazy checkpoint BEFORE the global sort (r16, guide §2.4/§5): the
+    # range-partitioned orderBy on top of the IVF join plan re-executed the
+    # candidate+cosine chain in its sampling pass (two extra ~0.8s
+    # single-task stages in the event log; +0.83s A/B on the noop sink).
+    # Materializing the |Q|*k result rows once lets the sampler and the
+    # sort read the tiny RDD instead. Rows verified identical.
+    return (
+        ann_join_ivf(q, c, k=10, n_cells=8, nprobe=2)
+        .localCheckpoint(eager=False)
+        .orderBy("query_id", "rank")
+    )
 
 
 @register(
@@ -1855,8 +1865,12 @@ def sim_mips_via_ivf_raw(
             "embedding"
         ),
     )
-    return ann_join_ivf(q_aug, c_aug, k=10, n_cells=8, nprobe=2).orderBy(
-        "query_id", "rank"
+    # lazy checkpoint before the global sort — same measured range-sampling
+    # re-execution as sim_ann_join_ivf_raw (r16); rows identical
+    return (
+        ann_join_ivf(q_aug, c_aug, k=10, n_cells=8, nprobe=2)
+        .localCheckpoint(eager=False)
+        .orderBy("query_id", "rank")
     )
 
 
