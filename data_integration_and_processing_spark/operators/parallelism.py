@@ -50,6 +50,22 @@ def fan_out_scan(df: DataFrame, min_factor: int = 1) -> DataFrame:
     return df.repartition(target) if need else df
 
 
+def tiny_local_df(spark, rows: list, schema) -> DataFrame:
+    """One-PARTITION local frame for O(10)-row metadata/result planes (r16,
+    guide §1.2/§4): ``createDataFrame(python rows)`` parallelizes the data
+    over ``defaultParallelism`` partitions, and EVERY evaluation of the
+    frame pays one Python-worker round trip per partition — a
+    ``coalesce(1)`` on top then folds all of them into ONE task that makes
+    those round trips SEQUENTIALLY (measured 4.3-5.0s per 8-row index
+    metadata write at local[32], vs 0.15s for a single-slice write).
+    Parallelizing with ``numSlices=1`` keeps the whole frame in one
+    partition: one Python pass, no coalesce needed, identical
+    rows/schema/single-file layout."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema
+    )
+
+
 def background_materialize(build) -> "Future[DataFrame]":
     """Run ``build()`` (plan construction INCLUDING any driver-side work —
     index model loads, bounded collects, numpy training) and its eager

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .expr_sql import double_array_col, float_array_col
-from .parallelism import fan_out_scan
+from .parallelism import fan_out_scan, tiny_local_df  # noqa: F401 — tiny_local_df re-exported for queries
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -173,8 +173,8 @@ def build_ivf_index(
     assigned = model.transform(feat).drop("_features")
     assigned.write.mode("overwrite").partitionBy("_cell").parquet(f"{path}/data")
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    df.sparkSession.createDataFrame(centers, "cell int, center array<double>").coalesce(
-        1
+    tiny_local_df(
+        df.sparkSession, centers, "cell int, center array<double>"
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     return path
 
@@ -268,9 +268,11 @@ def build_lsh_index(
         _explode_tables, schema="table int, bucket long, id long, v array<float>"
     )
     exploded.write.mode("overwrite").partitionBy("table", "bucket").parquet(f"{path}/data")
-    df.sparkSession.createDataFrame(
-        [(n_planes, n_tables, seed, dim)], "n_planes int, n_tables int, seed int, dim int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    tiny_local_df(
+        df.sparkSession,
+        [(n_planes, n_tables, seed, dim)],
+        "n_planes int, n_tables int, seed int, dim int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     return path
 
 
@@ -656,12 +658,12 @@ def build_pq_index(
         for j in range(m)
         for c in range(books.shape[1])
     ]
-    df.sparkSession.createDataFrame(
-        book_rows, "subspace int, code int, center array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    df.sparkSession.createDataFrame(
-        [(m, nbits, dim, seed)], "m int, nbits int, dim int, seed int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    tiny_local_df(
+        df.sparkSession, book_rows, "subspace int, code int, center array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    tiny_local_df(
+        df.sparkSession, [(m, nbits, dim, seed)], "m int, nbits int, dim int, seed int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     return path
 
 
@@ -1002,7 +1004,7 @@ def mmr_rerank(
 
     spark = candidates.sparkSession
     out = [(ids[i], float(rel[i]), rank + 1) for rank, i in enumerate(selected)]
-    return spark.createDataFrame(out, f"{id_col} long, {score_col} double, mmr_rank int")
+    return tiny_local_df(spark, out, f"{id_col} long, {score_col} double, mmr_rank int")
 
 
 def mips_topk(
@@ -1211,22 +1213,25 @@ def build_ivfpq_index(
         "_cell"
     ).parquet(f"{path}/data")
     spark = df.sparkSession
-    spark.createDataFrame(
+    tiny_local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "cell int, center array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    tiny_local_df(
+        spark,
         [
             (j, c, [float(x) for x in books[j, c]])
             for j in range(m)
             for c in range(books.shape[1])
         ],
         "subspace int, code int, center array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    spark.createDataFrame(
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    tiny_local_df(
+        spark,
         [(n_cells, m, nbits, dim, seed, train_cap)],
         "n_cells int, m int, nbits int, dim int, seed int, train_cap int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     return path
 
 

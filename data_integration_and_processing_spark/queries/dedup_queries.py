@@ -21,6 +21,7 @@ from data_integration_and_processing_spark.operators.dedup import (
     simhash_candidates,
     simhash_signatures,
 )
+from data_integration_and_processing_spark.operators.parallelism import tiny_local_df
 from data_integration_and_processing_spark.queries.catalog import register
 from data_integration_and_processing_spark.sources.tables import load_table
 
@@ -1171,7 +1172,7 @@ def dedup_method_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     sh.unpersist()
     metrics.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return tiny_local_df(spark, rows, out.schema)
 
 
 @register(
@@ -1362,7 +1363,7 @@ def dedup_minhash_calibration_raw(spark: SparkSession, sf_dir: str) -> DataFrame
     rows = out.collect()
     for c in caches:
         c.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return tiny_local_df(spark, rows, out.schema)
 
 
 @register(

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_integration_and_processing_spark.operators.parallelism import tiny_local_df
 from data_integration_and_processing_spark.queries.catalog import register
 from data_integration_and_processing_spark.sources.tables import load_table, load_tables
 
@@ -246,7 +247,8 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(
+    bands = tiny_local_df(
+        spark,
         [("xs", 0.0, 10000.0), ("s", 10000.0, 25000.0), ("m", 25000.0, 50000.0),
          ("l", 50000.0, 75000.0), ("xl", 75000.0, 1e12)],
         "band string, lo double, hi double",

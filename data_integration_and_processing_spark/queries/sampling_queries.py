@@ -19,6 +19,7 @@ from data_integration_and_processing_spark.operators.sampling import (
     stratified_sample,
     train_test_split,
 )
+from data_integration_and_processing_spark.operators.parallelism import tiny_local_df
 from data_integration_and_processing_spark.queries.catalog import register
 from data_integration_and_processing_spark.sources.tables import load_table
 
@@ -1333,7 +1334,7 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     if prev is not None:
         prev.unpersist()
     mind.unpersist()
-    return spark.createDataFrame(picked, "rank int, vec_id bigint, dist2 double")
+    return tiny_local_df(spark, picked, "rank int, vec_id bigint, dist2 double")
 
 
 # ---------------------------------------------------------------------------

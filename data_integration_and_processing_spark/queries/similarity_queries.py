@@ -22,6 +22,7 @@ from data_integration_and_processing_spark.operators.similarity import (
     embedding_neardup_pairs,
     ivf_topk,
     lsh_topk,
+    tiny_local_df,
 )
 from data_integration_and_processing_spark.queries.catalog import register
 from data_integration_and_processing_spark.sources.tables import load_table
@@ -2359,7 +2360,7 @@ def _upserted_index_path(spark: SparkSession, sf_dir: str) -> str:
         batch_n = e.filter(F.col("vec_id") % 10 == 3).count()
         if batch_n:  # a re-id'd degenerate fixture may have no %10==3 rows
             ivfpq_upsert(e.filter(F.col("vec_id") % 10 == 3), path)
-        spark.createDataFrame([(batch_n,)], "batch_n long").coalesce(1).write.mode(
+        tiny_local_df(spark, [(batch_n,)], "batch_n long").write.mode(
             "overwrite"
         ).parquet(f"{path}/upserted")
     return path
@@ -2759,7 +2760,7 @@ def sim_rerank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("arm")
         .agg((F.avg(ndcg_q) >= F.first(floors)).alias("ndcg_ok"))
     )
-    arms = spark.createDataFrame([("stage1",), ("rerank",)], "arm string")
+    arms = tiny_local_df(spark, [("stage1",), ("rerank",)], "arm string")
     return (
         arms.crossJoin(idcg.select("query_id", "idcg_micro"))
         .join(verdicts, "arm")
@@ -2805,7 +2806,7 @@ def _deleted_index_path(spark: SparkSession, sf_dir: str) -> str:
         del_n = doomed.count()
         if del_n:  # a re-id'd degenerate fixture may have no %10==7 rows
             ivfpq_delete(spark, path, doomed)
-        spark.createDataFrame([(del_n,)], "del_n long").coalesce(1).write.mode(
+        tiny_local_df(spark, [(del_n,)], "del_n long").write.mode(
             "overwrite"
         ).parquet(f"{path}/deleted")
     return path
@@ -3306,7 +3307,8 @@ def sim_ivfpq_serving_cost_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
             refine_rows += min(k * rf, cand)
         ratio_micro = (adc * n_cells * 1_000_000) // (nq * corpus_n * np_)
         rows.append((np_, rf, nq, adc, refine_rows, ratio_micro))
-    return spark.createDataFrame(
+    return tiny_local_df(
+        spark,
         rows,
         "nprobe int, refine int, n_queries long, adc_rows long,"
         " refine_rows long, model_ratio_micro long",
@@ -3649,8 +3651,8 @@ def stream_ivfpq_ingest_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact top-10 over everything indexed so far (base + batches <= i)
         seq = len(ledger)
         corpus = exact_base.filter(F.col("vec_id") % 8 <= 5 + seq)
-        q_df = b.createDataFrame(
-            [(q, v) for q, v in qs], "query_id long, q_emb array<float>"
+        q_df = tiny_local_df(
+            b, [(q, v) for q, v in qs], "query_id long, q_emb array<float>"
         )
         scored = corpus.join(F.broadcast(q_df)).select(
             "query_id",
@@ -3682,8 +3684,8 @@ def stream_ivfpq_ingest_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination(300)
     )
     shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(
-        ledger, "batch_seq int, n_ingested long, total_indexed long, recall double"
+    return tiny_local_df(
+        spark, ledger, "batch_seq int, n_ingested long, total_indexed long, recall double"
     )
 
 
