@@ -37,6 +37,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .expr_sql import double_array_col
+from .parallelism import tiny_local_df
 
 
 @dataclass(frozen=True)
@@ -161,8 +162,8 @@ def kmeans_lloyd(
             already-large (k*dim literals) expression tree and the codegen
             compile time dominates the per-iteration cost on small inputs."""
             if use_broadcast:
-                cdf = spark.createDataFrame(
-                    [([list(c) for c in cents],)], "_cmat: array<array<double>>"
+                cdf = tiny_local_df(
+                    spark, [([list(c) for c in cents],)], "_cmat: array<array<double>>"
                 )
                 return base.join(F.broadcast(cdf)).select(
                     F.col("_kvec"),
@@ -200,8 +201,8 @@ def kmeans_lloyd(
 
         final = tuple(tuple(c) for c in centers)
         if use_broadcast:
-            fdf = spark.createDataFrame(
-                [([list(c) for c in final],)], "_cmat: array<array<double>>"
+            fdf = tiny_local_df(
+                spark, [([list(c) for c in final],)], "_cmat: array<array<double>>"
             )
             # materialize the distance array once (the r9 duplicated-fold
             # compile lesson applies to the matrix form too)

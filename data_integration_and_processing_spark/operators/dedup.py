@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .parallelism import fan_out_scan
+from .parallelism import fan_out_scan, tiny_local_df
 
 _HAMMING_BITS = 63  # keep the simhash non-negative in a signed long
 
@@ -567,7 +567,7 @@ def _components_driver_unionfind(pairs: DataFrame, id_a: str, id_b: str) -> Data
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)  # min-id root => min labels
     out = [(x, find(x)) for x in parent]
-    return pairs.sparkSession.createDataFrame(out, "id long, component long")
+    return tiny_local_df(pairs.sparkSession, out, "id long, component long")
 
 
 def connected_components(

@@ -319,7 +319,9 @@ def bfs_distances(
     """
     spark = edges.sparkSession
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct().persist()
-    dist = spark.createDataFrame([(int(s), 0) for s in source_ids], "id long, dist int")
+    from data_integration_and_processing_spark.operators.parallelism import tiny_local_df
+
+    dist = tiny_local_df(spark, [(int(s), 0) for s in source_ids], "id long, dist int")
     frontier = dist.select("id")
     live: list[DataFrame] = []
     try:

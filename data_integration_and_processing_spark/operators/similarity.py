@@ -512,7 +512,7 @@ def _neardup_candidates_lsh(
 
     first = ids_vecs.select(F.size("v").alias("d")).first()
     if first is None:
-        return ids_vecs.sparkSession.createDataFrame([], "id_a long, id_b long")
+        return tiny_local_df(ids_vecs.sparkSession, [], "id_a long, id_b long")
     planes = random_hyperplanes(int(first["d"]), n_planes * n_tables, seed)
     b_planes = ids_vecs.sparkSession.sparkContext.broadcast(planes)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
@@ -1495,8 +1495,10 @@ def _adc_shortlist(
                     [float(x) for x in vec],
                 )
             )
-    luts = spark.createDataFrame(
-        lut_rows, "query_id long, _cell int, _lut array<array<double>>, _q array<float>"
+    luts = tiny_local_df(
+        spark,
+        lut_rows,
+        "query_id long, _cell int, _lut array<array<double>>, _q array<float>",
     )
     probe_cells = sorted({r[1] for r in lut_rows})
     adc = F.aggregate(

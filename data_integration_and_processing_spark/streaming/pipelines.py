@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType, TimestampNTZType
 
+from data_integration_and_processing_spark.operators.parallelism import tiny_local_df
+
 
 def _watermarkable(df: DataFrame) -> DataFrame:
     """Cast TIMESTAMP_NTZ columns to TIMESTAMP (with local timezone).
@@ -1744,10 +1746,10 @@ def run_streaming_incremental_mv(
         b = batch_df.sparkSession
         snap = read_state_version(b, sink, upto=batch_id)
         if snap is None:
-            snap = b.createDataFrame(
-                [], "event_type string, n_rows long, sum_value double"
+            snap = tiny_local_df(
+                b, [], "event_type string, n_rows long, sum_value double"
             )
-        empty_delta = b.createDataFrame([], batch_df.schema)
+        empty_delta = tiny_local_df(b, [], batch_df.schema)
         merged = incremental_agg_merge(snap, batch_df, empty_delta, keys, sums)
         write_state_version(merged, sink, batch_id)
 
@@ -1896,8 +1898,8 @@ def run_streaming_frequent_directions(
             sk_b = _fd_shrink(np.vstack([prev, sk_b]), sketch_rows)
         out_rows = [(int(i), "row", list(map(float, sk_b[i])), 0, 0.0) for i in range(sketch_rows)]
         out_rows.append((-1, "meta", [], int(n_b), float(frob_b)))
-        state_df = b.createDataFrame(
-            out_rows, "i int, kind string, vals array<double>, n long, frob double"
+        state_df = tiny_local_df(
+            b, out_rows, "i int, kind string, vals array<double>, n long, frob double"
         )
         write_state_version(state_df, sink, batch_id)
 
