@@ -24,6 +24,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 4,
+    dedup_edges: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -70,12 +71,15 @@ def pagerank(
     # re-shuffles NOR re-sorts the O(E) side — without it, sort-merge
     # re-sorted the full cached edge set every round (the dominant cost the
     # probe measured)
-    e = (
-        edges.select(src.alias("src"), dst.alias("dst"))
-        .repartition(n_part, F.col("src"))
-        .sortWithinPartitions("src")
-        .persist()
+    e = edges.select(src.alias("src"), dst.alias("dst")).repartition(
+        n_part, F.col("src")
     )
+    if dedup_edges:
+        # fold the caller's edge dedup into the one src exchange (r16, the
+        # label_propagation/kcore_peel argument: hashpartitioning(src)
+        # colocates every copy of an (src, dst) row)
+        e = e.dropDuplicates(["src", "dst"])
+    e = e.sortWithinPartitions("src").persist()
     vertices = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))

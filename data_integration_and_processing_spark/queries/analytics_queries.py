@@ -723,17 +723,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
     )
     # bipartite co-purchase edges: customer -> part, namespaced into one id
-    # space (customers even, parts odd), symmetrized so no vertex dangles
-    pairs = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("cust_v"),
-            (F.col("l_partkey") * 2 + 1).alias("part_v"),
-        )
-        .distinct()
+    # space (customers even, parts odd), symmetrized so no vertex dangles.
+    # No distinct() (r16): the pair dedup rides the operator's one src-keyed
+    # exchange (dedup_edges=True) — see graph_label_propagation
+    pairs = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("cust_v"),
+        (F.col("l_partkey") * 2 + 1).alias("part_v"),
     )
     edges = _symmetrize_bipartite(pairs)
-    ranks = pagerank(edges, damping=0.85, n_iter=10)
+    ranks = pagerank(edges, damping=0.85, n_iter=10, dedup_edges=True)
     return (
         ranks.select(
             "id",

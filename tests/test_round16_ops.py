@@ -86,6 +86,18 @@ class TestDedupEdgesFold:
         b = sorted(map(tuple, label_propagation(clean, n_iter=4).collect()))
         assert a == b
 
+    def test_pagerank_dedup_fold_equals_pre_distinct(self, spark):
+        from data_integration_and_processing_spark.operators.graph import pagerank
+
+        pairs = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        dup = _sym(spark, pairs + pairs)
+        clean = _sym(spark, pairs)
+        a = sorted(
+            map(tuple, pagerank(dup, n_iter=3, dedup_edges=True).collect())
+        )
+        b = sorted(map(tuple, pagerank(clean, n_iter=3).collect()))
+        assert a == b
+
     def test_kcore_dedup_fold_equals_pre_distinct(self, spark):
         from data_integration_and_processing_spark.operators.graph import kcore_peel
 
