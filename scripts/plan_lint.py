@@ -33,6 +33,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # a row-count-sized input — the rule exists to catch the latter.
 WHITELIST: dict[str, dict[str, str]] = {
     "join_cross": {"CARTESIAN": "deliberate 5x5 region cartesian (constant)"},
+    "text_unigram_logprob": {
+        "GLOBAL_WINDOW": "corpus-total sum over the O(vocab) term-frequency "
+        "aggregate (the text_zipf_fit class) — replaces r15's O(corpus-"
+        "tokens) persisted token frame + eager count job (r16)"
+    },
     "sim_rerank_eval": {
         "CARTESIAN": "2-row arms literal x O(|Q|) idcg rows and a 1-row "
         "verdict broadcast — both bounded by the %100 query batch, never "
